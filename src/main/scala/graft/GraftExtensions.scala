@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/**
+ * Session extension entry point: registers the engine's SQL functions and
+ * (as later milestones land) the HNSW optimizer rules + planner strategy —
+ * the Spark analogue of the reference extension's load hook
+ * (/root/reference/src/vss_extension.cpp:29, hnsw.hpp:9-23).
+ *
+ * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+ * or `.withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    graft.functions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+  }
+}

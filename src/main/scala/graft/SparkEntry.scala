@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** All registered correctness-gate query groups. Each group contributes
+    * `queries` (Spark side) and `oracleSql` (DuckDB side) under the same keys. */
+  private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (VectorFunctionQueries.queries, VectorFunctionQueries.oracleSql),
+    (RelationalQueries.queries, RelationalQueries.oracleSql)
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * brute-force top-10 nearest neighbours of embedding 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.register(spark)
+    VectorFunctionQueries.queries("vss_topn_scan")(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.iterator.flatMap(_._2).toMap
 }

@@ -1,0 +1,136 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/**
+ * Scalar kernels for the vector distance functions.
+ *
+ * Semantics follow the reference extension's distance surface
+ * (duckdb-vss, /root/reference/src/hnsw/hnsw_index.cpp:659-689 matches these
+ * functions by name; the underlying math is usearch
+ * index_plugins.hpp:977-1053):
+ *
+ *  - `l2Distance`     = sqrt(sum (a_i - b_i)^2)   (DuckDB-core `array_distance`
+ *                       convention — the index may use the cheaper squared
+ *                       form internally; ordering is identical)
+ *  - `cosineDistance` = 1 - cos(a, b); zero-vector handling per usearch
+ *                       (index_plugins.hpp:1002-1030): 0 if both sides are
+ *                       zero vectors, 1 if exactly one side is zero.
+ *  - `innerProduct`   = sum a_i * b_i; `negativeInnerProduct` = its negation
+ *                       (DuckDB-core convention; usearch uses 1 - dot, same
+ *                       ordering).
+ *
+ * All kernels accumulate in Double for cross-engine reproducibility and are
+ * plain sequential loops (JIT auto-vectorizes); they are invoked from
+ * whole-stage-generated code, so they must stay static and allocation-free.
+ */
+object VectorMath {
+
+  @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"vector dimensions do not match: ${n} vs ${b.numElements()}")
+    }
+    n
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def l2Squared(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def negativeDot(a: ArrayData, b: ArrayData): Double = -dot(a, b)
+
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var ab = 0.0
+    var a2 = 0.0
+    var b2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y
+      a2 += x * x
+      b2 += y * y
+      i += 1
+    }
+    if (a2 == 0.0 && b2 == 0.0) 1.0
+    else if (a2 == 0.0 || b2 == 0.0) 0.0
+    else ab / math.sqrt(a2 * b2)
+  }
+
+  def cosineDistance(a: ArrayData, b: ArrayData): Double =
+    1.0 - cosineSimilarity(a, b)
+
+  /** Kernels over raw float arrays (used by the HNSW index hot path). */
+  def l2Squared(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def negativeDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      s += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    -s
+  }
+
+  def cosineDistance(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0
+    var a2 = 0.0
+    var b2 = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      ab += x * y
+      a2 += x * x
+      b2 += y * y
+      i += 1
+    }
+    if (a2 == 0.0 && b2 == 0.0) 0.0
+    else if (a2 == 0.0 || b2 == 0.0) 1.0
+    else 1.0 - ab / math.sqrt(a2 * b2)
+  }
+}

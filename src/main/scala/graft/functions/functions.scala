@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.expressions._
+
+/**
+ * Public Column API for the engine's scalar vector functions — the Spark
+ * analogue of the distance scalar surface the reference consumes by name
+ * (/root/reference/src/hnsw/hnsw_index.cpp:659-689).
+ *
+ * Usage:
+ * {{{
+ *   import graft.functions._
+ *   df.orderBy(array_distance($"vec", lit_vector(Array(1f,2f,3f)))).limit(3)
+ * }}}
+ */
+object functions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private[graft] def expr(c: Column): Expression = Bridge.expression(c)
+  private def vec(c: Column): Column = c.cast(ArrayType(FloatType))
+
+  /** Euclidean distance sqrt(sum (a-b)^2) between two float vectors. */
+  def array_distance(a: Column, b: Column): Column =
+    col(ArrayDistance(expr(vec(a)), expr(vec(b))))
+
+  /** Squared Euclidean distance (the index's internal `l2sq` metric). */
+  def array_squared_distance(a: Column, b: Column): Column =
+    col(ArraySquaredDistance(expr(vec(a)), expr(vec(b))))
+
+  /** Cosine similarity in [-1, 1]. */
+  def array_cosine_similarity(a: Column, b: Column): Column =
+    col(ArrayCosineSimilarity(expr(vec(a)), expr(vec(b))))
+
+  /** Cosine distance 1 - cos(a, b). */
+  def array_cosine_distance(a: Column, b: Column): Column =
+    col(ArrayCosineDistance(expr(vec(a)), expr(vec(b))))
+
+  /** Inner (dot) product. */
+  def array_inner_product(a: Column, b: Column): Column =
+    col(ArrayInnerProduct(expr(vec(a)), expr(vec(b))))
+
+  /** Negated inner product (a distance-like ordering for `ip` indexes). */
+  def array_negative_inner_product(a: Column, b: Column): Column =
+    col(ArrayNegativeInnerProduct(expr(vec(a)), expr(vec(b))))
+
+  /** A float-vector literal column. */
+  def lit_vector(v: Array[Float]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    vec(array(v.map(x => lit(x)).toIndexedSeq: _*))
+  }
+
+  /** SQL function names -> builders, for FunctionRegistry registration. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_distance" -> (es => ArrayDistance(es(0), es(1))),
+    "array_squared_distance" -> (es => ArraySquaredDistance(es(0), es(1))),
+    "array_cosine_similarity" -> (es => ArrayCosineSimilarity(es(0), es(1))),
+    "array_cosine_distance" -> (es => ArrayCosineDistance(es(0), es(1))),
+    "array_inner_product" -> (es => ArrayInnerProduct(es(0), es(1))),
+    "array_negative_inner_product" -> (es => ArrayNegativeInnerProduct(es(0), es(1)))
+  )
+
+  /** Register all engine SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/**
+ * Relational breadth queries over the TPC-H-ish tables. These exercise the
+ * "DuckDB core" capabilities our engine inherits from Spark SQL (SURVEY §2.3)
+ * and anchor the bench at sf0.1.
+ *
+ * Oracle-parity conventions:
+ *  - money/quantity aggregates go through DECIMAL(18,2) so both engines sum
+ *    exactly (double summation order differs between engines);
+ *  - final aggregate columns are cast to DECIMAL(38,2) on both sides so the
+ *    result schemas align;
+ *  - deterministic ORDER BY on every query.
+ */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+  private val out = DecimalType(38, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(out).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(out).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      // revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
+      // nation/customer are small → broadcast; lineitem⋈orders shuffles on
+      // the join key only after partial aggregation is impossible (join
+      // first), so AQE picks the join strategy at runtime.
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    }),
+    "q3_topn" -> ((s, dir) => {
+      // Top 10 orders by total price (TopN pattern → TakeOrderedAndProject).
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q4_window" -> ((s, dir) => {
+      // Rank customers by account balance within nation (window function).
+      val c = Tables.load(s, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("bal").desc, col("c_custkey"))
+      c.select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(dec).as("bal"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    }),
+    "q5_exists" -> ((s, dir) => {
+      // Customers with at least one order (left-semi join).
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "q6_events_agg" -> ((s, dir) => {
+      // Event-stream style aggregation: per type, count + exact value sum.
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_join_agg" ->
+      """SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q3_topn" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
+    "q4_window" ->
+      """SELECT c_custkey, c_nationkey, bal, rnk FROM (
+           SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rnk
+           FROM customer) WHERE rnk <= 3
+         ORDER BY c_nationkey, rnk""",
+    "q5_exists" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q6_events_agg" ->
+      """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

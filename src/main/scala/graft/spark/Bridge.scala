@@ -1,0 +1,13 @@
+// Lives under org.apache.spark.sql so it can reach the private[sql]
+// Column <-> Expression converters (org.apache.spark.sql.classic
+// .ExpressionUtils) — the standard pattern for Spark extension libraries.
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
