@@ -12,7 +12,8 @@ object SparkEntry {
     * `queries` (Spark side) and `oracleSql` (DuckDB side) under the same keys. */
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (VectorFunctionQueries.queries, VectorFunctionQueries.oracleSql),
-    (RelationalQueries.queries, RelationalQueries.oracleSql)
+    (RelationalQueries.queries, RelationalQueries.oracleSql),
+    (MacroQueries.queries, MacroQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

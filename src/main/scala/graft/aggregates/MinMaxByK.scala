@@ -1,0 +1,166 @@
+package graft.aggregates
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded top-k buffer: keeps the k best (order, value) pairs seen so far.
+ * `keepSmallest=true` keeps the k smallest orders (min_by); the internal
+ * heap is ordered worst-first so the root is evicted on overflow.
+ */
+final class TopKBuffer(val k: Int, val keepSmallest: Boolean, ord: Ordering[Any]) {
+  // worst-first: for min_by the LARGEST kept order sits at the root.
+  private val heapOrd = if (keepSmallest) ord.reverse else ord
+  val heap = new java.util.PriorityQueue[(Any, Any)](
+    math.max(1, math.min(k, 1024)),
+    (a: (Any, Any), b: (Any, Any)) => heapOrd.compare(a._1, b._1))
+
+  def insert(o: Any, v: Any): Unit = {
+    if (heap.size() < k) {
+      heap.add((o, v))
+    } else {
+      val worst = heap.peek()._1
+      val better = if (keepSmallest) ord.lt(o, worst) else ord.gt(o, worst)
+      if (better) { heap.poll(); heap.add((o, v)) }
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val p = it.next(); insert(p._1, p._2) }
+  }
+
+  /** Values best-first: ascending order for min_by, descending for max_by. */
+  def sortedValues: Array[Any] = {
+    val arr = heap.toArray.map(_.asInstanceOf[(Any, Any)])
+    val sorted = arr.sortBy(_._1)(if (keepSmallest) ord else ord.reverse)
+    sorted.map(_._2)
+  }
+}
+
+/**
+ * k-argument `min_by(value, order, k)` / `max_by(value, order, k)` aggregate
+ * returning a LIST of the values for the k smallest/largest orders, best
+ * first — DuckDB-core semantics the reference depends on for its top-k
+ * rewrite and macros (/root/reference/src/hnsw/hnsw_optimize_topk.cpp:83-94,
+ * hnsw_index_macros.cpp:24-27). Spark's built-in min_by/max_by lack the k
+ * argument (SURVEY §2 O10).
+ *
+ * Rows with a NULL order or NULL value are ignored (arg_min semantics).
+ * Implemented as a bounded heap, so partial (map-side) aggregation ships at
+ * most k pairs per group per partition — the property that makes
+ * top-k-per-group scale without a full sort shuffle.
+ */
+case class MinMaxByK(
+    first: Expression,   // value
+    second: Expression,  // order
+    third: Expression,   // k (foldable)
+    keepSmallest: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with TernaryLike[Expression] {
+
+  private lazy val k: Int = third.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => throw new IllegalArgumentException(
+      s"${prettyName} k must be a constant integer, got $other")
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(second.dataType)
+
+  @transient private lazy val pairProjection =
+    UnsafeProjection.create(Array(second.dataType, first.dataType))
+
+  override def checkInputDataTypes() = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!RowOrdering.isOrderable(second.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} does not support ordering on ${second.dataType}")
+    } else if (!third.foldable) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} k must be a constant")
+    } else if (k <= 0) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} k must be positive, got $k")
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def prettyName: String = if (keepSmallest) "min_by" else "max_by"
+  override def dataType: DataType = ArrayType(first.dataType, containsNull = first.nullable)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, keepSmallest, ordering)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val o = second.eval(input)
+    if (o != null) {
+      val v = first.eval(input)
+      if (v != null) {
+        buf.insert(InternalRow.copyValue(o), InternalRow.copyValue(v))
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = new GenericArrayData(buf.sortedValues)
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.heap.size())
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val (o, v) = it.next()
+      val row = pairProjection(InternalRow(o, v))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    val row = new UnsafeRow(2)
+    while (i < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      row.pointTo(arr, len)
+      val o = InternalRow.copyValue(row.get(0, second.dataType))
+      val v = InternalRow.copyValue(row.get(1, first.dataType))
+      buf.insert(o, v)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinMaxByK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinMaxByK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinMaxByK =
+    copy(first = f, second = s, third = t)
+}

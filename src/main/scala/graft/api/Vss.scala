@@ -1,0 +1,77 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_similarity, array_distance, array_inner_product, max_by_k, min_by_k}
+
+/**
+ * Brute-force k-NN similarity join/match — the Spark re-expression of the
+ * reference's `vss_join` / `vss_match` table macros
+ * (/root/reference/src/hnsw/hnsw_index_macros.cpp:9-74).
+ *
+ * Scale design: the cross product is aggregated per left row with the
+ * bounded-heap [[graft.aggregates.MinMaxByK]] aggregate, so map-side partial
+ * aggregation ships at most k candidates per (left row, partition) — no
+ * global sort, no full-window shuffle. Catalyst/AQE picks broadcast
+ * nested-loop automatically when one side is small; callers can hint with
+ * `broadcast(right)`.
+ */
+object Vss {
+
+  private case class Metric(score: (Column, Column) => Column, smallestIsBest: Boolean)
+
+  private def metricOf(name: String): Metric = name match {
+    case "l2sq" | "l2" => Metric(array_distance, smallestIsBest = true)
+    case "cosine" | "cos" => Metric(array_cosine_similarity, smallestIsBest = false)
+    case "ip" => Metric(array_inner_product, smallestIsBest = false)
+    case other => throw new IllegalArgumentException(s"Unknown metric: $other")
+  }
+
+  private def topK(value: Column, order: Column, k: Int, smallestIsBest: Boolean): Column =
+    if (smallestIsBest) min_by_k(value, order, k) else max_by_k(value, order, k)
+
+  /**
+   * For every row of `left`, the k best rows of `right` by vector score.
+   * Output: (score DOUBLE, left_tbl STRUCT<left.*>, right_tbl STRUCT<right.*>),
+   * best score first within each left row — mirroring `vss_join`.
+   */
+  def vssJoin(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
+      k: Int, metric: String = "l2sq"): DataFrame = {
+    val m = metricOf(metric)
+    val scored = left
+      .select(struct(col("*")).as("left_tbl"))
+      .withColumn("_lid", monotonically_increasing_id())
+      .crossJoin(right.select(struct(col("*")).as("right_tbl")))
+      .withColumn("_score", m.score(col("left_tbl").getField(leftCol), col("right_tbl").getField(rightCol)))
+    scored
+      .groupBy(col("_lid"))
+      .agg(
+        first(col("left_tbl")).as("left_tbl"),
+        topK(struct(col("_score"), col("right_tbl")), col("_score"), k, m.smallestIsBest).as("_matches"))
+      .select(col("left_tbl"), explode(col("_matches")).as("_m"))
+      .select(col("_m._score").as("score"), col("left_tbl"), col("_m.right_tbl").as("right_tbl"))
+  }
+
+  /**
+   * Correlated variant: `left.*` plus a `matches` column of
+   * LIST<STRUCT<score DOUBLE, row STRUCT<right.*>>> (best first) —
+   * mirroring `FROM left, vss_match(right, left_col, right_col, k)`.
+   */
+  def vssMatch(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
+      k: Int, metric: String = "l2sq"): DataFrame = {
+    val m = metricOf(metric)
+    val leftCols = left.columns
+    val scored = left
+      .select(struct(col("*")).as("_left"))
+      .withColumn("_lid", monotonically_increasing_id())
+      .crossJoin(right.select(struct(col("*")).as("row")))
+      .withColumn("score", m.score(col("_left").getField(leftCol), col("row").getField(rightCol)))
+    val agged = scored
+      .groupBy(col("_lid"))
+      .agg(
+        first(col("_left")).as("_left"),
+        topK(struct(col("score"), col("row")), col("score"), k, m.smallestIsBest).as("matches"))
+    agged.select(leftCols.map(c => col(s"_left.$c")) :+ col("matches"): _*)
+  }
+}

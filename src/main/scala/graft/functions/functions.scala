@@ -54,6 +54,18 @@ object functions {
     vec(array(v.map(x => lit(x)).toIndexedSeq: _*))
   }
 
+  /** k-arg min_by: values for the k smallest orders, best first (LIST). */
+  def min_by_k(value: Column, order: Column, k: Int): Column =
+    col(graft.aggregates.MinMaxByK(expr(value), expr(order),
+      org.apache.spark.sql.catalyst.expressions.Literal(k), keepSmallest = true)
+      .toAggregateExpression())
+
+  /** k-arg max_by: values for the k largest orders, best first (LIST). */
+  def max_by_k(value: Column, order: Column, k: Int): Column =
+    col(graft.aggregates.MinMaxByK(expr(value), expr(order),
+      org.apache.spark.sql.catalyst.expressions.Literal(k), keepSmallest = false)
+      .toAggregateExpression())
+
   /** SQL function names -> builders, for FunctionRegistry registration. */
   private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_distance" -> (es => ArrayDistance(es(0), es(1))),
@@ -61,7 +73,15 @@ object functions {
     "array_cosine_similarity" -> (es => ArrayCosineSimilarity(es(0), es(1))),
     "array_cosine_distance" -> (es => ArrayCosineDistance(es(0), es(1))),
     "array_inner_product" -> (es => ArrayInnerProduct(es(0), es(1))),
-    "array_negative_inner_product" -> (es => ArrayNegativeInnerProduct(es(0), es(1)))
+    "array_negative_inner_product" -> (es => ArrayNegativeInnerProduct(es(0), es(1))),
+    // 3-arg forms extend the built-ins (DuckDB-core k-arg semantics, O10);
+    // 2-arg falls through to Spark's own MinBy/MaxBy.
+    "min_by" -> (es =>
+      if (es.length == 3) graft.aggregates.MinMaxByK(es(0), es(1), es(2), keepSmallest = true)
+      else org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(es(0), es(1))),
+    "max_by" -> (es =>
+      if (es.length == 3) graft.aggregates.MinMaxByK(es(0), es(1), es(2), keepSmallest = false)
+      else org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(es(0), es(1)))
   )
 
   /** Register all engine SQL functions on an existing session. */
