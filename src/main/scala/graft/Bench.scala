@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every gate query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. The JSON is written to BENCH_OUT (default
+  * /root/repo/BENCH_LOCAL.json) AND printed as the final stdout line —
+  * sbt log noise made round 1's line unparseable (BENCH_r01 "parsed": null).
+  *
+  * Queries are materialized with a noop datasource write (every row is
+  * produced and serialized) instead of `.count()`, which let Catalyst prune
+  * the projections being measured. Failures are fatal — a broken query must
+  * not be reported as a fast one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,16 +24,27 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    // Warm the session (parquet footers, codegen, shuffle infra) so the
+    // first measured query isn't charged ~4s of one-time setup.
+    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
+    // Final clean stdout line, after spark.stop() so no executor shutdown
+    // logging can interleave behind it.
+    println(json)
   }
 }

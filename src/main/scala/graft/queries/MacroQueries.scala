@@ -27,9 +27,11 @@ object MacroQueries {
     "vss_max_by_k" -> ((s, dir) =>
       scoredVsQ0(s, dir).agg(max_by_k(col("vec_id"), col("d"), 8).as("ids"))),
     "vss_min_by_k_grouped" -> ((s, dir) =>
-      // per-label top-5 nearest ids — the top-k-per-group pattern at scale
+      // per-label top-5 nearest ids — the top-k-per-group pattern at scale.
+      // Gate output is a CSV string (driver comparator can't hash LIST
+      // columns — CORRECTNESS_r01 err "unhashable numpy.ndarray").
       scoredVsQ0(s, dir).groupBy(col("label"))
-        .agg(min_by_k(col("vec_id"), col("d"), 5).as("ids"))
+        .agg(array_join(min_by_k(col("vec_id"), col("d"), 5).cast("array<string>"), ",").as("ids"))
         .orderBy("label")),
     "vss_join_macro" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -47,7 +49,8 @@ object MacroQueries {
           col("vec_id"),
           size(col("matches")).cast("long").as("n"),
           round(element_at(col("matches"), 1).getField("score"), 4).as("best"),
-          transform(col("matches"), m => m.getField("row").getField("vec_id")).as("match_ids"))
+          array_join(transform(col("matches"), m => m.getField("row").getField("vec_id"))
+            .cast("array<string>"), ",").as("match_ids"))
         .orderBy("vec_id")
     })
   )
@@ -63,7 +66,7 @@ object MacroQueries {
     "vss_max_by_k" ->
       s"SELECT (list(e.vec_id ORDER BY $dist DESC))[1:8] AS ids FROM embeddings e, $q0",
     "vss_min_by_k_grouped" ->
-      s"""SELECT e.label, (list(e.vec_id ORDER BY $dist))[1:5] AS ids
+      s"""SELECT e.label, array_to_string((list(e.vec_id ORDER BY $dist))[1:5], ',') AS ids
           FROM embeddings e, $q0 GROUP BY e.label ORDER BY e.label""",
     "vss_join_macro" ->
       """WITH s AS (
@@ -82,7 +85,7 @@ object MacroQueries {
                       (list(struct_pack(score := score, rid := rid) ORDER BY score))[1:5] AS matches
                FROM s GROUP BY vec_id)
          SELECT vec_id, len(matches) AS n, round(matches[1].score, 4) AS best,
-                list_transform(matches, x -> x.rid) AS match_ids
+                array_to_string(list_transform(matches, x -> x.rid), ',') AS match_ids
          FROM m ORDER BY vec_id"""
   )
 }

@@ -21,15 +21,20 @@ import graft.Tables
 object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
-  private val out = DecimalType(38, 2)
+
+  // Final outputs follow the round(CAST(exact AS DOUBLE), 4) convention: the
+  // sum is computed exactly in DECIMAL on both engines, then converted to a
+  // hash-stable DOUBLE (driver's comparator hash-matches DOUBLE but not
+  // DECIMAL(38,x) renderings — CORRECTNESS_r01 q1/q2/q6 vs q3/q5/vss_*).
+  private def outD(c: org.apache.spark.sql.Column) = round(c.cast("double"), 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(out).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(out).as("sum_base_price"),
+          outD(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+          outD(sum(col("l_extendedprice").cast(dec))).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -47,15 +52,15 @@ object RelationalQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("revenue"),
+          outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)))).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
     "q3_topn" -> ((s, dir) => {
       // Top 10 orders by total price (TopN pattern → TakeOrderedAndProject).
       Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price"))
+        .select(col("o_orderkey"), outD(col("o_totalprice").cast(dec)).as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -66,8 +71,8 @@ object RelationalQueries {
         .partitionBy(col("c_nationkey"))
         .orderBy(col("bal").desc, col("c_custkey"))
       c.select(col("c_custkey"), col("c_nationkey"),
-          col("c_acctbal").cast(dec).as("bal"))
-        .withColumn("rnk", row_number().over(w))
+          outD(col("c_acctbal").cast(dec)).as("bal"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 3)
         .orderBy("c_nationkey", "rnk")
     }),
@@ -85,7 +90,7 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           count(col("user_id")).as("n_users"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+          outD(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
         .orderBy("event_type")
     })
   )
@@ -93,16 +98,16 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q2_join_agg" ->
       """SELECT n_name,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                 AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue,
            count(*) AS n_rows
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -110,10 +115,11 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "q3_topn" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 4) AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
     "q4_window" ->
-      """SELECT c_custkey, c_nationkey, bal, rnk FROM (
+      """SELECT c_custkey, c_nationkey, round(CAST(bal AS DOUBLE), 4) AS bal,
+                CAST(rnk AS BIGINT) AS rnk FROM (
            SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
                   row_number() OVER (PARTITION BY c_nationkey
                     ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rnk
@@ -125,7 +131,7 @@ object RelationalQueries {
          ORDER BY c_custkey""",
     "q6_events_agg" ->
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

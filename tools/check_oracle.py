@@ -1,19 +1,24 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT.
 
 Usage:
   python3 tools/check_oracle.py [sfdir] [outdir] [--skip-verify]
 
 1. Runs `sbt "runMain graft.Verify <sfdir> <outdir>"` (unless --skip-verify)
-2. Loads each <outdir>/<name> parquet (Spark result)
+2. Loads each <outdir>/<name> parquet (Spark result) with pandas
 3. Runs the matching oracle SQL from <outdir>/oracle_sql.json in DuckDB with
    views for every test table
-4. Compares schemas (column names, sorted) and row multisets exactly.
+4. Mirrors the driver: sort columns by name, sort rows by all columns, then
+   require EXACT value equality (no rounding slop) and compatible dtypes.
+   A LIST-typed column in a multi-row result is flagged (the driver's
+   comparator crashes on those — CORRECTNESS_r01).
 """
 import json, subprocess, sys, math
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify")
@@ -37,44 +42,76 @@ for t in TABLES:
 
 oracle = json.loads((OUT / "oracle_sql.json").read_text())
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return v
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    ordered_cols = [cols[i] for i in order]
-    canon_rows = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return ordered_cols, canon_rows
+def prepare(df: pd.DataFrame):
+    """Sort columns by name, then rows by all columns (driver's canon)."""
+    df = df[sorted(df.columns)]
+    listy = [c for c in df.columns
+             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()]
+    if listy and len(df) > 1:
+        return None, f"LIST column(s) {listy} in multi-row result (driver comparator crashes)"
+    if not listy and len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df, None
+
+
+def cell_eq(a, b):
+    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+        a = list(a) if isinstance(a, (list, np.ndarray)) else a
+        b = list(b) if isinstance(b, (list, np.ndarray)) else b
+        if not isinstance(a, list) or not isinstance(b, list) or len(a) != len(b):
+            return False
+        return all(cell_eq(x, y) for x, y in zip(a, b))
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)) \
+            or (isinstance(b, float) and math.isnan(b)):
+        an = a is None or (isinstance(a, float) and math.isnan(a))
+        bn = b is None or (isinstance(b, float) and math.isnan(b))
+        return an == bn
+    if isinstance(a, float) or isinstance(b, float):
+        return float(a) == float(b)  # EXACT — no rounding slop
+    return a == b
+
 
 fails = 0
 names = sorted(d.name for d in OUT.iterdir() if d.is_dir())
 for name in names:
-    got_rel = con.sql(f"SELECT * FROM '{OUT / name}/*.parquet'")
-    g_cols, g_rows = canon(got_rel.columns, got_rel.fetchall())
+    got = pd.read_parquet(sorted(Path(f"{OUT}/{name}").glob("*.parquet")))
     if name not in oracle:
-        print(f"  ~ {name}: no oracle ({len(g_rows)} rows, rows-only check)")
+        print(f"  ~ {name}: no oracle ({len(got)} rows, rows-only check)")
         continue
-    exp_rel = con.sql(oracle[name])
-    e_cols, e_rows = canon(exp_rel.columns, exp_rel.fetchall())
-    if [c.lower() for c in g_cols] != [c.lower() for c in e_cols]:
-        print(f"  ✗ {name}: SCHEMA got={g_cols} exp={e_cols}")
+    exp = con.sql(oracle[name]).df()
+    g, gerr = prepare(got)
+    e, eerr = prepare(exp)
+    if gerr or eerr:
+        print(f"  ✗ {name}: {gerr or eerr}")
         fails += 1
-    elif g_rows != e_rows:
-        print(f"  ✗ {name}: ROWS got={len(g_rows)} exp={len(e_rows)}")
-        diff_g = [r for r in g_rows if r not in set(e_rows)][:3]
-        diff_e = [r for r in e_rows if r not in set(g_rows)][:3]
-        print(f"      only-in-got: {diff_g}\n      only-in-exp: {diff_e}")
+        continue
+    if [c.lower() for c in g.columns] != [c.lower() for c in e.columns]:
+        print(f"  ✗ {name}: SCHEMA got={list(g.columns)} exp={list(e.columns)}")
+        fails += 1
+        continue
+    if len(g) != len(e):
+        print(f"  ✗ {name}: ROWS got={len(g)} exp={len(e)}")
+        fails += 1
+        continue
+    bad = None
+    for c_g, c_e in zip(g.columns, e.columns):
+        gk, ek = g[c_g].dtype.kind, e[c_e].dtype.kind
+        if gk != ek and {gk, ek} != {"O"} and not ({gk, ek} <= {"i", "u"}):
+            bad = f"DTYPE {c_g}: got={g[c_g].dtype} exp={e[c_e].dtype}"
+            break
+        for i in range(len(g)):
+            if not cell_eq(g[c_g].iloc[i], e[c_e].iloc[i]):
+                bad = (f"VALUE {c_g}[{i}]: got={g[c_g].iloc[i]!r} "
+                       f"exp={e[c_e].iloc[i]!r}")
+                break
+        if bad:
+            break
+    if bad:
+        print(f"  ✗ {name}: {bad}")
         fails += 1
     else:
-        print(f"  ✓ {name} ({len(g_rows)} rows)")
+        print(f"  ✓ {name} ({len(g)} rows)")
 
 missing = set(oracle) - set(names)
 for m in sorted(missing):
