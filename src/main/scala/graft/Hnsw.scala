@@ -1,0 +1,340 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.index.{GraphCache, HnswGraph, HnswIndexMeta, IndexCatalog}
+
+/**
+ * Public index-management API — the Spark re-expression of the reference's
+ * DDL + pragma surface:
+ *
+ *   - [[createIndex]]  ≙ `CREATE INDEX … USING HNSW (vec) WITH (…)`
+ *                        (/root/reference/src/hnsw/hnsw_index_plan.cpp:16-140)
+ *   - [[dropIndex]]    ≙ `DROP INDEX`
+ *   - [[insert]]       ≙ index maintenance on INSERT (hnsw_index.cpp:421-478)
+ *   - [[delete]]       ≙ mark-only delete (hnsw_index.cpp:496-512)
+ *   - [[compactIndex]] ≙ `PRAGMA hnsw_compact_index` (hnsw_index_pragmas.cpp:179-220)
+ *   - [[indexInfo]]    ≙ `pragma_hnsw_index_info()` (hnsw_index_pragmas.cpp:41-173)
+ *
+ * Architecture (SURVEY §2 O1/O11-O15): an index is a directory of immutable
+ * HNSW segment files on shared storage. CREATE builds one graph per Spark
+ * partition in parallel executors (`mapPartitions` — the Spark-native
+ * analogue of the reference's N construction threads over a shared
+ * collection, hnsw_index_physical_create.cpp:235-247). INSERT appends new
+ * delta segments; DELETE appends tombstone keys; COMPACT rebuilds. Search
+ * fans out over segments and merges top-k — per-segment recall at equal ef
+ * is ≥ a single graph's, so partitioning is correctness-safe (SURVEY §7.3).
+ */
+object Hnsw {
+
+  val LocationKey = "spark.graft.index.location"
+  val EfSearchKey = "spark.graft.hnsw.efSearch"
+  val RewriteEnabledKey = "spark.graft.hnsw.rewrite.enabled"
+  /** Parity no-op: files are always persistent (SURVEY §2 O17). */
+  val PersistenceKey = "spark.graft.hnsw.enableExperimentalPersistence"
+  val MaxVectorsPerPartitionKey = "spark.graft.hnsw.build.maxVectorsPerPartition"
+
+  def baseDir(spark: SparkSession): String =
+    spark.conf.get(LocationKey,
+      new File(sys.props("java.io.tmpdir"), "graft-indexes").getAbsolutePath)
+
+  /** Query-time beam width: session conf overrides the index default
+    * (`SET hnsw_ef_search`, hnsw_index.cpp:318-329). */
+  def efSearch(spark: SparkSession, meta: HnswIndexMeta): Int =
+    spark.conf.getOption(EfSearchKey).map(_.toInt).getOrElse(meta.efSearch)
+
+  // ---------------------------------------------------------------- create
+
+  /**
+   * Build an HNSW index over `df`'s `column` (ArrayType(FloatType)), keyed by
+   * the BIGINT `idColumn`. Options: metric ∈ {l2sq, cosine, ip},
+   * ef_construction, ef_search, M, M0 — names, bounds, and error messages
+   * mirror the reference binder (hnsw_index_plan.cpp:33-80, hnsw_options.test).
+   */
+  def createIndex(
+      spark: SparkSession,
+      name: String,
+      df: DataFrame,
+      column: String,
+      idColumn: String,
+      options: Map[String, String] = Map.empty,
+      overwrite: Boolean = false): HnswIndexMeta = {
+    val base = baseDir(spark)
+    if (IndexCatalog.exists(base, name)) {
+      if (!overwrite) throw new IllegalArgumentException(s"Index '$name' already exists")
+      IndexCatalog.drop(base, name)
+    }
+    val opts = validateOptions(options)
+
+    val field = df.schema.fields.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"Column '$column' not found"))
+    field.dataType match {
+      case ArrayType(FloatType, _) => ()
+      case _ => throw new IllegalArgumentException("HNSW index keys must be of type FLOAT[N]")
+    }
+    require(df.schema.fieldNames.contains(idColumn), s"Column '$idColumn' not found")
+
+    // IS NOT NULL under the build, like the reference's planned pipeline
+    // (hnsw_index_plan.cpp:118-133).
+    import spark.implicits._
+    val data = df.select(col(idColumn).cast(LongType).as("_1"), col(column).as("_2"))
+      .where(col("_2").isNotNull)
+      .as[(Long, Array[Float])]
+
+    val dim = data.head(1).headOption.map(_._2.length).getOrElse(0)
+    val dir = IndexCatalog.indexDir(base, name)
+    dir.mkdirs()
+    val segments =
+      if (dim == 0) Seq.empty // empty source: valid, zero-count index
+      else buildSegments(spark, data, dir, "part", dim, opts)
+    val meta = HnswIndexMeta(
+      name = name, paths = relationPaths(df), column = column, idColumn = idColumn,
+      metric = opts.metric, dim = dim, m = opts.m, m0 = opts.m0,
+      efConstruction = opts.efConstruction, efSearch = opts.efSearch,
+      count = segments.map(_._2).sum, segments = segments.map(_._1))
+    IndexCatalog.save(base, meta)
+    meta
+  }
+
+  def dropIndex(spark: SparkSession, name: String): Boolean =
+    IndexCatalog.drop(baseDir(spark), name)
+
+  /** Build one immutable graph segment per partition; returns (file, count). */
+  private def buildSegments(
+      spark: SparkSession,
+      data: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      dir: File,
+      prefix: String,
+      dim: Int,
+      opts: Options): Seq[(String, Long)] = {
+    val maxPer = spark.conf.getOption(MaxVectorsPerPartitionKey).map(_.toLong).getOrElse(262144L)
+    val total = data.count()
+    val numParts = math.max(1L, (total + maxPer - 1) / maxPer).toInt
+    val dirPath = dir.getAbsolutePath
+    val (metric, m, m0, efc) = (opts.metric, opts.m, opts.m0, opts.efConstruction)
+    // Range-partition on the key: deterministic placement, and co-located id
+    // ranges keep the rowid fetch-back join prunable.
+    data.repartitionByRange(numParts, col("_1")).rdd
+      .mapPartitionsWithIndex { (i, rows) =>
+        val g = new HnswGraph(dim, metric, m, m0, efc, seed = 42L + i)
+        rows.foreach { case (k, v) => g.add(k, v) }
+        if (g.size == 0) Iterator.empty
+        else {
+          val f = f"$prefix-$i%05d.hnsw"
+          IndexCatalog.writeGraph(new File(dirPath, f), g)
+          Iterator.single((f, g.count.toLong))
+        }
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** Root paths of the scanned file relation — the index↔scan binding the
+    * optimizer rules use (analogue of IsDuckTable + column binding checks,
+    * hnsw_optimize_scan.cpp:91-148). */
+  def relationPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.distinct.sorted
+
+  // ----------------------------------------------------------------- search
+
+  /**
+   * Raw ANN search: top-k (rowid, internal-metric distance) ascending.
+   * Fans out over segments, filters tombstones, merges. Distances are the
+   * index metric's (l2sq/cosine/ip ordering — monotone with the SQL-surface
+   * functions; SURVEY §7.3 item 5).
+   */
+  def searchRaw(spark: SparkSession, name: String, q: Array[Float], k: Int,
+      efOverride: Option[Int] = None): Array[(Long, Double)] = {
+    val base = baseDir(spark)
+    val meta = IndexCatalog.load(base, name)
+    searchMeta(base, meta, q, k, efOverride.getOrElse(efSearch(spark, meta)))
+  }
+
+  private[graft] def searchMeta(base: String, meta: HnswIndexMeta, q: Array[Float],
+      k: Int, ef: Int): Array[(Long, Double)] = {
+    val dir = IndexCatalog.indexDir(base, meta.name)
+    val tombs = IndexCatalog.tombstones(base, meta.name)
+    // Over-fetch per segment so catalog-level tombstones can't starve the
+    // merged top-k (bounded: compaction is the fix for large tombstone sets).
+    val fetch = k + math.min(tombs.size, 1024)
+    meta.segments.iterator
+      .flatMap { s =>
+        GraphCache.get(new File(dir, s)).search(q, fetch, ef)
+          .filterNot { case (key, _) => tombs.contains((s, key)) }
+      }
+      .toArray.sortBy(_._2).take(k)
+  }
+
+  /** Top-k as a DataFrame (id, distance) — the `hnsw_index_scan` surface. */
+  def topK(spark: SparkSession, name: String, q: Array[Float], k: Int): DataFrame = {
+    val meta = IndexCatalog.load(baseDir(spark), name)
+    val hits = searchRaw(spark, name, q, k)
+    spark.createDataFrame(
+      java.util.Arrays.asList(hits.map(h => Row(h._1, h._2)): _*),
+      StructType(Seq(
+        StructField(meta.idColumn, LongType, nullable = false),
+        StructField("distance", DoubleType, nullable = false))))
+  }
+
+  // ------------------------------------------------------------------ CRUD
+
+  /**
+   * Append new vectors as delta segments (O11). Spark storage is immutable,
+   * so "insert" is segment append — search transparently fans out over all
+   * segments; staleness semantics match the reference's incremental adds.
+   */
+  def insert(spark: SparkSession, name: String, df: DataFrame): HnswIndexMeta = {
+    val base = baseDir(spark)
+    val meta = IndexCatalog.load(base, name)
+    import spark.implicits._
+    val data = df.select(col(meta.idColumn).cast(LongType).as("_1"), col(meta.column).as("_2"))
+      .where(col("_2").isNotNull)
+      .as[(Long, Array[Float])]
+    val dim =
+      if (meta.dim > 0) meta.dim
+      else data.head(1).headOption.map(_._2.length).getOrElse(0)
+    if (dim == 0) return meta
+    val dir = IndexCatalog.indexDir(base, name)
+    val opts = Options(meta.metric, meta.efConstruction, meta.efSearch, meta.m, meta.m0)
+    val stamp = meta.segments.size + 1
+    val segs = buildSegments(spark, data, dir, f"delta-$stamp%05d", dim, opts)
+    // A previously deleted key re-inserted here lives in the new segment;
+    // per-segment tombstones keep only the old copies hidden.
+    val updated = meta.copy(
+      dim = dim,
+      count = meta.count + segs.map(_._2).sum,
+      segments = meta.segments ++ segs.map(_._1))
+    IndexCatalog.save(base, updated)
+    updated
+  }
+
+  /** Mark rowids deleted (O12) — mark-only until [[compactIndex]], matching
+    * the reference (README.md:67-69). */
+  def delete(spark: SparkSession, name: String, keys: Seq[Long]): HnswIndexMeta = {
+    val base = baseDir(spark)
+    val meta = IndexCatalog.load(base, name)
+    val dir = IndexCatalog.indexDir(base, name)
+    val existing = IndexCatalog.tombstones(base, name)
+    val added = (for {
+      k <- keys.distinct
+      s <- meta.segments
+      if GraphCache.get(new File(dir, s)).contains(k) && !existing.contains((s, k))
+    } yield (s, k)).toSet
+    IndexCatalog.writeTombstones(base, name, existing ++ added)
+    val updated = meta.copy(count = meta.count - added.map(_._2).size)
+    IndexCatalog.save(base, updated)
+    updated
+  }
+
+  /** Rebuild segments without tombstoned/marked-deleted entries (O13). */
+  def compactIndex(spark: SparkSession, name: String): HnswIndexMeta = {
+    val base = baseDir(spark)
+    val meta = IndexCatalog.load(base, name)
+    val dir = IndexCatalog.indexDir(base, name)
+    val tombs = IndexCatalog.tombstones(base, name)
+    import spark.implicits._
+    val live = meta.segments.flatMap { s =>
+      GraphCache.get(new File(dir, s)).liveEntries
+        .filterNot { case (k, _) => tombs.contains((s, k)) }
+    }
+    // Distributed rebuild through the normal build path. (At warehouse scale
+    // the segment files themselves would be parallelized into the job; the
+    // per-index entry set here is executor-loadable by construction.)
+    val ds = spark.createDataset(live)
+    val opts = Options(meta.metric, meta.efConstruction, meta.efSearch, meta.m, meta.m0)
+    meta.segments.foreach(s => new File(dir, s).delete())
+    GraphCache.invalidate(dir.getAbsolutePath)
+    val segs =
+      if (live.isEmpty) Seq.empty
+      else buildSegments(spark, ds, dir, "part", meta.dim, opts)
+    IndexCatalog.writeTombstones(base, name, Set.empty)
+    val updated = meta.copy(count = segs.map(_._2).sum, segments = segs.map(_._1))
+    IndexCatalog.save(base, updated)
+    updated
+  }
+
+  // ------------------------------------------------------------------ info
+
+  /** One row per index — `pragma_hnsw_index_info()` parity
+    * (hnsw_index_pragmas.cpp:41-173). */
+  def indexInfo(spark: SparkSession): DataFrame = {
+    val base = baseDir(spark)
+    val rows = IndexCatalog.list(base).map { meta =>
+      val dir = IndexCatalog.indexDir(base, meta.name)
+      val graphs = meta.segments.map(s => GraphCache.get(new File(dir, s)))
+      val tombs = IndexCatalog.tombstones(base, meta.name)
+      val levels = if (graphs.isEmpty) 0 else graphs.map(_.maxLevel).max + 1
+      val mergedStats = (0 until levels).map { lvl =>
+        val per = graphs.map(g => g.levelStats.lift(lvl).getOrElse((0L, 0L, 0L)))
+        Row(per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+      }
+      Row(meta.name, meta.paths.mkString(","), meta.column, meta.idColumn,
+        meta.metric, meta.dim, meta.count,
+        tombs.size.toLong + graphs.map(_.removedCount.toLong).sum,
+        meta.segments.size, levels,
+        graphs.map(_.approxMemoryBytes).sum, mergedStats)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), InfoSchema)
+  }
+
+  val InfoSchema: StructType = StructType(Seq(
+    StructField("index_name", StringType),
+    StructField("paths", StringType),
+    StructField("column_name", StringType),
+    StructField("id_column", StringType),
+    StructField("metric", StringType),
+    StructField("dimensions", IntegerType),
+    StructField("count", LongType),
+    StructField("deleted_count", LongType),
+    StructField("segment_count", IntegerType),
+    StructField("levels", IntegerType),
+    StructField("approx_memory", LongType),
+    StructField("level_stats", ArrayType(StructType(Seq(
+      StructField("nodes", LongType),
+      StructField("edges", LongType),
+      StructField("max_edges", LongType)))))))
+
+  // --------------------------------------------------------------- options
+
+  private[graft] case class Options(
+      metric: String, efConstruction: Int, efSearch: Int, m: Int, m0: Int)
+
+  /** Mirrors the reference binder's option checks + messages
+    * (hnsw_index_plan.cpp:33-80; verified against hnsw_options.test). */
+  private[graft] def validateOptions(options: Map[String, String]): Options = {
+    def intOpt(key: String, default: Int, minVal: Int): Int =
+      options.get(key).map { v =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"HNSW index '$key' must be an integer")
+        }
+        if (n < minVal) throw new IllegalArgumentException(
+          s"HNSW index '$key' must be at least $minVal")
+        n
+      }.getOrElse(default)
+
+    val known = Set("metric", "ef_construction", "ef_search", "M", "M0")
+    options.keys.find(k => !known.contains(k)).foreach { k =>
+      throw new IllegalArgumentException(s"Unknown option for HNSW index: '$k'")
+    }
+    val metric = options.getOrElse("metric", "l2sq").toLowerCase
+    if (!HnswGraph.MetricNames.contains(metric)) {
+      throw new IllegalArgumentException(
+        s"HNSW index 'metric' must be one of: ${HnswGraph.MetricNames.mkString(", ")}")
+    }
+    val m = intOpt("M", IndexCatalog.DefaultM, 2)
+    Options(
+      metric = metric,
+      efConstruction = intOpt("ef_construction", IndexCatalog.DefaultEfConstruction, 1),
+      efSearch = intOpt("ef_search", IndexCatalog.DefaultEfSearch, 1),
+      m = m,
+      m0 = intOpt("M0", if (options.contains("M")) 2 * m else IndexCatalog.DefaultM0, 2))
+  }
+}

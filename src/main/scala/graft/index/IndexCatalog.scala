@@ -1,0 +1,184 @@
+package graft.index
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Properties
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/**
+ * Durable metadata for one HNSW index. The Spark analogue of the reference's
+ * catalog entry + serialized usearch blob
+ * (/root/reference/src/hnsw/hnsw_index.cpp:532-585): an index is a directory
+ * of immutable graph segment files plus a properties file, on storage shared
+ * by driver and executors (local FS here; an object store on a real cluster).
+ *
+ * `paths` records the root file paths of the indexed relation — our
+ * substitute for DuckDB's table binding (hnsw_optimize_scan.cpp:91-98): the
+ * optimizer rules match a parquet scan to an index by comparing root paths.
+ * `idColumn` is the explicit BIGINT rowid analogue (Spark has no system
+ * rowid; SURVEY §1.4).
+ */
+case class HnswIndexMeta(
+    name: String,
+    paths: Seq[String],
+    column: String,
+    idColumn: String,
+    metric: String,
+    dim: Int,
+    m: Int,
+    m0: Int,
+    efConstruction: Int,
+    efSearch: Int,
+    count: Long,
+    segments: Seq[String]) {
+  def dir(base: String): String = s"$base/$name"
+}
+
+object IndexCatalog {
+
+  val DefaultM = 16
+  val DefaultM0 = 32
+  val DefaultEfConstruction = 128
+  val DefaultEfSearch = 64
+
+  private val MetaFile = "meta.properties"
+  private val TombFile = "tombstones.txt"
+
+  def indexDir(base: String, name: String): File = new File(base, name)
+
+  def exists(base: String, name: String): Boolean =
+    new File(indexDir(base, name), MetaFile).isFile
+
+  def list(base: String): Seq[HnswIndexMeta] = {
+    val root = new File(base)
+    if (!root.isDirectory) return Seq.empty
+    root.listFiles().toSeq
+      .filter(d => new File(d, MetaFile).isFile)
+      .map(d => load(base, d.getName))
+      .sortBy(_.name)
+  }
+
+  def load(base: String, name: String): HnswIndexMeta = {
+    val p = new Properties()
+    val in = new FileInputStream(new File(indexDir(base, name), MetaFile))
+    try p.load(in) finally in.close()
+    HnswIndexMeta(
+      name = p.getProperty("name"),
+      paths = split(p.getProperty("paths")),
+      column = p.getProperty("column"),
+      idColumn = p.getProperty("idColumn"),
+      metric = p.getProperty("metric"),
+      dim = p.getProperty("dim").toInt,
+      m = p.getProperty("m").toInt,
+      m0 = p.getProperty("m0").toInt,
+      efConstruction = p.getProperty("efConstruction").toInt,
+      efSearch = p.getProperty("efSearch").toInt,
+      count = p.getProperty("count").toLong,
+      segments = split(p.getProperty("segments")))
+  }
+
+  def save(base: String, meta: HnswIndexMeta): Unit = {
+    val dir = indexDir(base, meta.name)
+    dir.mkdirs()
+    val p = new Properties()
+    p.setProperty("name", meta.name)
+    p.setProperty("paths", join(meta.paths))
+    p.setProperty("column", meta.column)
+    p.setProperty("idColumn", meta.idColumn)
+    p.setProperty("metric", meta.metric)
+    p.setProperty("dim", meta.dim.toString)
+    p.setProperty("m", meta.m.toString)
+    p.setProperty("m0", meta.m0.toString)
+    p.setProperty("efConstruction", meta.efConstruction.toString)
+    p.setProperty("efSearch", meta.efSearch.toString)
+    p.setProperty("count", meta.count.toString)
+    p.setProperty("segments", join(meta.segments))
+    // Write-then-rename so a concurrent reader never sees a torn meta file.
+    val tmp = new File(dir, MetaFile + ".tmp")
+    val out = new FileOutputStream(tmp)
+    try p.store(out, "graft hnsw index") finally out.close()
+    Files.move(tmp.toPath, new File(dir, MetaFile).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def drop(base: String, name: String): Boolean = {
+    val dir = indexDir(base, name)
+    if (!dir.isDirectory) return false
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+    GraphCache.invalidate(dir.getAbsolutePath)
+    true
+  }
+
+  /** Tombstones are (segment file, key) pairs: a delete hides the key copy
+    * in the segments that existed at delete time, so a later re-insert (a
+    * fresh delta segment) is naturally visible again. */
+  def tombstones(base: String, name: String): Set[(String, Long)] = {
+    val f = new File(indexDir(base, name), TombFile)
+    if (!f.isFile) Set.empty
+    else Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(',')
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }.toSet
+  }
+
+  def writeTombstones(base: String, name: String, entries: Set[(String, Long)]): Unit = {
+    val f = new File(indexDir(base, name), TombFile)
+    Files.write(f.toPath,
+      entries.toSeq.sorted.map { case (s, k) => s"$s,$k" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  def writeGraph(file: File, g: HnswGraph): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    try g.write(out) finally out.close()
+  }
+
+  def readGraph(file: File): HnswGraph = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    try HnswGraph.read(in) finally in.close()
+  }
+
+  private def join(xs: Seq[String]): String =
+    xs.map(x => x.replace("\\", "\\\\").replace(",", "\\,")).mkString(",")
+
+  private def split(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var esc = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (esc) { cur += c; esc = false }
+      else if (c == '\\') esc = true
+      else if (c == ',') { out += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+}
+
+/**
+ * Per-JVM segment-graph cache, keyed by (absolute path, mtime, size) — the
+ * analogue of the reference's lazy `load_from_stream` on first use
+ * (hnsw_index.cpp:223-239). Executors and the driver each warm it once per
+ * segment; immutable segment files make staleness checks trivial.
+ */
+object GraphCache {
+  private case class Key(path: String, mtime: Long, size: Long)
+  private val cache = TrieMap.empty[Key, HnswGraph]
+
+  def get(file: File): HnswGraph = {
+    val k = Key(file.getAbsolutePath, file.lastModified(), file.length())
+    cache.getOrElseUpdate(k, IndexCatalog.readGraph(file))
+  }
+
+  def invalidate(dirPrefix: String): Unit =
+    cache.keys.filter(_.path.startsWith(dirPrefix)).foreach(cache.remove)
+}
