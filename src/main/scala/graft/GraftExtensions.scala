@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // HNSW optimizer rules + planner strategy (SURVEY §2 O2/O3/O7).
+    e.injectOptimizerRule(_ => graft.rules.CosineDistanceRewrite)
+    e.injectOptimizerRule(s => new graft.rules.TopNToIndexScan(s))
+    e.injectOptimizerRule(s => new graft.rules.MinByKToIndexScan(s))
+    e.injectPlannerStrategy(s => new graft.plans.HnswStrategy(s))
   }
 }

@@ -13,7 +13,8 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (VectorFunctionQueries.queries, VectorFunctionQueries.oracleSql),
     (RelationalQueries.queries, RelationalQueries.oracleSql),
-    (MacroQueries.queries, MacroQueries.oracleSql)
+    (MacroQueries.queries, MacroQueries.oracleSql),
+    (HnswQueries.queries, HnswQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

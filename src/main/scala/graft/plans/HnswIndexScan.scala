@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.Hnsw
+import graft.index.HnswIndexMeta
+
+/**
+ * Logical ANN index scan — what the TopN/min_by rewrites install in place of
+ * `Limit(k, Sort(dist, scan))`. The Spark analogue of the reference's
+ * `hnsw_index_scan` table function (/root/reference/src/hnsw/
+ * hnsw_index_scan.cpp:22-192): emits the base relation's rows for the k
+ * nearest neighbors of `query`, ordered by ascending index-metric distance.
+ *
+ * `relation` is kept as a field (not a child) so downstream optimizer rules
+ * cannot push operators into the already-k-limited scan — the analogue of
+ * the reference refusing filter pushdown into the index scan
+ * (hnsw_optimize_scan.cpp:161-198).
+ */
+case class HnswIndexScan(
+    relation: LogicalPlan,
+    base: String,
+    meta: HnswIndexMeta,
+    query: Array[Float],
+    k: Int,
+    ef: Int) extends LeafNode {
+
+  override def output: Seq[Attribute] = relation.output
+
+  /** Cardinality = k, like the reference scan (hnsw_index_scan.cpp:150-153). */
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = k.toLong * 256L, rowCount = Some(BigInt(k)))
+
+  override def simpleString(maxFields: Int): String =
+    s"HnswIndexScan [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef]"
+}
+
+/**
+ * Physical execution:
+ *   1. ANN search over the index segment files (driver-side, like the
+ *      reference's single-threaded InitGlobal search, hnsw_index.cpp:315-341;
+ *      segment fan-out happens inside [[Hnsw.searchMeta]]).
+ *   2. Fetch the ≤k matching base rows with a rowid-IN sub-job — the IN
+ *      filter reaches the parquet scan (predicate pushdown + row-group
+ *      pruning), the Spark analogue of fetch-by-rowid with projection
+ *      pushdown (hnsw_index_scan.cpp:95-121).
+ *   3. Emit rows re-ordered to the ANN ranking, as a single partition
+ *      (k < 2048 — bounded by the same guard as the reference).
+ */
+case class HnswIndexScanExec(
+    output: Seq[Attribute],
+    // Driver-only: the plan tree is shipped inside task closures by parent
+    // operators, and a file relation (InMemoryFileIndex) is not serializable.
+    // Search + fetch happen on the driver before any task is launched.
+    @transient relation: LogicalPlan,
+    base: String,
+    meta: HnswIndexMeta,
+    query: Array[Float],
+    k: Int,
+    ef: Int) extends LeafExecNode {
+  // Sub-job session: SparkPlan.session is the one active at planning time.
+
+  override def executeCollect(): Array[InternalRow] = fetchOrdered()
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(fetchOrdered().toIndexedSeq, 1)
+
+  private def fetchOrdered(): Array[InternalRow] = {
+    val hits = Hnsw.searchMeta(base, meta, query, k, ef)
+    if (hits.isEmpty) return Array.empty
+    val idAttr = relation.output.find(_.name == meta.idColumn).getOrElse(
+      throw new IllegalStateException(s"id column '${meta.idColumn}' not in relation"))
+    val fetchPlan = Filter(In(idAttr, hits.map(h => Literal(h._1)).toIndexedSeq), relation)
+    val fetched = Bridge.ofRows(session, fetchPlan)
+      .queryExecution.executedPlan.executeCollect()
+    val idIdx = relation.output.indexWhere(_.exprId == idAttr.exprId)
+    val rank = hits.iterator.zipWithIndex.map { case ((id, _), i) => (id, i) }.toMap
+    fetched.sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"HnswIndexScanExec [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef]"
+}
+
+/** Planner strategy: logical [[HnswIndexScan]] → [[HnswIndexScanExec]]. */
+class HnswStrategy(session: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case s: HnswIndexScan =>
+      HnswIndexScanExec(s.output, s.relation, s.base, s.meta, s.query, s.k, s.ef) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Hnsw, Tables}
+import graft.functions.{array_cosine_similarity, array_distance, lit_vector, min_by_k}
+import graft.index.IndexCatalog
+
+/**
+ * Correctness-gate queries for the HNSW index path (SURVEY §2 O1-O4, O7):
+ * the queries are written in the reference's SQL shapes (`ORDER BY dist
+ * LIMIT k`, `min_by(col, dist, k)`, `1 - cos_sim`), so the optimizer rules
+ * must fire for the index to be used — the driver gate then proves
+ * index-path results equal DuckDB's brute-force oracle.
+ *
+ * Exactness posture: gate indexes are built with ef_search far above the
+ * table size, which makes the beam search exhaustive over the (connected)
+ * graph — exact results on the deterministic fixtures, mirroring how
+ * hnsw_result.test asserts exact distances on the 9³ grid. ANN-speed
+ * behavior (default ef) is exercised in HnswRewriteSpec and the bench's
+ * `hnsw_topn_ann` entry instead.
+ */
+object HnswQueries {
+
+  /** Fixed 64-dim query vector; every value is an exact binary float so the
+    * Spark literal and the DuckDB SQL text below agree bit-for-bit. */
+  private[graft] val QueryVec: Array[Float] =
+    Array.tabulate(64)(i => ((i % 8) * 0.125f) - 0.5f)
+
+  // Every element is an exact power-of-two fraction, so decimal text
+  // round-trips losslessly through both parsers.
+  private val QueryVecSql: String =
+    QueryVec.map(_.toString).mkString("[", ", ", "]::FLOAT[]")
+
+  /** Idempotently build the gate indexes for this sf dir (name is keyed by
+    * the dir so sf0.01 and sf0.1 artifacts coexist). */
+  private[graft] def ensureIndexes(s: SparkSession, dir: String): (String, String) = {
+    val suffix = math.abs(dir.hashCode).toString
+    val l2 = s"gate_emb_l2_$suffix"
+    val cos = s"gate_emb_cos_$suffix"
+    val base = Hnsw.baseDir(s)
+    val emb = Tables.load(s, dir, "embeddings")
+    val exhaustive = Map("ef_search" -> "1000000")
+    if (!IndexCatalog.exists(base, l2)) {
+      Hnsw.createIndex(s, l2, emb, "embedding", "vec_id", exhaustive)
+    }
+    if (!IndexCatalog.exists(base, cos)) {
+      Hnsw.createIndex(s, cos, emb, "embedding", "vec_id", exhaustive + ("metric" -> "cosine"))
+    }
+    (l2, cos)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hnsw_topn_scan" -> ((s, dir) => {
+      ensureIndexes(s, dir)
+      // O3 shape: ORDER BY array_distance LIMIT k → HnswIndexScan
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), array_distance(col("embedding"), lit_vector(QueryVec)).as("d"))
+        .orderBy("d")
+        .limit(10)
+        .select(col("vec_id"), round(col("d"), 4).as("d"))
+    }),
+    "hnsw_cosine_scan" -> ((s, dir) => {
+      ensureIndexes(s, dir)
+      // O7 shape: 1 - cos_sim is rewritten to cosine distance, then O3 fires
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (lit(1.0) - array_cosine_similarity(col("embedding"), lit_vector(QueryVec))).as("d"))
+        .orderBy("d")
+        .limit(10)
+        .select(col("vec_id"), round(col("d"), 4).as("d"))
+    }),
+    "hnsw_min_by_scan" -> ((s, dir) => {
+      ensureIndexes(s, dir)
+      // O4 shape: ungrouped min_by(col, dist, k)
+      Tables.load(s, dir, "embeddings")
+        .agg(array_join(
+          min_by_k(col("vec_id"), array_distance(col("embedding"), lit_vector(QueryVec)), 8)
+            .cast("array<string>"), ",").as("ids"))
+    }),
+    "hnsw_index_info" -> ((s, dir) => {
+      val (l2, _) = ensureIndexes(s, dir)
+      // O14: scalar projection of pragma_hnsw_index_info (rows-only check)
+      Hnsw.indexInfo(s)
+        .where(col("index_name") === l2)
+        .select(col("index_name"), col("metric"), col("dimensions"),
+          col("count"), col("levels"), col("segment_count"))
+    }),
+    "hnsw_topn_ann" -> ((s, dir) => {
+      // Bench entry: default-ef ANN top-k through the raw search surface
+      // (approximate → rows-only check, like the reference's closeness tests).
+      val (l2, _) = ensureIndexes(s, dir)
+      Hnsw.topK(s, l2, QueryVec, 10).withColumnRenamed("vec_id", "id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "hnsw_topn_scan" ->
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+    "hnsw_cosine_scan" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM embeddings ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+    "hnsw_min_by_scan" ->
+      s"""SELECT array_to_string((list(vec_id ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[])))[1:8], ',') AS ids
+          FROM embeddings"""
+    // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_similarity, array_distance, array_negative_inner_product, lit_vector}
+
+/** O2/O3/O7: TopN → HNSW index scan rewrite + cosine expression rewrite.
+  * Ports the EXPLAIN-regex and labeled-equality posture of hnsw_basic.test,
+  * hnsw_metrics.test, hnsw_rewrite.test, where_clause_segfault.test. */
+class HnswRewriteSpec extends SparkSuite {
+
+  private val base: String = {
+    val d = Files.createTempDirectory("graft-rw").toFile.getAbsolutePath
+    spark.conf.set(Hnsw.LocationKey, d)
+    d
+  }
+
+  /** 9³ grid written to parquet (rewrites need a file relation). */
+  private lazy val grid: DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-grid").toFile.getAbsolutePath
+    val rows = for (a <- 1 to 9; b <- 1 to 9; c <- 1 to 9)
+      yield ((a - 1) * 81L + (b - 1) * 9 + (c - 1), Array(a.toFloat, b.toFloat, c.toFloat))
+    rows.toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("TopN over indexed relation uses HnswIndexScan (hnsw_basic.test:22-25)") {
+    Hnsw.createIndex(spark, "rw_l2", grid, "vec", "id", overwrite = true)
+    val q = grid.select(col("id"), array_distance(col("vec"), lit_vector(Array(1f, 2f, 3f))).as("d"))
+      .orderBy("d").limit(3)
+    assert(planOf(q).contains("HnswIndexScan"), planOf(q))
+    // exact on the deterministic grid (hnsw_result.test:23-28)
+    assert(q.collect().map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 1.0))
+    assert(q.collect().head.getLong(0) == 11L)
+  }
+
+  test("rewrite also fires without a projection (Sort directly over scan)") {
+    val q = grid.orderBy(array_distance(col("vec"), lit_vector(Array(9f, 9f, 9f)))).limit(2)
+    assert(planOf(q).contains("HnswIndexScan"), planOf(q))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(728L, 727L).take(2).sorted.reverse
+      || q.collect().head.getLong(0) == 728L)
+  }
+
+  test("kill switch disables the rewrite; results identical (hnsw_rewrite.test)") {
+    def q = grid.select(col("id"), array_distance(col("vec"), lit_vector(Array(5f, 5f, 5f))).as("d"))
+      .orderBy("d").limit(1)
+    val withIndex = q.collect()
+    assert(planOf(q).contains("HnswIndexScan"))
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    try {
+      assert(!planOf(q).contains("HnswIndexScan"))
+      assert(q.collect().toSeq == withIndex.toSeq)
+    } finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+  }
+
+  test("per-metric index selection (hnsw_metrics.test:26-39)") {
+    Hnsw.createIndex(spark, "rw_cos", grid, "vec", "id", Map("metric" -> "cosine"), overwrite = true)
+    Hnsw.createIndex(spark, "rw_ip", grid, "vec", "id", Map("metric" -> "ip"), overwrite = true)
+    val qv = lit_vector(Array(1f, 0f, 0f))
+    val l2Plan = planOf(grid.orderBy(array_distance(col("vec"), qv)).limit(3))
+    assert(l2Plan.contains("index=rw_l2"), l2Plan)
+    val cosPlan = planOf(grid.orderBy(lit(1.0) - array_cosine_similarity(col("vec"), qv)).limit(3))
+    assert(cosPlan.contains("index=rw_cos"), cosPlan) // via CosineDistanceRewrite (O7)
+    val ipPlan = planOf(grid.orderBy(array_negative_inner_product(col("vec"), qv)).limit(3))
+    assert(ipPlan.contains("index=rw_ip"), ipPlan)
+  }
+
+  test("guards: DESC, multi-key, filter, non-literal query, big k → no rewrite") {
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    val d = array_distance(col("vec"), qv)
+    assert(!planOf(grid.orderBy(d.desc).limit(3)).contains("HnswIndexScan"))
+    assert(!planOf(grid.orderBy(d, col("id")).limit(3)).contains("HnswIndexScan"))
+    assert(!planOf(grid.where(col("id") > 100).orderBy(d).limit(3)).contains("HnswIndexScan"))
+    assert(!planOf(grid.orderBy(array_distance(col("vec"), col("vec"))).limit(3)).contains("HnswIndexScan"))
+    assert(!planOf(grid.orderBy(d).limit(3000)).contains("HnswIndexScan"))
+    // filter + TopN still computes correctly (where_clause_segfault.test)
+    val r = grid.where(col("id") > 100).orderBy(d).limit(3).collect()
+    assert(r.length == 3 && r.forall(_.getLong(0) > 100))
+  }
+
+  test("SQL surface: ORDER BY array_distance LIMIT k uses the index") {
+    grid.createOrReplaceTempView("grid_t")
+    val q = spark.sql(
+      """SELECT id, array_distance(vec, CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)) AS d
+         FROM grid_t ORDER BY d LIMIT 3""")
+    assert(planOf(q).contains("HnswIndexScan"), planOf(q))
+    assert(q.collect().map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("min_by(col, dist, k) rewrite feeds the aggregate from the index (hnsw_topk.test:18-31)") {
+    import graft.functions.min_by_k
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    // def, not val: each reference re-plans, so conf changes take effect
+    def q = grid.agg(min_by_k(col("id"), array_distance(col("vec"), qv), 3).as("ids"))
+    assert(planOf(q).contains("HnswIndexScan"), planOf(q))
+    val ids = q.collect().head.getSeq[Long](0)
+    assert(ids.length == 3 && ids.head == 11L) // nearest is (1,2,3) itself
+    // same result with the rewrite off
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    try {
+      assert(!planOf(q).contains("HnswIndexScan"))
+      assert(q.collect().head.getSeq[Long](0).head == 11L)
+    } finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+    // max_by (keepLargest) must NOT be rewritten
+    val qMax = grid.agg(graft.functions.max_by_k(col("id"), array_distance(col("vec"), qv), 3))
+    assert(!planOf(qMax).contains("HnswIndexScan"))
+    // dist computed in a projection below the aggregate also matches
+    val qProj = grid.withColumn("d", array_distance(col("vec"), qv))
+      .agg(min_by_k(col("id"), col("d"), 3).as("ids"))
+    assert(planOf(qProj).contains("HnswIndexScan"), planOf(qProj))
+    assert(qProj.collect().head.getSeq[Long](0).head == 11L)
+  }
+
+  test("ef_search session conf reaches the scan (O16)") {
+    spark.conf.set(Hnsw.EfSearchKey, "123")
+    try {
+      val p = planOf(grid.orderBy(array_distance(col("vec"), lit_vector(Array(1f, 2f, 3f)))).limit(3))
+      assert(p.contains("ef=123"), p)
+    } finally spark.conf.unset(Hnsw.EfSearchKey)
+  }
+}
