@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.rules.CosineDistanceRewrite)
     e.injectOptimizerRule(s => new graft.rules.TopNToIndexScan(s))
     e.injectOptimizerRule(s => new graft.rules.MinByKToIndexScan(s))
+    e.injectOptimizerRule(s => new graft.rules.LateralTopKToIndexJoin(s))
     e.injectPlannerStrategy(s => new graft.plans.HnswStrategy(s))
   }
 }

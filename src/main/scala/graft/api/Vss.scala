@@ -54,6 +54,34 @@ object Vss {
   }
 
   /**
+   * Lateral top-k join: for every `outer` row, the k nearest `inner` rows —
+   * the Spark surface of `FROM outer, LATERAL (SELECT ... FROM inner ORDER
+   * BY dist LIMIT k)` (/root/reference/src/hnsw/hnsw_optimize_join.cpp:
+   * 352-363). Output: outer.*, inner.*, `dist` DOUBLE, `rn` INT (1-indexed,
+   * best first), like the reference join's row_number output.
+   *
+   * `outerKey` must uniquely identify outer rows (lateral semantics). The
+   * plan is the canonical Filter(rn<=k, Window(row_number over dist)) shape,
+   * so when an HNSW index exists on `inner`'s vector column the
+   * LateralTopKToIndexJoin rule swaps in the index join automatically;
+   * without one it runs as a brute-force cross product + window.
+   */
+  def lateralTopK(outer: DataFrame, inner: DataFrame, outerCol: String, innerCol: String,
+      outerKey: String, k: Int, metric: String = "l2sq"): DataFrame = {
+    val dist = metric match {
+      case "l2sq" | "l2" => array_distance(outer(outerCol), inner(innerCol))
+      case "cosine" | "cos" => graft.functions.array_cosine_distance(outer(outerCol), inner(innerCol))
+      case "ip" => graft.functions.array_negative_inner_product(outer(outerCol), inner(innerCol))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(outer(outerKey)).orderBy(col("dist").asc)
+    outer.crossJoin(inner)
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
+  /**
    * Correlated variant: `left.*` plus a `matches` column of
    * LIST<STRUCT<score DOUBLE, row STRUCT<right.*>>> (best first) —
    * mirroring `FROM left, vss_match(right, left_col, right_col, k)`.

@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.Hnsw
+import graft.index.HnswIndexMeta
+
+/**
+ * Logical per-outer-row ANN join core — the Spark analogue of the
+ * reference's `LogicalHNSWIndexJoin` (/root/reference/src/hnsw/
+ * hnsw_optimize_join.cpp:185-315). For every child ("outer") row it emits up
+ * to k rows extended with `(__hnsw_id, __hnsw_dist, __hnsw_rn)`: the rowids
+ * of the k nearest inner vectors, their index-metric distance, and a
+ * 1-indexed rank (the reference emits the same 1-indexed row_number,
+ * hnsw_optimize_join.cpp:146). The LateralTopKToIndexJoin rule joins this
+ * node back to the inner relation on the rowid to recover inner columns.
+ *
+ * NULL outer vectors produce no output rows (the un-indexed Window fallback
+ * ranks them with NULL distance last — a semantic difference; the rewrite
+ * should only be relied on where outer vectors are non-null, which index
+ * builds themselves enforce for the inner side).
+ */
+case class HnswIndexJoinCore(
+    child: LogicalPlan,
+    base: String,
+    meta: HnswIndexMeta,
+    queryExpr: Expression,
+    k: Int,
+    ef: Int,
+    extra: Seq[Attribute]) extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output ++ extra
+
+  // Cardinality ≈ outer × k (hnsw_optimize_join.cpp:304-315) falls out of
+  // the default unary-node size estimate scaled by the added columns; the
+  // inner fetch join above this node is what the estimate matters for, and
+  // its build side is the (small) core output.
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): HnswIndexJoinCore =
+    copy(child = newChild)
+
+  override def simpleString(maxFields: Int): String =
+    s"HnswIndexJoinCore [index=${meta.name}, k=$k, ef=$ef]"
+}
+
+/**
+ * Physical side: embarrassingly parallel over outer partitions — each task
+ * lazily loads the index segments from shared storage (per-JVM GraphCache)
+ * and runs one multi-search per row, the parallel improvement over the
+ * reference's single-threaded join operator noted in SURVEY §3.3.
+ */
+case class HnswIndexJoinCoreExec(
+    child: SparkPlan,
+    base: String,
+    meta: HnswIndexMeta,
+    queryExpr: Expression,
+    k: Int,
+    ef: Int,
+    extra: Seq[Attribute]) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ extra
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val out = output
+    val (b, m, q, kk, e) = (base, meta, queryExpr, k, ef)
+    val toFloats: ArrayData => Array[Float] = q.dataType match {
+      case ArrayType(FloatType, _) => _.toFloatArray()
+      case ArrayType(DoubleType, _) => _.toDoubleArray().map(_.toFloat)
+      case other => throw new IllegalStateException(s"unexpected query vector type $other")
+    }
+    child.execute().mapPartitions { iter =>
+      val bound = BindReferences.bindReference(q, childOutput)
+      val resultProj = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow()
+      iter.flatMap { row =>
+        val v = bound.eval(row)
+        if (v == null) Iterator.empty
+        else {
+          val hits = Hnsw.searchMeta(b, m, toFloats(v.asInstanceOf[ArrayData]), kk, e)
+          // row is only valid until the iterator advances — copy once per
+          // outer row, emit k extended rows.
+          val outerCopy = row.copy()
+          hits.iterator.zipWithIndex.map { case ((id, d), i) =>
+            resultProj(joined(outerCopy,
+              new GenericInternalRow(Array[Any](id, d, (i + 1).toLong))))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): HnswIndexJoinCoreExec =
+    copy(child = newChild)
+
+  override def simpleString(maxFields: Int): String =
+    s"HnswIndexJoinCoreExec [index=${meta.name}, k=$k, ef=$ef]"
+}

@@ -93,6 +93,8 @@ class HnswStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: HnswIndexScan =>
       HnswIndexScanExec(s.output, s.relation, s.base, s.meta, s.query, s.k, s.ef) :: Nil
+    case j: HnswIndexJoinCore =>
+      HnswIndexJoinCoreExec(planLater(j.child), j.base, j.meta, j.queryExpr, j.k, j.ef, j.extra) :: Nil
     case _ => Nil
   }
 }

@@ -87,6 +87,18 @@ object HnswQueries {
         .select(col("index_name"), col("metric"), col("dimensions"),
           col("count"), col("levels"), col("segment_count"))
     }),
+    "hnsw_lateral_topk" -> ((s, dir) => {
+      ensureIndexes(s, dir)
+      // O5/O6 shape: per-outer-row top-k; the window/filter plan is
+      // rewritten onto HnswIndexJoinCore because the inner side is indexed.
+      val outer = Tables.load(s, dir, "embeddings").where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val inner = Tables.load(s, dir, "embeddings")
+      graft.api.Vss.lateralTopK(outer, inner, "q_vec", "embedding", "q_id", 3)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(col("dist"), 4).as("d"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    }),
     "hnsw_topn_ann" -> ((s, dir) => {
       // Bench entry: default-ef ANN top-k through the raw search surface
       // (approximate → rows-only check, like the reference's closeness tests).
@@ -104,7 +116,15 @@ object HnswQueries {
           FROM embeddings ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "hnsw_min_by_scan" ->
       s"""SELECT array_to_string((list(vec_id ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[])))[1:8], ',') AS ids
-          FROM embeddings"""
+          FROM embeddings""",
+    "hnsw_lateral_topk" ->
+      """WITH s AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                  list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d
+           FROM embeddings e, embeddings q WHERE q.vec_id < 5)
+         SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d) AS rn FROM s)
+         WHERE rn <= 3 ORDER BY q_id, rn"""
     // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
   )
 }

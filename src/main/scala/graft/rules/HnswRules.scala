@@ -2,6 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -11,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 import graft.Hnsw
 import graft.expressions._
 import graft.index.{HnswIndexMeta, IndexCatalog}
-import graft.plans.HnswIndexScan
+import graft.plans.{HnswIndexJoinCore, HnswIndexScan}
 
 /**
  * O7 — scalar rewrite `1.0 - array_cosine_similarity(a,b)` →
@@ -150,6 +151,130 @@ class MinByKToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/**
+ * O5+O6 — lateral top-k → index join. Matches Spark's canonical top-k-per-
+ * outer-row shape (what `Vss.lateralTopK` and hand-written window queries
+ * produce, and what Spark decorrelates `LATERAL ... ORDER BY dist LIMIT k`
+ * into):
+ *
+ *   Filter(rn <= k,
+ *     Window([rn := row_number() over (partition by outerKey order by dist ASC)],
+ *       [Project], Join(outer, indexedInner, Inner|Cross, no condition)))
+ *
+ * and replaces it with
+ *
+ *   Project(original output,
+ *     Join(HnswIndexJoinCore(outer), indexedInner, Inner, __hnsw_id = rowid))
+ *
+ * — the analogue of the reference's delim-join pattern match + plan surgery
+ * (/root/reference/src/hnsw/hnsw_optimize_join.cpp:349-697), re-targeted at
+ * Spark's decorrelation shape (SURVEY §2 O6). Guards: single ASC order key
+ * matching the inner index, constant 0 < k < 2048
+ * (hnsw_optimize_join.cpp:457-461), partition key(s) drawn entirely from the
+ * outer side (per-outer-row semantics require the key to identify outer rows
+ * uniquely, as lateral decorrelation guarantees), join without condition.
+ */
+class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.conf.get(Hnsw.RewriteEnabledKey, "true").toBoolean) return plan
+    plan.transformDown {
+      case f @ Filter(cond, w: Window) =>
+        tryRewrite(cond, w).getOrElse(f)
+    }
+  }
+
+  private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    // Single row_number window expression ordered ASC by one key.
+    val (rnAlias, orderKey) = w match {
+      case Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)), _,
+          Seq(SortOrder(key, Ascending, _, _)), _, _) => (al, key)
+      case _ => return None
+    }
+    val rnAttr = rnAlias.toAttribute
+    // Filter: conjuncts on rn must be exactly one `rn <= k`; others survive.
+    val conjuncts = splitConjuncts(cond)
+    val (onRn, rest) = conjuncts.partition(_.references.contains(rnAttr))
+    val k = onRn match {
+      case Seq(LessThanOrEqual(a: Attribute, IntegerLiteral(n))) if a.semanticEquals(rnAttr) => n
+      case Seq(LessThan(a: Attribute, IntegerLiteral(n))) if a.semanticEquals(rnAttr) => n - 1
+      case Seq(GreaterThanOrEqual(IntegerLiteral(n), a: Attribute)) if a.semanticEquals(rnAttr) => n
+      case _ => return None
+    }
+    if (k <= 0 || k >= 2048) return None
+
+    // Child: optional projection over an unconditioned Inner/Cross join.
+    val (projList, join) = w.child match {
+      case Project(pl, j: Join) => (Some(pl), j)
+      case j: Join => (None, j)
+      case _ => return None
+    }
+    if (join.condition.isDefined ||
+      (join.joinType != Inner && join.joinType != Cross)) return None
+
+    // Resolve the order key through the projection, then match the index.
+    val aliasMap = projList.map(_.collect { case al: Alias => al.toAttribute.exprId -> al.child }.toMap)
+      .getOrElse(Map.empty)
+    val dist = orderKey.transform {
+      case a: Attribute if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
+    }
+    val base = Hnsw.baseDir(session)
+    val (metrics, a, b) = HnswMatch.distanceArgs(dist).getOrElse(return None)
+
+    // Which side is the indexed inner relation? Accept a bare relation or a
+    // column-pruning (attribute-only) projection over one.
+    def asInnerRel(p: LogicalPlan): Option[(LogicalRelation, LogicalPlan)] = p match {
+      case rel: LogicalRelation => Some((rel, rel))
+      case pr @ Project(pl, rel: LogicalRelation) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((rel, pr))
+      case _ => None
+    }
+    val orientations = Seq((join.left, join.right), (join.right, join.left))
+    orientations.view.flatMap { case (outer, innerPlan) =>
+      asInnerRel(innerPlan) match {
+        case Some((innerRel, innerPruned)) =>
+          HnswMatch.findIndexJoin(base, innerRel, metrics, a, b, outer.outputSet).flatMap {
+            case (meta, queryExpr) =>
+              // Partition key must be outer-side only.
+              if (w.partitionSpec.isEmpty ||
+                !w.partitionSpec.forall(_.references.subsetOf(outer.outputSet))) None
+              else {
+                val idAttr = innerRel.output.find(_.name == meta.idColumn).getOrElse(return None)
+                // The rowid must be available on the join's right side.
+                val joinRight = innerPruned match {
+                  case pr @ Project(pl, rel) if !pl.exists(_.exprId == idAttr.exprId) =>
+                    Project(pl :+ idAttr, rel)
+                  case other => other
+                }
+                val extra = Seq(
+                  AttributeReference("__hnsw_id", LongType, nullable = false)(),
+                  AttributeReference("__hnsw_dist", DoubleType, nullable = false)(),
+                  AttributeReference("__hnsw_rn", LongType, nullable = false)())
+                val core = HnswIndexJoinCore(outer, base, meta, queryExpr, k,
+                  Hnsw.efSearch(session, meta), extra)
+                val newJoin = Join(core, joinRight, Inner,
+                  Some(EqualTo(extra.head, idAttr)), JoinHint.NONE)
+                // Reproduce the original output: window child's columns
+                // (via the original projection when present) + rn.
+                val rnExpr = Alias(Cast(extra(2), rnAttr.dataType), rnAttr.name)(
+                  exprId = rnAttr.exprId)
+                val outCols = projList.getOrElse(join.output.map(identity[NamedExpression])) :+ rnExpr
+                val projected = Project(outCols, newJoin)
+                Some(if (rest.isEmpty) projected
+                else Filter(rest.reduce(And), projected))
+              }
+          }
+        case None => None
+      }
+    }.headOption
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
 /** Shared index-matching helpers for the O3/O4/O6 rules — the analogue of
   * `HNSWIndex::TryMatchDistanceFunction` + `TryBindIndexExpression`
   * (/root/reference/src/hnsw/hnsw_index.cpp:635-689). */
@@ -180,6 +305,33 @@ object HnswMatch {
       case (ad: ArrayData, ArrayType(DoubleType, _)) => Some(ad.toDoubleArray().map(_.toFloat))
       case _ => None
     }
+
+  /** Join-flavored matching: the query side is a non-foldable expression over
+    * the outer relation's attributes (the per-row query vector). Returns the
+    * matched index and that expression. */
+  def findIndexJoin(base: String, rel: LogicalRelation, metrics: Set[String],
+      a: Expression, b: Expression,
+      outerAttrs: AttributeSet): Option[(HnswIndexMeta, Expression)] = {
+    val relPaths = rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).distinct.sorted
+      case _ => return None
+    }
+    val vecType: Expression => Boolean = _.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    Seq((stripCast(a), b), (stripCast(b), a)).view.flatMap {
+      case (colRef: AttributeReference, querySide)
+          if rel.output.exists(_.exprId == colRef.exprId) &&
+            querySide.references.nonEmpty &&
+            querySide.references.subsetOf(outerAttrs) && vecType(querySide) =>
+        IndexCatalog.list(base).find { m =>
+          metrics.contains(m.metric) && m.paths == relPaths && m.column == colRef.name &&
+            rel.output.exists(o => o.name == m.idColumn && o.dataType == LongType)
+        }.map(m => (m, querySide))
+      case _ => None
+    }.headOption
+  }
 
   /** Match (indexed column attr, foldable query vec) in either arg order and
     * find a catalog index bound to this relation + column + metric + dim. */

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.Vss
+
+/** O5/O6: lateral top-k join, brute-force and index-accelerated — ports the
+  * labeled-equality posture of hnsw_lateral_join.test /
+  * hnsw_lateral_join_group.test (same results with and without the index). */
+class LateralTopKSpec extends SparkSuite {
+
+  private val base: String = {
+    val d = Files.createTempDirectory("graft-lat").toFile.getAbsolutePath
+    spark.conf.set(Hnsw.LocationKey, d)
+    d
+  }
+
+  /** Inner: 9³ grid parquet; outer: a handful of query points. */
+  private lazy val inner: DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lat-inner").toFile.getAbsolutePath
+    val rows = for (a <- 1 to 9; b <- 1 to 9; c <- 1 to 9)
+      yield ((a - 1) * 81L + (b - 1) * 9 + (c - 1), Array(a.toFloat, b.toFloat, c.toFloat))
+    rows.toDF("b_id", "b_vec").withColumn("b_vec", col("b_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private lazy val outer: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array(4f, 5f, 6f)),
+      (3L, Array(9f, 9f, 9f))
+    ).toDF("a_id", "a_vec").withColumn("a_vec", col("a_vec").cast("array<float>"))
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("a_id"), col("b_id"), round(col("dist"), 6).as("dist"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("brute-force lateralTopK matches per-row expectation (hnsw_lateral_join.test:21-36)") {
+    val r = Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 1)
+    val rows = canon(r)
+    assert(rows.size == 3)
+    assert(rows.forall(_._3 == 0.0)) // each query point exists in the grid
+    assert(rows.map(_._2) == Seq(0L + 81 * 0 + 9 * 1 + 2, 3L * 81 + 4 * 9 + 5, 728L))
+  }
+
+  test("index join rewrite fires and matches the brute-force label (hnsw_lateral_join_group.test:27-88)") {
+    val noIndex = canon(Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 3))
+    Hnsw.createIndex(spark, "lat_idx", inner, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    def q = Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 3)
+    assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    // Grid ties make ids ambiguous at equal distance: compare (a_id, rn, dist)
+    // profiles and the exact-zero best hits.
+    val withIndex = canon(q)
+    assert(withIndex.map(t => (t._1, t._4, t._3)) == noIndex.map(t => (t._1, t._4, t._3)))
+    assert(withIndex.filter(_._4 == 1) == noIndex.filter(_._4 == 1))
+    // kill switch: same results, no index node
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    try {
+      assert(!planOf(q).contains("HnswIndexJoinCore"))
+      assert(canon(q).map(t => (t._1, t._4, t._3)) == noIndex.map(t => (t._1, t._4, t._3)))
+    } finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+  }
+
+  test("extra filter conjuncts survive the rewrite") {
+    def q = Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 3)
+      .where(col("a_id") =!= 3L)
+    assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    val rows = canon(q)
+    assert(rows.map(_._1).distinct.sorted == Seq(1L, 2L))
+    assert(rows.size == 6)
+  }
+
+  test("aggregation over the lateral join (hnsw_lateral_join.test:76-83)") {
+    val g = Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 2)
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n"), min(col("dist")).as("best"))
+      .orderBy("a_id")
+    val rows = g.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) == 2L))
+    assert(rows.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("NULL inner vectors never match (hnsw_lateral_join.test:49-58)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lat-null").toFile.getAbsolutePath
+    (Seq((1L, Some(Array(1f, 1f, 1f))), (2L, None), (3L, Some(Array(2f, 2f, 2f)))))
+      .toDF("b_id", "b_vec").withColumn("b_vec", col("b_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    val innerN = spark.read.parquet(dir)
+    Hnsw.createIndex(spark, "lat_null_idx", innerN, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    def q = Vss.lateralTopK(outer.where(col("a_id") === 1L), innerN, "a_vec", "b_vec", "a_id", 2)
+    assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    val ids = q.collect().map(_.getAs[Long]("b_id")).toSet
+    assert(ids == Set(1L, 3L)) // the NULL row is not in the index
+  }
+}
