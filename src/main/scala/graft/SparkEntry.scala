@@ -14,7 +14,8 @@ object SparkEntry {
     (VectorFunctionQueries.queries, VectorFunctionQueries.oracleSql),
     (RelationalQueries.queries, RelationalQueries.oracleSql),
     (MacroQueries.queries, MacroQueries.oracleSql),
-    (HnswQueries.queries, HnswQueries.oracleSql)
+    (HnswQueries.queries, HnswQueries.oracleSql),
+    (TextQueries.queries, TextQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

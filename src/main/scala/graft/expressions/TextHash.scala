@@ -1,0 +1,141 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic text-hashing kernels for the LLM-pipeline operators
+ * (dedup, fingerprinting). All algorithms are standard public constructions:
+ * FNV-1a 64, the splitmix64 finalizer, MinHash (Broder 1997), SimHash
+ * (Charikar 2002), and a polynomial rolling hash.
+ *
+ * Like [[VectorMath]], kernels are static and allocation-light so the
+ * expressions below can call them from whole-stage-generated code.
+ */
+object TextHash {
+
+  final val Fnv64Offset = 0xcbf29ce484222325L
+  final val Fnv64Prime = 0x100000001b3L
+
+  /** FNV-1a 64 over UTF-8 bytes. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = Fnv64Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Fnv64Prime
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap independent re-mix of one hash. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /**
+   * MinHash signature: k minima of independently re-mixed shingle hashes.
+   * One base hash per shingle, k cheap mixes — O(|shingles| * k).
+   */
+  def minHashSignature(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = fnv1a64(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = mix64(h ^ mix64(seed + j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over a token array (term-frequency weighted). */
+  def simHash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling hash (base 1000003, mod 2^64) of the whole string —
+    * the document-fingerprint primitive. */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+}
+
+/** minhash_signature(shingles ARRAY<STRING>, k, seed) -> ARRAY<BIGINT>. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, "minhash k must be positive")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.minHashSignature(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.minHashSignature($c, $k, ${seed}L)")
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(tokens ARRAY<STRING>) -> BIGINT. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = TextHash.simHash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.simHash64($c)")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** fingerprint64(text STRING) -> BIGINT (rolling hash). */
+case class Fingerprint64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.rollingFingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.rollingFingerprint($c)")
+  override def prettyName: String = "fingerprint64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

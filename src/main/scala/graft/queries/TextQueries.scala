@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Dedup, TextFunctions => TF}
+
+/**
+ * Correctness-gate queries for the LLM-pipeline operators over `documents`:
+ * exact dedup, MinHash/LSH near-dup (banded candidates, exact-Jaccard
+ * verified — never all-pairs on the Spark side; the DuckDB oracle IS
+ * all-pairs, which is the point of the comparison), text statistics, and
+ * rows-only entries for the non-SQL-expressible fingerprint/simhash/langid
+ * surfaces.
+ *
+ * Shared conventions: whitespace tokenization, word 3-gram shingles,
+ * round(x, 4) DOUBLE outputs, ORDER BY ids.
+ */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.textStats(col("text")).as("st"),
+          TF.tokenCountBpe(col("text")).as("n_bpe"))
+        .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+          col("st.n_tokens").as("n_tokens"), col("st.mean_tok_len").as("mean_tok_len"),
+          col("st.alpha_ratio").as("alpha_ratio"), col("st.punct_ratio").as("punct_ratio"),
+          col("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    "doc_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("text_hash"), col("n"),
+          array_join(col("ids").cast("array<string>"), ",").as("ids"), col("keep_id"))
+        .orderBy("text_hash")
+    }),
+    "doc_near_dup" -> ((s, dir) => {
+      // Banded MinHash/LSH candidates + exact-Jaccard verification; the
+      // oracle computes the same threshold over ALL pairs, so this entry
+      // proves LSH recall on the fixture's planted near-duplicates.
+      Dedup.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "doc_lang_quality" -> ((s, dir) => {
+      // Quality stats per (actual) language — text analysis aggregate.
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), TF.textStats(col("text")).as("st"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("st.n_tokens").cast("double")), 4).as("avg_tokens"),
+          round(avg(col("st.alpha_ratio")), 4).as("avg_alpha"))
+        .orderBy("lang")
+    }),
+    "doc_fingerprints" -> ((s, dir) => {
+      // rows-only: deterministic rolling-hash fingerprint + simhash + langid
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp"),
+          TF.simhash64(TF.tokens(col("text"))).as("simhash"),
+          TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS s
+              FROM w WHERE len(w) >= 3)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS mean_tok_len,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS alpha_ratio,
+           round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "doc_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids,
+           min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""",
+    "doc_near_dup" ->
+      s"""$shingleCte,
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+         ORDER BY id_a, id_b""",
+    "doc_lang_quality" ->
+      """SELECT lang, count(*) AS n_docs,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4)), 4) AS avg_alpha
+         FROM documents GROUP BY lang ORDER BY lang"""
+    // doc_fingerprints: no oracle (engine-native hashes)
+  )
+}

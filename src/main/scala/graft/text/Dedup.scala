@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.array_cosine_similarity
+import TextFunctions._
+
+/**
+ * Deduplication operators for training-data pipelines, all designed around
+ * bounded shuffles — no stage is ever an all-pairs cross product:
+ *
+ *  - [[exactDupGroups]]: hash-groupBy — one shuffle on the content hash.
+ *  - [[nearDupPairs]] (MinHash + banded LSH): shingle → k-min signature →
+ *    band keys; the only joins are equi-joins on band keys and on doc ids,
+ *    and the final exact-Jaccard verify touches candidate pairs only.
+ *  - [[simHashPairs]]: 64-bit SimHash, candidates via 16-bit chunk equality
+ *    (pigeonhole-complete for hamming <= 3).
+ *  - [[embeddingNearDupPairs]]: hyperplane-LSH sign buckets over an
+ *    embedding column, cosine-verified.
+ *
+ * At warehouse scale every shuffle key here (content hash, band key, chunk
+ * key, bucket key) is high-cardinality and uniformly distributed by
+ * construction, so the stages partition evenly; candidate verification is
+ * proportional to the number of colliding pairs, not n².
+ */
+object Dedup {
+
+  /** Groups of byte-identical texts: (text_hash, n, doc ids ascending,
+    * keeper = smallest id). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol).cast("long").as("_id"))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("_id"))).as("ids"),
+        min(col("_id")).as("keep_id"))
+      .where(col("n") > 1)
+
+  /** (id, shingles, sig) triples — the shared first stage of the MinHash path. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        wordShingles(col(textCol), shingleN).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), k, seed))
+
+  /** Distinct candidate pairs (id_a < id_b) whose signatures collide in at
+    * least one of `bands` bands of `k/bands` rows each. */
+  def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val banded = signatures.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as("band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * MinHash/LSH near-duplicate pairs with exact-Jaccard verification:
+   * (id_a, id_b, jaccard) for candidate pairs with jaccard >= threshold.
+   * With k=64/bands=16 the probability of missing a pair at J=0.9 is
+   * (1-0.9^4)^16 ≈ 2e-3 and vanishes as J → 1 — tune k/bands per corpus.
+   */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
+    val cands = lshCandidatePairs(sigs, k, bands)
+    val sets = sigs.select(col("id"), col("shingles"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-duplicate pairs: (id_a, id_b, hamming). Candidates are
+   * pairs agreeing on at least one `chunkBits`-bit chunk of the 64-bit
+   * simhash — pigeonhole-complete for hamming < 64/chunkBits (chunkBits=8 →
+   * complete for hamming <= 7); approximate above that.
+   */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 7, chunkBits: Int = 8): DataFrame = {
+    require(64 % chunkBits == 0, "chunkBits must divide 64")
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      simhash64(tokens(col(textCol))).as("sh"))
+    val chunked = sigs.select(col("id"), col("sh"),
+      explode(array((0 until nChunks).map(i => struct(lit(i).as("chunk_no"),
+        pmod(shiftright(col("sh"), i * chunkBits), lit(mask + 1)).as("chunk_val"))): _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.chunk_no"), col("c.chunk_val"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_no") === col("y.chunk_no") &&
+          col("x.chunk_val") === col("y.chunk_val") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding near-duplicates: (id_a, id_b, cosine) pairs with cosine
+   * similarity >= threshold, candidates via hyperplane-LSH sign buckets
+   * (several independent bucketings to boost recall), cosine-verified.
+   */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int = 16, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val bucketed = base.select(col("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          signProjection(col("vec"), planes, seed + t).as("bucket"))): _*)).as("b"))
+      .select(col("id"), col("b.t"), col("b.bucket"))
+    val cands = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .withColumn("cosine", array_cosine_similarity(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.expressions.{Fingerprint64, LangId, MinHashSignature, SignRandomProjection, SimHash64}
+
+/**
+ * Text-analysis Column surface for training-data pipelines: tokenization
+ * helpers, quality statistics, language ID, fingerprinting, and the hashing
+ * primitives behind MinHash/SimHash dedup. Everything is either composed
+ * from codegen'd Spark built-ins or a native Catalyst expression — no UDFs,
+ * so the whole surface stays inside whole-stage codegen at 100 TB.
+ */
+object TextFunctions {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+  private def expr(c: Column) = Bridge.expression(c)
+
+  /** Whitespace tokens (the convention shared with the DuckDB oracle). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: letter runs, digit runs, other symbols. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Distinct word n-gram shingles (empty array when fewer than n tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two string arrays (DOUBLE). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash signature of a shingle array: ARRAY<BIGINT> of k minima. */
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    col(MinHashSignature(expr(shingles), k, seed))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokenArr: Column): Column = col(SimHash64(expr(tokenArr)))
+
+  /** Rolling-hash document fingerprint. */
+  def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
+
+  /** Heuristic language ID: 'en'|'es'|'de'|'fr'|'zh'|'und'. */
+  def langId(text: Column): Column = col(LangId(expr(text)))
+
+  /** Hyperplane-LSH sign bucket of a float vector. */
+  def signProjection(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
+    col(SignRandomProjection(expr(vec.cast("array<float>")), planes, seed))
+
+  /**
+   * Quality statistics struct: token count, mean token length, alpha ratio,
+   * punctuation ratio, stopword ratio — the usual cheap quality-scoring
+   * features for corpus filtering. All arithmetic is exact-int-then-double
+   * so an oracle can reproduce it bit-for-bit.
+   */
+  def textStats(text: Column): Column = {
+    val nChars = length(text)
+    val nTok = tokenCount(text)
+    val alpha = length(regexp_replace(text, "[^a-z]", ""))
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round((nChars - nTok + 1).cast("double") / nTok.cast("double"), 4).as("mean_tok_len"),
+      round(alpha.cast("double") / nChars.cast("double"), 4).as("alpha_ratio"),
+      round(punct.cast("double") / nChars.cast("double"), 4).as("punct_ratio"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextFunctions => TF}
+
+/** LLM-pipeline operators: exact dedup, MinHash/LSH + SimHash near-dup,
+  * embedding near-dup, text stats, language ID, fingerprinting. */
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and vector search"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated short text"),
+    (6L, "spark query engines enable vector search over completely different content")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds byte-identical texts only") {
+    val g = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 4L))
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH near-dup finds the planted pair, never all-pairs") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1,4) exact dup -> jaccard 1.0; (1,2)/(2,4) near-dups above 0.5
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)) && keys.contains((1L, 2L)) && keys.contains((2L, 4L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash signature is deterministic and jaccard-correlated") {
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id").select("id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical text, identical signature
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree12 > 32, s"near-dup agreement $agree12 should be high")
+    assert(agree13 < 8, s"unrelated agreement $agree13 should be low")
+  }
+
+  test("simHashPairs: identical and near-identical texts collide") {
+    // hamming(1,2)=7 on this data → found because 8-bit chunking is
+    // pigeonhole-complete for hamming <= 7
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 0))
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors") {
+    val rnd = new scala.util.Random(11)
+    val v1 = Array.fill(32)(rnd.nextFloat())
+    val v1b = v1.clone(); v1b(0) += 0.001f // near-dup
+    val vecs = (Seq((1L, v1), (2L, v1b)) ++
+      (3L to 40L).map(i => (i, Array.fill(32)(rnd.nextFloat()))))
+      .toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec", "id", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("textStats matches hand-computed values") {
+    val r = docs.where(col("doc_id") === 5L)
+      .select(TF.textStats(col("text")).as("s")).select("s.*").collect().head
+    // "unrelated short text": 20 chars, 3 tokens, mean (20-3+1)/3 = 6
+    assert(r.getAs[Int]("n_chars") == 20)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("mean_tok_len") == 6.0)
+    assert(r.getAs[Double]("alpha_ratio") == 0.9)   // 18 letters / 20
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("langId classifies obvious samples") {
+    val samples = Seq(
+      ("the cat is on the table and it is not happy with you", "en"),
+      ("el gato es un animal que vive en la casa con los niños", "es"),
+      ("der hund ist ein tier und das ist nicht schlecht", "de"),
+      ("le chien est un animal qui vit dans la maison avec les enfants", "fr"),
+      ("这是一个中文句子 关于向量搜索", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val got = samples.select(TF.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)} expected ${r.getString(1)}"))
+  }
+
+  test("fingerprint64 is deterministic and content-sensitive") {
+    val f = docs.select(col("doc_id"), TF.fingerprint64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(4L))
+    assert(f(1L) != f(2L))
+    assert(f.values.toSet.size == 5) // 6 docs, one exact dup pair
+  }
+
+  test("tokenCountBpe counts subword units") {
+    val r = Seq("abc123 def!").toDF("t")
+      .select(TF.tokenCountBpe(col("t"))).collect().head.getInt(0)
+    assert(r == 4) // "abc", "123", "def", "!"
+  }
+}
