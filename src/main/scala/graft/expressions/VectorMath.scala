@@ -94,8 +94,15 @@ object VectorMath {
   def cosineDistance(a: ArrayData, b: ArrayData): Double =
     1.0 - cosineSimilarity(a, b)
 
+  @inline private def checkDims(a: Array[Float], b: Array[Float]): Unit =
+    if (a.length != b.length) {
+      throw new IllegalArgumentException(
+        s"vector dimensions do not match: ${a.length} vs ${b.length}")
+    }
+
   /** Kernels over raw float arrays (used by the HNSW index hot path). */
   def l2Squared(a: Array[Float], b: Array[Float]): Double = {
+    checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < a.length) {
@@ -107,6 +114,7 @@ object VectorMath {
   }
 
   def negativeDot(a: Array[Float], b: Array[Float]): Double = {
+    checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < a.length) {
@@ -117,6 +125,7 @@ object VectorMath {
   }
 
   def cosineDistance(a: Array[Float], b: Array[Float]): Double = {
+    checkDims(a, b)
     var ab = 0.0
     var a2 = 0.0
     var b2 = 0.0

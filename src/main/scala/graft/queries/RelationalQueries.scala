@@ -83,6 +83,41 @@ object RelationalQueries {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey")).orderBy("c_custkey")
     }),
+    "q7_ship_volume" -> ((s, dir) => {
+      // q7-style: revenue by supplier nation × ship year with a date-range
+      // filter that reaches the parquet scan (predicate pushdown) and
+      // broadcast dims over the fact table.
+      val li = Tables.load(s, dir, "lineitem")
+        .where(year(col("l_shipdate")).isin(1995, 1996))
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)))).as("volume"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name", "ship_year")
+    }),
+    "q8_corr_subquery" -> ((s, dir) => {
+      // Correlated scalar subquery: parts priced above their brand's average
+      // (Spark decorrelates this into an aggregate + join).
+      Tables.load(s, dir, "part").createOrReplaceTempView("graft_q8_part")
+      s.sql(
+        """SELECT p_partkey, p_brand, round(CAST(p_retailprice AS DOUBLE), 4) AS price
+           FROM graft_q8_part p
+           WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
+                                  FROM graft_q8_part p2 WHERE p2.p_brand = p.p_brand)
+           ORDER BY p_partkey""")
+    }),
+    "q9_no_orders" -> ((s, dir) => {
+      // Anti join: customers with no high-value (>300k) orders.
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
+    }),
     "q6_events_agg" -> ((s, dir) => {
       // Event-stream style aggregation: per type, count + exact value sum.
       Tables.load(s, dir, "events")
@@ -132,6 +167,28 @@ object RelationalQueries {
     "q6_events_agg" ->
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q7_ship_volume" ->
+      """SELECT n_name, year(l_shipdate) AS ship_year,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4))) AS DOUBLE), 4) AS volume,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE year(l_shipdate) IN (1995, 1996)
+         GROUP BY n_name, year(l_shipdate) ORDER BY n_name, ship_year""",
+    "q8_corr_subquery" ->
+      """SELECT p_partkey, p_brand, round(CAST(p_retailprice AS DOUBLE), 4) AS price
+         FROM part p
+         WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
+                                FROM part p2 WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_partkey""",
+    "q9_no_orders" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey"""
   )
 }

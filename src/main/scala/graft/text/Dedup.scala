@@ -66,7 +66,9 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
+    // The signature set feeds the band join (twice) and both verify joins —
+    // persist it so the shingle+minhash stage runs once, not four times.
+    val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed).persist()
     val cands = lshCandidatePairs(sigs, k, bands)
     val sets = sigs.select(col("id"), col("shingles"))
     cands
