@@ -64,6 +64,15 @@ object Hnsw {
       idColumn: String,
       options: Map[String, String] = Map.empty,
       overwrite: Boolean = false): HnswIndexMeta = {
+    // O17 parity: the reference gates CREATE INDEX on disk-backed databases
+    // behind `SET hnsw_enable_experimental_persistence = true`
+    // (hnsw_index_plan.cpp:21-30). Our artifacts are always files, so the
+    // conf defaults to enabled; setting it false reproduces the gate error.
+    if (!spark.conf.get(PersistenceKey, "true").toBoolean) {
+      throw new IllegalStateException(
+        "HNSW indexes can only be created in in-memory databases, or when the " +
+          s"configuration option '$PersistenceKey' is set to true.")
+    }
     val base = baseDir(spark)
     if (IndexCatalog.exists(base, name)) {
       if (!overwrite) throw new IllegalArgumentException(s"Index '$name' already exists")

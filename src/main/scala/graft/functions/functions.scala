@@ -66,8 +66,29 @@ object functions {
       org.apache.spark.sql.catalyst.expressions.Literal(k), keepSmallest = false)
       .toAggregateExpression())
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
   /** SQL function names -> builders, for FunctionRegistry registration. */
   private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // text / pipeline surface
+    "lang_id" -> (es => LangId(es(0))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "fingerprint64" -> (es => Fingerprint64(es(0))),
+    "minhash_signature" -> (es => MinHashSignature(es(0),
+      if (es.length > 1) litInt(es(1), "minhash k") else 64,
+      if (es.length > 2) litLong(es(2), "minhash seed") else 42L)),
+    "sign_projection" -> (es => SignRandomProjection(es(0),
+      if (es.length > 1) litInt(es(1), "planes") else 16,
+      if (es.length > 2) litLong(es(2), "seed") else 42L)),
+    // vector surface
     "array_distance" -> (es => ArrayDistance(es(0), es(1))),
     "array_squared_distance" -> (es => ArraySquaredDistance(es(0), es(1))),
     "array_cosine_similarity" -> (es => ArrayCosineSimilarity(es(0), es(1))),

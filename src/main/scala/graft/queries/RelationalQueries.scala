@@ -47,8 +47,10 @@ object RelationalQueries {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
+      // nation is tiny → forced broadcast; customer grows with sf, so let
+      // AQE pick its join strategy (a forced broadcast would OOM at 100×).
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+import graft.Hnsw
+
+/**
+ * Structured-Streaming surface for the engine. The reference is batch-only
+ * (SURVEY §1.1: no streaming anywhere in src/), so this is additive: the
+ * operators a continuously-ingesting training-data pipeline needs.
+ *
+ *  - [[maintainIndex]]: streaming HNSW maintenance — every micro-batch is
+ *    appended to the index as a delta segment via [[Hnsw.insert]], the
+ *    streaming analogue of the reference's INSERT hook
+ *    (hnsw_index.cpp:421-478). Segments stay immutable; compaction remains
+ *    an offline operation.
+ *  - [[streamingExactDedup]]: drop byte-identical documents inside the
+ *    watermark horizon using Spark's stateful dropDuplicates — the
+ *    streaming version of [[graft.text.Dedup.exactDupGroups]].
+ */
+object StreamingIndex {
+
+  /**
+   * Configure a foreachBatch writer that keeps `indexName` up to date with
+   * the stream of (id, vector) rows. Caller starts/stops the query:
+   * {{{
+   *   StreamingIndex.maintainIndex(stream, spark, "idx").start()
+   * }}}
+   */
+  def maintainIndex(stream: DataFrame, spark: SparkSession, indexName: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Hnsw.insert(spark, indexName, batch); () }
+      }
+
+  /** Streaming exact dedup: first occurrence of each text hash within the
+    * watermark wins; later identical payloads are dropped. */
+  def streamingExactDedup(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("_text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("_text_hash")
+      .drop("_text_hash")
+}

@@ -117,6 +117,43 @@ class HnswRewriteSpec extends SparkSuite {
     assert(qProj.collect().head.getSeq[Long](0).head == 11L)
   }
 
+  test("projection permutations all work on the index path (hnsw_projection.test:20-37)") {
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    val d = array_distance(col("vec"), qv)
+    val variants = Seq(
+      grid.orderBy(d).limit(1),
+      grid.select(col("vec"), col("id")).orderBy(d).limit(1),
+      grid.orderBy(array_distance(col("vec"), qv)).limit(1).select(col("id")),
+      grid.select(col("id"), col("vec")).orderBy(d).limit(1),
+      grid.select(col("id"), col("vec"), d.as("dist")).orderBy("dist").limit(1),
+      grid.select(d.as("dist"), col("id")).orderBy("dist").limit(1))
+    variants.foreach { q =>
+      val rows = q.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Any]("id") == 11L)
+    }
+  }
+
+  test("persistence gate conf blocks createIndex when disabled (O17)") {
+    spark.conf.set(Hnsw.PersistenceKey, "false")
+    try {
+      val e = intercept[IllegalStateException](
+        Hnsw.createIndex(spark, "gate_blocked", grid, "vec", "id", overwrite = true))
+      assert(e.getMessage.contains("hnsw") || e.getMessage.contains(Hnsw.PersistenceKey))
+    } finally spark.conf.set(Hnsw.PersistenceKey, "true")
+  }
+
+  test("SQL registration of pipeline functions") {
+    val r = spark.sql(
+      """SELECT lang_id('the cat is on the table and it is here') AS l,
+                simhash64(array('a', 'b')) AS s,
+                fingerprint64('abc') AS f,
+                size(minhash_signature(array('x'), 8)) AS m""").collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(2) == ((97L * 1000003L + 98L) * 1000003L + 99L))
+    assert(r.getInt(3) == 8)
+  }
+
   test("ef_search session conf reaches the scan (O16)") {
     spark.conf.set(Hnsw.EfSearchKey, "123")
     try {

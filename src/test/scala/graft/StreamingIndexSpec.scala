@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexCatalog
+import graft.streaming.StreamingIndex
+
+/** Streaming surface: index maintenance via foreachBatch delta segments and
+  * stateful exact dedup. */
+class StreamingIndexSpec extends SparkSuite {
+
+  private val base: String = {
+    val d = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    spark.conf.set(Hnsw.LocationKey, d)
+    d
+  }
+
+  test("maintainIndex appends micro-batches as delta segments") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    Hnsw.createIndex(spark, "stream_idx", empty, "vec", "id", overwrite = true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val query = StreamingIndex.maintainIndex(stream, spark, "stream_idx")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      query.processAllAvailable()
+      assert(IndexCatalog.load(base, "stream_idx").count == 2)
+      mem.addData((3L, Array(1f, 1f)))
+      query.processAllAvailable()
+      val meta = IndexCatalog.load(base, "stream_idx")
+      assert(meta.count == 3)
+      assert(meta.segments.count(_.startsWith("delta-")) == 2)
+      assert(Hnsw.searchRaw(spark, "stream_idx", Array(1f, 1f), 1).head._1 == 3L)
+    } finally query.stop()
+  }
+
+  test("streamingExactDedup drops duplicate texts within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamingIndex.streamingExactDedup(
+      mem.toDF().toDF("ts", "text"), "text", "ts")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      mem.addData((t0, "hello world"), (t0, "hello world"), (t0, "other"))
+      query.processAllAvailable()
+      val got = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(got.toSeq == Seq("hello world", "other"))
+    } finally query.stop()
+  }
+}
