@@ -13,21 +13,35 @@ import org.apache.spark.sql.types._
  * Bounded top-k buffer: keeps the k best (order, value) pairs seen so far.
  * `keepSmallest=true` keeps the k smallest orders (min_by); the internal
  * heap is ordered worst-first so the root is evicted on overflow.
+ *
+ * Equal order keys tie-break on the VALUE (when its type is orderable), so
+ * results are deterministic under partitioning/merge order — an oracle can
+ * reproduce them with `ORDER BY o, v` (ADVICE r1: heap-insertion-order ties
+ * were nondeterministic).
  */
-final class TopKBuffer(val k: Int, val keepSmallest: Boolean, ord: Ordering[Any]) {
-  // worst-first: for min_by the LARGEST kept order sits at the root.
-  private val heapOrd = if (keepSmallest) ord.reverse else ord
+final class TopKBuffer(val k: Int, val keepSmallest: Boolean,
+    ord: Ordering[Any], valueOrd: Option[Ordering[Any]]) {
+
+  private val pairOrd: Ordering[(Any, Any)] = new Ordering[(Any, Any)] {
+    override def compare(a: (Any, Any), b: (Any, Any)): Int = {
+      val c = ord.compare(a._1, b._1)
+      if (c != 0) c else valueOrd.map(_.compare(a._2, b._2)).getOrElse(0)
+    }
+  }
+  // worst-first: for min_by the LARGEST kept pair sits at the root.
+  private val heapOrd = if (keepSmallest) pairOrd.reverse else pairOrd
   val heap = new java.util.PriorityQueue[(Any, Any)](
     math.max(1, math.min(k, 1024)),
-    (a: (Any, Any), b: (Any, Any)) => heapOrd.compare(a._1, b._1))
+    (a: (Any, Any), b: (Any, Any)) => heapOrd.compare(a, b))
 
   def insert(o: Any, v: Any): Unit = {
+    val pair = (o, v)
     if (heap.size() < k) {
-      heap.add((o, v))
+      heap.add(pair)
     } else {
-      val worst = heap.peek()._1
-      val better = if (keepSmallest) ord.lt(o, worst) else ord.gt(o, worst)
-      if (better) { heap.poll(); heap.add((o, v)) }
+      val worst = heap.peek()
+      val better = if (keepSmallest) pairOrd.lt(pair, worst) else pairOrd.gt(pair, worst)
+      if (better) { heap.poll(); heap.add(pair) }
     }
   }
 
@@ -39,7 +53,7 @@ final class TopKBuffer(val k: Int, val keepSmallest: Boolean, ord: Ordering[Any]
   /** Values best-first: ascending order for min_by, descending for max_by. */
   def sortedValues: Array[Any] = {
     val arr = heap.toArray.map(_.asInstanceOf[(Any, Any)])
-    val sorted = arr.sortBy(_._1)(if (keepSmallest) ord else ord.reverse)
+    val sorted = arr.sorted(if (keepSmallest) pairOrd else pairOrd.reverse)
     sorted.map(_._2)
   }
 }
@@ -78,6 +92,11 @@ case class MinMaxByK(
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(second.dataType)
 
+  @transient private lazy val valueOrdering: Option[Ordering[Any]] =
+    if (RowOrdering.isOrderable(first.dataType))
+      Some(TypeUtils.getInterpretedOrdering(first.dataType))
+    else None
+
   @transient private lazy val pairProjection =
     UnsafeProjection.create(Array(second.dataType, first.dataType))
 
@@ -103,7 +122,7 @@ case class MinMaxByK(
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): TopKBuffer =
-    new TopKBuffer(k, keepSmallest, ordering)
+    new TopKBuffer(k, keepSmallest, ordering, valueOrdering)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val o = second.eval(input)

@@ -95,4 +95,15 @@ class MinMaxByKSpec extends SparkSuite {
       .select($"right_tbl.rid").as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("equal order keys tie-break deterministically on the value") {
+    // 10 rows, all with the same order key; k=3 must keep the 3 smallest
+    // values regardless of partitioning (ADVICE r1 determinism item).
+    val df = spark.range(10).select((col("id") + 100).as("v"), lit(1.0).as("o"))
+      .repartition(4)
+    val got = df.agg(min_by_k(col("v"), col("o"), 3)).collect().head.getSeq[Long](0)
+    assert(got == Seq(100L, 101L, 102L))
+    val gotMax = df.agg(max_by_k(col("v"), col("o"), 3)).collect().head.getSeq[Long](0)
+    assert(gotMax == Seq(109L, 108L, 107L))
+  }
 }
