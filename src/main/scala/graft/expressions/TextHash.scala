@@ -64,6 +64,56 @@ object TextHash {
     new GenericArrayData(mins)
   }
 
+  /**
+   * Fused tokenize → word-n-gram-shingle → MinHash kernel: one pass over
+   * the UTF-8 bytes, no shingle strings materialized. Shingle identity is
+   * the mix of the n token FNV hashes (equivalent power to hashing the
+   * joined string; duplicates can't affect a min). Returns an empty array
+   * when there are fewer than n tokens.
+   */
+  def minHashText(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val bytes = s.getBytes
+    // 1. token FNV hashes (split on single spaces, like split(text, ' '))
+    var tokenHashes = new Array[Long](math.max(8, bytes.length / 5))
+    var nTokens = 0
+    var h = Fnv64Offset
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTokens == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+        }
+        tokenHashes(nTokens) = h
+        nTokens += 1
+        h = Fnv64Offset
+      } else {
+        h ^= (bytes(i) & 0xffL)
+        h *= Fnv64Prime
+      }
+      i += 1
+    }
+    if (nTokens < n) return new GenericArrayData(Array.empty[Long])
+    // 2. sliding window shingle hash + k-min signature
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = mix64(seed + j); j += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var w = 0
+    while (w <= nTokens - n) {
+      var sh = 0L
+      var t = 0
+      while (t < n) { sh = mix64(sh ^ tokenHashes(w + t)); t += 1 }
+      j = 0
+      while (j < k) {
+        val v = mix64(sh ^ seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash over a token array (term-frequency weighted). */
   def simHash64(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
@@ -114,6 +164,21 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.minHashSignature($c, $k, ${seed}L)")
   override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_text(text STRING, n, k, seed) -> ARRAY<BIGINT>: fused
+  * shingle+MinHash (no intermediate shingle array). */
+case class MinHashText(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && k > 0, "shingle n and minhash k must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.minHashText(v.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.minHashText($c, $n, $k, ${seed}L)")
+  override def prettyName: String = "minhash_text"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -85,6 +85,10 @@ object functions {
     "minhash_signature" -> (es => MinHashSignature(es(0),
       if (es.length > 1) litInt(es(1), "minhash k") else 64,
       if (es.length > 2) litLong(es(2), "minhash seed") else 42L)),
+    "minhash_text" -> (es => MinHashText(es(0),
+      if (es.length > 1) litInt(es(1), "shingle n") else 3,
+      if (es.length > 2) litInt(es(2), "minhash k") else 64,
+      if (es.length > 3) litLong(es(3), "minhash seed") else 42L)),
     "sign_projection" -> (es => SignRandomProjection(es(0),
       if (es.length > 1) litInt(es(1), "planes") else 16,
       if (es.length > 2) litLong(es(2), "seed") else 42L)),

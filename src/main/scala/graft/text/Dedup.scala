@@ -35,13 +35,15 @@ object Dedup {
         min(col("_id")).as("keep_id"))
       .where(col("n") > 1)
 
-  /** (id, shingles, sig) triples — the shared first stage of the MinHash path. */
+  /** (id, sig) pairs — the shared first stage of the MinHash path. The
+    * fused kernel never materializes shingle strings; only the 64×8-byte
+    * signature flows into the band join (the property that matters when the
+    * corpus is 100 TB of text). */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        wordShingles(col(textCol), shingleN).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k, seed))
+        minhashText(col(textCol), shingleN, k, seed).as("sig"))
+      .where(size(col("sig")) > 0)
 
   /** Distinct candidate pairs (id_a < id_b) whose signatures collide in at
     * least one of `bands` bands of `k/bands` rows each. */
@@ -66,14 +68,20 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    // The signature set feeds the band join (twice) and both verify joins —
-    // persist it so the shingle+minhash stage runs once, not four times.
+    // The signature set feeds the band self-join twice — persist it so the
+    // minhash stage runs once.
     val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed).persist()
     val cands = lshCandidatePairs(sigs, k, bands)
-    val sets = sigs.select(col("id"), col("shingles"))
+    // Exact shingle sets are needed only for candidate rows: semi-join
+    // before computing them, so verification cost scales with collisions,
+    // not corpus size.
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        wordShingles(col(textCol), shingleN).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
     cands
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

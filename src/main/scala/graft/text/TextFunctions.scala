@@ -47,6 +47,11 @@ object TextFunctions {
   def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
     col(MinHashSignature(expr(shingles), k, seed))
 
+  /** Fused word-n-gram MinHash straight from text — no shingle strings
+    * materialized; empty array when the text has fewer than n tokens. */
+  def minhashText(text: Column, n: Int = 3, k: Int = 64, seed: Long = 42L): Column =
+    col(graft.expressions.MinHashText(expr(text), n, k, seed))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokenArr: Column): Column = col(SimHash64(expr(tokenArr)))
 

@@ -89,6 +89,34 @@ class LateralTopKSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(2) == 0.0))
   }
 
+  test("10k seeded rows: indexed results match brute force (hnsw_lateral_join_group.test)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    val dir = Files.createTempDirectory("graft-lat-10k").toFile.getAbsolutePath
+    (1 to 10000).map(i => (i.toLong, Array.fill(3)(rnd.nextFloat())))
+      .toDF("b_id", "b_vec").withColumn("b_vec", col("b_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    val items = spark.read.parquet(dir)
+    val qs = Seq((1L, Array(0.5f, 0.5f, 0.5f)), (2L, Array(0.9f, 0.1f, 0.9f)))
+      .toDF("a_id", "a_vec").withColumn("a_vec", col("a_vec").cast("array<float>"))
+    def q = Vss.lateralTopK(qs, items, "a_vec", "b_vec", "a_id", 3)
+      .select(col("a_id"), col("b_id"), col("rn"))
+    val brute = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // exhaustive ef → exact; same neighbor ids with and without the index
+    Hnsw.createIndex(spark, "lat_10k", items, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    val indexed = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(indexed == brute)
+    // group over the lateral (the reference's list(nbr ORDER BY dist) form)
+    val grouped = Vss.lateralTopK(qs, items, "a_vec", "b_vec", "a_id", 3)
+      .groupBy("a_id").agg(sort_array(collect_list(col("b_id"))).as("nbrs"))
+      .orderBy("a_id").collect()
+    assert(grouped.map(_.getAs[scala.collection.Seq[Long]]("nbrs").toSeq).toSeq ==
+      brute.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).sorted.toSeq))
+    Hnsw.dropIndex(spark, "lat_10k")
+  }
+
   test("NULL inner vectors never match (hnsw_lateral_join.test:49-58)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lat-null").toFile.getAbsolutePath
