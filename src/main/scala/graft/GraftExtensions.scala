@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => new graft.rules.MinByKToIndexScan(s))
     e.injectOptimizerRule(s => new graft.rules.LateralTopKToIndexJoin(s))
     e.injectPlannerStrategy(s => new graft.plans.HnswStrategy(s))
+    // Index DDL: CREATE INDEX … USING HNSW / DROP INDEX / PRAGMA … (O1 DDL surface)
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
