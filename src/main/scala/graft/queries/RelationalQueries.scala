@@ -120,6 +120,25 @@ object RelationalQueries {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
     }),
+    "q10_events_hourly" -> ((s, dir) => {
+      // Time-series bucketing: per (event_type, hour) counts + exact sums.
+      // ts is TIMESTAMP(NANOS) surfaced as LONG nanos (nanosAsLong); the
+      // bucket uses integer division (doubles can't hold epoch-nanos).
+      Tables.load(s, dir, "events")
+        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        .groupBy(col("event_type"), col("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          outD(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+    "q11_rollup" -> ((s, dir) => {
+      // Grouping-set breadth: ROLLUP over returnflag/linestatus.
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          outD(sum(col("l_quantity").cast(dec))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
     "q6_events_agg" -> ((s, dir) => {
       // Event-stream style aggregation: per type, count + exact value sum.
       Tables.load(s, dir, "events")
@@ -170,6 +189,17 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q10_events_hourly" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY event_type, hour_bucket
+         ORDER BY event_type, hour_bucket""",
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q7_ship_volume" ->
       """SELECT n_name, year(l_shipdate) AS ship_year,
            round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
