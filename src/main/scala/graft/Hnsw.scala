@@ -169,7 +169,7 @@ object Hnsw {
   private[graft] def searchMeta(base: String, meta: HnswIndexMeta, q: Array[Float],
       k: Int, ef: Int): Array[(Long, Double)] = {
     val dir = IndexCatalog.indexDir(base, meta.name)
-    val tombs = IndexCatalog.tombstones(base, meta.name)
+    val tombs = graft.index.TombstoneCache.get(base, meta.name)
     // Over-fetch per segment so catalog-level tombstones can't starve the
     // merged top-k (bounded: compaction is the fix for large tombstone sets).
     val fetch = k + math.min(tombs.size, 1024)
@@ -178,6 +178,33 @@ object Hnsw {
         GraphCache.get(new File(dir, s)).search(q, fetch, ef)
           .filterNot { case (key, _) => tombs.contains((s, key)) }
       }
+      .toArray.sortBy(_._2).take(k)
+  }
+
+  /**
+   * Segment-parallel search: for many-segment indexes, fan the per-segment
+   * searches out as a Spark job (each task warms its executor's GraphCache
+   * from shared storage) and merge the partial top-ks on the driver — the
+   * multi-executor scaling path for [[graft.plans.HnswIndexScanExec]]. For
+   * few segments the driver-local loop is cheaper than a job launch.
+   */
+  private[graft] def searchDistributed(spark: SparkSession, base: String,
+      meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+    if (meta.segments.size <= 4) return searchMeta(base, meta, q, k, ef)
+    val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
+    val tombs = graft.index.TombstoneCache.get(base, meta.name)
+    val fetch = k + math.min(tombs.size, 1024)
+    val partial = spark.sparkContext
+      .parallelize(meta.segments, meta.segments.size)
+      .flatMap { s =>
+        GraphCache.get(new File(dirPath, s)).search(q, fetch, ef).map {
+          case (key, d) => (s, key, d)
+        }
+      }
+      .collect()
+    partial.iterator
+      .filterNot { case (s, key, _) => tombs.contains((s, key)) }
+      .map { case (_, key, d) => (key, d) }
       .toArray.sortBy(_._2).take(k)
   }
 

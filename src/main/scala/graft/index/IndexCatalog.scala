@@ -168,17 +168,51 @@ object IndexCatalog {
  * Per-JVM segment-graph cache, keyed by (absolute path, mtime, size) — the
  * analogue of the reference's lazy `load_from_stream` on first use
  * (hnsw_index.cpp:223-239). Executors and the driver each warm it once per
- * segment; immutable segment files make staleness checks trivial.
+ * segment; immutable segment files make staleness checks trivial. Bounded:
+ * least-recently-loaded segments are evicted beyond `MaxEntries` so an
+ * executor serving many indexes can't grow without limit.
  */
 object GraphCache {
   private case class Key(path: String, mtime: Long, size: Long)
-  private val cache = TrieMap.empty[Key, HnswGraph]
+  val MaxEntries: Int =
+    sys.props.get("graft.graphCache.maxEntries").map(_.toInt).getOrElse(256)
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Key, HnswGraph](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Key, HnswGraph]): Boolean =
+          size() > MaxEntries
+      })
 
   def get(file: File): HnswGraph = {
     val k = Key(file.getAbsolutePath, file.lastModified(), file.length())
-    cache.getOrElseUpdate(k, IndexCatalog.readGraph(file))
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      // Load outside the map lock; duplicate loads are benign (immutable).
+      val g = IndexCatalog.readGraph(file)
+      cache.put(k, g)
+      g
+    }
   }
 
-  def invalidate(dirPrefix: String): Unit =
-    cache.keys.filter(_.path.startsWith(dirPrefix)).foreach(cache.remove)
+  def invalidate(dirPrefix: String): Unit = cache.synchronized {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) { if (it.next().path.startsWith(dirPrefix)) it.remove() }
+  }
+}
+
+/** Per-JVM tombstone-set cache keyed by file mtime — the join exec consults
+  * tombstones per outer row, which must not mean a file read per row. */
+object TombstoneCache {
+  private case class Key(path: String, mtime: Long, size: Long)
+  private val cache = TrieMap.empty[Key, Set[(String, Long)]]
+
+  def get(base: String, name: String): Set[(String, Long)] = {
+    val f = new File(IndexCatalog.indexDir(base, name), "tombstones.txt")
+    if (!f.isFile) Set.empty
+    else {
+      val k = Key(f.getAbsolutePath, f.lastModified(), f.length())
+      cache.getOrElseUpdate(k, IndexCatalog.tombstones(base, name))
+    }
+  }
 }

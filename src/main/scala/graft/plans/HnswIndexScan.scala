@@ -72,7 +72,7 @@ case class HnswIndexScanExec(
     sparkContext.parallelize(fetchOrdered().toIndexedSeq, 1)
 
   private def fetchOrdered(): Array[InternalRow] = {
-    val hits = Hnsw.searchMeta(base, meta, query, k, ef)
+    val hits = Hnsw.searchDistributed(session, base, meta, query, k, ef)
     if (hits.isEmpty) return Array.empty
     val idAttr = relation.output.find(_.name == meta.idColumn).getOrElse(
       throw new IllegalStateException(s"id column '${meta.idColumn}' not in relation"))

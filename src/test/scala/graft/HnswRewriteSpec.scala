@@ -154,6 +154,26 @@ class HnswRewriteSpec extends SparkSuite {
     assert(r.getInt(3) == 8)
   }
 
+  test("many-segment index scans via the distributed segment fan-out") {
+    spark.conf.set(Hnsw.MaxVectorsPerPartitionKey, "100") // 8 segments
+    try {
+      Hnsw.createIndex(spark, "rw_seg", grid, "vec", "id",
+        Map("ef_search" -> "100000"), overwrite = true)
+      // rw_l2 (1 segment) also matches this relation; drop it so the
+      // many-segment index is the one selected.
+      Hnsw.dropIndex(spark, "rw_l2")
+      try {
+        val q = grid.select(col("id"), array_distance(col("vec"), lit_vector(Array(1f, 2f, 3f))).as("d"))
+          .orderBy("d").limit(3)
+        assert(planOf(q).contains("index=rw_seg"), planOf(q))
+        assert(q.collect().map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 1.0))
+      } finally {
+        Hnsw.dropIndex(spark, "rw_seg")
+        Hnsw.createIndex(spark, "rw_l2", grid, "vec", "id", overwrite = true)
+      }
+    } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+  }
+
   test("ef_search session conf reaches the scan (O16)") {
     spark.conf.set(Hnsw.EfSearchKey, "123")
     try {
