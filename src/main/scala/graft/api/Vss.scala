@@ -35,13 +35,19 @@ object Vss {
    * For every row of `left`, the k best rows of `right` by vector score.
    * Output: (score DOUBLE, left_tbl STRUCT<left.*>, right_tbl STRUCT<right.*>),
    * best score first within each left row — mirroring `vss_join`.
+   *
+   * `leftKey` names a unique left column used to group the cross product;
+   * when None a synthetic id is attached (deterministic for deterministic
+   * inputs, but task retries can reassign ids mid-job — callers with a
+   * stable key should pass it, mirroring the reference's rowid grouping).
    */
   def vssJoin(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
-      k: Int, metric: String = "l2sq"): DataFrame = {
+      k: Int, metric: String = "l2sq", leftKey: Option[String] = None): DataFrame = {
     val m = metricOf(metric)
     val scored = left
       .select(struct(col("*")).as("left_tbl"))
-      .withColumn("_lid", monotonically_increasing_id())
+      .withColumn("_lid", leftKey.map(kc => col("left_tbl").getField(kc))
+        .getOrElse(monotonically_increasing_id()))
       .crossJoin(right.select(struct(col("*")).as("right_tbl")))
       .withColumn("_score", m.score(col("left_tbl").getField(leftCol), col("right_tbl").getField(rightCol)))
     scored
@@ -87,12 +93,13 @@ object Vss {
    * mirroring `FROM left, vss_match(right, left_col, right_col, k)`.
    */
   def vssMatch(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
-      k: Int, metric: String = "l2sq"): DataFrame = {
+      k: Int, metric: String = "l2sq", leftKey: Option[String] = None): DataFrame = {
     val m = metricOf(metric)
     val leftCols = left.columns
     val scored = left
       .select(struct(col("*")).as("_left"))
-      .withColumn("_lid", monotonically_increasing_id())
+      .withColumn("_lid", leftKey.map(kc => col("_left").getField(kc))
+        .getOrElse(monotonically_increasing_id()))
       .crossJoin(right.select(struct(col("*")).as("row")))
       .withColumn("score", m.score(col("_left").getField(leftCol), col("row").getField(rightCol)))
     val agged = scored

@@ -35,7 +35,8 @@ object MacroQueries {
         .orderBy("label")),
     "vss_join_macro" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      Vss.vssJoin(e.where(col("vec_id") < 3), e, "embedding", "embedding", 5, "l2sq")
+      Vss.vssJoin(e.where(col("vec_id") < 3), e, "embedding", "embedding", 5, "l2sq",
+          leftKey = Some("vec_id"))
         .select(
           col("left_tbl").getField("vec_id").as("l_id"),
           col("right_tbl").getField("vec_id").as("r_id"),
@@ -44,7 +45,8 @@ object MacroQueries {
     }),
     "vss_match_macro" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      Vss.vssMatch(e.where(col("vec_id") < 3), e, "embedding", "embedding", 5, "l2sq")
+      Vss.vssMatch(e.where(col("vec_id") < 3), e, "embedding", "embedding", 5, "l2sq",
+          leftKey = Some("vec_id"))
         .select(
           col("vec_id"),
           size(col("matches")).cast("long").as("n"),
