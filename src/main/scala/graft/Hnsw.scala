@@ -269,27 +269,31 @@ object Hnsw {
     updated
   }
 
-  /** Rebuild segments without tombstoned/marked-deleted entries (O13). */
+  /** Rebuild segments without tombstoned/marked-deleted entries (O13).
+    * The live entries never touch the driver: a task per old segment reads
+    * its graph from shared storage and emits survivors, and the normal
+    * partitioned build path writes the fresh segments. */
   def compactIndex(spark: SparkSession, name: String): HnswIndexMeta = {
     val base = baseDir(spark)
     val meta = IndexCatalog.load(base, name)
     val dir = IndexCatalog.indexDir(base, name)
+    val dirPath = dir.getAbsolutePath
     val tombs = IndexCatalog.tombstones(base, name)
     import spark.implicits._
-    val live = meta.segments.flatMap { s =>
-      GraphCache.get(new File(dir, s)).liveEntries
-        .filterNot { case (k, _) => tombs.contains((s, k)) }
-    }
-    // Distributed rebuild through the normal build path. (At warehouse scale
-    // the segment files themselves would be parallelized into the job; the
-    // per-index entry set here is executor-loadable by construction.)
-    val ds = spark.createDataset(live)
+    val live = spark.sparkContext
+      .parallelize(meta.segments, math.max(1, meta.segments.size))
+      .flatMap { s =>
+        GraphCache.get(new File(dirPath, s)).liveEntries
+          .filterNot { case (k, _) => tombs.contains((s, k)) }
+      }.toDS()
     val opts = Options(meta.metric, meta.efConstruction, meta.efSearch, meta.m, meta.m0)
-    meta.segments.foreach(s => new File(dir, s).delete())
-    GraphCache.invalidate(dir.getAbsolutePath)
+    // Build the replacement segments first (distinct file prefix), then
+    // atomically swap via the metadata file.
     val segs =
-      if (live.isEmpty) Seq.empty
-      else buildSegments(spark, ds, dir, "part", meta.dim, opts)
+      if (meta.segments.isEmpty) Seq.empty
+      else buildSegments(spark, live, dir, f"part-c${meta.segments.size}%03d", meta.dim, opts)
+    meta.segments.foreach(s => new File(dir, s).delete())
+    GraphCache.invalidate(dirPath)
     IndexCatalog.writeTombstones(base, name, Set.empty)
     val updated = meta.copy(count = segs.map(_._2).sum, segments = segs.map(_._1))
     IndexCatalog.save(base, updated)

@@ -128,6 +128,25 @@ class HnswIndexSpec extends SparkSuite {
     assert(row.getAs[Long]("approx_memory") > 0L)
   }
 
+  test("ANN recall@10 at default ef on real embeddings >= 0.9") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    Hnsw.createIndex(spark, "recall_idx", emb, "embedding", "vec_id", overwrite = true)
+    import spark.implicits._
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    var recallSum = 0.0
+    val queries = vecs.take(20)
+    queries.foreach { case (_, q) =>
+      val exact = vecs.map { case (id, v) =>
+        (id, graft.expressions.VectorMath.l2Squared(q, v))
+      }.sortBy(_._2).take(10).map(_._1).toSet
+      val approx = Hnsw.searchRaw(spark, "recall_idx", q, 10).map(_._1).toSet // ef=64 default
+      recallSum += (exact & approx).size / 10.0
+    }
+    val recall = recallSum / queries.length
+    assert(recall >= 0.9, s"recall@10 = $recall")
+    Hnsw.dropIndex(spark, "recall_idx")
+  }
+
   test("dropIndex removes artifacts") {
     Hnsw.createIndex(spark, "tmp_idx", gridDf, "vec", "id", overwrite = true)
     assert(Hnsw.dropIndex(spark, "tmp_idx"))
