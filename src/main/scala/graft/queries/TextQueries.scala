@@ -55,6 +55,19 @@ object TextQueries {
           round(avg(col("st.alpha_ratio")), 4).as("avg_alpha"))
         .orderBy("lang")
     }),
+    "doc_simhash_pairs" -> ((s, dir) => {
+      // rows-only: SimHash near-dup candidates (chunk-banded, deterministic)
+      Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 7)
+        .orderBy("id_a", "id_b")
+    }),
+    "emb_near_dup" -> ((s, dir) => {
+      // rows-only: hyperplane-LSH embedding near-dup, cosine-verified
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "embedding", "vec_id", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")

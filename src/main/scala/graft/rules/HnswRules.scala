@@ -154,8 +154,11 @@ class MinByKToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
 /**
  * O5+O6 — lateral top-k → index join. Matches Spark's canonical top-k-per-
  * outer-row shape (what `Vss.lateralTopK` and hand-written window queries
- * produce, and what Spark decorrelates `LATERAL ... ORDER BY dist LIMIT k`
- * into):
+ * produce). Note Spark's analyzer REJECTS the reference's SQL spelling
+ * (`LATERAL … ORDER BY dist(outer,inner) LIMIT k` fails with
+ * UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE — outer
+ * references are only allowed in WHERE/HAVING), so the window form below is
+ * the one way this query exists in Spark, and the one shape to accelerate:
  *
  *   Filter(rn <= k,
  *     Window([rn := row_number() over (partition by outerKey order by dist ASC)],
