@@ -70,10 +70,18 @@ final class HnswGraph(
   def contains(key: Long): Boolean =
     keyToNode.get(key).exists(n => !removed.contains(n))
 
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
-    case "l2sq" => VectorMath.l2Squared(a, b)
-    case "cosine" => VectorMath.cosineDistance(a, b)
-    case "ip" => VectorMath.negativeDot(a, b)
+  // Fixed dispatch code: a per-call string match on the metric name costs
+  // more than the distance loop itself at build rates.
+  private val metricCode: Int = metric match {
+    case "l2sq" => 0
+    case "cosine" => 1
+    case "ip" => 2
+  }
+
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double = metricCode match {
+    case 0 => VectorMath.l2Squared(a, b)
+    case 1 => VectorMath.cosineDistance(a, b)
+    case _ => VectorMath.negativeDot(a, b)
   }
 
   @inline private def distTo(node: Int, q: Array[Float]): Double = dist(vecs(node), q)
@@ -115,8 +123,8 @@ final class HnswGraph(
     lc = math.min(topLevel, level)
     var eps = Array(ep)
     while (lc >= 0) {
-      val found = searchLayer(vec, eps, efConstruction, lc)
-      val selected = selectNeighbors(vec, found, capAt(lc))
+      val (foundD, foundN) = searchLayer(vec, eps, efConstruction, lc)
+      val selected = selectNeighbors(vec, foundD, foundN, capAt(lc))
       val lb = links(node)(lc)
       var i = 0
       while (i < selected.length) {
@@ -127,7 +135,7 @@ final class HnswGraph(
         if (back.size > capAt(lc)) shrink(nb, lc)
         i += 1
       }
-      eps = found.map(_._2)
+      eps = foundN
       lc -= 1
     }
     if (level > topLevel) { topLevel = level; entryPoint = node }
@@ -159,61 +167,67 @@ final class HnswGraph(
   }
 
   /**
-   * Beam search at one level: returns up to `ef` nearest (dist, node) pairs,
-   * sorted ascending by distance.
+   * Beam search at one level: returns up to `ef` nearest (dists, nodes)
+   * parallel arrays, sorted ascending by distance. Primitive binary heaps —
+   * the hot path of both build and search; no boxing.
    */
-  private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int, level: Int): Array[(Double, Int)] = {
-    val visited = new mutable.BitSet(size)
-    // candidates: min-heap by distance; results: max-heap bounded to ef.
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
-    val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+  private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int, level: Int): (Array[Double], Array[Int]) = {
+    val visited = new java.util.BitSet(size)
+    val candidates = new HnswGraph.Heap(math.max(ef, 16), minHeap = true)
+    val results = new HnswGraph.Heap(ef + 1, minHeap = false) // root = worst kept
     var i = 0
     while (i < eps.length) {
       val ep = eps(i)
-      if (!visited.contains(ep)) {
-        visited += ep
+      if (!visited.get(ep)) {
+        visited.set(ep)
         val d = distTo(ep, q)
-        candidates.enqueue((d, ep))
-        results.enqueue((d, ep))
+        candidates.push(d, ep)
+        results.push(d, ep)
+        if (results.size > ef) results.pop()
       }
       i += 1
     }
-    while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
-      if (cd > results.head._1 && results.size >= ef) {
-        candidates.clear() // all remaining candidates are farther — done
+    var done = false
+    while (!done && candidates.size > 0) {
+      val cd = candidates.topDist
+      val c = candidates.topNode
+      candidates.pop()
+      if (cd > results.topDist && results.size >= ef) {
+        done = true // all remaining candidates are farther
       } else {
         val nbs = links(c)(level)
         var j = 0
         while (j < nbs.size) {
           val nb = nbs(j)
-          if (!visited.contains(nb)) {
-            visited += nb
+          if (!visited.get(nb)) {
+            visited.set(nb)
             val d = distTo(nb, q)
-            if (results.size < ef || d < results.head._1) {
-              candidates.enqueue((d, nb))
-              results.enqueue((d, nb))
-              if (results.size > ef) results.dequeue()
+            if (results.size < ef || d < results.topDist) {
+              candidates.push(d, nb)
+              results.push(d, nb)
+              if (results.size > ef) results.pop()
             }
           }
           j += 1
         }
       }
     }
-    results.dequeueAll.toArray.sortBy(_._1)
+    results.drainSortedAsc()
   }
 
   /**
    * Neighbor selection heuristic from the paper (Algorithm 4): keep a
    * candidate only if it is closer to the query than to every already-kept
-   * neighbor — yields diverse edges and navigable graphs.
+   * neighbor — yields diverse edges and navigable graphs. `cands` arrives
+   * as distance-ascending parallel arrays.
    */
-  private def selectNeighbors(q: Array[Float], cands: Array[(Double, Int)], k: Int): Array[Int] = {
-    if (cands.length <= k) return cands.map(_._2)
+  private def selectNeighbors(q: Array[Float], dists: Array[Double], nodes: Array[Int], k: Int): Array[Int] = {
+    if (nodes.length <= k) return nodes
     val out = new IntBuf(k)
     var i = 0
-    while (i < cands.length && out.size < k) {
-      val (d, c) = cands(i)
+    while (i < nodes.length && out.size < k) {
+      val d = dists(i)
+      val c = nodes(i)
       var good = true
       var j = 0
       while (good && j < out.size) {
@@ -225,8 +239,8 @@ final class HnswGraph(
     }
     // Backfill with the nearest skipped candidates if the heuristic was too strict.
     i = 0
-    while (out.size < k && i < cands.length) {
-      val c = cands(i)._2
+    while (out.size < k && i < nodes.length) {
+      val c = nodes(i)
       if (!out.containsVal(c)) out.add(c)
       i += 1
     }
@@ -237,11 +251,13 @@ final class HnswGraph(
   private def shrink(node: Int, level: Int): Unit = {
     val lb = links(node)(level)
     val v = vecs(node)
-    val cands = new Array[(Double, Int)](lb.size)
+    val n = lb.size
+    val dists = new Array[Double](n)
+    val nodes = new Array[Int](n)
     var i = 0
-    while (i < lb.size) { cands(i) = (distTo(lb(i), v), lb(i)); i += 1 }
-    java.util.Arrays.sort(cands, Ordering.by[(Double, Int), Double](_._1))
-    val kept = selectNeighbors(v, cands, capAt(level))
+    while (i < n) { dists(i) = distTo(lb(i), v); nodes(i) = lb(i); i += 1 }
+    HnswGraph.sortPairsAsc(dists, nodes, n)
+    val kept = selectNeighbors(v, dists, nodes, capAt(level))
     lb.reset(kept)
   }
 
@@ -259,12 +275,12 @@ final class HnswGraph(
     while (lc > 0) { ep = greedyClosest(q, ep, lc); lc -= 1 }
     // Widen the beam when tombstones could crowd out live results.
     val effEf = math.max(math.max(ef, k), k + removedCount.min(ef))
-    val found = searchLayer(q, Array(ep), effEf, 0)
+    val (foundD, foundN) = searchLayer(q, Array(ep), effEf, 0)
     val out = mutable.ArrayBuffer.empty[(Long, Double)]
     var i = 0
-    while (i < found.length && out.length < k) {
-      val (d, n) = found(i)
-      if (!removed.contains(n)) out += ((keys(n), d))
+    while (i < foundN.length && out.length < k) {
+      val n = foundN(i)
+      if (!removed.contains(n)) out += ((keys(n), foundD(i)))
       i += 1
     }
     out.toArray
@@ -389,6 +405,79 @@ object HnswGraph {
     var r = 0
     while (r < nRemoved) { g.removed += in.readInt(); r += 1 }
     g
+  }
+
+  /**
+   * Primitive binary heap over (dist, node) parallel arrays. `minHeap=true`
+   * pops the smallest distance (candidate frontier); `minHeap=false` pops
+   * the largest (bounded best-results set, root = worst kept).
+   */
+  private[index] final class Heap(initialCapacity: Int, minHeap: Boolean) {
+    private var ds = new Array[Double](math.max(initialCapacity, 4))
+    private var ns = new Array[Int](ds.length)
+    private var n = 0
+    @inline private def better(a: Double, b: Double): Boolean =
+      if (minHeap) a < b else a > b
+    def size: Int = n
+    def topDist: Double = ds(0)
+    def topNode: Int = ns(0)
+    def push(d: Double, node: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        ns = java.util.Arrays.copyOf(ns, n * 2)
+      }
+      var i = n
+      n += 1
+      while (i > 0 && better(d, ds((i - 1) >> 1))) {
+        val p = (i - 1) >> 1
+        ds(i) = ds(p); ns(i) = ns(p)
+        i = p
+      }
+      ds(i) = d; ns(i) = node
+    }
+    def pop(): Unit = {
+      n -= 1
+      val d = ds(n); val node = ns(n)
+      var i = 0
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1
+        if (l >= n) continue = false
+        else {
+          var c = l
+          if (l + 1 < n && better(ds(l + 1), ds(l))) c = l + 1
+          if (better(ds(c), d)) { ds(i) = ds(c); ns(i) = ns(c); i = c }
+          else continue = false
+        }
+      }
+      if (n > 0) { ds(i) = d; ns(i) = node }
+    }
+    /** Empty the heap into ascending-distance parallel arrays. */
+    def drainSortedAsc(): (Array[Double], Array[Int]) = {
+      val outD = new Array[Double](n)
+      val outN = new Array[Int](n)
+      if (minHeap) {
+        var i = 0
+        while (n > 0) { outD(i) = topDist; outN(i) = topNode; pop(); i += 1 }
+      } else {
+        var i = n - 1
+        while (n > 0) { outD(i) = topDist; outN(i) = topNode; pop(); i -= 1 }
+      }
+      (outD, outN)
+    }
+  }
+
+  /** In-place insertion sort of parallel arrays by ascending distance
+    * (adjacency lists are tiny — at most M0+1 entries). */
+  private[index] def sortPairsAsc(ds: Array[Double], ns: Array[Int], n: Int): Unit = {
+    var i = 1
+    while (i < n) {
+      val d = ds(i); val node = ns(i)
+      var j = i - 1
+      while (j >= 0 && ds(j) > d) { ds(j + 1) = ds(j); ns(j + 1) = ns(j); j -= 1 }
+      ds(j + 1) = d; ns(j + 1) = node
+      i += 1
+    }
   }
 
   /** Minimal growable int array — adjacency-list storage without boxing. */
