@@ -1,0 +1,120 @@
+package graft.index
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+import graft.expressions.VectorMath
+
+/**
+ * IVF-flat — the partition-pruned alternative ANN scale path (the classic
+ * inverted-file layout, re-expressed in Spark's storage model):
+ *
+ *  - **build**: k-means centroids (MLlib, fitted on a sample), then one
+ *    pass assigning every row its nearest cell, written as parquet
+ *    `PARTITIONED BY (ivf_cell)`. The "inverted lists" are parquet
+ *    partitions — no custom storage.
+ *  - **search**: nprobe nearest centroids are picked driver-side, and the
+ *    query brute-forces only those cells. The `ivf_cell IN (…)` filter is a
+ *    partition filter, so Spark never opens the other cells' files —
+ *    inverted-list selection IS partition pruning, which is what survives a
+ *    100 TB corpus (each cell is scanned distributed, TopN per cell,
+ *    global merge via TakeOrderedAndProject).
+ *
+ * Complements the HNSW index: HNSW gives low-latency point queries over
+ * executor-loadable segments; IVF gives fully-distributed search where the
+ * corpus (not the index) is the thing that scales.
+ */
+object Ivf {
+
+  private val CentroidFile = "_ivf_centroids.bin"
+
+  /** Nearest-centroid cell id (argmin L2). Eval-only: runs once per row in
+    * the build pass, not in a query hot loop. */
+  private[graft] case class NearestCell(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = VectorMath.l2Squared(vec, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private def nearestCells(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .map(c => (c, VectorMath.l2Squared(q, centroids(c))))
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+  /**
+   * Build the IVF layout at `outPath`: fit nCells k-means centroids on a
+   * sample, assign cells, write parquet partitioned by `ivf_cell`, persist
+   * the centroids alongside. Returns the centroids.
+   */
+  def build(df: DataFrame, vecCol: String, outPath: String, nCells: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(sample)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val cellExpr = Bridge.column(NearestCell(Bridge.expression(
+      col(vecCol).cast("array<float>")), centroids))
+    df.withColumn("ivf_cell", cellExpr)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(outPath)
+    writeCentroids(new File(outPath, CentroidFile), centroids)
+    centroids
+  }
+
+  /** Probe the nprobe nearest cells and return the layout's rows restricted
+    * to them (partition-pruned scan); compose with orderBy(dist).limit(k). */
+  def probe(spark: SparkSession, path: String, q: Array[Float], nprobe: Int): DataFrame = {
+    val centroids = readCentroids(new File(path, CentroidFile))
+    val cells = nearestCells(q, centroids, nprobe)
+    spark.read.parquet(path).where(col("ivf_cell").isin(cells: _*))
+  }
+
+  /** Brute-force top-k over the probed cells: (row columns…, distance). */
+  def topK(spark: SparkSession, path: String, vecCol: String, q: Array[Float],
+      k: Int, nprobe: Int): DataFrame = {
+    val qCol = graft.functions.lit_vector(q)
+    probe(spark, path, q, nprobe)
+      .withColumn("distance", graft.functions.array_distance(col(vecCol), qCol))
+      .orderBy(col("distance"))
+      .limit(k)
+  }
+
+  private def writeCentroids(f: File, cs: Array[Array[Float]]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    try {
+      out.writeInt(cs.length)
+      out.writeInt(if (cs.isEmpty) 0 else cs(0).length)
+      cs.foreach(_.foreach(out.writeFloat))
+    } finally out.close()
+  }
+
+  private[graft] def readCentroids(f: File): Array[Array[Float]] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    try {
+      val n = in.readInt()
+      val dim = in.readInt()
+      Array.fill(n)(Array.fill(dim)(in.readFloat()))
+    } finally in.close()
+  }
+}
