@@ -66,6 +66,27 @@ object TextFunctions {
     col(SignRandomProjection(expr(vec.cast("array<float>")), planes, seed))
 
   /**
+   * Composite quality score in [0, 1] from the [[textStats]] features — the
+   * standard cheap pre-filter for corpus curation: long-enough docs with
+   * mostly alphabetic content and sane token lengths score high; symbol
+   * soup, fragments, and over-long tokens score low.
+   */
+  def qualityScore(text: Column): Column = {
+    val st = textStats(text)
+    val lengthOk = least(st.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val alphaOk = st.getField("alpha_ratio")
+    val punctOk = lit(1.0) - least(st.getField("punct_ratio") * 4.0, lit(1.0))
+    val tokLen = st.getField("mean_tok_len")
+    val tokOk = when(tokLen.between(2.0, 12.0), 1.0).otherwise(0.25)
+    round((lengthOk * 0.25 + alphaOk * 0.35 + punctOk * 0.2 + tokOk * 0.2), 4)
+  }
+
+  /** Keep rows whose [[qualityScore]] meets `minScore` — the corpus filter. */
+  def filterByQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minScore: Double = 0.5): org.apache.spark.sql.DataFrame =
+    df.where(qualityScore(df(textCol)) >= minScore)
+
+  /**
    * Quality statistics struct: token count, mean token length, alpha ratio,
    * punctuation ratio, stopword ratio — the usual cheap quality-scoring
    * features for corpus filtering. All arithmetic is exact-int-then-double

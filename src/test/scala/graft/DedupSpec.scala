@@ -101,6 +101,22 @@ class DedupSpec extends SparkSuite {
     assert(f.values.toSet.size == 5) // 6 docs, one exact dup pair
   }
 
+  test("qualityScore ranks clean prose above symbol soup; filter applies") {
+    val samples = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank " * 2),
+      (2L, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"),
+      (3L, "ok")
+    ).toDF("id", "text")
+    val scores = samples.select(col("id"), TF.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.8, s"prose ${scores(1L)}")
+    assert(scores(2L) < 0.4, s"soup ${scores(2L)}")
+    assert(scores(1L) > scores(3L))
+    val kept = TF.filterByQuality(samples, "text", 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+  }
+
   test("tokenCountBpe counts subword units") {
     val r = Seq("abc123 def!").toDF("t")
       .select(TF.tokenCountBpe(col("t"))).collect().head.getInt(0)
