@@ -42,6 +42,33 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("watermarked tumbling-window aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val windowed = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val query = windowed.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 10:05:00"), "click", 1.0),
+        (t("2026-01-01 10:45:00"), "click", 2.0),
+        (t("2026-01-01 11:05:00"), "click", 4.0),
+        (t("2026-01-01 10:20:00"), "view", 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(rows.contains(("2026-01-01 11:00:00", "click", 1L, 4.0)))
+      assert(rows.contains(("2026-01-01 10:00:00", "view", 1L, 8.0)))
+    } finally query.stop()
+  }
+
   test("streamingExactDedup drops duplicate texts within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
