@@ -99,6 +99,14 @@ object HnswQueries {
           round(col("dist"), 4).as("d"), col("rn").cast("long").as("rn"))
         .orderBy("q_id", "rn")
     }),
+    "ivf_topn_scan" -> ((s, dir) => {
+      // IVF-flat scale path: partition-pruned brute TopN over nprobe cells.
+      // Exhaustive probe (nprobe = nCells) → exact → oracle-checkable.
+      val layout = ensureIvfLayout(s, dir)
+      graft.index.Ivf.topK(s, layout, "embedding", QueryVec, 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 4).as("d"))
+        .orderBy("d", "vec_id")
+    }),
     "hnsw_topn_ann" -> ((s, dir) => {
       // Bench entry: default-ef ANN top-k through the raw search surface
       // (approximate → rows-only check, like the reference's closeness tests).
@@ -106,6 +114,16 @@ object HnswQueries {
       Hnsw.topK(s, l2, QueryVec, 10).withColumnRenamed("vec_id", "id")
     })
   )
+
+  /** Idempotently build the IVF layout for this sf dir. */
+  private[graft] def ensureIvfLayout(s: SparkSession, dir: String): String = {
+    val layout = new java.io.File(Hnsw.baseDir(s),
+      s"ivf_emb_${math.abs(dir.hashCode)}").getAbsolutePath
+    if (!new java.io.File(layout, "_ivf_centroids.bin").isFile) {
+      graft.index.Ivf.build(Tables.load(s, dir, "embeddings"), "embedding", layout, nCells = 8)
+    }
+    layout
+  }
 
   val oracleSql: Map[String, String] = Map(
     "hnsw_topn_scan" ->
@@ -117,6 +135,9 @@ object HnswQueries {
     "hnsw_min_by_scan" ->
       s"""SELECT array_to_string((list(vec_id ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[])))[1:8], ',') AS ids
           FROM embeddings""",
+    "ivf_topn_scan" ->
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
     "hnsw_lateral_topk" ->
       """WITH s AS (
            SELECT q.vec_id AS q_id, e.vec_id AS n_id,
