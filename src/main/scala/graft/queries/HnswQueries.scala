@@ -34,7 +34,9 @@ object HnswQueries {
     QueryVec.map(_.toString).mkString("[", ", ", "]::FLOAT[]")
 
   /** Idempotently build the gate indexes for this sf dir (name is keyed by
-    * the dir so sf0.01 and sf0.1 artifacts coexist). */
+    * the dir so sf0.01 and sf0.1 artifacts coexist). Artifacts survive in
+    * the tmp dir across driver rounds, so a stale or unreadable index (e.g.
+    * an older artifact format) is dropped and rebuilt, never trusted. */
   private[graft] def ensureIndexes(s: SparkSession, dir: String): (String, String) = {
     val suffix = math.abs(dir.hashCode).toString
     val l2 = s"gate_emb_l2_$suffix"
@@ -42,11 +44,19 @@ object HnswQueries {
     val base = Hnsw.baseDir(s)
     val emb = Tables.load(s, dir, "embeddings")
     val exhaustive = Map("ef_search" -> "1000000")
-    if (!IndexCatalog.exists(base, l2)) {
-      Hnsw.createIndex(s, l2, emb, "embedding", "vec_id", exhaustive)
+    def usable(name: String): Boolean =
+      IndexCatalog.exists(base, name) && {
+        try {
+          val meta = IndexCatalog.load(base, name)
+          meta.count > 0 && Hnsw.searchMeta(base, meta, QueryVec, 1, 1).nonEmpty
+        } catch { case _: Exception => false }
+      }
+    if (!usable(l2)) {
+      Hnsw.createIndex(s, l2, emb, "embedding", "vec_id", exhaustive, overwrite = true)
     }
-    if (!IndexCatalog.exists(base, cos)) {
-      Hnsw.createIndex(s, cos, emb, "embedding", "vec_id", exhaustive + ("metric" -> "cosine"))
+    if (!usable(cos)) {
+      Hnsw.createIndex(s, cos, emb, "embedding", "vec_id",
+        exhaustive + ("metric" -> "cosine"), overwrite = true)
     }
     (l2, cos)
   }
@@ -115,11 +125,17 @@ object HnswQueries {
     })
   )
 
-  /** Idempotently build the IVF layout for this sf dir. */
+  /** Idempotently build the IVF layout for this sf dir; rebuild on any
+    * stale/unreadable artifact (see [[ensureIndexes]]). */
   private[graft] def ensureIvfLayout(s: SparkSession, dir: String): String = {
     val layout = new java.io.File(Hnsw.baseDir(s),
       s"ivf_emb_${math.abs(dir.hashCode)}").getAbsolutePath
-    if (!new java.io.File(layout, "_ivf_centroids.bin").isFile) {
+    val ok =
+      try {
+        graft.index.Ivf.readCentroids(new java.io.File(layout, "_ivf_centroids.bin"))
+          .nonEmpty && s.read.parquet(layout).head(1).nonEmpty
+      } catch { case _: Exception => false }
+    if (!ok) {
       graft.index.Ivf.build(Tables.load(s, dir, "embeddings"), "embedding", layout, nCells = 8)
     }
     layout
