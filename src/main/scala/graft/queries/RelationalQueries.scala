@@ -139,6 +139,16 @@ object RelationalQueries {
           outD(sum(col("l_quantity").cast(dec))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q12_multi_distinct" -> ((s, dir) => {
+      // Multiple DISTINCT aggregates in one pass (expand-based plan).
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
     "q6_events_agg" -> ((s, dir) => {
       // Event-stream style aggregation: per type, count + exact value sum.
       Tables.load(s, dir, "events")
@@ -189,6 +199,10 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_multi_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q10_events_hourly" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
            count(*) AS n,
