@@ -139,6 +139,15 @@ object RelationalQueries {
           outD(sum(col("l_quantity").cast(dec))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q13_json_extract" -> ((s, dir) => {
+      // Semi-structured: extract a JSON field from props and aggregate it.
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          outD(avg(col("k"))).as("avg_k"))
+        .orderBy("event_type")
+    }),
     "q12_multi_distinct" -> ((s, dir) => {
       // Multiple DISTINCT aggregates in one pass (expand-based plan).
       Tables.load(s, dir, "lineitem")
@@ -199,6 +208,12 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q13_json_extract" ->
+      """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+           round(CAST(avg(k) AS DOUBLE), 4) AS avg_k
+         FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "q12_multi_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
            count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
