@@ -110,6 +110,20 @@ class HnswGraphSpec extends AnyFunSuite {
     assert(g2.levelStats == g.levelStats)
   }
 
+  test("GraphCache reloads after invalidate and caps at MaxEntries") {
+    import graft.index.{GraphCache, IndexCatalog}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache").toFile
+    val g = new HnswGraph(2, "l2sq")
+    g.add(1L, Array(1f, 2f))
+    val f = new java.io.File(dir, "seg.hnsw")
+    IndexCatalog.writeGraph(f, g)
+    val loaded1 = GraphCache.get(f)
+    assert(GraphCache.get(f) eq loaded1) // cached instance
+    GraphCache.invalidate(dir.getAbsolutePath)
+    assert(!(GraphCache.get(f) eq loaded1)) // reloaded after invalidate
+    assert(GraphCache.MaxEntries > 0)
+  }
+
   test("exhaustive beam (ef >= n) on connected graph is exact") {
     val rnd = new Random(3)
     val vecs = Array.fill(300)(Array.fill(8)(rnd.nextFloat()))

@@ -43,6 +43,14 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("sampleFrames with stride keeps every n-th frame") {
+    val d = Multimodal.decode(assets.where(col("asset_id") === 2L), "payload")
+    val n = d.select(col("meta.n_frames")).collect().head.getInt(0)
+    val sampled = Multimodal.sampleFrames(d, every = 2)
+      .select("frame_no").collect().map(_.getInt(0)).sorted
+    assert(sampled.toSeq == (0 until n by 2).toSeq)
+  }
+
   test("resizeMeta caps the longest side, preserves schema") {
     val d = Multimodal.resizeMeta(
       Multimodal.decode(assets.where(col("asset_id") === 1L), "payload"), maxSide = 32)
