@@ -55,6 +55,14 @@ object TextQueries {
           round(avg(col("st.alpha_ratio")), 4).as("avg_alpha"))
         .orderBy("lang")
     }),
+    "doc_dedup_kept" -> ((s, dir) => {
+      // End-to-end near-dedup: LSH pairs → connected components → keep the
+      // smallest id per cluster. Oracle replays it with a recursive CTE
+      // over brute-force all-pairs.
+      Dedup.dropNearDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       // rows-only: SimHash near-dup candidates (chunk-banded, deterministic)
       Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
@@ -85,6 +93,24 @@ object TextQueries {
                   i -> array_to_string(w[i:i+2], ' '))) AS s
               FROM w WHERE len(w) >= 3)"""
 
+  private val dedupKeptSql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS s
+              FROM w WHERE len(w) >= 3),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+               AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+       reach AS (
+         SELECT s AS id, d AS lbl FROM e WHERE d < s
+         UNION
+         SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d WHERE r.lbl < e.s)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach) ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -102,6 +128,7 @@ object TextQueries {
            array_to_string(list_sort(list(doc_id)), ',') AS ids,
            min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""",
+    "doc_dedup_kept" -> dedupKeptSql,
     "doc_near_dup" ->
       s"""$shingleCte,
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -88,6 +88,53 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup pairs → (id, cluster_id) where
+   * cluster_id is the smallest doc id in the component. Iterative min-label
+   * propagation (the scalable classic: each round is two equi-joins, and
+   * the number of rounds is the graph diameter — near-dup components are
+   * tiny, so a handful). Only ids that appear in some pair are returned.
+   */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .where(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * End-to-end near-dedup: drop every document that is a near-duplicate of
+   * a lower-id document (one representative — the smallest id — survives
+   * per cluster). Exact duplicates are near-duplicates at any threshold.
+   */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, shingleN)
+    val losers = nearDupClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /**
    * SimHash near-duplicate pairs: (id_a, id_b, hamming). Candidates are
    * pairs agreeing on at least one `chunkBits`-bit chunk of the 64-bit
    * simhash — pigeonhole-complete for hamming < 64/chunkBits (chunkBits=8 →

@@ -46,6 +46,21 @@ class DedupSpec extends SparkSuite {
     assert(agree13 < 8, s"unrelated agreement $agree13 should be low")
   }
 
+  test("nearDupClusters resolves transitive chains to the min id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (4L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3 → cluster 1; chain 4-6-5 → cluster 4
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("dropNearDuplicates keeps one representative per cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1,2,4 form one near-dup cluster → keep 1; 3,5,6 untouched
+    assert(kept == Set(1L, 3L, 5L, 6L))
+  }
+
   test("simHashPairs: identical and near-identical texts collide") {
     // hamming(1,2)=7 on this data → found because 8-bit chunking is
     // pigeonhole-complete for hamming <= 7
