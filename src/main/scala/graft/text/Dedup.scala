@@ -100,6 +100,13 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .persist()
+    // Labels only ever decrease, so the label sum is a convergence witness:
+    // unchanged sum ⟺ fixpoint — one cheap aggregate per round instead of a
+    // change-detection join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -111,12 +118,14 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .persist()
-      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .where(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      val newSum = labelSum(updated)
+      labels.unpersist()
       labels = updated
-      converged = !changed
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
