@@ -81,10 +81,23 @@ object Vss {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(outer(outerKey)).orderBy(col("dist").asc)
-    outer.crossJoin(inner)
+    val df = outer.crossJoin(inner)
       .withColumn("dist", dist)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
+    // Tag the row_number Window so LateralTopKToIndexJoin may fire: the
+    // rewrite is only sound when window groups are exactly outer rows, which
+    // this API's outerKey-uniqueness contract guarantees but no plan shape
+    // can prove (see the rule's scaladoc). First Window in pre-order is the
+    // one built above — outer/inner sub-plans sit below it.
+    var tagged = false
+    df.queryExecution.analyzed.foreach {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window if !tagged =>
+        win.setTagValue(graft.rules.LateralTopKToIndexJoin.PerRowWindowTag, true)
+        tagged = true
+      case _ => ()
+    }
+    df
   }
 
   /**

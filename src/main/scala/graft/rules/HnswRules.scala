@@ -174,8 +174,20 @@ class MinByKToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
  * Spark's decorrelation shape (SURVEY §2 O6). Guards: single ASC order key
  * matching the inner index, constant 0 < k < 2048
  * (hnsw_optimize_join.cpp:457-461), partition key(s) drawn entirely from the
- * outer side (per-outer-row semantics require the key to identify outer rows
- * uniquely, as lateral decorrelation guarantees), join without condition.
+ * outer side, join without condition, and — load-bearing for soundness — the
+ * Window node must carry [[LateralTopKToIndexJoin.PerRowWindowTag]].
+ *
+ * The tag is why the rewrite is semantics-preserving: window `row_number`
+ * gives top-k per partition *group*, while the index join gives top-k per
+ * outer *row* — equal only when window groups are exactly outer rows. No
+ * partition spec can prove that from the plan alone (even `PARTITION BY` all
+ * outer columns diverges on duplicate outer rows), so only
+ * [[graft.api.Vss.lateralTopK]] — whose `outerKey` contract guarantees
+ * per-row groups — tags its Window. This mirrors the reference exactly: it
+ * rewrites only genuine decorrelated-LATERAL plans, where `delim_get`
+ * structurally guarantees per-row grouping
+ * (hnsw_optimize_join.cpp:368-436); a hand-written window query is not
+ * accelerated there either.
  */
 class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -188,6 +200,8 @@ class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    // Soundness gate: only windows whose groups are provably outer rows.
+    if (!w.getTagValue(LateralTopKToIndexJoin.PerRowWindowTag).contains(true)) return None
     // Single row_number window expression ordered ASC by one key.
     val (rnAlias, orderKey) = w match {
       case Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)), _,
@@ -276,6 +290,17 @@ class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
   }
+}
+
+object LateralTopKToIndexJoin {
+  /** Set by [[graft.api.Vss.lateralTopK]] on the row_number Window it
+    * builds, asserting that window groups coincide with outer rows (the
+    * `outerKey`-is-unique API contract) — the Spark stand-in for the
+    * reference's `delim_get` structural guarantee
+    * (hnsw_optimize_join.cpp:368-436). Catalyst copies tags through
+    * `makeCopy`/`withNewChildren`, so the tag survives optimization. */
+  val PerRowWindowTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.hnsw.perRowLateralWindow")
 }
 
 /** Shared index-matching helpers for the O3/O4/O6 rules — the analogue of

@@ -117,6 +117,39 @@ class LateralTopKSpec extends SparkSuite {
     Hnsw.dropIndex(spark, "lat_10k")
   }
 
+  test("hand-written window over a duplicated partition key is NOT rewritten (O6 guard)") {
+    import spark.implicits._
+    Hnsw.createIndex(spark, "lat_guard_idx", inner, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    // Three outer rows, but `grp` has duplicates: window semantics are top-k
+    // per GROUP (4 rows at k=2 over 2 groups), index-join semantics would be
+    // top-k per ROW (6 rows) — the rewrite must not fire.
+    val outerDup = Seq(
+      (10L, 1L, Array(1f, 2f, 3f)),
+      (11L, 1L, Array(4f, 5f, 6f)),
+      (12L, 2L, Array(9f, 9f, 9f))
+    ).toDF("a_id", "grp", "a_vec").withColumn("a_vec", col("a_vec").cast("array<float>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("dist").asc)
+    def q = outerDup.crossJoin(inner)
+      .withColumn("dist", graft.functions.array_distance(col("a_vec"), col("b_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+    assert(!planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    assert(q.count() == 4) // un-rewritten window semantics preserved
+    // Same shape with a unique key still does not rewrite (only the tagged
+    // lateral API proves per-row groups — reference parity: DuckDB does not
+    // accelerate hand-written window queries either).
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("dist").asc)
+    val q2 = outerDup.crossJoin(inner)
+      .withColumn("dist", graft.functions.array_distance(col("a_vec"), col("b_vec")))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= 2)
+    assert(!planOf(q2).contains("HnswIndexJoinCore"), planOf(q2))
+    Hnsw.dropIndex(spark, "lat_guard_idx")
+  }
+
   test("NULL inner vectors never match (hnsw_lateral_join.test:49-58)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lat-null").toFile.getAbsolutePath
