@@ -70,9 +70,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
     "emb_near_dup" -> ((s, dir) => {
-      // rows-only: hyperplane-LSH embedding near-dup, cosine-verified
-      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
-          "embedding", "vec_id", threshold = 0.4)
+      // Hyperplane-LSH embedding near-dup vs an all-pairs DuckDB oracle.
+      // The fixture has no true near-duplicates (max pairwise cosine ≈ 0.51),
+      // and sign-LSH recall at moderate similarity is probabilistic by
+      // design, so both sides plant direction-identical copies (vector × 2,
+      // cosine exactly 1 — the regime near-dup detection targets). Identical
+      // directions land in identical sign buckets deterministically, so LSH
+      // recall on the planted pairs is exactly 1 and the gate hash-matches.
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(planted),
+          "embedding", "vec_id", threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -142,7 +153,19 @@ object TextQueries {
            round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
            round(avg(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                  / length(text), 4)), 4) AS avg_alpha
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "emb_near_dup" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000, list_transform(embedding, x -> x * 2::FLOAT)
+           FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+         FROM aug a, aug b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+         ORDER BY id_a, id_b"""
     // doc_fingerprints: no oracle (engine-native hashes)
   )
 }
