@@ -105,7 +105,8 @@ object Hnsw {
       name = name, paths = relationPaths(df), column = column, idColumn = idColumn,
       metric = opts.metric, dim = dim, m = opts.m, m0 = opts.m0,
       efConstruction = opts.efConstruction, efSearch = opts.efSearch,
-      count = segments.map(_._2).sum, segments = segments.map(_._1))
+      count = segments.map(_._2).sum, segments = segments.map(_._1),
+      segmentRanges = segments.map(s => (s._3, s._4)))
     IndexCatalog.save(base, meta)
     meta
   }
@@ -113,21 +114,23 @@ object Hnsw {
   def dropIndex(spark: SparkSession, name: String): Boolean =
     IndexCatalog.drop(baseDir(spark), name)
 
-  /** Build one immutable graph segment per partition; returns (file, count). */
+  /** Build one immutable graph segment per partition; returns
+    * (file, count, min key, max key) per segment. */
   private def buildSegments(
       spark: SparkSession,
       data: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       dir: File,
       prefix: String,
       dim: Int,
-      opts: Options): Seq[(String, Long)] = {
+      opts: Options): Seq[(String, Long, Long, Long)] = {
     val maxPer = spark.conf.getOption(MaxVectorsPerPartitionKey).map(_.toLong).getOrElse(262144L)
     val total = data.count()
     val numParts = math.max(1L, (total + maxPer - 1) / maxPer).toInt
     val dirPath = dir.getAbsolutePath
     val (metric, m, m0, efc) = (opts.metric, opts.m, opts.m0, opts.efConstruction)
     // Range-partition on the key: deterministic placement, and co-located id
-    // ranges keep the rowid fetch-back join prunable.
+    // ranges keep the rowid fetch-back join prunable and key probes
+    // (delete) segment-prunable via the recorded (min, max) per segment.
     data.repartitionByRange(numParts, col("_1")).rdd
       .mapPartitionsWithIndex { (i, rows) =>
         val g = new HnswGraph(dim, metric, m, m0, efc, seed = 42L + i)
@@ -136,7 +139,8 @@ object Hnsw {
         else {
           val f = f"$prefix-$i%05d.hnsw"
           IndexCatalog.writeGraph(new File(dirPath, f), g)
-          Iterator.single((f, g.count.toLong))
+          val (lo, hi) = g.keyRange.get
+          Iterator.single((f, g.count.toLong, lo, hi))
         }
       }
       .collect().toSeq.sortBy(_._1)
@@ -243,26 +247,54 @@ object Hnsw {
     val segs = buildSegments(spark, data, dir, f"delta-$stamp%05d", dim, opts)
     // A previously deleted key re-inserted here lives in the new segment;
     // per-segment tombstones keep only the old copies hidden.
+    val haveRanges = meta.segmentRanges.size == meta.segments.size
     val updated = meta.copy(
       dim = dim,
       count = meta.count + segs.map(_._2).sum,
-      segments = meta.segments ++ segs.map(_._1))
+      segments = meta.segments ++ segs.map(_._1),
+      // Only extend ranges when the existing ones are complete — a partial
+      // list would misalign and break pruning.
+      segmentRanges =
+        if (haveRanges) meta.segmentRanges ++ segs.map(s => (s._3, s._4))
+        else Seq.empty)
     IndexCatalog.save(base, updated)
     updated
   }
 
   /** Mark rowids deleted (O12) — mark-only until [[compactIndex]], matching
-    * the reference (README.md:67-69). */
+    * the reference (README.md:67-69).
+    *
+    * Scale shape: the membership probe is pruned driver-side by the
+    * per-segment key ranges recorded at build (segments are
+    * range-partitioned on the key), then runs as a Spark job over the
+    * surviving (segment, keys) pairs — the driver never deserializes a
+    * graph, no matter how many segments the index has. */
   def delete(spark: SparkSession, name: String, keys: Seq[Long]): HnswIndexMeta = {
     val base = baseDir(spark)
     val meta = IndexCatalog.load(base, name)
-    val dir = IndexCatalog.indexDir(base, name)
+    val dirPath = IndexCatalog.indexDir(base, name).getAbsolutePath
     val existing = IndexCatalog.tombstones(base, name)
-    val added = (for {
-      k <- keys.distinct
-      s <- meta.segments
-      if GraphCache.get(new File(dir, s)).contains(k) && !existing.contains((s, k))
-    } yield (s, k)).toSet
+    val distinctKeys = keys.distinct
+    // Range-pruned probe plan: which keys could live in which segment.
+    val probes: Seq[(String, Seq[Long])] = distinctKeys
+      .flatMap(k => meta.segmentsForKey(k).map(s => (s, k)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val hits: Seq[(String, Long)] =
+      if (probes.size <= 4) {
+        // Few candidate segments: a job launch costs more than the probe.
+        probes.flatMap { case (s, ks) =>
+          val g = GraphCache.get(new File(dirPath, s))
+          ks.filter(g.contains).map(k => (s, k))
+        }
+      } else {
+        spark.sparkContext.parallelize(probes, probes.size)
+          .flatMap { case (s, ks) =>
+            val g = GraphCache.get(new File(dirPath, s))
+            ks.filter(g.contains).map(k => (s, k))
+          }
+          .collect().toSeq
+      }
+    val added = hits.toSet -- existing
     IndexCatalog.writeTombstones(base, name, existing ++ added)
     val updated = meta.copy(count = meta.count - added.map(_._2).size)
     IndexCatalog.save(base, updated)
@@ -295,31 +327,49 @@ object Hnsw {
     meta.segments.foreach(s => new File(dir, s).delete())
     GraphCache.invalidate(dirPath)
     IndexCatalog.writeTombstones(base, name, Set.empty)
-    val updated = meta.copy(count = segs.map(_._2).sum, segments = segs.map(_._1))
+    val updated = meta.copy(count = segs.map(_._2).sum, segments = segs.map(_._1),
+      segmentRanges = segs.map(s => (s._3, s._4)))
     IndexCatalog.save(base, updated)
     updated
   }
 
   // ------------------------------------------------------------------ info
 
+  /** Per-segment stats needed by [[indexInfo]] — computed where the graph
+    * already lives (executor GraphCache) so the driver never deserializes a
+    * graph; a few segments stay driver-local (job launch costs more). */
+  private case class SegStats(maxLevel: Int, removed: Long, memBytes: Long,
+      levels: Seq[(Long, Long, Long, Long)])
+
+  private def segmentStats(spark: SparkSession, dirPath: String,
+      segments: Seq[String]): Seq[SegStats] = {
+    def statsOf(s: String): SegStats = {
+      val g = GraphCache.get(new File(dirPath, s))
+      SegStats(g.maxLevel, g.removedCount.toLong, g.approxMemoryBytes, g.levelStats)
+    }
+    if (segments.size <= 4) segments.map(statsOf)
+    else spark.sparkContext.parallelize(segments, segments.size).map(statsOf).collect().toSeq
+  }
+
   /** One row per index — `pragma_hnsw_index_info()` parity
-    * (hnsw_index_pragmas.cpp:41-173). */
+    * (hnsw_index_pragmas.cpp:41-173), including per-level allocated_bytes
+    * (hnsw_index_pragmas.cpp:73-77). */
   def indexInfo(spark: SparkSession): DataFrame = {
     val base = baseDir(spark)
     val rows = IndexCatalog.list(base).map { meta =>
-      val dir = IndexCatalog.indexDir(base, meta.name)
-      val graphs = meta.segments.map(s => GraphCache.get(new File(dir, s)))
+      val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
+      val stats = segmentStats(spark, dirPath, meta.segments)
       val tombs = IndexCatalog.tombstones(base, meta.name)
-      val levels = if (graphs.isEmpty) 0 else graphs.map(_.maxLevel).max + 1
+      val levels = if (stats.isEmpty) 0 else stats.map(_.maxLevel).max + 1
       val mergedStats = (0 until levels).map { lvl =>
-        val per = graphs.map(g => g.levelStats.lift(lvl).getOrElse((0L, 0L, 0L)))
-        Row(per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+        val per = stats.map(_.levels.lift(lvl).getOrElse((0L, 0L, 0L, 0L)))
+        Row(per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum, per.map(_._4).sum)
       }
       Row(meta.name, meta.paths.mkString(","), meta.column, meta.idColumn,
         meta.metric, meta.dim, meta.count,
-        tombs.size.toLong + graphs.map(_.removedCount.toLong).sum,
+        tombs.size.toLong + stats.map(_.removed).sum,
         meta.segments.size, levels,
-        graphs.map(_.approxMemoryBytes).sum, mergedStats)
+        stats.map(_.memBytes).sum, mergedStats)
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), InfoSchema)
   }
@@ -339,7 +389,8 @@ object Hnsw {
     StructField("level_stats", ArrayType(StructType(Seq(
       StructField("nodes", LongType),
       StructField("edges", LongType),
-      StructField("max_edges", LongType)))))))
+      StructField("max_edges", LongType),
+      StructField("allocated_bytes", LongType)))))))
 
   // --------------------------------------------------------------- options
 

@@ -301,19 +301,45 @@ final class HnswGraph(
   def liveEntries: Iterator[(Long, Array[Float])] =
     (0 until size).iterator.filterNot(removed.contains).map(i => (keys(i), vecs(i)))
 
-  /** Per-level (nodes, edges, maxEdges) for pragma_hnsw_index_info parity
-    * (/root/reference/src/hnsw/hnsw_index_pragmas.cpp:110-135). */
-  def levelStats: Seq[(Long, Long, Long)] =
+  /** Per-level (nodes, edges, maxEdges, allocatedBytes) for
+    * pragma_hnsw_index_info parity
+    * (/root/reference/src/hnsw/hnsw_index_pragmas.cpp:73-77,110-135).
+    * Level 0 carries the node payload (vector + key + level tag); every
+    * level adds its adjacency storage — levels sum to [[approxMemoryBytes]]. */
+  def levelStats: Seq[(Long, Long, Long, Long)] =
     (0 to math.max(topLevel, 0)).map { lvl =>
       var nodes = 0L
       var edges = 0L
+      var bytes = 0L
       var i = 0
       while (i < size) {
-        if (nodeLevels(i) >= lvl) { nodes += 1; edges += links(i)(lvl).size }
+        if (nodeLevels(i) >= lvl) {
+          nodes += 1
+          edges += links(i)(lvl).size
+          bytes += 4L * links(i)(lvl).size + 8
+          if (lvl == 0) bytes += 4L * dim + 8 + 4
+        }
         i += 1
       }
-      (nodes, edges, nodes * capAt(lvl))
+      (nodes, edges, nodes * capAt(lvl), bytes)
     }
+
+  /** (min key, max key) over all stored entries, or None when empty — used
+    * for per-segment pruning of key probes (segments are range-partitioned
+    * on the key at build time). */
+  def keyRange: Option[(Long, Long)] = {
+    if (size == 0) return None
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < size) {
+      val k = keys(i)
+      if (k < mn) mn = k
+      if (k > mx) mx = k
+      i += 1
+    }
+    Some((mn, mx))
+  }
 
   def approxMemoryBytes: Long = {
     var bytes = 0L

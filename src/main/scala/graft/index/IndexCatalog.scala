@@ -32,8 +32,22 @@ case class HnswIndexMeta(
     efConstruction: Int,
     efSearch: Int,
     count: Long,
-    segments: Seq[String]) {
+    segments: Seq[String],
+    /** Per-segment (min key, max key), aligned with `segments` — written at
+      * build time (segments are range-partitioned on the key) so key probes
+      * (delete, contains) prune driver-side without loading any graph.
+      * Empty = unknown (pre-range artifact): probe every segment. */
+    segmentRanges: Seq[(Long, Long)] = Seq.empty) {
   def dir(base: String): String = s"$base/$name"
+
+  /** Segments that could contain `key` — range-pruned when ranges are known
+    * and aligned, every segment otherwise. */
+  def segmentsForKey(key: Long): Seq[String] =
+    if (segmentRanges.size == segments.size && segments.nonEmpty)
+      segments.zip(segmentRanges).collect {
+        case (s, (lo, hi)) if key >= lo && key <= hi => s
+      }
+    else segments
 }
 
 object IndexCatalog {
@@ -76,7 +90,14 @@ object IndexCatalog {
       efConstruction = p.getProperty("efConstruction").toInt,
       efSearch = p.getProperty("efSearch").toInt,
       count = p.getProperty("count").toLong,
-      segments = split(p.getProperty("segments")))
+      segments = split(p.getProperty("segments")),
+      segmentRanges = Option(p.getProperty("segmentRanges"))
+        .filter(_.nonEmpty)
+        .map(_.split(";", -1).toSeq.map { r =>
+          val i = r.indexOf(':')
+          (r.substring(0, i).toLong, r.substring(i + 1).toLong)
+        })
+        .getOrElse(Seq.empty))
   }
 
   def save(base: String, meta: HnswIndexMeta): Unit = {
@@ -95,6 +116,10 @@ object IndexCatalog {
     p.setProperty("efSearch", meta.efSearch.toString)
     p.setProperty("count", meta.count.toString)
     p.setProperty("segments", join(meta.segments))
+    if (meta.segmentRanges.nonEmpty) {
+      p.setProperty("segmentRanges",
+        meta.segmentRanges.map { case (lo, hi) => s"$lo:$hi" }.mkString(";"))
+    }
     // Write-then-rename so a concurrent reader never sees a torn meta file.
     val tmp = new File(dir, MetaFile + ".tmp")
     val out = new FileOutputStream(tmp)

@@ -79,6 +79,31 @@ class HnswIndexSpec extends SparkSuite {
     } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
   }
 
+  test("multi-segment delete: range-pruned distributed probe (no driver graph load)") {
+    spark.conf.set(Hnsw.MaxVectorsPerPartitionKey, "100")
+    try {
+      Hnsw.createIndex(spark, "grid_del", gridDf, "vec", "id", overwrite = true)
+      val meta = IndexCatalog.load(base, "grid_del")
+      assert(meta.segments.size == 8)
+      // Build records one (min,max) key range per segment; ranges are
+      // disjoint (range partitioning on the key), so any key probes
+      // exactly one segment — driver-side pruning needs no graph load.
+      assert(meta.segmentRanges.size == meta.segments.size)
+      assert(meta.segmentRanges.forall { case (lo, hi) => lo <= hi })
+      assert((0L until 729L).forall(k => meta.segmentsForKey(k).size == 1))
+      assert(meta.segmentsForKey(5000L).isEmpty)
+      // Delete keys spanning several segments (+ one absent key): the probe
+      // set exceeds the local threshold, exercising the distributed path.
+      val victims = Seq(0L, 100L, 200L, 300L, 400L, 500L, 600L, 700L, 5000L)
+      val updated = Hnsw.delete(spark, "grid_del", victims)
+      assert(updated.count == 729L - 8)
+      val hits = Hnsw.searchRaw(spark, "grid_del", Array(1f, 1f, 1f), 729)
+      assert(victims.toSet.intersect(hits.map(_._1).toSet).isEmpty)
+      assert(hits.length == 721)
+      Hnsw.dropIndex(spark, "grid_del")
+    } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+  }
+
   test("insert tracks count (hnsw_insert.test) and delete+compact (hnsw_crud.test)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
@@ -122,10 +147,16 @@ class HnswIndexSpec extends SparkSuite {
     assert(row.getAs[Int]("dimensions") == 3)
     assert(row.getAs[Long]("count") == 729L)
     assert(row.getAs[Int]("levels") >= 1)
-    val lvl0 = row.getAs[Seq[org.apache.spark.sql.Row]]("level_stats").head
+    val stats = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("level_stats")
+    val lvl0 = stats.head
     assert(lvl0.getAs[Long]("nodes") == 729L)
     assert(lvl0.getAs[Long]("edges") > 0L)
     assert(row.getAs[Long]("approx_memory") > 0L)
+    // Per-level allocated_bytes (hnsw_index_pragmas.cpp:73-77): positive at
+    // every level and summing to the index's total memory estimate.
+    assert(stats.forall(_.getAs[Long]("allocated_bytes") > 0L))
+    assert(stats.map(_.getAs[Long]("allocated_bytes")).sum ==
+      row.getAs[Long]("approx_memory"))
   }
 
   test("ANN recall@10 at default ef on real embeddings >= 0.9") {
