@@ -38,6 +38,8 @@ object Hnsw {
   /** Parity no-op: files are always persistent (SURVEY §2 O17). */
   val PersistenceKey = "spark.graft.hnsw.enableExperimentalPersistence"
   val MaxVectorsPerPartitionKey = "spark.graft.hnsw.build.maxVectorsPerPartition"
+  /** Initial candidate multiplier for filtered top-k index scans. */
+  val FilteredOverfetchKey = "spark.graft.hnsw.filteredScan.overfetch"
 
   def baseDir(spark: SparkSession): String =
     spark.conf.get(LocationKey,

@@ -22,6 +22,13 @@ import graft.index.HnswIndexMeta
  * cannot push operators into the already-k-limited scan — the analogue of
  * the reference refusing filter pushdown into the index scan
  * (hnsw_optimize_scan.cpp:161-198).
+ *
+ * `condition`, when set, makes this a *filtered* top-k scan
+ * (`WHERE p ORDER BY dist LIMIT k`): the exec over-fetches candidates,
+ * post-filters, and escalates until k survivors are found or the index is
+ * exhausted — so unlike the reference's filter pull-up (which accepts
+ * fewer-than-k post-filter semantics, hnsw_optimize_scan.cpp:161-198 +
+ * where_clause_segfault.test), standard SQL semantics are preserved.
  */
 case class HnswIndexScan(
     relation: LogicalPlan,
@@ -29,7 +36,9 @@ case class HnswIndexScan(
     meta: HnswIndexMeta,
     query: Array[Float],
     k: Int,
-    ef: Int) extends LeafNode {
+    ef: Int,
+    condition: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+  extends LeafNode {
 
   override def output: Seq[Attribute] = relation.output
 
@@ -38,7 +47,8 @@ case class HnswIndexScan(
     Statistics(sizeInBytes = k.toLong * 256L, rowCount = Some(BigInt(k)))
 
   override def simpleString(maxFields: Int): String =
-    s"HnswIndexScan [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef]"
+    s"HnswIndexScan [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef" +
+      condition.map(c => s", filtered=${c.sql}]").getOrElse("]")
 }
 
 /**
@@ -63,7 +73,9 @@ case class HnswIndexScanExec(
     meta: HnswIndexMeta,
     query: Array[Float],
     k: Int,
-    ef: Int) extends LeafExecNode {
+    ef: Int,
+    @transient condition: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends LeafExecNode {
   // Sub-job session: SparkPlan.session is the one active at planning time.
 
   override def executeCollect(): Array[InternalRow] = fetchOrdered()
@@ -71,28 +83,56 @@ case class HnswIndexScanExec(
   override protected def doExecute(): RDD[InternalRow] =
     sparkContext.parallelize(fetchOrdered().toIndexedSeq, 1)
 
-  private def fetchOrdered(): Array[InternalRow] = {
-    val hits = Hnsw.searchDistributed(session, base, meta, query, k, ef)
-    if (hits.isEmpty) return Array.empty
+  /** One search + fetch round at candidate width `kFetch`; the fetch's
+    * rowid-IN (and, for filtered scans, the residual predicate) reach the
+    * parquet scan as pushed filters. Returns survivors in ANN rank order. */
+  private def round(kFetch: Int): (Array[(Long, Double)], Array[InternalRow]) = {
+    val hits = Hnsw.searchDistributed(session, base, meta, query, kFetch,
+      math.max(ef, kFetch))
+    if (hits.isEmpty) return (hits, Array.empty)
     val idAttr = relation.output.find(_.name == meta.idColumn).getOrElse(
       throw new IllegalStateException(s"id column '${meta.idColumn}' not in relation"))
-    val fetchPlan = Filter(In(idAttr, hits.map(h => Literal(h._1)).toIndexedSeq), relation)
+    val inFilter: org.apache.spark.sql.catalyst.expressions.Expression =
+      In(idAttr, hits.map(h => Literal(h._1)).toIndexedSeq)
+    val fetchPlan = Filter(condition.fold(inFilter)(
+      c => org.apache.spark.sql.catalyst.expressions.And(inFilter, c)), relation)
     val fetched = Bridge.ofRows(session, fetchPlan)
       .queryExecution.executedPlan.executeCollect()
     val idIdx = relation.output.indexWhere(_.exprId == idAttr.exprId)
     val rank = hits.iterator.zipWithIndex.map { case ((id, _), i) => (id, i) }.toMap
-    fetched.sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
+    (hits, fetched.sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue)))
   }
 
+  private def fetchOrdered(): Array[InternalRow] = {
+    if (condition.isEmpty) return round(k)._2
+    // Filtered top-k: over-fetch, post-filter, escalate until k survivors or
+    // the index is exhausted (search returned fewer than requested — every
+    // candidate has been considered, so the survivor set is complete).
+    var kFetch = math.min(math.max(k.toLong * OverfetchFactor, k + 16L),
+      Int.MaxValue.toLong).toInt
+    while (true) {
+      val (hits, survivors) = round(kFetch)
+      if (survivors.length >= k) return survivors.take(k)
+      if (hits.length < kFetch) return survivors
+      kFetch = math.min(kFetch * 4L, Int.MaxValue.toLong).toInt
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def OverfetchFactor: Int =
+    session.conf.get(Hnsw.FilteredOverfetchKey, "4").toInt
+
   override def simpleString(maxFields: Int): String =
-    s"HnswIndexScanExec [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef]"
+    s"HnswIndexScanExec [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef" +
+      condition.map(c => s", filtered=${c.sql}]").getOrElse("]")
 }
 
 /** Planner strategy: logical [[HnswIndexScan]] → [[HnswIndexScanExec]]. */
 class HnswStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: HnswIndexScan =>
-      HnswIndexScanExec(s.output, s.relation, s.base, s.meta, s.query, s.k, s.ef) :: Nil
+      HnswIndexScanExec(s.output, s.relation, s.base, s.meta, s.query, s.k, s.ef,
+        s.condition) :: Nil
     case j: HnswIndexJoinCore =>
       HnswIndexJoinCoreExec(planLater(j.child), j.base, j.meta, j.queryExpr, j.k, j.ef, j.extra) :: Nil
     case _ => Nil

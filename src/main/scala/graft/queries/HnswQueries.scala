@@ -97,6 +97,19 @@ object HnswQueries {
         .select(col("index_name"), col("metric"), col("dimensions"),
           col("count"), col("levels"), col("segment_count"))
     }),
+    "hnsw_filtered_topn" -> ((s, dir) => {
+      ensureIndexes(s, dir)
+      // Filtered O3 shape (`WHERE p ORDER BY dist LIMIT k`,
+      // where_clause_segfault.test): rewrites to a filtered index scan with
+      // over-fetch + escalation; exact SQL semantics, so oracle-checkable.
+      Tables.load(s, dir, "embeddings")
+        .where(col("label") % 3 === 0)
+        .select(col("vec_id"), col("label"),
+          array_distance(col("embedding"), lit_vector(QueryVec)).as("d"))
+        .orderBy("d")
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("d"), 4).as("d"))
+    }),
     "hnsw_lateral_topk" -> ((s, dir) => {
       ensureIndexes(s, dir)
       // O5/O6 shape: per-outer-row top-k; the window/filter plan is
@@ -151,6 +164,10 @@ object HnswQueries {
     "hnsw_min_by_scan" ->
       s"""SELECT array_to_string((list(vec_id ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[])))[1:8], ',') AS ids
           FROM embeddings""",
+    "hnsw_filtered_topn" ->
+      s"""SELECT vec_id, label, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM embeddings WHERE label % 3 = 0
+          ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "ivf_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
           FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",

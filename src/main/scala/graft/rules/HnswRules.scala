@@ -41,13 +41,20 @@ object CosineDistanceRewrite extends Rule[LogicalPlan] {
  * (/root/reference/src/hnsw/hnsw_optimize_scan.cpp:30-256).
  *
  * Guard clauses mirror the reference's bail-outs: ASC only, single sort key,
- * 0 < k < 2048, no filters under the sort (the reference *pulls* table
- * filters above the k-limited scan, accepting post-filter semantics,
- * hnsw_optimize_scan.cpp:161-198 — we preserve standard SQL semantics by not
- * rewriting instead), distance function must match the index metric, and the
+ * 0 < k < 2048, distance function must match the index metric, and the
  * query vector dimension must equal the index dimension. Kill switch:
  * `spark.graft.hnsw.rewrite.enabled=false` (the `PRAGMA disable_optimizer`
  * analogue used by hnsw_rewrite.test).
+ *
+ * A Filter under the Sort (`WHERE p ORDER BY dist LIMIT k` — the single most
+ * common real ANN query) rewrites to a *filtered* index scan: the reference
+ * pulls table filters above the k-limited scan and accepts fewer-than-k
+ * post-filter semantics (hnsw_optimize_scan.cpp:161-198,
+ * where_clause_segfault.test); we instead over-fetch + post-filter +
+ * escalate inside [[HnswIndexScan]]'s exec, preserving standard SQL
+ * semantics. Mirroring the reference's refusal to rewrite under dynamic
+ * filters (hnsw_optimize_scan.cpp:82-85), only deterministic, subquery-free
+ * predicates over the scanned relation qualify.
  */
 class TopNToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -67,28 +74,58 @@ class TopNToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Try to rewrite; None restores the original shape. */
-  private def rewriteChild(child: LogicalPlan, key: Expression, k: Int): Option[LogicalPlan] =
-    child match {
-      case rel: LogicalRelation =>
-        matchIndexScan(rel, key, k)
-      case p @ Project(projList, rel: LogicalRelation) =>
-        val resolved = key match {
-          case a: Attribute =>
-            projList.collectFirst { case al: Alias if al.toAttribute.semanticEquals(a) => al.child }
-              .orElse(projList.collectFirst { case at: Attribute if at.semanticEquals(a) => at })
-          case e => Some(e)
+  /** Try to rewrite; None restores the original shape. Peels the optimized
+    * sub-plan `[Project(pl)] [Filter(p)] [Project(attrs)] relation`,
+    * resolving the sort key through projection aliases on the way down. */
+  private def rewriteChild(child: LogicalPlan, key: Expression, k: Int): Option[LogicalPlan] = {
+    def aliasResolve(projList: Seq[NamedExpression], e: Expression): Expression = {
+      val m = projList.collect { case al: Alias => al.toAttribute.exprId -> al.child }.toMap
+      e.transform { case a: Attribute if m.contains(a.exprId) => m(a.exprId) }
+    }
+    var plan = child
+    var dist = key
+    var topProj: Option[Seq[NamedExpression]] = None
+    plan match {
+      case Project(pl, c) if pl.exists(_.isInstanceOf[Alias]) =>
+        topProj = Some(pl); dist = aliasResolve(pl, dist); plan = c
+      case _ => ()
+    }
+    var cond: Option[Expression] = None
+    plan match {
+      case Filter(p, c) => cond = Some(p); plan = c
+      case _ => ()
+    }
+    plan match {
+      // Column pruning may sit between the filter and the scan.
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => plan = c
+      case _ => ()
+    }
+    plan match {
+      case rel: LogicalRelation
+          // Dynamic-filter analogue (hnsw_optimize_scan.cpp:82-85): only
+          // deterministic, subquery-free predicates over the relation.
+          if cond.forall(c => c.deterministic &&
+            c.references.subsetOf(rel.outputSet) &&
+            !c.exists(_.isInstanceOf[PlanExpression[_]])) =>
+        matchIndexScan(rel, dist, k, cond).map { scan =>
+          topProj match {
+            case Some(pl) => Project(pl, scan)
+            // No projection above, but pruning below may have narrowed the
+            // output: restore the original arity over the full-width scan.
+            case None if child.output != scan.output => Project(child.output, scan)
+            case None => scan
+          }
         }
-        resolved.flatMap(dist => matchIndexScan(rel, dist, k))
-          .map(scan => Project(projList, scan))
       case _ => None
     }
+  }
 
-  private def matchIndexScan(rel: LogicalRelation, dist: Expression, k: Int): Option[HnswIndexScan] = {
+  private def matchIndexScan(rel: LogicalRelation, dist: Expression, k: Int,
+      cond: Option[Expression]): Option[HnswIndexScan] = {
     val base = Hnsw.baseDir(session)
     HnswMatch.distanceArgs(dist).flatMap { case (metrics, a, b) =>
       HnswMatch.findIndex(base, rel, metrics, a, b).map { case (meta, qvec) =>
-        HnswIndexScan(rel, base, meta, qvec, k, Hnsw.efSearch(session, meta))
+        HnswIndexScan(rel, base, meta, qvec, k, Hnsw.efSearch(session, meta), cond)
       }
     }
   }

@@ -71,17 +71,47 @@ class HnswRewriteSpec extends SparkSuite {
     assert(ipPlan.contains("index=rw_ip"), ipPlan)
   }
 
-  test("guards: DESC, multi-key, filter, non-literal query, big k → no rewrite") {
+  test("guards: DESC, multi-key, non-deterministic filter, non-literal query, big k → no rewrite") {
     val qv = lit_vector(Array(1f, 2f, 3f))
     val d = array_distance(col("vec"), qv)
     assert(!planOf(grid.orderBy(d.desc).limit(3)).contains("HnswIndexScan"))
     assert(!planOf(grid.orderBy(d, col("id")).limit(3)).contains("HnswIndexScan"))
-    assert(!planOf(grid.where(col("id") > 100).orderBy(d).limit(3)).contains("HnswIndexScan"))
+    // dynamic-filter analogue (hnsw_optimize_scan.cpp:82-85): a
+    // non-deterministic predicate blocks the filtered-scan rewrite
+    assert(!planOf(grid.where(rand() < 0.5).orderBy(d).limit(3)).contains("HnswIndexScan"))
     assert(!planOf(grid.orderBy(array_distance(col("vec"), col("vec"))).limit(3)).contains("HnswIndexScan"))
     assert(!planOf(grid.orderBy(d).limit(3000)).contains("HnswIndexScan"))
-    // filter + TopN still computes correctly (where_clause_segfault.test)
-    val r = grid.where(col("id") > 100).orderBy(d).limit(3).collect()
-    assert(r.length == 3 && r.forall(_.getLong(0) > 100))
+  }
+
+  test("filtered TopN uses a filtered index scan, exact SQL semantics (where_clause_segfault.test)") {
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    val d = array_distance(col("vec"), qv)
+    // WHERE id > 0 ORDER BY dist LIMIT 3 (where_clause_segfault.test:23-38):
+    // index path fires and the plan shows the residual predicate.
+    def q1 = grid.where(col("id") > 0).select(col("id"), d.as("dd")).orderBy("dd").limit(3)
+    assert(planOf(q1).contains("HnswIndexScan"), planOf(q1))
+    assert(planOf(q1).contains("filtered="), planOf(q1))
+    assert(q1.collect().forall(r => r.getLong(0) > 0 && r.getDouble(1) <= 1.0))
+    // Selective filter forces over-fetch escalation; equals brute force
+    // (compare distance multisets — grid ties make ids ambiguous).
+    def q2 = grid.where(col("id") % 7 === 0).select(col("id"), d.as("dd")).orderBy("dd").limit(5)
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    val brute = try q2.collect().toSeq finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+    assert(planOf(q2).contains("filtered="), planOf(q2))
+    val indexed = q2.collect().toSeq
+    assert(indexed.map(_.getDouble(1)) == brute.map(_.getDouble(1)))
+    assert(indexed.forall(_.getLong(0) % 7 == 0))
+    // Starvation: fewer matching rows than k returns them all — standard
+    // SQL semantics, not the reference's fewer-than-k post-filter cut.
+    def q3 = grid.where(col("id") === 728).select(col("id"), d.as("dd")).orderBy("dd").limit(3)
+    assert(planOf(q3).contains("filtered="), planOf(q3))
+    val r3 = q3.collect()
+    assert(r3.length == 1 && r3.head.getLong(0) == 728L)
+    // Filter over a pruned projection under the sort also fires.
+    def q4 = grid.where(col("id") > 100).orderBy(d).limit(3)
+    assert(planOf(q4).contains("filtered="), planOf(q4))
+    val r4 = q4.collect()
+    assert(r4.length == 3 && r4.forall(_.getLong(0) > 100))
   }
 
   test("SQL surface: ORDER BY array_distance LIMIT k uses the index") {
@@ -172,6 +202,21 @@ class HnswRewriteSpec extends SparkSuite {
         Hnsw.createIndex(spark, "rw_l2", grid, "vec", "id", overwrite = true)
       }
     } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+  }
+
+  test("gate-shaped filtered TopN on real embeddings rides the index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Hnsw.createIndex(spark, "rw_emb_filter", emb, "embedding", "vec_id",
+      Map("ef_search" -> "1000000"), overwrite = true)
+    try {
+      val q = emb.where(col("label") % 3 === 0)
+        .select(col("vec_id"), col("label"),
+          array_distance(col("embedding"), lit_vector(Array.fill(64)(0f))).as("d"))
+        .orderBy("d").limit(10)
+      assert(planOf(q).contains("filtered="), planOf(q))
+      val rows = q.collect()
+      assert(rows.length == 10 && rows.forall(_.getInt(1) % 3 == 0))
+    } finally Hnsw.dropIndex(spark, "rw_emb_filter")
   }
 
   test("ef_search session conf reaches the scan (O16)") {
