@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(s => new graft.plans.HnswStrategy(s))
     // Index DDL: CREATE INDEX … USING HNSW / DROP INDEX / PRAGMA … (O1 DDL surface)
     e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // SQL table macros: SELECT * FROM vss_join(...) / vss_match(...)
+    // (hnsw_index_macros.cpp:109-113).
+    e.injectTableFunction((
+      FunctionIdentifier("vss_join"),
+      new ExpressionInfo("graft", "vss_join"),
+      graft.sql.TvfMacros.vssJoin))
+    e.injectTableFunction((
+      FunctionIdentifier("vss_match"),
+      new ExpressionInfo("graft", "vss_match"),
+      graft.sql.TvfMacros.vssMatch))
   }
 }

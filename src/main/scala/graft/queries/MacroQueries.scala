@@ -43,6 +43,19 @@ object MacroQueries {
           round(col("score"), 4).as("score"))
         .orderBy("l_id", "r_id")
     }),
+    "vss_join_sql" -> ((s, dir) => {
+      // The same join as vss_join_macro, routed through the SQL TVF surface
+      // (SELECT ... FROM vss_join(TABLE(...), ...)) — proving the
+      // injectTableFunction registration end-to-end against the oracle.
+      val e = Tables.load(s, dir, "embeddings")
+      e.createOrReplaceTempView("emb_sql_all")
+      e.where(col("vec_id") < 3).createOrReplaceTempView("emb_sql_q")
+      s.sql(
+        """SELECT left_tbl.vec_id AS l_id, right_tbl.vec_id AS r_id,
+                  round(score, 4) AS score
+           FROM vss_join(TABLE(emb_sql_q), TABLE(emb_sql_all), 'embedding', 'embedding', 5)
+           ORDER BY l_id, r_id""")
+    }),
     "vss_match_macro" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       Vss.vssMatch(e.where(col("vec_id") < 3), e, "embedding", "embedding", 5, "l2sq",
@@ -71,6 +84,14 @@ object MacroQueries {
       s"""SELECT e.label, array_to_string((list(e.vec_id ORDER BY $dist))[1:5], ',') AS ids
           FROM embeddings e, $q0 GROUP BY e.label ORDER BY e.label""",
     "vss_join_macro" ->
+      """WITH s AS (
+           SELECT l.vec_id AS l_id, r.vec_id AS r_id,
+                  list_distance(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS score
+           FROM embeddings l, embeddings r WHERE l.vec_id < 3)
+         SELECT l_id, r_id, round(score, 4) AS score
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY score, r_id) AS rn FROM s)
+         WHERE rn <= 5 ORDER BY l_id, r_id""",
+    "vss_join_sql" ->
       """WITH s AS (
            SELECT l.vec_id AS l_id, r.vec_id AS r_id,
                   list_distance(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS score

@@ -1,0 +1,72 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, FunctionTableSubqueryArgumentExpression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.api.Vss
+
+/**
+ * SQL table-valued-function surface for the vss_join / vss_match macros —
+ * what the reference registers as SQL table macros
+ * (/root/reference/src/hnsw/hnsw_index_macros.cpp:9-74,109-113):
+ *
+ *   SELECT * FROM vss_join(TABLE(left_tbl), TABLE(right_tbl), 'left_col', 'right_col', 5)
+ *   SELECT * FROM vss_match('left_tbl', 'right_tbl', 'left_col', 'right_col', 5, 'cosine')
+ *
+ * Table arguments are `TABLE(name)` references (any relation, including
+ * subqueries) or string-literal table names; column/metric arguments are
+ * string literals; k an integer literal. (Spark resolves TVF arguments as
+ * expressions before the function itself, so DuckDB's bare-identifier
+ * spelling cannot be supported.) Registered through `injectTableFunction`,
+ * so they resolve anywhere a table reference can appear. One deliberate
+ * difference from DuckDB: Spark TVF arguments cannot be lateral-correlated,
+ * so `vss_match` takes the left table explicitly and returns
+ * `left.* + matches` — the same rows the reference's correlated
+ * `FROM s, vss_match(...)` join produces.
+ */
+object TvfMacros {
+
+  private def table(spark: SparkSession, e: Expression, what: String): DataFrame = e match {
+    case Literal(s, StringType) if s != null => spark.table(s.toString)
+    case f: FunctionTableSubqueryArgumentExpression => Bridge.ofRows(spark, f.plan)
+    case other => throw new IllegalArgumentException(
+      s"vss_join/vss_match $what must be TABLE(name) or a string literal, got: ${other.sql}")
+  }
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"vss_join/vss_match $what must be a string literal, got: ${other.sql}")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"vss_join/vss_match $what must be an integer literal, got: ${other.sql}")
+  }
+
+  private def build(fn: String, args: Seq[Expression],
+      make: (DataFrame, DataFrame, String, String, Int, String) => DataFrame): LogicalPlan = {
+    if (args.length < 5 || args.length > 6) {
+      throw new IllegalArgumentException(
+        s"$fn(left_table, right_table, left_col, right_col, k[, metric]) takes 5 or 6 " +
+          s"arguments, got ${args.length}")
+    }
+    val spark = SparkSession.active
+    val left = table(spark, args(0), "left_table")
+    val right = table(spark, args(1), "right_table")
+    val metric = if (args.length == 6) str(args(5), "metric") else "l2sq"
+    make(left, right, str(args(2), "left_col"), str(args(3), "right_col"),
+      intLit(args(4), "k"), metric)
+      .queryExecution.analyzed
+  }
+
+  def vssJoin(args: Seq[Expression]): LogicalPlan =
+    build("vss_join", args, Vss.vssJoin(_, _, _, _, _, _))
+
+  def vssMatch(args: Seq[Expression]): LogicalPlan =
+    build("vss_match", args, Vss.vssMatch(_, _, _, _, _, _))
+}

@@ -61,6 +61,33 @@ class SqlDdlSpec extends SparkSuite {
     assert(e.getMessage.contains("id_column"))
   }
 
+  test("SQL TVFs vss_join / vss_match (hnsw_index_macros.cpp:109-113)") {
+    setupTable()
+    // vss_join with TABLE(...) arguments: k best right rows per left row.
+    val j = spark.sql(
+      """SELECT left_tbl.id AS l_id, right_tbl.id AS r_id, score
+         FROM vss_join(TABLE(ddl_grid), TABLE(ddl_grid), 'vec', 'vec', 3)
+         WHERE left_tbl.id = 0 ORDER BY score, r_id""").collect()
+    assert(j.length == 3)
+    assert(j.head.getAs[Long]("l_id") == 0L && j.head.getAs[Double]("score") == 0.0)
+    // string-literal table names + metric argument work too
+    val jc = spark.sql(
+      "SELECT count(*) AS n FROM vss_join('ddl_grid', 'ddl_grid', 'vec', 'vec', 2, 'cosine')")
+      .collect().head.getLong(0)
+    assert(jc == 729L * 2)
+    // vss_match: left.* plus a matches LIST<STRUCT<score, row>>
+    val m = spark.sql(
+      """SELECT id, size(matches) AS n, matches[0].score AS best
+         FROM vss_match(TABLE(ddl_grid), TABLE(ddl_grid), 'vec', 'vec', 5)
+         WHERE id < 3 ORDER BY id""").collect()
+    assert(m.length == 3)
+    assert(m.forall(r => r.getInt(1) == 5 && r.getDouble(2) == 0.0))
+    // arity/argument errors are clear
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vss_join('ddl_grid', 'ddl_grid', 'vec', 'vec')"))
+    assert(e.getMessage.contains("5 or 6"))
+  }
+
   test("bad options surface the reference binder messages through SQL") {
     setupTable()
     val e = intercept[IllegalArgumentException](spark.sql(
