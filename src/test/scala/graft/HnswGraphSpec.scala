@@ -124,6 +124,45 @@ class HnswGraphSpec extends AnyFunSuite {
     assert(GraphCache.MaxEntries > 0)
   }
 
+  test("GraphCache evicts by bytes, not entry count") {
+    import graft.index.{GraphCache, IndexCatalog}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-b").toFile
+    def seg(name: String, n: Int): java.io.File = {
+      val g = new HnswGraph(32, "l2sq")
+      val rnd = new Random(name.hashCode)
+      (0 until n).foreach(i => g.add(i.toLong, Array.fill(32)(rnd.nextFloat())))
+      val f = new java.io.File(dir, name)
+      IndexCatalog.writeGraph(f, g)
+      f
+    }
+    val files = (0 until 6).map(i => seg(s"seg-$i.hnsw", 200))
+    val perGraphBytes = IndexCatalog.readGraph(files.head).approxMemoryBytes
+    // Budget fits ~3 graphs — far below the 256-entry cap, so any eviction
+    // observed is byte-driven.
+    val budget = perGraphBytes * 3 + perGraphBytes / 2
+    System.setProperty("graft.graphCache.maxBytes", budget.toString)
+    try {
+      GraphCache.invalidate(dir.getAbsolutePath)
+      files.foreach(GraphCache.get)
+      assert(GraphCache.currentBytes <= budget,
+        s"cache ${GraphCache.currentBytes} bytes exceeds budget $budget")
+      // LRU order: the last-loaded segment must still be cached.
+      val last = GraphCache.get(files.last)
+      assert(GraphCache.get(files.last) eq last)
+      // Evicted segments reload on demand and re-enter within budget.
+      GraphCache.get(files.head)
+      assert(GraphCache.currentBytes <= budget)
+      // A graph larger than the budget is still served (admit + evict others).
+      System.setProperty("graft.graphCache.maxBytes", (perGraphBytes / 2).toString)
+      val big = GraphCache.get(files(1))
+      assert(big.size == 200)
+      assert(GraphCache.get(files(1)) eq big) // most-recent entry survives
+    } finally {
+      System.clearProperty("graft.graphCache.maxBytes")
+      GraphCache.invalidate(dir.getAbsolutePath)
+    }
+  }
+
   test("exhaustive beam (ef >= n) on connected graph is exact") {
     val rnd = new Random(3)
     val vecs = Array.fill(300)(Array.fill(8)(rnd.nextFloat()))

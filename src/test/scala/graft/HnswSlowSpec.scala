@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexCatalog
+
+/**
+ * 1M-row envelope test — the port of the reference's
+ * test/sql/slow/hnsw_reclaim_storage.test_slow:12-22 (1M × FLOAT[3] build,
+ * delete 10%, compact/reclaim, verify counts and search): proves the
+ * multi-segment build, range-pruned distributed delete, compaction rebuild,
+ * and GraphCache byte-bounding hold at the scale the reference's slow suite
+ * uses. Construction params are lowered (M=8, ef_construction=32) — this
+ * test exercises storage/reclaim mechanics; recall quality at default
+ * params is covered by HnswIndexSpec's recall test.
+ */
+class HnswSlowSpec extends SparkSuite {
+
+  private val base: String = {
+    val d = Files.createTempDirectory("graft-slow").toFile.getAbsolutePath
+    spark.conf.set(Hnsw.LocationKey, d)
+    d
+  }
+
+  test("1M x FLOAT[3]: multi-segment build, search, delete 10%, compact (hnsw_reclaim_storage.test_slow)") {
+    val n = 1000000L
+    val df = spark.range(n).select(col("id"),
+      array((col("id") % 97).cast("float"), (col("id") % 89).cast("float"),
+        (col("id") % 83).cast("float")).as("vec"))
+    val dir = Files.createTempDirectory("graft-slow-t").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+
+    val t0 = System.nanoTime()
+    Hnsw.createIndex(spark, "slow_1m", table, "vec", "id",
+      Map("M" -> "8", "ef_construction" -> "32"), overwrite = true)
+    info(f"build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val meta = IndexCatalog.load(base, "slow_1m")
+    assert(meta.count == n)
+    assert(meta.segments.size == 4) // 262144 vectors per segment
+    assert(meta.segmentRanges.size == 4)
+
+    // Search: ids 0 and 716539 (≡0 mod lcm(97,89,83)) sit exactly at
+    // (0,0,0); generous ef keeps the ANN beam deterministic enough to find
+    // the exact hit. Results come back distance-ascending.
+    val hits = Hnsw.searchRaw(spark, "slow_1m", Array(0f, 0f, 0f), 5, efOverride = Some(512))
+    assert(hits.length == 5 && hits.head._2 == 0.0)
+    assert(hits.map(_._2).toSeq == hits.map(_._2).sorted.toSeq)
+
+    // Delete 10% (the reference deletes rowid % 10 = 5): range-pruned
+    // distributed probe — 100k keys, driver never loads a graph.
+    val victims = (0L until n).filter(_ % 10 == 5)
+    val t1 = System.nanoTime()
+    val afterDelete = Hnsw.delete(spark, "slow_1m", victims)
+    info(f"delete 100k: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    assert(afterDelete.count == n - n / 10)
+    // id 5 sits exactly at (5,5,5) but was deleted; no deleted key returns.
+    assert(Hnsw.searchRaw(spark, "slow_1m", Array(5f, 5f, 5f), 3, efOverride = Some(512))
+      .forall { case (k, _) => k % 10 != 5 })
+
+    // Compact reclaims: tombstones cleared, live rows rebuilt.
+    val t2 = System.nanoTime()
+    val compacted = Hnsw.compactIndex(spark, "slow_1m")
+    info(f"compact: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    assert(compacted.count == n - n / 10)
+    assert(IndexCatalog.tombstones(base, "slow_1m").isEmpty)
+    val hits2 = Hnsw.searchRaw(spark, "slow_1m", Array(1f, 1f, 1f), 5, efOverride = Some(512))
+    assert(hits2.head._2 == 0.0) // id 1 (or 716540) survives at (1,1,1)
+    assert(hits2.forall { case (k, _) => k % 10 != 5 })
+
+    Hnsw.dropIndex(spark, "slow_1m")
+  }
+}

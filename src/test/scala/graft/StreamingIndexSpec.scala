@@ -42,6 +42,33 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("maintainIndex auto-compacts: segment count stays bounded across many batches") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    Hnsw.createIndex(spark, "stream_cmp", empty, "vec", "id", overwrite = true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val query = StreamingIndex.maintainIndex(stream, spark, "stream_cmp", maxSegments = 3)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-c").toString)
+      .start()
+    try {
+      (1 to 10).foreach { i =>
+        mem.addData((i.toLong, Array(i.toFloat, -i.toFloat)))
+        query.processAllAvailable()
+        val segs = IndexCatalog.load(base, "stream_cmp").segments.size
+        assert(segs <= 4, s"batch $i left $segs segments") // compact fires above 3
+      }
+      val meta = IndexCatalog.load(base, "stream_cmp")
+      assert(meta.count == 10)
+      // all rows remain searchable through the compacted segments
+      assert(Hnsw.searchRaw(spark, "stream_cmp", Array(7f, -7f), 1).head._1 == 7L)
+      assert(Hnsw.searchRaw(spark, "stream_cmp", Array(1f, -1f), 10).length == 10)
+    } finally query.stop()
+  }
+
   test("watermarked tumbling-window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
