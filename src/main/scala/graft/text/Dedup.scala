@@ -89,14 +89,48 @@ object Dedup {
 
   /**
    * Connected components over near-dup pairs → (id, cluster_id) where
-   * cluster_id is the smallest doc id in the component. Iterative min-label
-   * propagation (the scalable classic: each round is two equi-joins, and
-   * the number of rounds is the graph diameter — near-dup components are
-   * tiny, so a handful). Only ids that appear in some pair are returned.
+   * cluster_id is the smallest doc id in the component. Only ids that
+   * appear in some pair are returned.
+   *
+   * Hybrid execution: the verified near-dup edge set is orders of magnitude
+   * smaller than the corpus (it holds duplicate PAIRS only, post-LSH,
+   * post-verify), so when it fits `driverEdgeThreshold` (16 B/edge — the
+   * 1M default is 16 MB of driver heap) a driver-side union-find answers in
+   * one collect instead of one Spark job per graph-diameter round. Above
+   * the bound, iterative min-label propagation runs distributed: each round
+   * is two equi-joins over hash-distributed keys, rounds = component
+   * diameter (tiny for dedup graphs), with the decreasing label sum as a
+   * one-aggregate convergence witness.
    */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
+      driverEdgeThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // One job answers both "does it fit?" and "give me the edges": the
+    // limit returns threshold+1 rows only when the set is too big.
+    val probe = raw.limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= driverEdgeThreshold) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+      }
+      // Min-root union keeps every root the component minimum.
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "cluster_id")
+    }
+    val edges = raw.toDF("src", "dst")
+      .union(raw.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))

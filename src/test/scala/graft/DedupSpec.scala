@@ -46,12 +46,17 @@ class DedupSpec extends SparkSuite {
     assert(agree13 < 8, s"unrelated agreement $agree13 should be low")
   }
 
-  test("nearDupClusters resolves transitive chains to the min id") {
+  test("nearDupClusters resolves transitive chains to the min id (both paths)") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (4L, 6L)).toDF("id_a", "id_b")
-    val clusters = Dedup.nearDupClusters(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    // driver union-find path (edge set under the threshold)
+    val small = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // chain 1-2-3 → cluster 1; chain 4-6-5 → cluster 4
-    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(small == expected)
+    // distributed label-propagation path (threshold 0 forces it)
+    val dist = Dedup.nearDupClusters(pairs, driverEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("dropNearDuplicates keeps one representative per cluster") {
