@@ -71,6 +71,13 @@ object Dedup {
     // The signature set feeds the band self-join twice — persist it so the
     // minhash stage runs once.
     val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed).persist()
+    verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
+  }
+
+  /** Band join + exact-Jaccard verification over prepared (id, sig) rows —
+    * the shared tail of [[nearDupPairs]] and [[dropNearDuplicates]]. */
+  private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int): DataFrame = {
     val cands = lshCandidatePairs(sigs, k, bands)
     // Exact shingle sets are needed only for candidate rows: semi-join
     // before computing them, so verification cost scales with collisions,
@@ -167,14 +174,44 @@ object Dedup {
    * End-to-end near-dedup: drop every document that is a near-duplicate of
    * a lower-id document (one representative — the smallest id — survives
    * per cluster). Exact duplicates are near-duplicates at any threshold.
+   *
+   * Exact dedup runs FIRST: byte-identical documents collide in every LSH
+   * band, so a hot document repeated k times adds O(k²) candidate pairs to
+   * its buckets — the one skew mode banded LSH can't bound. Collapsing each
+   * identical group to its min-id keeper before shingling caps that blowup
+   * at one representative per group. The kept set is unchanged: a dropped
+   * member shares its keeper's text, so any near-dup connectivity it had
+   * flows through the keeper, and the keeper (group min) can only lose to a
+   * smaller cluster min the member would also have lost to.
    */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, threshold, shingleN)
-    val losers = nearDupClusters(pairs)
+    // One pass over the text computes BOTH the exact-dup hash and the
+    // minhash signature; a window over the hash then splits exact losers
+    // from representatives without touching the text again. Only
+    // (id, hash, 64×8-byte sig) rows go through the one shuffle — document
+    // text never shuffles.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val marked = df.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("_h"),
+        minhashText(col(textCol), shingleN, 64, 42L).as("sig"))
+      .withColumn("_keep", min(col("id")).over(w))
+      .persist()
+    val exactLosers = marked.where(col("id") =!= col("_keep")).select(col("id"))
+    // LSH over exact-dup representatives only: byte-identical documents all
+    // collide in every band, so a document repeated k times would add
+    // O(k²) pairs to its buckets — the one skew mode banded LSH can't
+    // bound. Collapsing to the min-id keeper first caps it at one row per
+    // distinct text; connectivity through the keeper preserves every
+    // cluster minimum, so the kept set is unchanged.
+    val sigs = marked.where(col("id") === col("_keep"))
+      .where(size(col("sig")) > 0).select(col("id"), col("sig"))
+    val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, 64, 16)
+    val nearLosers = nearDupClusters(pairs)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))
-    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    df.join(exactLosers.union(nearLosers).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
   }
 
   /**
