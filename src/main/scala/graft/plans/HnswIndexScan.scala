@@ -37,10 +37,16 @@ case class HnswIndexScan(
     query: Array[Float],
     k: Int,
     ef: Int,
-    condition: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    condition: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    /** Columns the parent actually consumes (always includes the id
+      * column). The rowid fetch projects to these, so the parquet
+      * ReadSchema shrinks accordingly — the reference's fetch-by-rowid
+      * projection pushdown (hnsw_index_scan.cpp:95-121). Empty = all. */
+    required: Seq[Attribute] = Nil)
   extends LeafNode {
 
-  override def output: Seq[Attribute] = relation.output
+  override def output: Seq[Attribute] =
+    if (required.nonEmpty) required else relation.output
 
   /** Cardinality = k, like the reference scan (hnsw_index_scan.cpp:150-153). */
   override def computeStats(): Statistics =
@@ -85,7 +91,9 @@ case class HnswIndexScanExec(
 
   /** One search + fetch round at candidate width `kFetch`; the fetch's
     * rowid-IN (and, for filtered scans, the residual predicate) reach the
-    * parquet scan as pushed filters. Returns survivors in ANN rank order. */
+    * parquet scan as pushed filters, and the fetch projects to `output`
+    * (reference fetch projection pushdown, hnsw_index_scan.cpp:95-121).
+    * Returns survivors in ANN rank order. */
   private def round(kFetch: Int): (Array[(Long, Double)], Array[InternalRow]) = {
     val hits = Hnsw.searchDistributed(session, base, meta, query, kFetch,
       math.max(ef, kFetch))
@@ -94,11 +102,14 @@ case class HnswIndexScanExec(
       throw new IllegalStateException(s"id column '${meta.idColumn}' not in relation"))
     val inFilter: org.apache.spark.sql.catalyst.expressions.Expression =
       In(idAttr, hits.map(h => Literal(h._1)).toIndexedSeq)
-    val fetchPlan = Filter(condition.fold(inFilter)(
+    val filtered = Filter(condition.fold(inFilter)(
       c => org.apache.spark.sql.catalyst.expressions.And(inFilter, c)), relation)
+    val fetchPlan =
+      if (output == relation.output) filtered
+      else org.apache.spark.sql.catalyst.plans.logical.Project(output, filtered)
     val fetched = Bridge.ofRows(session, fetchPlan)
       .queryExecution.executedPlan.executeCollect()
-    val idIdx = relation.output.indexWhere(_.exprId == idAttr.exprId)
+    val idIdx = output.indexWhere(_.exprId == idAttr.exprId)
     val rank = hits.iterator.zipWithIndex.map { case ((id, _), i) => (id, i) }.toMap
     (hits, fetched.sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue)))
   }

@@ -63,21 +63,28 @@ class TopNToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case l @ Limit(IntegerLiteral(k), Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _))
           if k > 0 && k < 2048 =>
-        rewriteChild(child, key, k).getOrElse(l)
+        rewriteChild(child, key, k, None).getOrElse(l)
       // PushProjectionThroughLimit moves post-sort projections between the
       // limit and the sort; the reference's MergeProjections handles the
-      // same shape (hnsw_optimize_scan.cpp:211-249).
+      // same shape (hnsw_optimize_scan.cpp:211-249). The outer projection's
+      // references bound what the scan must fetch (projection pushdown).
       case l @ Limit(IntegerLiteral(k),
           Project(pl, Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
           if k > 0 && k < 2048 =>
-        rewriteChild(child, key, k).map(Project(pl, _)).getOrElse(l)
+        rewriteChild(child, key, k, Some(AttributeSet(pl.flatMap(_.references))))
+          .map(Project(pl, _)).getOrElse(l)
     }
   }
 
   /** Try to rewrite; None restores the original shape. Peels the optimized
     * sub-plan `[Project(pl)] [Filter(p)] [Project(attrs)] relation`,
-    * resolving the sort key through projection aliases on the way down. */
-  private def rewriteChild(child: LogicalPlan, key: Expression, k: Int): Option[LogicalPlan] = {
+    * resolving the sort key through projection aliases on the way down.
+    * `outerNeeded` (the enclosing projection's references, when one sits
+    * between the limit and the sort) bounds the scan's `required` columns so
+    * the rowid fetch reads only consumed columns — the analogue of the
+    * reference's fetch projection pushdown (hnsw_index_scan.cpp:95-121). */
+  private def rewriteChild(child: LogicalPlan, key: Expression, k: Int,
+      outerNeeded: Option[AttributeSet]): Option[LogicalPlan] = {
     def aliasResolve(projList: Seq[NamedExpression], e: Expression): Expression = {
       val m = projList.collect { case al: Alias => al.toAttribute.exprId -> al.child }.toMap
       e.transform { case a: Attribute if m.contains(a.exprId) => m(a.exprId) }
@@ -107,11 +114,29 @@ class TopNToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
           if cond.forall(c => c.deterministic &&
             c.references.subsetOf(rel.outputSet) &&
             !c.exists(_.isInstanceOf[PlanExpression[_]])) =>
-        matchIndexScan(rel, dist, k, cond).map { scan =>
-          topProj match {
+        matchIndexScan(rel, dist, k, cond).map { scan0 =>
+          // Narrow the intermediate projection to entries the outer
+          // projection consumes, then fetch only the referenced columns
+          // (+ the id column the rank join needs). The residual predicate
+          // is applied under the fetch projection, so its columns need not
+          // be in `required`.
+          val prunedTopProj = (topProj, outerNeeded) match {
+            case (Some(pl), Some(need)) =>
+              val kept = pl.filter(ne => need.contains(ne.toAttribute))
+              Some(if (kept.nonEmpty) kept else pl)
+            case (tp, _) => tp
+          }
+          val baseRefs: AttributeSet = prunedTopProj
+            .map(pl => AttributeSet(pl.flatMap(_.references)))
+            .getOrElse(outerNeeded.getOrElse(child.outputSet))
+          val required = rel.output.filter(a =>
+            baseRefs.contains(a) || a.name == scan0.meta.idColumn)
+          val scan = scan0.copy(required = required)
+          prunedTopProj match {
             case Some(pl) => Project(pl, scan)
-            // No projection above, but pruning below may have narrowed the
-            // output: restore the original arity over the full-width scan.
+            // Arm 2 (outerNeeded defined) wraps its own projection; arm 1
+            // restores the original arity when pruning narrowed the scan.
+            case None if outerNeeded.isDefined => scan
             case None if child.output != scan.output => Project(child.output, scan)
             case None => scan
           }
@@ -156,7 +181,8 @@ class MinByKToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
           case Seq(ae) => ae.aggregateFunction match {
             case graft.aggregates.MinMaxByK(_, order, IntegerLiteral(k), true, _, _)
                 if k > 0 && k < 2048 && !ae.isDistinct =>
-              rewriteAggChild(child, order, k).map(newChild => agg.copy(child = newChild))
+              rewriteAggChild(child, order, k, agg.references)
+                .map(newChild => agg.copy(child = newChild))
                 .getOrElse(agg)
             case _ => agg
           }
@@ -165,24 +191,34 @@ class MinByKToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewriteAggChild(child: LogicalPlan, order: Expression, k: Int): Option[LogicalPlan] =
+  private def rewriteAggChild(child: LogicalPlan, order: Expression, k: Int,
+      aggRefs: AttributeSet): Option[LogicalPlan] =
     child match {
       case rel: LogicalRelation =>
-        matchScan(rel, order, k)
+        matchScan(rel, order, k, aggRefs)
       case p @ Project(projList, rel: LogicalRelation) =>
         val aliasMap = projList.collect { case al: Alias => al.toAttribute.exprId -> al.child }.toMap
         val resolved = order.transform {
           case a: Attribute if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
         }
-        matchScan(rel, resolved, k).map(scan => p.copy(child = scan))
+        // Only the projection entries the aggregate consumes need to exist;
+        // their references bound the fetch columns.
+        val kept = projList.filter(ne => aggRefs.contains(ne.toAttribute))
+        val pl = if (kept.nonEmpty) kept else projList
+        matchScan(rel, resolved, k, AttributeSet(pl.flatMap(_.references)))
+          .map(scan => Project(pl, scan))
       case _ => None
     }
 
-  private def matchScan(rel: LogicalRelation, dist: Expression, k: Int): Option[HnswIndexScan] = {
+  private def matchScan(rel: LogicalRelation, dist: Expression, k: Int,
+      needed: AttributeSet): Option[HnswIndexScan] = {
     val base = Hnsw.baseDir(session)
     HnswMatch.distanceArgs(dist).flatMap { case (metrics, a, b) =>
       HnswMatch.findIndex(base, rel, metrics, a, b).map { case (meta, qvec) =>
-        HnswIndexScan(rel, base, meta, qvec, k, Hnsw.efSearch(session, meta))
+        val required = rel.output.filter(a =>
+          needed.contains(a) || a.name == meta.idColumn)
+        HnswIndexScan(rel, base, meta, qvec, k, Hnsw.efSearch(session, meta),
+          required = required)
       }
     }
   }

@@ -204,6 +204,27 @@ class HnswRewriteSpec extends SparkSuite {
     } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
   }
 
+  test("fetch projection pushdown: scan outputs only consumed columns (hnsw_index_scan.cpp:95-121)") {
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    // Outer projection keeps only `id`: the sort key's vector column is
+    // served by the index, so the rowid fetch must not read `vec`.
+    val q = grid.orderBy(array_distance(col("vec"), qv)).limit(3).select("id")
+    val scans = q.queryExecution.executedPlan.collect {
+      case e: graft.plans.HnswIndexScanExec => e
+    }
+    assert(scans.nonEmpty, q.queryExecution.executedPlan.toString)
+    assert(scans.head.output.map(_.name) == Seq("id"), scans.head.output.toString)
+    assert(q.collect().head.getLong(0) == 11L)
+    // When the projection recomputes the distance, the vector column stays.
+    val q2 = grid.select(col("id"), array_distance(col("vec"), qv).as("d"))
+      .orderBy("d").limit(3)
+    val scan2 = q2.queryExecution.executedPlan.collect {
+      case e: graft.plans.HnswIndexScanExec => e
+    }.head
+    assert(scan2.output.map(_.name).toSet == Set("id", "vec"))
+    assert(q2.collect().map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 1.0))
+  }
+
   test("gate-shaped filtered TopN on real embeddings rides the index") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     Hnsw.createIndex(spark, "rw_emb_filter", emb, "embedding", "vec_id",
