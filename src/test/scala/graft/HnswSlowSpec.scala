@@ -71,4 +71,38 @@ class HnswSlowSpec extends SparkSuite {
 
     Hnsw.dropIndex(spark, "slow_1m")
   }
+
+  test("1000x1000 lateral top-3: indexed equals brute force (hnsw_lateral_join_group_large.test_slow)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    def table(n: Int): Seq[(Long, Array[Float])] =
+      (1 to n).map(i => (i.toLong, Array.fill(3)(rnd.nextFloat())))
+    val itemsDir = Files.createTempDirectory("graft-slow-items").toFile.getAbsolutePath
+    table(1000).toDF("b_id", "b_vec").withColumn("b_vec", col("b_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(itemsDir)
+    val items = spark.read.parquet(itemsDir)
+    val queries = table(1000).toDF("a_id", "a_vec")
+      .withColumn("a_vec", col("a_vec").cast("array<float>"))
+
+    def run() = graft.api.Vss.lateralTopK(queries, items, "a_vec", "b_vec", "a_id", 3)
+      .select(col("a_id"), col("b_id"), col("rn"))
+
+    // total cardinality = 3 per outer row (the reference's sanity checks)
+    assert(run().count() == 3000L)
+    val brute = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    Hnsw.createIndex(spark, "slow_lat", items, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    try {
+      val planned = run()
+      assert(planned.queryExecution.executedPlan.toString.contains("HnswIndexJoinCore"))
+      assert(planned.count() == 3000L)
+      // exhaustive ef → exact: identical neighbor sets per outer row
+      val grouped = run().groupBy("a_id")
+        .agg(sort_array(collect_list(col("b_id"))).as("nbrs")).orderBy("a_id")
+        .collect().map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]]("nbrs").toSeq)).toSeq
+      val bruteGrouped = brute.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (id, rows) => (id, rows.map(_._2).sorted.toSeq) }
+      assert(grouped == bruteGrouped)
+    } finally Hnsw.dropIndex(spark, "slow_lat")
+  }
 }
