@@ -188,6 +188,41 @@ object Hnsw {
   }
 
   /**
+   * Batched multi-query search, segment-outer: each segment graph is loaded
+   * once and serves every query in the batch before the next segment is
+   * touched. This is the executor-side shape for the index join — per-row
+   * segment iteration would reload every segment per outer row whenever the
+   * byte-bounded GraphCache is smaller than the index (thrash); per-batch
+   * iteration amortizes each load over the whole batch. Returns one
+   * ascending top-k array per query (null queries → empty).
+   */
+  private[graft] def searchBatch(base: String, meta: HnswIndexMeta,
+      queries: Array[Array[Float]], k: Int, ef: Int): Array[Array[(Long, Double)]] = {
+    val dir = IndexCatalog.indexDir(base, meta.name)
+    val tombs = graft.index.TombstoneCache.get(base, meta.name)
+    val fetch = k + math.min(tombs.size, 1024)
+    val acc = Array.fill(queries.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+    meta.segments.foreach { s =>
+      val g = GraphCache.get(new File(dir, s))
+      var i = 0
+      while (i < queries.length) {
+        if (queries(i) != null) {
+          acc(i) ++= g.search(queries(i), fetch, ef)
+            .filterNot { case (key, _) => tombs.contains((s, key)) }
+          // Keep each accumulator bounded: only the best k can survive.
+          if (acc(i).length > 4 * fetch) {
+            val best = acc(i).sortBy(_._2).take(k)
+            acc(i).clear(); acc(i) ++= best
+          }
+        }
+        i += 1
+      }
+    }
+    acc.map(buf => buf.sortBy(_._2).take(k).toArray)
+  }
+
+  /**
    * Segment-parallel search: for many-segment indexes, fan the per-segment
    * searches out as a Spark job (each task warms its executor's GraphCache
    * from shared storage) and merge the partial top-ks on the driver — the

@@ -53,8 +53,12 @@ case class HnswIndexJoinCore(
 /**
  * Physical side: embarrassingly parallel over outer partitions — each task
  * lazily loads the index segments from shared storage (per-JVM GraphCache)
- * and runs one multi-search per row, the parallel improvement over the
- * reference's single-threaded join operator noted in SURVEY §3.3.
+ * and searches in row batches, segment-outer (each segment serves the whole
+ * batch before the next loads, so a byte-bounded cache smaller than the
+ * index amortizes instead of thrashing) — the parallel improvement over the
+ * reference's single-threaded join operator noted in SURVEY §3.3. Batching
+ * echoes the reference's own `2048/limit` outer-chunking
+ * (hnsw_optimize_join.cpp:90-99).
  */
 case class HnswIndexJoinCoreExec(
     child: SparkPlan,
@@ -80,16 +84,18 @@ case class HnswIndexJoinCoreExec(
       val bound = BindReferences.bindReference(q, childOutput)
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow()
-      iter.flatMap { row =>
-        val v = bound.eval(row)
-        if (v == null) Iterator.empty
-        else {
-          val hits = Hnsw.searchMeta(b, m, toFloats(v.asInstanceOf[ArrayData]), kk, e)
-          // row is only valid until the iterator advances — copy once per
-          // outer row, emit k extended rows.
-          val outerCopy = row.copy()
-          hits.iterator.zipWithIndex.map { case ((id, d), i) =>
-            resultProj(joined(outerCopy,
+      // Rows are only valid until the iterator advances — copy BEFORE
+      // grouped() buffers them, or every buffered row aliases the last one.
+      iter.map(_.copy()).grouped(1024).flatMap { batch =>
+        val rows = batch.toArray
+        val queries = rows.map { row =>
+          val v = bound.eval(row)
+          if (v == null) null else toFloats(v.asInstanceOf[ArrayData])
+        }
+        val hits = Hnsw.searchBatch(b, m, queries, kk, e)
+        rows.iterator.zipWithIndex.flatMap { case (outerRow, ri) =>
+          hits(ri).iterator.zipWithIndex.map { case ((id, d), i) =>
+            resultProj(joined(outerRow,
               new GenericInternalRow(Array[Any](id, d, (i + 1).toLong))))
           }
         }
