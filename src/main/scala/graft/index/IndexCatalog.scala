@@ -260,18 +260,25 @@ object GraphCache {
   }
 }
 
-/** Per-JVM tombstone-set cache keyed by file mtime — the join exec consults
-  * tombstones per outer row, which must not mean a file read per row. */
+/** Per-JVM tombstone-set cache, one entry per file path validated by
+  * (mtime, size) — the join exec consults tombstones per batch, which must
+  * not mean a file read per call. Replacing the entry on staleness (rather
+  * than keying by version) keeps old versions from accumulating across
+  * repeated deletes. */
 object TombstoneCache {
-  private case class Key(path: String, mtime: Long, size: Long)
-  private val cache = TrieMap.empty[Key, Set[(String, Long)]]
+  private case class Versioned(mtime: Long, size: Long, tombs: Set[(String, Long)])
+  private val cache = TrieMap.empty[String, Versioned]
 
   def get(base: String, name: String): Set[(String, Long)] = {
     val f = new File(IndexCatalog.indexDir(base, name), "tombstones.txt")
-    if (!f.isFile) Set.empty
-    else {
-      val k = Key(f.getAbsolutePath, f.lastModified(), f.length())
-      cache.getOrElseUpdate(k, IndexCatalog.tombstones(base, name))
+    if (!f.isFile) return Set.empty
+    val (path, mtime, size) = (f.getAbsolutePath, f.lastModified(), f.length())
+    cache.get(path) match {
+      case Some(v) if v.mtime == mtime && v.size == size => v.tombs
+      case _ =>
+        val tombs = IndexCatalog.tombstones(base, name)
+        cache.put(path, Versioned(mtime, size, tombs))
+        tombs
     }
   }
 }

@@ -185,16 +185,18 @@ object Dedup {
    * smaller cluster min the member would also have lost to.
    */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
     // One pass over the text computes BOTH the exact-dup hash and the
     // minhash signature; a window over the hash then splits exact losers
     // from representatives without touching the text again. Only
-    // (id, hash, 64×8-byte sig) rows go through the one shuffle — document
+    // (id, hash, k×8-byte sig) rows go through the one shuffle — document
     // text never shuffles.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     val marked = df.select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("_h"),
-        minhashText(col(textCol), shingleN, 64, 42L).as("sig"))
+        minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .withColumn("_keep", min(col("id")).over(w))
       .persist()
     val exactLosers = marked.where(col("id") =!= col("_keep")).select(col("id"))
@@ -206,7 +208,7 @@ object Dedup {
     // cluster minimum, so the kept set is unchanged.
     val sigs = marked.where(col("id") === col("_keep"))
       .where(size(col("sig")) > 0).select(col("id"), col("sig"))
-    val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, 64, 16)
+    val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
     val nearLosers = nearDupClusters(pairs)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))
