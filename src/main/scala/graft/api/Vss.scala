@@ -101,6 +101,34 @@ object Vss {
   }
 
   /**
+   * Index-backed per-row ANN enrichment: `df.*` plus
+   * `(neighbor_id, distance, rn)` for the k nearest index entries to each
+   * row's `queryCol` vector — [[graft.plans.HnswIndexJoinCore]] planted
+   * directly, no window shape needed. Because the exec is a stateless
+   * per-partition map over executor-cached segments, this works on
+   * STREAMING DataFrames too (stream-static ANN join — `lateralTopK`'s
+   * row_number window cannot exist on a stream), micro-batch rows enriched
+   * as they arrive. NULL query vectors produce no output rows.
+   */
+  def annTopK(df: DataFrame, indexName: String, queryCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = df.sparkSession
+    val base = graft.Hnsw.baseDir(spark)
+    val meta = graft.index.IndexCatalog.load(base, indexName)
+    val queryExpr = Bridge.expression(df(queryCol))
+    val extra = Seq(
+      AttributeReference("neighbor_id", LongType, nullable = false)(),
+      AttributeReference("distance", DoubleType, nullable = false)(),
+      AttributeReference("rn", LongType, nullable = false)())
+    val core = graft.plans.HnswIndexJoinCore(
+      df.queryExecution.analyzed, base, meta, queryExpr, k,
+      graft.Hnsw.efSearch(spark, meta), extra)
+    Bridge.ofRows(spark, core)
+  }
+
+  /**
    * Correlated variant: `left.*` plus a `matches` column of
    * LIST<STRUCT<score DOUBLE, row STRUCT<right.*>>> (best first) —
    * mirroring `FROM left, vss_match(right, left_col, right_col, k)`.

@@ -38,6 +38,11 @@ case class HnswIndexJoinCore(
 
   override def output: Seq[Attribute] = child.output ++ extra
 
+  // The id/dist/rn columns originate here, not below — required for
+  // CheckAnalysis when the node is planted pre-analysis (Vss.annTopK).
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(extra)
+
   // Cardinality ≈ outer × k (hnsw_optimize_join.cpp:304-315) falls out of
   // the default unary-node size estimate scaled by the added columns; the
   // inner fetch join above this node is what the estimate matters for, and

@@ -69,6 +69,45 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("annTopK enriches a stream with index neighbors (stream-static ANN join)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ann").toFile.getAbsolutePath
+    val items = (for (a <- 1 to 9; b <- 1 to 9; c <- 1 to 9)
+      yield ((a - 1) * 81L + (b - 1) * 9 + (c - 1), Array(a.toFloat, b.toFloat, c.toFloat)))
+      .toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    items.write.mode("overwrite").parquet(dir)
+    Hnsw.createIndex(spark, "stream_ann", spark.read.parquet(dir), "vec", "id",
+      Map("ef_search" -> "100000"), overwrite = true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("q_id", "q_vec")
+      .withColumn("q_vec", col("q_vec").cast("array<float>"))
+    val enriched = graft.api.Vss.annTopK(stream, "stream_ann", "q_vec", k = 2)
+    assert(enriched.isStreaming)
+    val query = enriched.writeStream.format("memory").queryName("ann_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array(1f, 2f, 3f)), (2L, Array(9f, 9f, 9f)))
+      query.processAllAvailable()
+      val rows = spark.table("ann_out")
+        .select("q_id", "neighbor_id", "distance", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(rows.length == 4) // 2 queries x k=2
+      val best = rows.filter(_._4 == 1L).map(r => (r._1, r._2, r._3)).sortBy(_._1)
+      assert(best.toSeq == Seq((1L, 11L, 0.0), (2L, 728L, 0.0))) // exact grid hits
+      // batch parity: the same call on a static frame
+      val batch = graft.api.Vss.annTopK(
+        Seq((1L, Array(1f, 2f, 3f))).toDF("q_id", "q_vec")
+          .withColumn("q_vec", col("q_vec").cast("array<float>")),
+        "stream_ann", "q_vec", k = 2).collect()
+      assert(batch.length == 2 && batch.head.getAs[Long]("neighbor_id") == 11L)
+    } finally {
+      query.stop()
+      Hnsw.dropIndex(spark, "stream_ann")
+    }
+  }
+
   test("watermarked tumbling-window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
