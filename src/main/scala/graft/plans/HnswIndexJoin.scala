@@ -79,7 +79,13 @@ case class HnswIndexJoinCoreExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val out = output
-    val (b, m, q, kk, e) = (base, meta, queryExpr, k, ef)
+    // Re-resolve the index metadata now, not at plan time: a long-lived
+    // streaming plan (Vss.annTopK) would otherwise pin the segment list
+    // while compaction — including StreamingIndex.maintainIndex's own
+    // auto-compaction — replaces the files underneath it. Micro-batch
+    // execution re-plans per batch, so this load keeps each batch fresh.
+    val execMeta = graft.index.IndexCatalog.load(base, meta.name)
+    val (b, m, q, kk, e) = (base, execMeta, queryExpr, k, ef)
     val toFloats: ArrayData => Array[Float] = q.dataType match {
       case ArrayType(FloatType, _) => _.toFloatArray()
       case ArrayType(DoubleType, _) => _.toDoubleArray().map(_.toFloat)

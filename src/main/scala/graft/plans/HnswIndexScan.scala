@@ -116,26 +116,74 @@ case class HnswIndexScanExec(
 
   private def fetchOrdered(): Array[InternalRow] = {
     if (condition.isEmpty) return round(k)._2
-    // Filtered top-k: over-fetch, post-filter, escalate until k survivors or
-    // the index is exhausted (search returned fewer than requested — every
-    // candidate has been considered, so the survivor set is complete).
+    // Filtered top-k: over-fetch, post-filter, escalate until k survivors,
+    // the index is provably exhausted, or the candidate width passes the
+    // fetch budget — then fall back to a fully-distributed brute-force
+    // TopN over the filtered relation (never collect the index into an
+    // IN-literal list the driver can't hold).
+    val tombCount = graft.index.TombstoneCache.get(base, meta.name).size
     var kFetch = math.min(math.max(k.toLong * OverfetchFactor, k + 16L),
       Int.MaxValue.toLong).toInt
-    while (true) {
+    val budget = math.max(MaxIndexFetch, kFetch)
+    while (kFetch <= budget) {
       val (hits, survivors) = round(kFetch)
       if (survivors.length >= k) return survivors.take(k)
-      if (hits.length < kFetch) return survivors
+      // `hits < kFetch` proves every live entry was considered ONLY when
+      // the per-segment tombstone over-fetch cap (+1024, Hnsw.searchMeta)
+      // cannot have swallowed live candidates; with more tombstones the
+      // proof needs kFetch to cover every graph entry, dead or alive.
+      val capSafe = tombCount <= 1024 || kFetch >= meta.count + tombCount
+      if (hits.length < kFetch && capSafe) return survivors
+      if (kFetch >= meta.count + tombCount) return survivors
       kFetch = math.min(kFetch * 4L, Int.MaxValue.toLong).toInt
     }
-    throw new IllegalStateException("unreachable")
+    bruteForce()
+  }
+
+  /** Starvation fallback: TopN over `Filter(cond, relation)` as an ordinary
+    * distributed plan (scan → filter → TakeOrdered k). The Sort is tagged
+    * so the TopN rewrite leaves it alone — without the tag this exact shape
+    * would rewrite straight back into this node. */
+  private def bruteForce(): Array[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, GlobalLimit, Project, Sort}
+    val vecAttr = relation.output.find(_.name == meta.column).getOrElse(
+      throw new IllegalStateException(s"vector column '${meta.column}' not in relation"))
+    val qLit = Literal.create(query, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false))
+    val distExpr: org.apache.spark.sql.catalyst.expressions.Expression = meta.metric match {
+      case "cosine" => graft.expressions.ArrayCosineDistance(vecAttr, qLit)
+      case "ip" => graft.expressions.ArrayNegativeInnerProduct(vecAttr, qLit)
+      case _ => graft.expressions.ArraySquaredDistance(vecAttr, qLit)
+    }
+    // NULL vectors are never in the index, so the index path never returns
+    // them; exclude them here too for path-independent results.
+    val filtered = Filter(org.apache.spark.sql.catalyst.expressions.And(
+      condition.get, org.apache.spark.sql.catalyst.expressions.IsNotNull(vecAttr)), relation)
+    val sorted = Sort(Seq(SortOrder(distExpr, Ascending)), global = true, filtered)
+    sorted.setTagValue(HnswIndexScanExec.NoRewriteTag, true)
+    val limited = GlobalLimit(Literal(k), LocalLimit(Literal(k), sorted))
+    Bridge.ofRows(session, Project(output, limited))
+      .queryExecution.executedPlan.executeCollect()
   }
 
   private def OverfetchFactor: Int =
     session.conf.get(Hnsw.FilteredOverfetchKey, "4").toInt
 
+  /** Widest index candidate fetch before brute force takes over. */
+  private def MaxIndexFetch: Int =
+    session.conf.get(Hnsw.FilteredMaxFetchKey, "16384").toInt
+
   override def simpleString(maxFields: Int): String =
     s"HnswIndexScanExec [index=${meta.name}, metric=${meta.metric}, k=$k, ef=$ef" +
       condition.map(c => s", filtered=${c.sql}]").getOrElse("]")
+}
+
+object HnswIndexScanExec {
+  /** Set on the brute-force fallback's Sort so the TopN rewrite leaves it
+    * alone — that plan is the escape hatch FROM the index path. */
+  val NoRewriteTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.hnsw.noRewrite")
 }
 
 /** Planner strategy: logical [[HnswIndexScan]] → [[HnswIndexScanExec]]. */

@@ -61,20 +61,26 @@ class TopNToIndexScan(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get(Hnsw.RewriteEnabledKey, "true").toBoolean) return plan
     plan.transformDown {
-      case l @ Limit(IntegerLiteral(k), Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _))
-          if k > 0 && k < 2048 =>
+      case l @ Limit(IntegerLiteral(k),
+          s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _))
+          if k > 0 && k < 2048 && notOptedOut(s) =>
         rewriteChild(child, key, k, None).getOrElse(l)
       // PushProjectionThroughLimit moves post-sort projections between the
       // limit and the sort; the reference's MergeProjections handles the
       // same shape (hnsw_optimize_scan.cpp:211-249). The outer projection's
       // references bound what the scan must fetch (projection pushdown).
       case l @ Limit(IntegerLiteral(k),
-          Project(pl, Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
-          if k > 0 && k < 2048 =>
+          Project(pl, s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
+          if k > 0 && k < 2048 && notOptedOut(s) =>
         rewriteChild(child, key, k, Some(AttributeSet(pl.flatMap(_.references))))
           .map(Project(pl, _)).getOrElse(l)
     }
   }
+
+  /** The filtered scan's brute-force fallback tags its Sort: rewriting that
+    * plan would send the escape hatch straight back into the index path. */
+  private def notOptedOut(s: Sort): Boolean =
+    s.getTagValue(graft.plans.HnswIndexScanExec.NoRewriteTag).isEmpty
 
   /** Try to rewrite; None restores the original shape. Peels the optimized
     * sub-plan `[Project(pl)] [Filter(p)] [Project(attrs)] relation`,

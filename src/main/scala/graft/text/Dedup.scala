@@ -112,11 +112,15 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
       driverEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // Persist before probing: the pairs pipeline (LSH band join + verify)
+    // is the expensive part, and the over-threshold path would otherwise
+    // recompute it from scratch for the distributed loop.
+    val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
     // One job answers both "does it fit?" and "give me the edges": the
     // limit returns threshold+1 rows only when the set is too big.
     val probe = raw.limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
     if (probe.length <= driverEdgeThreshold) {
+      raw.unpersist()
       val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -147,7 +151,8 @@ object Dedup {
     // change-detection join.
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels) // materializes labels (and edges beneath)
+    raw.unpersist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
