@@ -40,6 +40,8 @@ object Hnsw {
   val MaxVectorsPerPartitionKey = "spark.graft.hnsw.build.maxVectorsPerPartition"
   /** Initial candidate multiplier for filtered top-k index scans. */
   val FilteredOverfetchKey = "spark.graft.hnsw.filteredScan.overfetch"
+  /** Widest filtered-scan candidate fetch before brute force takes over. */
+  val FilteredMaxFetchKey = "spark.graft.hnsw.filteredScan.maxFetch"
 
   def baseDir(spark: SparkSession): String =
     spark.conf.get(LocationKey,

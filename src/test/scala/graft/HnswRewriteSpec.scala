@@ -114,6 +114,27 @@ class HnswRewriteSpec extends SparkSuite {
     assert(r4.length == 3 && r4.forall(_.getLong(0) > 100))
   }
 
+  test("filtered TopN past the fetch budget falls back to distributed brute force") {
+    val qv = lit_vector(Array(1f, 2f, 3f))
+    val d = array_distance(col("vec"), qv)
+    // Rows far from the query + a tiny fetch budget: the first over-fetch
+    // round finds no survivors and the escalation immediately exceeds the
+    // budget, so HnswIndexScanExec.bruteForce answers. Results must still
+    // match the un-rewritten plan exactly (and not loop back into the
+    // index path — NoRewriteTag guards the escape hatch).
+    def q = grid.where(col("id") >= 720).select(col("id"), d.as("dd")).orderBy("dd").limit(5)
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    val brute = try q.collect().toSeq finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+    spark.conf.set(Hnsw.FilteredMaxFetchKey, "8")
+    try {
+      assert(planOf(q).contains("filtered="), planOf(q))
+      val fell = q.collect().toSeq
+      assert(fell.map(_.getDouble(1)) == brute.map(_.getDouble(1)))
+      assert(fell.forall(_.getLong(0) >= 720))
+      assert(fell.length == 5)
+    } finally spark.conf.unset(Hnsw.FilteredMaxFetchKey)
+  }
+
   test("SQL surface: ORDER BY array_distance LIMIT k uses the index") {
     grid.createOrReplaceTempView("grid_t")
     val q = spark.sql(
