@@ -63,6 +63,15 @@ object TextQueries {
           threshold = 0.8)
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "doc_jaccard_join" -> ((s, dir) => {
+      // EXACT n-gram Jaccard similarity join (prefix-filtered inverted
+      // index, no LSH) — the oracle is brute-force all-pairs at the same
+      // threshold, so any missed candidate is a hash mismatch.
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       // rows-only: SimHash near-dup candidates (chunk-banded, deterministic)
       Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
@@ -147,6 +156,14 @@ object TextQueries {
                    / len(list_distinct(list_concat(a.s, b.s))) AS j
                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+         ORDER BY id_a, id_b""",
+    "doc_jaccard_join" ->
+      s"""$shingleCte,
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
          ORDER BY id_a, id_b""",
     "doc_lang_quality" ->
       """SELECT lang, count(*) AS n_docs,

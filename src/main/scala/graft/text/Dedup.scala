@@ -222,6 +222,54 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram Jaccard similarity join: every pair (id_a < id_b) with
+   * Jaccard(shingles_a, shingles_b) >= threshold — no LSH approximation.
+   *
+   * Scale path is prefix filtering (Chaudhuri et al. SSJoin / Xiao et al.
+   * PPJoin): order each document's grams rarest-first by global document
+   * frequency; a pair at J >= t must share a gram inside each side's first
+   * `sz - ceil(t*sz) + 1` grams, so posting lists are built over those
+   * prefixes only. The two properties that survive 100 TB:
+   *  - ultra-hot grams (stopword shingles with df in the millions) sort
+   *    LAST in every document's ordering, so they almost never enter a
+   *    prefix — the quadratic hot-key blowup a naive inverted-index join
+   *    suffers cannot happen;
+   *  - every stage is an equi-join or hash aggregation on uniformly
+   *    distributed keys (gram, doc id); candidate verification touches
+   *    candidate pairs only (semi-joined shingle fetch, as [[nearDupPairs]]).
+   * A length filter (min size >= t * max size) prunes candidates before the
+   * verify join. Exactness: with prefix length sz - ceil(t*sz) + 1 on both
+   * sides under one global order, J >= t implies the prefixes intersect.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        wordShingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0).persist()
+    val posting = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+    val gramDf = posting.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    val prefix = posting.join(gramDf, "g")
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("g"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          least(col("x.sz"), col("y.sz")) >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * SimHash near-duplicate pairs: (id_a, id_b, hamming). Candidates are
    * pairs agreeing on at least one `chunkBits`-bit chunk of the 64-bit
    * simhash — pigeonhole-complete for hamming < 64/chunkBits (chunkBits=8 →

@@ -66,6 +66,26 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 3L, 5L, 6L))
   }
 
+  test("ngramJaccardPairs equals brute-force all-pairs (prefix filter is exact)") {
+    // Brute force: all pairs over the same shingle sets.
+    val sh = docs.select(col("doc_id").cast("long").as("id"),
+      TF.wordShingles(col("text"), 3).as("sh")).where(size(col("sh")) > 0)
+    def brute(t: Double) = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TF.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+    // Sanity on content: the exact-dup pair is there at J=1.
+    val at1 = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at1 == Set((1L, 4L)))
+  }
+
   test("simHashPairs: identical and near-identical texts collide") {
     // hamming(1,2)=7 on this data → found because 8-bit chunking is
     // pigeonhole-complete for hamming <= 7
