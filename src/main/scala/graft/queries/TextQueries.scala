@@ -96,6 +96,16 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "doc_quality_filter" -> ((s, dir) => {
+      // Corpus curation pre-filter: composite quality score >= 0.93 (the
+      // fixture median is ~0.937, so the threshold really splits). The
+      // oracle reproduces the exact formula — all terms exact-int-then-
+      // double, final round at 6 decimals where the value is exact.
+      val d = Tables.load(s, dir, "documents")
+      TF.filterByQuality(d, "text", minScore = 0.93)
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
@@ -171,6 +181,26 @@ object TextQueries {
            round(avg(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                  / length(text), 4)), 4) AS avg_alpha
          FROM documents GROUP BY lang ORDER BY lang""",
+    "doc_quality_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS mean_tok_len,
+             round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS alpha_ratio,
+             round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS punct_ratio
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.25
+               + alpha_ratio * 0.35
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+               + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.25 END) * 0.2, 6) AS quality
+           FROM f)
+         SELECT doc_id, quality FROM q WHERE quality >= 0.93 ORDER BY doc_id""",
     "emb_near_dup" ->
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings

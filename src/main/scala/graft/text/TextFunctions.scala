@@ -78,7 +78,12 @@ object TextFunctions {
     val punctOk = lit(1.0) - least(st.getField("punct_ratio") * 4.0, lit(1.0))
     val tokLen = st.getField("mean_tok_len")
     val tokOk = when(tokLen.between(2.0, 12.0), 1.0).otherwise(0.25)
-    round((lengthOk * 0.25 + alphaOk * 0.35 + punctOk * 0.2 + tokOk * 0.2), 4)
+    // The 4-decimal inputs × 2-decimal weights make every term an exact
+    // 6-decimal value, so rounding at 6 never sits on a half boundary —
+    // engines with different round-half conventions (DuckDB vs JVM
+    // BigDecimal HALF_UP) agree bit-for-bit. Rounding at 4 would not:
+    // e.g. alpha_ratio 0.815 × 0.35 = 0.28525 lands exactly on .xxxx5.
+    round((lengthOk * 0.25 + alphaOk * 0.35 + punctOk * 0.2 + tokOk * 0.2), 6)
   }
 
   /** Keep rows whose [[qualityScore]] meets `minScore` — the corpus filter. */
