@@ -39,5 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vss_match"),
       new ExpressionInfo("graft", "vss_match"),
       graft.sql.TvfMacros.vssMatch))
+    // Dedup family as SQL table functions — the LLM-pipeline surface:
+    // SELECT * FROM dedup_near(TABLE(docs), 'text', 'doc_id', 0.8) etc.
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
+      "dedup_exact" -> graft.sql.TvfMacros.dedupExact,
+      "dedup_near" -> graft.sql.TvfMacros.dedupNear,
+      "dedup_drop" -> graft.sql.TvfMacros.dedupDrop,
+      "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,
+      "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
+      "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup
+    ).foreach { case (name, builder) =>
+      e.injectTableFunction((
+        FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
+    }
   }
 }

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, FunctionTableSubqueryArgumentExpression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, StringType}
 
 import graft.api.Vss
+import graft.text.Dedup
 
 /**
  * SQL table-valued-function surface for the vss_join / vss_match macros —
@@ -69,4 +70,59 @@ object TvfMacros {
 
   def vssMatch(args: Seq[Expression]): LogicalPlan =
     build("vss_match", args, Vss.vssMatch(_, _, _, _, _, _))
+
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, DoubleType) => d
+    case Literal(d: Decimal, _: DecimalType) => d.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got: ${other.sql}")
+  }
+
+  /** Shared (table, text_col, id_col, x[, …]) shape of the dedup TVFs. */
+  private def dedupBuild(fn: String, args: Seq[Expression], minArgs: Int,
+      maxArgs: Int, make: (DataFrame, String, String) => DataFrame): LogicalPlan = {
+    if (args.length < minArgs || args.length > maxArgs) {
+      throw new IllegalArgumentException(
+        s"$fn takes $minArgs to $maxArgs arguments, got ${args.length}")
+    }
+    val spark = SparkSession.active
+    make(table(spark, args(0), s"$fn table"), str(args(1), s"$fn text_col"),
+      str(args(2), s"$fn id_col")).queryExecution.analyzed
+  }
+
+  // ---- Dedup family as SQL table functions (engine-native additions —
+  // the LLM-pipeline surface, SQL-callable like the reference's macros):
+  //   dedup_exact(TABLE(t), 'text', 'id')
+  //   dedup_near(TABLE(t), 'text', 'id', 0.8)
+  //   dedup_drop(TABLE(t), 'text', 'id', 0.8)
+  //   ngram_jaccard_join(TABLE(t), 'text', 'id', 0.5)
+  //   simhash_pairs(TABLE(t), 'text', 'id', 7)
+  //   embedding_near_dup(TABLE(t), 'vec', 'id', 0.9)
+
+  def dedupExact(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("dedup_exact", args, 3, 3, Dedup.exactDupGroups(_, _, _))
+
+  def dedupNear(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("dedup_near", args, 4, 4, (df, t, i) =>
+      Dedup.nearDupPairs(df, t, i, dblLit(args(3), "dedup_near threshold")))
+
+  def dedupDrop(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("dedup_drop", args, 4, 4, (df, t, i) =>
+      Dedup.dropNearDuplicates(df, t, i, dblLit(args(3), "dedup_drop threshold")))
+
+  def ngramJaccardJoin(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("ngram_jaccard_join", args, 4, 5, (df, t, i) =>
+      Dedup.ngramJaccardPairs(df, t, i,
+        dblLit(args(3), "ngram_jaccard_join threshold"),
+        if (args.length == 5) intLit(args(4), "ngram_jaccard_join n") else 3))
+
+  def simhashPairs(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("simhash_pairs", args, 4, 4, (df, t, i) =>
+      Dedup.simHashPairs(df, t, i, intLit(args(3), "simhash_pairs max_hamming")))
+
+  def embeddingNearDup(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("embedding_near_dup", args, 4, 4, (df, v, i) =>
+      Dedup.embeddingNearDupPairs(df, v, i,
+        dblLit(args(3), "embedding_near_dup threshold")))
 }

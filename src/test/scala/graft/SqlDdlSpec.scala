@@ -88,6 +88,43 @@ class SqlDdlSpec extends SparkSuite {
     assert(e.getMessage.contains("5 or 6"))
   }
 
+  test("SQL TVFs for the dedup family") {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs")
+    val exact = spark.sql(
+      "SELECT * FROM dedup_exact(TABLE(tvf_docs), 'text', 'doc_id')").collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("keep_id") == 1L)
+    val near = spark.sql(
+      """SELECT id_a, id_b FROM dedup_near(TABLE(tvf_docs), 'text', 'doc_id', 0.5)
+         ORDER BY id_a, id_b""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.contains((1L, 4L)) && near.contains((1L, 2L)))
+    val kept = spark.sql(
+      """SELECT doc_id FROM dedup_drop(TABLE(tvf_docs), 'text', 'doc_id', 0.5)
+         ORDER BY doc_id""").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L))
+    val jj = spark.sql(
+      """SELECT id_a, id_b FROM ngram_jaccard_join(TABLE(tvf_docs), 'text', 'doc_id', 1.0)
+         ORDER BY id_a""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(jj == Seq((1L, 4L)))
+    val sh = spark.sql(
+      "SELECT * FROM simhash_pairs(TABLE(tvf_docs), 'text', 'doc_id', 7)").collect()
+    assert(sh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L && r.getInt(2) == 0))
+    Seq((1L, Array(1f, 0f, 0f)), (2L, Array(2f, 0f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "vec").createOrReplaceTempView("tvf_vecs")
+    val em = spark.sql(
+      """SELECT id_a, id_b FROM embedding_near_dup(TABLE(tvf_vecs), 'vec', 'vec_id', 0.99)
+         ORDER BY id_a""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(em == Seq((1L, 2L)))
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM dedup_near(TABLE(tvf_docs), 'text', 'doc_id')"))
+    assert(err.getMessage.contains("4 to 4"))
+  }
+
   test("bad options surface the reference binder messages through SQL") {
     setupTable()
     val e = intercept[IllegalArgumentException](spark.sql(
