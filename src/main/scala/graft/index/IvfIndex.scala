@@ -60,6 +60,22 @@ object Ivf {
       .map(c => (c, VectorMath.l2Squared(q, centroids(c))))
       .sortBy(_._2).take(nprobe).map(_._1)
 
+  /** Per-row nprobe nearest cell ids, distance-ascending (index-ascending on
+    * ties) — the query-side cell assignment of [[topKJoin]]. Eval-only: runs
+    * once per query row, never over the corpus. */
+  private[graft] case class NearestCells(child: Expression,
+      centroids: Array[Array[Float]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val cells = nearestCells(vec, centroids, nprobe)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(cells.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /**
    * Build the IVF layout at `outPath`: fit nCells k-means centroids on a
    * sample, assign cells, write parquet partitioned by `ivf_cell`, persist
@@ -98,6 +114,42 @@ object Ivf {
       .withColumn("distance", graft.functions.array_distance(col(vecCol), qCol))
       .orderBy(col("distance"))
       .limit(k)
+  }
+
+  /**
+   * Batch multi-query ANN over the IVF layout — the training-pipeline shape
+   * ("enrich every example with its k nearest corpus rows"). For each query
+   * row: the k nearest layout rows among its `nprobe` nearest cells
+   * (exact when nprobe = nCells).
+   *
+   * 100 TB design: the QUERY side (small) is broadcast and exploded to
+   * (query, cell) pairs; the equi-join on the parquet partition column
+   * `ivf_cell` lets Spark's dynamic partition pruning skip every cell no
+   * query probes — the corpus is never shuffled and unprobed files are
+   * never opened. Per-query top-k is one window shuffle over candidate
+   * rows (|queries| × nprobe cells' worth, not the corpus).
+   *
+   * Returns layout rows with `q_id`, `distance`, `rn` (1..k per query).
+   */
+  def topKJoin(spark: SparkSession, path: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int, tieCol: Option[String] = None): DataFrame = {
+    val centroids = readCentroids(new File(path, CentroidFile))
+    val np = math.min(nprobe, centroids.length)
+    val cellsCol = Bridge.column(NearestCells(
+      Bridge.expression(col("q_vec")), centroids, np))
+    val q = queries
+      .select(col(queryIdCol).as("q_id"), col(queryVecCol).cast("array<float>").as("q_vec"))
+      .withColumn("ivf_cell", explode(cellsCol))
+    val layout = spark.read.parquet(path)
+    val byQuery = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("distance") +: tieCol.map(col).toSeq: _*)
+    layout.join(broadcast(q), "ivf_cell")
+      .withColumn("distance",
+        graft.functions.array_distance(col(vecCol), col("q_vec")).cast("double"))
+      .withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .drop("q_vec")
   }
 
   private def writeCentroids(f: File, cs: Array[Array[Float]]): Unit = {

@@ -130,6 +130,18 @@ object HnswQueries {
         .select(col("vec_id"), round(col("distance"), 4).as("d"))
         .orderBy("d", "vec_id")
     }),
+    "ivf_topk_join" -> ((s, dir) => {
+      // Batch multi-query ANN over the IVF layout: queries broadcast +
+      // exploded to their probed cells, dynamic partition pruning skips the
+      // rest of the corpus. Exhaustive probe (nprobe = nCells) → exact.
+      val layout = ensureIvfLayout(s, dir)
+      val queries = graft.Tables.load(s, dir, "embeddings").where(col("vec_id") < 5)
+      graft.index.Ivf.topKJoin(s, layout, "embedding", queries, "vec_id", "embedding",
+          k = 3, nprobe = 8, tieCol = Some("vec_id"))
+        .select(col("q_id").cast("long").as("q_id"), col("vec_id").as("n_id"),
+          round(col("distance"), 4).as("d"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
     "hnsw_topn_ann" -> ((s, dir) => {
       // Bench entry: default-ef ANN top-k through the raw search surface
       // (approximate → rows-only check, like the reference's closeness tests).
@@ -171,6 +183,14 @@ object HnswQueries {
     "ivf_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
           FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
+    "ivf_topk_join" ->
+      """WITH s AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                  list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d
+           FROM embeddings e, embeddings q WHERE q.vec_id < 5)
+         SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn FROM s)
+         WHERE rn <= 3 ORDER BY q_id, rn""",
     "hnsw_lateral_topk" ->
       """WITH s AS (
            SELECT q.vec_id AS q_id, e.vec_id AS n_id,

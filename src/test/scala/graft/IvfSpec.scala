@@ -36,6 +36,31 @@ class IvfSpec extends SparkSuite {
     assert(probed.count() < all)
   }
 
+  test("topKJoin: batch ANN equals per-query brute force at nprobe=nCells; DPP prunes cells") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Ivf.topKJoin(spark, layout, "embedding", queries, "vec_id", "embedding",
+        k = 3, nprobe = 8, tieCol = Some("vec_id"))
+      .select(col("q_id").cast("long"), col("vec_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    // Brute force: window top-3 per query over the full corpus.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d"), col("vec_id"))
+    val brute = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .withColumn("d", graft.functions.array_distance(col("embedding"), col("q_vec")).cast("double"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    // Selective probing triggers dynamic partition pruning on the layout scan.
+    val pruned = Ivf.topKJoin(spark, layout, "embedding", queries, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("topK recall vs exact brute force >= 0.9 at nprobe=6/8") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
