@@ -42,6 +42,40 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("text-pipeline ops compose on streams: quality filter + langid + dedup on a doc stream") {
+    import spark.implicits._
+    import graft.text.{TextFunctions => TF}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // Stateless curation (quality + langid + stats) runs unchanged on a
+    // stream — codegen'd Catalyst expressions have no batch dependency;
+    // exact dedup across batches is the stateful piece (dropDuplicates
+    // keyed on content hash, state retained per watermarkless run).
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val curated = stream
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("lang_pred", TF.langId(col("text")))
+      .where(col("quality") >= 0.35)
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+    val query = curated.writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-t").toString)
+      .start()
+    try {
+      val clean = "the quiet morning light settled over the harbor while the fishing boats returned with their catch"
+      mem.addData((1L, clean), (2L, "@@ ## !! %% ^^ && ** (("), (3L, clean))
+      query.processAllAvailable()
+      mem.addData((4L, clean), (5L, "the quiet evening light settled over the harbor while the fishing boats returned with their catch"))
+      query.processAllAvailable()
+      val out = spark.table("curated_docs")
+        .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+      // 2 dropped by quality (scores 0.30 < 0.35); 3, 4 deduped against 1 across batches.
+      assert(out.keySet == Set(1L, 5L), out.toString)
+      assert(out(1L) == "en")
+    } finally query.stop()
+  }
+
   test("maintainIndex auto-compacts: segment count stays bounded across many batches") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
