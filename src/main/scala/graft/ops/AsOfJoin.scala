@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join — "for every left row, the temporally closest right row at or
+ * before it" (direction="backward"; "forward" flips the inequality). The
+ * standard event-stream enrichment: attach the most recent sensor reading /
+ * price / session marker to each fact row.
+ *
+ * 100 TB design: NOT a range join (whose candidate set is |left| × matching
+ * window) and NOT a per-key loop. Both sides are unioned with a side tag and
+ * a single window over the partition keys computes, per left row, the last
+ * preceding right payload (`last(_, ignoreNulls)` over rows unbounded-
+ * preceding..current). Cost = ONE shuffle on the partition keys + a sort
+ * within partitions — the same plan shape as any windowed aggregation, so
+ * it scales exactly as far as Spark windows do. Skew note: partitions are
+ * (key)-hashed; a single hot key serializes in one task, the inherent
+ * window-function bound (salt upstream if one entity dominates).
+ */
+object AsOfJoin {
+
+  /**
+   * @param partitionCols equality keys (e.g. user_id) — both sides
+   * @param leftTs/rightTs  ordering column name on each side (any orderable
+   *                        numeric/timestamp type; compared with <=/>=)
+   * @param direction "backward" (greatest rightTs <= leftTs) or
+   *                  "forward" (smallest rightTs >= leftTs)
+   * @param tolerance  optional max |leftTs - rightTs| (same units as the ts
+   *                   columns cast to long); matches beyond it become NULL
+   * @param rightPrefix prefix for right-side output columns
+   *
+   * Left-outer semantics: every left row survives; unmatched rows carry
+   * NULL right columns. Right rows tying on (keys, rightTs) are broken
+   * arbitrarily (as in DuckDB/pandas ASOF; make rightTs unique per key for
+   * deterministic output).
+   */
+  def asof(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+      leftTs: String, rightTs: String, direction: String = "backward",
+      tolerance: Option[Long] = None, rightPrefix: String = "asof_"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq.filterNot(partitionCols.contains)
+    val pk = partitionCols.map(col)
+
+    val leftTagged = left.select(
+      pk ++ Seq(
+        col(leftTs).as("_ts"), lit(0).as("_side"),
+        struct(leftCols.map(col): _*).as("_l"),
+        lit(null).cast(structTypeOf(right, rightCols)).as("_r")): _*)
+    val rightTagged = right.select(
+      pk ++ Seq(
+        col(rightTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
+        struct(rightCols.map(col): _*).as("_r")): _*)
+
+    // Backward: ascending ts, right-before-left on equal ts so "<=" holds;
+    // forward: descending ts gives "the smallest rightTs >= leftTs" as the
+    // last preceding right row in scan order.
+    val ord: Seq[Column] =
+      if (direction == "backward") Seq(col("_ts").asc, col("_side").desc)
+      else Seq(col("_ts").desc, col("_side").desc)
+    val w = Window.partitionBy(pk: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = leftTagged.unionByName(rightTagged)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0)
+    val withTol = tolerance match {
+      case Some(t) =>
+        val gap = abs(col("_ts").cast("long") -
+          col("_match").getField(rightTs).cast("long"))
+        matched.withColumn("_match", when(gap <= t, col("_match")))
+      case None => matched
+    }
+    withTol.select(
+      leftCols.map(c => col("_l").getField(c).as(c)) ++
+        rightCols.map(c => col("_match").getField(c).as(rightPrefix + c)): _*)
+  }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)))
+}

@@ -146,6 +146,25 @@ object RelationalQueries {
           outD(sum(col("l_quantity").cast(dec))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q14_asof_join" -> ((s, dir) => {
+      // As-of join: each purchase event picks up the most recent prior view
+      // by the same user (union + window, one shuffle — ops.AsOfJoin).
+      // Oracle is DuckDB's native ASOF LEFT JOIN. ts is LONG nanos here but
+      // DuckDB surfaces micros, so both sides emit epoch-micros; (user_id,
+      // ts) is unique per type in the fixture → deterministic.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"), col("ts"))
+      graft.ops.AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", "ts",
+          rightPrefix = "v_")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("p_ts"), // DuckDB surfaces micros — emit micros
+          col("v_view_event_id").as("view_event_id"),
+          expr("v_ts div 1000").as("v_ts"))
+        .orderBy("event_id")
+    }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
       Tables.load(s, dir, "events")
@@ -215,6 +234,13 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q14_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
+           v.event_id AS view_event_id, epoch_us(v.ts) AS v_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "q13_json_extract" ->
       """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
            round(CAST(avg(k) AS DOUBLE), 4) AS avg_k
