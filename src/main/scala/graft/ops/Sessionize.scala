@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Gap-based sessionization: assign each row a per-key `session_seq`
+ * (1, 2, …) that increments whenever the gap to the previous event of the
+ * same key exceeds `maxGap`. The standard event-stream building block for
+ * engagement/funnel analytics over clickstreams.
+ *
+ * One window shuffle on the keys (lag → gap flag → running sum); no joins,
+ * no state beyond the window sort. At 100 TB the bound is per-key event
+ * volume in one task — the inherent window limit (pre-split hyperactive
+ * keys upstream if one entity dominates). The streaming analogue is
+ * `session_window` in Structured Streaming; this operator is the batch
+ * path over the same semantics.
+ */
+object Sessionize {
+
+  /**
+   * @param keyCols  session scope (e.g. user_id)
+   * @param tsCol    orderable event-time column; gaps compared as long
+   * @param maxGap   max intra-session gap, in `tsCol` units (e.g. nanos)
+   *
+   * Output = input + `session_seq` (LONG, 1-based per key).
+   */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      maxGap: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev_ts", lag(col(tsCol), 1).over(byKey))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          col(tsCol).cast("long") - col("_prev_ts").cast("long") > maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_session")).over(running))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** Per-session rollup: (keys…, session_seq, n_events, start_ts, end_ts). */
+  def sessionStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      maxGap: Long): DataFrame =
+    sessionize(df, keyCols, tsCol, maxGap)
+      .groupBy((keyCols :+ "session_seq").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"))
+}

@@ -165,6 +165,17 @@ object RelationalQueries {
           expr("v_ts div 1000").as("v_ts"))
         .orderBy("event_id")
     }),
+    "q15_sessionize" -> ((s, dir) => {
+      // Gap-based sessionization (4 h gap over nanosecond timestamps), then
+      // per-session stats. One window shuffle — ops.Sessionize. Timestamps
+      // emitted as epoch-micros for DuckDB parity.
+      graft.ops.Sessionize.sessionStats(Tables.load(s, dir, "events"),
+          Seq("user_id"), "ts", maxGap = 4L * 3600 * 1000000000L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          expr("start_ts div 1000").as("start_us"),
+          expr("end_ts div 1000").as("end_us"))
+        .orderBy("user_id", "session_seq")
+    }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
       Tables.load(s, dir, "events")
@@ -234,6 +245,23 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q15_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 4 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         FROM t GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
            v.event_id AS view_event_id, epoch_us(v.ts) AS v_ts

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sessionize
+
+/** Gap-based sessionization: seq assignment, per-key isolation, rollup. */
+class SessionizeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val events = Seq(
+    ("u1", 100L), ("u1", 150L), ("u1", 400L), // gap 250 > 200 → new session
+    ("u1", 450L),
+    ("u2", 90L), ("u2", 500L), ("u2", 1000L)) // two breaks for u2
+    .toDF("user", "ts")
+
+  test("session_seq increments on gaps over maxGap, per key") {
+    val r = Sessionize.sessionize(events, Seq("user"), "ts", maxGap = 200L)
+      .select("user", "ts", "session_seq")
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r(("u1", 100L)) == 1L && r(("u1", 150L)) == 1L)
+    assert(r(("u1", 400L)) == 2L && r(("u1", 450L)) == 2L)
+    assert(r(("u2", 90L)) == 1L && r(("u2", 500L)) == 2L && r(("u2", 1000L)) == 3L)
+  }
+
+  test("boundary: gap exactly maxGap stays in-session") {
+    val df = Seq(("u", 0L), ("u", 200L)).toDF("user", "ts")
+    val r = Sessionize.sessionize(df, Seq("user"), "ts", maxGap = 200L)
+      .select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 1L))
+  }
+
+  test("sessionStats rolls up count/start/end per session") {
+    val r = Sessionize.sessionStats(events, Seq("user"), "ts", maxGap = 200L)
+      .orderBy("user", "session_seq")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("u1", 1L, 2L, 100L, 150L), ("u1", 2L, 2L, 400L, 450L),
+      ("u2", 1L, 1L, 90L, 90L), ("u2", 2L, 1L, 500L, 500L), ("u2", 3L, 1L, 1000L, 1000L)))
+  }
+
+  test("plan is one window shuffle — no join") {
+    val plan = Sessionize.sessionize(events, Seq("user"), "ts", 200L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+}
