@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-interval range join: match each left "point" row to every right
+ * interval `[startCol, endCol]` (inclusive) containing it, optionally
+ * scoped by equality keys.
+ *
+ * 100 TB design: Spark plans a bare `l.ts BETWEEN r.s AND r.e` join as a
+ * broadcast-nested-loop — quadratic and broadcast-bound. This operator
+ * bucketizes instead: points land in bucket `ts div w`, intervals explode
+ * to every bucket they overlap, and the join is a plain EQUI-join on
+ * (keys…, bucket) with an exact containment post-filter. Each point can
+ * meet an interval only in the point's own bucket, so no dedup pass is
+ * needed. Shuffle keys are (keys, bucket) — fine-grained and uniform;
+ * interval blowup is bounded by ceil(len/w)+1 rows per interval, so pick
+ * `bucketWidth` near the typical interval length (the classic
+ * time-bucketed interval-join tradeoff).
+ */
+object RangeJoin {
+
+  /**
+   * @param keyCols     equality keys present on both sides (may be empty —
+   *                    then bucketing alone bounds the join)
+   * @param pointTs     left point column (orderable, compared as long)
+   * @param startCol/endCol right interval bounds, inclusive
+   * @param bucketWidth bucket size in ts units
+   * @param rightPrefix prefix for right-side output columns
+   *
+   * Inner-join semantics: points in no interval drop out; points in k
+   * intervals emit k rows.
+   */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], pointTs: String, startCol: String, endCol: String,
+      bucketWidth: Long, rightPrefix: String = "iv_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val rightCols = intervals.columns.toSeq.filterNot(keyCols.contains)
+    // `div` (IntegralDivide) keeps the math exact on epoch-nanos longs —
+    // `/` would detour through double and mis-bucket near bucket edges.
+    // Truncation-vs-floor alignment at negative ts is harmless: bucketing
+    // only needs a MONOTONE ts→bucket map applied identically to both
+    // sides, and each point meets an interval in exactly one bucket (its
+    // own), so matches are found once and exactly once.
+    val p = points.withColumn("_bucket",
+      expr(s"CAST($pointTs AS BIGINT) div $bucketWidth"))
+    val iv = intervals
+      .withColumn("_bucket", explode(sequence(
+        expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
+      .select((keyCols :+ "_bucket").map(col) ++
+        rightCols.map(c => col(c).as(rightPrefix + c)): _*)
+    p.join(iv, keyCols :+ "_bucket")
+      .where(col(pointTs).cast("long").between(
+        col(rightPrefix + startCol).cast("long"),
+        col(rightPrefix + endCol).cast("long")))
+      .drop("_bucket")
+  }
+}

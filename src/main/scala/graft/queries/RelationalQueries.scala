@@ -176,6 +176,25 @@ object RelationalQueries {
           expr("end_ts div 1000").as("end_us"))
         .orderBy("user_id", "session_seq")
     }),
+    "q16_range_join" -> ((s, dir) => {
+      // Range join composed with sessionization: attribute every purchase
+      // to the (4 h-gap) session interval containing it. Bucketized
+      // equi-join (ops.RangeJoin) — never a nested loop; bucket width =
+      // the session gap. Sessions partition each user's events, so every
+      // purchase lands in exactly one session.
+      val ev = Tables.load(s, dir, "events")
+      val sessions = graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts",
+        maxGap = 4L * 3600 * 1000000000L)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.RangeJoin.pointInInterval(purchases, sessions,
+          Seq("user_id"), "ts", "start_ts", "end_ts",
+          bucketWidth = 4L * 3600 * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          col("iv_session_seq").as("session_seq"),
+          col("iv_n_events").as("n_events"))
+        .orderBy("event_id")
+    }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
       Tables.load(s, dir, "events")
@@ -245,6 +264,28 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q16_range_join" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 4 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s),
+         iv AS (
+           SELECT user_id, session_seq, count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts
+           FROM t GROUP BY user_id, session_seq)
+         SELECT p.event_id, p.user_id, iv.session_seq, iv.n_events
+         FROM events p JOIN iv
+           ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "q15_sessionize" ->
       """WITH s AS (
            SELECT user_id, ts,
