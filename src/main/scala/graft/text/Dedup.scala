@@ -256,12 +256,20 @@ object Dedup {
     val prefix = posting.join(gramDf, "g")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("sz"), col("g"))
+      .select(col("id"), col("sz"), col("g"), col("rn"))
       .persist()
+    // PPJoin positional filter: a pair colliding on a gram at positions
+    // (rnA, rnB) of the shared rarity order can overlap by at most
+    // 1 + min(szA−rnA, szB−rnB); J >= t needs overlap >= t(szA+szB)/(1+t).
+    // The bound is loosest at the pair's FIRST collision, so filtering every
+    // collision row before distinct() keeps exactly the pairs whose first
+    // collision passes — completeness preserved, candidates cut hard.
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           least(col("x.sz"), col("y.sz")) >=
-            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")) &&
+          lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >=
+            ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz"))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cands
@@ -302,16 +310,27 @@ object Dedup {
    * Embedding near-duplicates: (id_a, id_b, cosine) pairs with cosine
    * similarity >= threshold, candidates via hyperplane-LSH sign buckets
    * (several independent bucketings to boost recall), cosine-verified.
+   *
+   * Skew guard (`maxBucketSize`): real embedding corpora cluster, so a
+   * fixed plane count can leave hot buckets whose within-bucket join is
+   * quadratic — the one skew mode static LSH can't bound. When set, buckets
+   * over the cap are adaptively SPLIT: their members are re-hashed with
+   * fresh planes (bucket ⊕ extra sign bits, seed varied per round) until
+   * every bucket fits or `maxSplitRounds` is exhausted. Identical
+   * directions always agree on every extra plane, so exact-duplicate
+   * recall is unaffected; near-identical pairs in a split bucket survive a
+   * round with P ≈ (1−θ/π)^splitPlanes per table and still have the other
+   * tables' buckets — the standard adaptive-LSH recall/size tradeoff,
+   * opt-in and off by default.
    */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, planes: Int = 16, tables: Int = 4, seed: Long = 42L): DataFrame = {
+      threshold: Double, planes: Int = 16, tables: Int = 4, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None, maxSplitRounds: Int = 8,
+      splitPlanes: Int = 4): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val bucketed = base.select(col("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          signProjection(col("vec"), planes, seed + t).as("bucket"))): _*)).as("b"))
-      .select(col("id"), col("b.t"), col("b.bucket"))
-    val cands = bucketed.as("x").join(bucketed.as("y"),
+    val keys = signBuckets(base, planes, tables, seed, maxBucketSize,
+      maxSplitRounds, splitPlanes)
+    val cands = keys.as("x").join(keys.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -322,5 +341,48 @@ object Dedup {
       .withColumn("cosine", array_cosine_similarity(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** (id, t, bucket) sign-LSH assignment with optional adaptive splitting
+    * of over-cap buckets (see [[embeddingNearDupPairs]]). Splitting can only
+    * separate buckets whose members DISAGREE on fresh planes — a bucket of
+    * genuinely near-identical directions is irreducible (and its quadratic
+    * output is then the true answer, not skew). */
+  private[graft] def signBuckets(base: DataFrame, planes: Int, tables: Int,
+      seed: Long, maxBucketSize: Option[Int], maxSplitRounds: Int,
+      splitPlanes: Int): DataFrame = {
+    var bucketed = base.select(col("id"), col("vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          signProjection(col("vec"), planes, seed + t).as("bucket"))): _*)).as("b"))
+      .select(col("id"), col("vec"), col("b.t"), col("b.bucket"))
+    maxBucketSize.foreach { cap =>
+      var round = 0
+      var done = false
+      bucketed = bucketed.persist()
+      while (round < maxSplitRounds && !done) {
+        val hot = bucketed.groupBy(col("t"), col("bucket"))
+          .agg(count(lit(1)).as("_n")).where(col("_n") > cap)
+          .select(col("t"), col("bucket"))
+        if (hot.isEmpty) done = true
+        else {
+          // Members of hot buckets get splitPlanes fresh sign bits mixed
+          // into the key; everyone else keeps their bucket. Persist each
+          // round so the convergence probe doesn't replay prior rounds.
+          val marked = bucketed.join(hot.withColumn("_hot", lit(true)),
+            Seq("t", "bucket"), "left")
+          val next = marked.select(col("id"), col("vec"), col("t"),
+            when(col("_hot").isNotNull,
+              xxhash64(col("bucket"),
+                signProjection(col("vec"), splitPlanes, seed * 31 + round + 7)))
+              .otherwise(col("bucket")).as("bucket"))
+            .persist()
+          bucketed.unpersist()
+          bucketed = next
+          round += 1
+        }
+      }
+    }
+    bucketed.select(col("id"), col("t"), col("bucket"))
   }
 }

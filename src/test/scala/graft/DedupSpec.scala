@@ -108,6 +108,38 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embedding LSH bucket-split cap bounds hot buckets, keeps exact-dup recall") {
+    // 400 DIVERSE random vectors under planes=2 (only 4 sign buckets →
+    // every bucket is hot at cap=16). Splitting with fresh planes must
+    // drive the max bucket size down to the cap — diverse members disagree
+    // on new planes, so the split converges.
+    val rnd = new scala.util.Random(7)
+    val diverse = (0 until 400).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val planted = Seq(
+      (1000L, Array(-5f, 3f, 0.5f, 1f, -2f, 0.3f, 4f, -1f)),
+      (1001L, Array(-10f, 6f, 1f, 2f, -4f, 0.6f, 8f, -2f)))   // ×2 → cosine 1
+    val vecs = (diverse ++ planted).toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val base = vecs.select(col("id").cast("long").as("id"), col("vec"))
+    val buckets = Dedup.signBuckets(base, planes = 2, tables = 1, seed = 42L,
+      maxBucketSize = Some(16), maxSplitRounds = 12, splitPlanes = 4)
+    val maxBucket = buckets.groupBy("t", "bucket").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket <= 16, s"hot bucket survived splitting: $maxBucket")
+    // No splitting requested → the static assignment keeps its 4 hot buckets.
+    val unsplit = Dedup.signBuckets(base, planes = 2, tables = 1, seed = 42L,
+      maxBucketSize = None, maxSplitRounds = 0, splitPlanes = 4)
+      .groupBy("t", "bucket").count().agg(max("count")).collect().head.getLong(0)
+    assert(unsplit > 16)
+    // Exact-direction duplicates agree on every fresh plane, so they are
+    // never split apart: the planted pair still comes back end-to-end.
+    val r = Dedup.embeddingNearDupPairs(vecs, "vec", "id", threshold = 0.9999,
+        planes = 2, tables = 1, maxBucketSize = Some(16))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((1000L, 1001L)))
+  }
+
   test("textStats matches hand-computed values") {
     val r = docs.where(col("doc_id") === 5L)
       .select(TF.textStats(col("text")).as("s")).select("s.*").collect().head
