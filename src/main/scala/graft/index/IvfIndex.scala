@@ -126,8 +126,10 @@ object Ivf {
    * (query, cell) pairs; the equi-join on the parquet partition column
    * `ivf_cell` lets Spark's dynamic partition pruning skip every cell no
    * query probes — the corpus is never shuffled and unprobed files are
-   * never opened. Per-query top-k is one window shuffle over candidate
-   * rows (|queries| × nprobe cells' worth, not the corpus).
+   * never opened. Per-query top-k runs through the bounded-heap
+   * `min_by(v, d, k)` aggregate, whose map-side partial aggregation ships
+   * at most k rows per (query, partition) into the shuffle — candidate
+   * rows (|probed cells| × their sizes) never leave their scan tasks.
    *
    * Returns layout rows with `q_id`, `distance`, `rn` (1..k per query).
    */
@@ -142,14 +144,22 @@ object Ivf {
       .select(col(queryIdCol).as("q_id"), col(queryVecCol).cast("array<float>").as("q_vec"))
       .withColumn("ivf_cell", explode(cellsCol))
     val layout = spark.read.parquet(path)
-    val byQuery = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-      .orderBy(col("distance") +: tieCol.map(col).toSeq: _*)
+    val layoutCols = layout.columns.toSeq
+    // Value struct leads with (distance, tieCol…): the aggregate's
+    // equal-distance tie-break compares the value lexicographically, so
+    // results are deterministic and oracle-reproducible (ORDER BY d, tie).
+    val ordered = tieCol.map(t => t +: layoutCols.filterNot(_ == t)).getOrElse(layoutCols)
+    val packed = struct(col("distance") +: ordered.map(col): _*)
     layout.join(broadcast(q), "ivf_cell")
       .withColumn("distance",
         graft.functions.array_distance(col(vecCol), col("q_vec")).cast("double"))
-      .withColumn("rn", row_number().over(byQuery))
-      .where(col("rn") <= k)
-      .drop("q_vec")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.min_by_k(packed, col("distance"), k).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_pos", "_v")))
+      .select(col("q_id") +:
+        layoutCols.map(c => col("_v").getField(c).as(c)) :+
+        col("_v").getField("distance").as("distance") :+
+        (col("_pos") + 1).cast("int").as("rn"): _*)
   }
 
   private def writeCentroids(f: File, cs: Array[Array[Float]]): Unit = {
