@@ -106,6 +106,21 @@ object TextQueries {
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "doc_curation_e2e" -> ((s, dir) => {
+      // The full curation pipeline in one gate: quality filter (>= 0.93) →
+      // near-dedup (J >= 0.8, keep smallest id) → per-language counts +
+      // total tokens. Every stage is an operator proven individually by its
+      // own gate; this entry proves they COMPOSE (the oracle replays the
+      // whole pipeline in SQL).
+      val d = Tables.load(s, dir, "documents")
+      val curated = Dedup.dropNearDuplicates(
+        TF.filterByQuality(d, "text", minScore = 0.93), "text", "doc_id",
+        threshold = 0.8)
+      curated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
@@ -181,6 +196,42 @@ object TextQueries {
            round(avg(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                  / length(text), 4)), 4) AS avg_alpha
          FROM documents GROUP BY lang ORDER BY lang""",
+    "doc_curation_e2e" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS mean_tok_len,
+             round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS alpha_ratio,
+             round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS punct_ratio
+           FROM documents),
+         q AS (
+           SELECT doc_id, text, lang, n_tokens FROM f
+           WHERE round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.25
+               + alpha_ratio * 0.35
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+               + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.25 END) * 0.2, 6) >= 0.93),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM q),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM w WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                 AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT s AS id, d AS lbl FROM e WHERE d < s
+           UNION
+           SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d WHERE r.lbl < e.s)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM q WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach)
+         GROUP BY lang ORDER BY lang""",
     "doc_quality_filter" ->
       """WITH f AS (
            SELECT doc_id,
