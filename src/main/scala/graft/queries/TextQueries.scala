@@ -121,6 +121,12 @@ object TextQueries {
           sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
         .orderBy("lang")
     }),
+    "doc_det_sample" -> ((s, dir) => {
+      // Deterministic 20% hash sample — the reproducible train/eval split
+      // device. Oracle recomputes the identical md5-prefix threshold.
+      TF.deterministicSample(Tables.load(s, dir, "documents"), "doc_id", 0.2)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
@@ -232,6 +238,11 @@ object TextQueries {
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM q WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach)
          GROUP BY lang ORDER BY lang""",
+    "doc_det_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               < 230584300921369408
+         ORDER BY doc_id""",
     "doc_quality_filter" ->
       """WITH f AS (
            SELECT doc_id,

@@ -92,6 +92,22 @@ object TextFunctions {
     df.where(qualityScore(df(textCol)) >= minScore)
 
   /**
+   * Deterministic hash sample: keep a row iff the first 60 bits of
+   * md5(keyCol as string) fall below fraction × 2⁶⁰. Unlike `df.sample`,
+   * the decision is a pure function of the key — reproducible across runs,
+   * engines, partitionings, and retries, and consistent for the same key in
+   * different snapshots of the corpus (the property training-data splits
+   * need). Embarrassingly parallel; no RNG state.
+   */
+  def deterministicSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      fraction: Double): org.apache.spark.sql.DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    df.where(conv(substring(md5(df(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") < threshold)
+  }
+
+  /**
    * Quality statistics struct: token count, mean token length, alpha ratio,
    * punctuation ratio, stopword ratio — the usual cheap quality-scoring
    * features for corpus filtering. All arithmetic is exact-int-then-double

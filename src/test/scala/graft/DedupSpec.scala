@@ -189,6 +189,18 @@ class DedupSpec extends SparkSuite {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("deterministicSample: reproducible, nested across fractions, near-rate") {
+    import spark.implicits._
+    val ids = spark.range(10000L).select(col("id").as("doc_id"))
+    def keys(f: Double) = TF.deterministicSample(ids, "doc_id", f)
+      .as[Long].collect().toSet
+    val s20 = keys(0.2)
+    assert(keys(0.2) == s20)            // pure function of the key
+    assert(s20.subsetOf(keys(0.5)))     // thresholds nest: bigger ⊇ smaller
+    assert(math.abs(s20.size / 10000.0 - 0.2) < 0.02, s20.size.toString)
+    assert(keys(0.0).isEmpty && keys(1.0).size == 10000)
+  }
+
   test("tokenCountBpe counts subword units") {
     val r = Seq("abc123 def!").toDF("t")
       .select(TF.tokenCountBpe(col("t"))).collect().head.getInt(0)
