@@ -48,7 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup_drop" -> graft.sql.TvfMacros.dedupDrop,
       "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,
       "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
-      "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup
+      "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,
+      // Event-stream operators (ops package) as SQL TVFs.
+      "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
+      "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
+      "range_join" -> graft.sql.TvfMacros.rangeJoin
     ).foreach { case (name, builder) =>
       e.injectTableFunction((
         FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))

@@ -125,4 +125,50 @@ object TvfMacros {
     dedupBuild("embedding_near_dup", args, 4, 4, (df, v, i) =>
       Dedup.embeddingNearDupPairs(df, v, i,
         dblLit(args(3), "embedding_near_dup threshold")))
+
+  private def lngLit(e: Expression, what: String): Long = e match {
+    case Literal(l: Long, _: org.apache.spark.sql.types.LongType) => l
+    case Literal(i: Int, IntegerType) => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: ${other.sql}")
+  }
+
+  // ---- Event-stream operators as SQL table functions:
+  //   as_of_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, 'backward'])
+  //   sessionize(TABLE(t), 'key', 'ts', max_gap)
+  //   range_join(TABLE(points), TABLE(intervals), 'key', 'ts', 's', 'e', width)
+
+  def asOfJoin(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 5 || args.length > 6) throw new IllegalArgumentException(
+      s"as_of_join(left, right, key, left_ts, right_ts[, direction]) takes 5 or 6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.ops.AsOfJoin.asof(
+      table(spark, args(0), "as_of_join left"), table(spark, args(1), "as_of_join right"),
+      Seq(str(args(2), "as_of_join key")), str(args(3), "as_of_join left_ts"),
+      str(args(4), "as_of_join right_ts"),
+      if (args.length == 6) str(args(5), "as_of_join direction") else "backward")
+      .queryExecution.analyzed
+  }
+
+  def sessionizeTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"sessionize(table, key, ts, max_gap) takes 4 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.ops.Sessionize.sessionize(table(spark, args(0), "sessionize table"),
+      Seq(str(args(1), "sessionize key")), str(args(2), "sessionize ts"),
+      lngLit(args(3), "sessionize max_gap"))
+      .queryExecution.analyzed
+  }
+
+  def rangeJoin(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 7) throw new IllegalArgumentException(
+      s"range_join(points, intervals, key, ts, start, end, bucket_width) takes 7 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.ops.RangeJoin.pointInInterval(
+      table(spark, args(0), "range_join points"), table(spark, args(1), "range_join intervals"),
+      Seq(str(args(2), "range_join key")), str(args(3), "range_join ts"),
+      str(args(4), "range_join start"), str(args(5), "range_join end"),
+      lngLit(args(6), "range_join bucket_width"))
+      .queryExecution.analyzed
+  }
 }

@@ -125,6 +125,33 @@ class SqlDdlSpec extends SparkSuite {
     assert(err.getMessage.contains("4 to 4"))
   }
 
+  test("SQL TVFs for the event-stream operators") {
+    import spark.implicits._
+    Seq(("a", 10L, "f1"), ("a", 25L, "f2")).toDF("k", "ts", "fact")
+      .createOrReplaceTempView("tvf_facts")
+    Seq(("a", 5L, 1.0), ("a", 20L, 2.0)).toDF("k", "ts", "price")
+      .createOrReplaceTempView("tvf_quotes")
+    val asof = spark.sql(
+      """SELECT fact, asof_price FROM
+         as_of_join(TABLE(tvf_facts), TABLE(tvf_quotes), 'k', 'ts', 'ts')
+         ORDER BY fact""").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(asof == Seq(("f1", 1.0), ("f2", 2.0)))
+    Seq(("u", 100L), ("u", 150L), ("u", 900L)).toDF("k", "ts")
+      .createOrReplaceTempView("tvf_ev")
+    val sess = spark.sql(
+      "SELECT ts, session_seq FROM sessionize(TABLE(tvf_ev), 'k', 'ts', 200) ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sess == Seq((100L, 1L), (150L, 1L), (900L, 2L)))
+    Seq(("a", 1L, 15L)).toDF("k", "pid", "ts").createOrReplaceTempView("tvf_pts")
+    Seq(("a", 9L, 10L, 20L)).toDF("k", "iid", "s", "e")
+      .createOrReplaceTempView("tvf_iv")
+    val rj = spark.sql(
+      """SELECT pid, iv_iid FROM
+         range_join(TABLE(tvf_pts), TABLE(tvf_iv), 'k', 'ts', 's', 'e', 8)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rj == Seq((1L, 9L)))
+  }
+
   test("bad options surface the reference binder messages through SQL") {
     setupTable()
     val e = intercept[IllegalArgumentException](spark.sql(
