@@ -22,6 +22,8 @@ object functions {
 
   private def col(e: Expression): Column = Bridge.column(e)
   private[graft] def expr(c: Column): Expression = Bridge.expression(c)
+  /** Full conversion for Columns composed from `functions._` builders. */
+  private def cexpr(c: Column): Expression = Bridge.composedExpression(c)
   private def vec(c: Column): Column = c.cast(ArrayType(FloatType))
 
   /** Euclidean distance sqrt(sum (a-b)^2) between two float vectors. */
@@ -92,6 +94,21 @@ object functions {
     "sign_projection" -> (es => SignRandomProjection(es(0),
       if (es.length > 1) litInt(es(1), "planes") else 16,
       if (es.length > 2) litLong(es(2), "seed") else 42L)),
+    // Composed Column functions exposed to SQL by building their expression
+    // trees over the argument expressions.
+    "quality_score" -> (es =>
+      cexpr(graft.text.TextFunctions.qualityScore(col(es(0))))),
+    "text_stats" -> (es =>
+      cexpr(graft.text.TextFunctions.textStats(col(es(0))))),
+    "token_count" -> (es =>
+      cexpr(graft.text.TextFunctions.tokenCount(col(es(0))))),
+    "token_count_bpe" -> (es =>
+      cexpr(graft.text.TextFunctions.tokenCountBpe(col(es(0))))),
+    "word_shingles" -> (es =>
+      cexpr(graft.text.TextFunctions.wordShingles(col(es(0)),
+        if (es.length > 1) litInt(es(1), "shingle n") else 3))),
+    "jaccard_sim" -> (es =>
+      cexpr(graft.text.TextFunctions.jaccard(col(es(0)), col(es(1))))),
     // vector surface
     "array_distance" -> (es => ArrayDistance(es(0), es(1))),
     "array_squared_distance" -> (es => ArraySquaredDistance(es(0), es(1))),

@@ -203,6 +203,17 @@ class HnswRewriteSpec extends SparkSuite {
     assert(r.getString(0) == "en")
     assert(r.getLong(2) == ((97L * 1000003L + 98L) * 1000003L + 99L))
     assert(r.getInt(3) == 8)
+    val t = spark.sql(
+      """SELECT token_count('a b c') AS n, token_count_bpe('ab12!') AS b,
+                quality_score('the quiet morning light settled over the harbor while boats returned') AS q,
+                word_shingles('a b c d', 3) AS w,
+                jaccard_sim(array('x', 'y'), array('y', 'z')) AS j,
+                text_stats('ab cd').n_tokens AS st""").collect().head
+    assert(t.getInt(0) == 3 && t.getInt(1) == 3)
+    assert(t.getDouble(2) > 0.5)
+    assert(t.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(math.abs(t.getDouble(4) - 1.0 / 3.0) < 1e-9)
+    assert(t.getInt(5) == 2)
   }
 
   test("many-segment index scans via the distributed segment fan-out") {
