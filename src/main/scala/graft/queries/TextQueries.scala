@@ -127,6 +127,20 @@ object TextQueries {
       TF.deterministicSample(Tables.load(s, dir, "documents"), "doc_id", 0.2)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
+    "mm_decode_features" -> ((s, dir) => {
+      // rows-only: multimodal plumbing over real fixture bytes — text cast
+      // to an opaque binary payload, streamed through the (stub) codec per
+      // partition, frame-sampled; only meta + features leave the executor.
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val decoded = graft.multimodal.Multimodal.decode(payloads, "payload", featureDim = 8)
+      graft.multimodal.Multimodal.sampleFrames(decoded, every = 4)
+        .select(col("doc_id"), col("frame_no"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy("doc_id", "frame_no")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
