@@ -142,6 +142,32 @@ class StreamingIndexSpec extends SparkSuite {
     }
   }
 
+  test("session_window streaming aggregation — the streaming analogue of ops.Sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // u1: two bursts 30 min apart -> two sessions; u2: one session.
+      mem.addData(
+        (t("2026-01-01 10:00:00"), "u1"), (t("2026-01-01 10:02:00"), "u1"),
+        (t("2026-01-01 10:30:00"), "u1"), (t("2026-01-01 10:31:00"), "u2"))
+      query.processAllAvailable()
+      mem.addData((t("2026-01-01 12:00:00"), "u1")) // advances watermark, closes sessions
+      query.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select(col("user"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(out == Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)), out.toString)
+    } finally query.stop()
+  }
+
   test("watermarked tumbling-window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
