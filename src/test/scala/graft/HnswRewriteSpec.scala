@@ -185,6 +185,9 @@ class HnswRewriteSpec extends SparkSuite {
     }
   }
 
+  // Port of hnsw_experimental_persistence.test (binder error parity);
+  // hnsw_insert_wal.test is N/A here — file-backed segment artifacts have
+  // no WAL, every committed segment IS durable (SURVEY §2 O15).
   test("persistence gate conf blocks createIndex when disabled (O17)") {
     spark.conf.set(Hnsw.PersistenceKey, "false")
     try {
