@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle SQL (the reference engine) against BENCH_LOCAL.json.
+
+duckdb-vss IS duckdb, so running each gate's oracle SQL in DuckDB over the
+same sf0.1 parquet measures the reference engine on identical queries +
+data. Only apples-to-apples entries are timed: the relational/vector/text
+queries whose oracle is the same algorithm. Deliberately-brute-force
+oracles (all-pairs dedup verifies, recursive-CTE connected components) are
+excluded — there the oracle is a correctness spec, not the reference's
+algorithm. Writes PERF_VS_DUCKDB.md.
+
+Usage: python3 tools/bench_duckdb.py [sf_dir] [verify_dump_dir]
+"""
+import json, sys, time, pathlib
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DUMP = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+# Fair comparisons: same algorithm on both engines.
+FAIR = [k for k in json.load(open(f"{DUMP}/oracle_sql.json"))
+        if k.startswith(("q", "vss_"))] + [
+    "doc_text_stats", "doc_exact_dedup", "doc_lang_quality",
+    "doc_quality_filter", "doc_det_sample"]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    oracle = json.load(open(f"{DUMP}/oracle_sql.json"))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        p = pathlib.Path(SF) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    spark = json.load(open("BENCH_LOCAL.json"))["queries"]
+    rows = []
+    for name in sorted(FAIR):
+        if name not in oracle:
+            continue
+        sql = oracle[name]
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        rows.append((name, min(times), spark.get(name)))
+        print(f"{name}: duckdb={min(times):.3f}s spark={spark.get(name)}s")
+    duck_total = sum(r[1] for r in rows)
+    spark_total = sum(r[2] for r in rows if r[2] is not None)
+    with open("PERF_VS_DUCKDB.md", "w") as f:
+        f.write("# Spark engine vs DuckDB (the reference's engine) at sf0.1\n\n")
+        f.write(f"Same queries (each gate's oracle SQL), same parquet inputs\n")
+        f.write(f"(`{SF}`), both engines at 32 threads, min of 2 runs.\n")
+        f.write("Only apples-to-apples entries timed (same algorithm both\n")
+        f.write("sides); brute-force correctness oracles excluded.\n\n")
+        f.write("| query | DuckDB s | Spark s | ratio (duck/spark) |\n|---|---|---|---|\n")
+        for name, d, s in rows:
+            ratio = f"{d / s:.2f}" if s else "—"
+            f.write(f"| {name} | {d:.3f} | {s:.3f} | {ratio} |\n")
+        f.write(f"| **total** | **{duck_total:.2f}** | **{spark_total:.2f}** | "
+                f"**{duck_total / spark_total:.2f}** |\n")
+    print(f"\ntotal: duckdb={duck_total:.2f}s spark={spark_total:.2f}s "
+          f"ratio={duck_total / spark_total:.2f}")
+
+
+if __name__ == "__main__":
+    main()
