@@ -174,8 +174,31 @@ object Hnsw {
     searchMeta(base, meta, q, k, efOverride.getOrElse(efSearch(spark, meta)))
   }
 
+  /**
+   * Compaction-race shield: run `body` against `meta`, and when a segment
+   * file has vanished underneath it, reload the catalog entry and retry
+   * once. [[compactIndex]] writes the new generation completely and saves
+   * the catalog entry BEFORE deleting the old files, and generation-stamped
+   * names are never reused — so a reader that loaded meta pre-swap can only
+   * fail with missing-file, and the reloaded meta is always servable.
+   * Post-compaction contents are search-equivalent (compaction removes only
+   * tombstoned entries, which search filters anyway).
+   */
+  private def withFreshMeta[T](base: String, meta: HnswIndexMeta)(
+      body: HnswIndexMeta => T): T =
+    try body(meta) catch {
+      case e: Exception if isMissingFile(e) => body(IndexCatalog.load(base, meta.name))
+    }
+
+  @scala.annotation.tailrec
+  private def isMissingFile(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException => true
+    case other if other.getCause != null && (other.getCause ne other) => isMissingFile(other.getCause)
+    case _ => false
+  }
+
   private[graft] def searchMeta(base: String, meta: HnswIndexMeta, q: Array[Float],
-      k: Int, ef: Int): Array[(Long, Double)] = {
+      k: Int, ef: Int): Array[(Long, Double)] = withFreshMeta(base, meta) { meta =>
     val dir = IndexCatalog.indexDir(base, meta.name)
     val tombs = graft.index.TombstoneCache.get(base, meta.name)
     // Over-fetch per segment so catalog-level tombstones can't starve the
@@ -199,6 +222,10 @@ object Hnsw {
    * ascending top-k array per query (null queries → empty).
    */
   private[graft] def searchBatch(base: String, meta: HnswIndexMeta,
+      queries: Array[Array[Float]], k: Int, ef: Int): Array[Array[(Long, Double)]] =
+    withFreshMeta(base, meta)(searchBatchOnce(base, _, queries, k, ef))
+
+  private def searchBatchOnce(base: String, meta: HnswIndexMeta,
       queries: Array[Array[Float]], k: Int, ef: Int): Array[Array[(Long, Double)]] = {
     val dir = IndexCatalog.indexDir(base, meta.name)
     val tombs = graft.index.TombstoneCache.get(base, meta.name)
@@ -232,6 +259,13 @@ object Hnsw {
    * few segments the driver-local loop is cheaper than a job launch.
    */
   private[graft] def searchDistributed(spark: SparkSession, base: String,
+      meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] =
+    // A task-side missing file surfaces wrapped in SparkException;
+    // isMissingFile walks the cause chain, and the retry re-plans the job
+    // over the fresh segment list.
+    withFreshMeta(base, meta)(searchDistributedOnce(spark, base, _, q, k, ef))
+
+  private def searchDistributedOnce(spark: SparkSession, base: String,
       meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
     if (meta.segments.size <= 4) return searchMeta(base, meta, q, k, ef)
     val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
@@ -407,7 +441,7 @@ object Hnsw {
     val base = baseDir(spark)
     val rows = IndexCatalog.list(base).map { meta =>
       val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
-      val stats = segmentStats(spark, dirPath, meta.segments)
+      val stats = withFreshMeta(base, meta)(m => segmentStats(spark, dirPath, m.segments))
       val tombs = IndexCatalog.tombstones(base, meta.name)
       val levels = if (stats.isEmpty) 0 else stats.map(_.maxLevel).max + 1
       val mergedStats = (0 until levels).map { lvl =>

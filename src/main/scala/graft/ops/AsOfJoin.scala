@@ -42,8 +42,17 @@ object AsOfJoin {
       tolerance: Option[Long] = None, rightPrefix: String = "asof_"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
+    // The right payload struct excludes the partition keys, so a tolerance
+    // check cannot read rightTs back out of it when rightTs is also a key —
+    // fail at call time with a clear message instead of at analysis.
+    require(tolerance.isEmpty || !partitionCols.contains(rightTs),
+      s"tolerance requires rightTs ('$rightTs') to not be a partition column")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq.filterNot(partitionCols.contains)
+    val collisions = rightCols.map(rightPrefix + _).toSet intersect leftCols.toSet
+    require(collisions.isEmpty,
+      s"prefixed right column(s) ${collisions.mkString(", ")} collide with left " +
+        s"columns; pass a different rightPrefix")
     val pk = partitionCols.map(col)
 
     val leftTagged = left.select(

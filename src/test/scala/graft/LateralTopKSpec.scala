@@ -150,6 +150,51 @@ class LateralTopKSpec extends SparkSuite {
     Hnsw.dropIndex(spark, "lat_guard_idx")
   }
 
+  test("NULL outer vectors emit no rows, identically on indexed and brute paths (hnsw_lateral_join.test:49-58)") {
+    import spark.implicits._
+    val outerN = (Seq((1L, Some(Array(1f, 2f, 3f))), (2L, None), (3L, Some(Array(9f, 9f, 9f)))))
+      .toDF("a_id", "a_vec").withColumn("a_vec", col("a_vec").cast("array<float>"))
+    Hnsw.createIndex(spark, "lat_nullo_idx", inner, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    def q = Vss.lateralTopK(outerN, inner, "a_vec", "b_vec", "a_id", 2)
+    assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+    val indexed = canon(q)
+    // the NULL-vector outer row contributes nothing (reference: NULL never
+    // matches) — not k arbitrary rank-1..k rows with NULL distance
+    assert(indexed.map(_._1).distinct.sorted == Seq(1L, 3L))
+    assert(indexed.size == 4)
+    // brute path (kill switch): identical rows
+    spark.conf.set(Hnsw.RewriteEnabledKey, "false")
+    try {
+      val brute = canon(q)
+      assert(!planOf(q).contains("HnswIndexJoinCore"))
+      assert(brute.map(t => (t._1, t._4, t._3)) == indexed.map(t => (t._1, t._4, t._3)))
+      assert(brute.map(_._1).distinct.sorted == Seq(1L, 3L))
+    } finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
+    Hnsw.dropIndex(spark, "lat_nullo_idx")
+  }
+
+  test("un-indexed brute path uses the bounded-heap aggregate, not a cross-product window shuffle") {
+    // No index on this fresh parquet: lateralTopK must plan the min_by_k
+    // aggregate (map-side partial top-k; at most k rows per outer row per
+    // partition shuffle) instead of shuffling the whole cross product
+    // through a window sort (round-4 verdict item 8).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lat-noidx").toFile.getAbsolutePath
+    (1 to 1000).map(i => (i.toLong, Array(i.toFloat, 0f, 0f)))
+      .toDF("b_id", "b_vec").withColumn("b_vec", col("b_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    val items = spark.read.parquet(dir)
+    val q = Vss.lateralTopK(outer, items, "a_vec", "b_vec", "a_id", 3)
+    val plan = planOf(q)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("min_by"), plan)
+    val rows = canon(q)
+    assert(rows.size == 9)
+    // nearest by first coordinate: outer (1,2,3) → b_id 1,2,3 at rank order
+    assert(rows.filter(_._1 == 1L).map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("NULL inner vectors never match (hnsw_lateral_join.test:49-58)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lat-null").toFile.getAbsolutePath

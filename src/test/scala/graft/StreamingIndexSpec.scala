@@ -103,6 +103,44 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("compaction race: a reader holding a pre-compaction segment list survives auto-compaction") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    Hnsw.createIndex(spark, "stream_race", empty, "vec", "id", overwrite = true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    // maxSegments = 1: every batch after the first triggers compaction.
+    val query = StreamingIndex.maintainIndex(stream, spark, "stream_race", maxSegments = 1)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-r").toString)
+      .start()
+    try {
+      mem.addData((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      query.processAllAvailable()
+      // A mid-flight reader resolves the segment list NOW...
+      val staleMeta = IndexCatalog.load(base, "stream_race")
+      assert(staleMeta.segments.nonEmpty)
+      // ...then auto-compaction swaps in a fresh generation and deletes the
+      // files that list names.
+      mem.addData((3L, Array(1f, 1f)))
+      query.processAllAvailable()
+      val dir = IndexCatalog.indexDir(base, "stream_race")
+      val fresh = IndexCatalog.load(base, "stream_race")
+      assert(fresh.segments != staleMeta.segments)
+      assert(staleMeta.segments.exists(s => !new java.io.File(dir, s).exists()),
+        s"expected compaction to delete ${staleMeta.segments}")
+      // The stale reader must not crash on the deleted files: the
+      // missing-file retry reloads the catalog entry and serves the search
+      // from the new generation (contents are search-equivalent).
+      val hits = Hnsw.searchMeta(base, staleMeta, Array(1f, 1f), 3,
+        ef = 1000000)
+      assert(hits.map(_._1).toSet == Set(1L, 2L, 3L))
+      assert(hits.head._1 == 3L)
+    } finally query.stop()
+  }
+
   test("annTopK enriches a stream with index neighbors (stream-static ANN join)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-ann").toFile.getAbsolutePath

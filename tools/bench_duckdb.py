@@ -49,8 +49,11 @@ def main():
             times.append(time.time() - t0)
         rows.append((name, min(times), spark.get(name)))
         print(f"{name}: duckdb={min(times):.3f}s spark={spark.get(name)}s")
-    duck_total = sum(r[1] for r in rows)
-    spark_total = sum(r[2] for r in rows if r[2] is not None)
+    # Totals over the SAME query set on both sides: a row whose Spark time
+    # is missing must not count toward the DuckDB total either.
+    both = [r for r in rows if r[2] is not None]
+    duck_total = sum(r[1] for r in both)
+    spark_total = sum(r[2] for r in both)
     with open("PERF_VS_DUCKDB.md", "w") as f:
         f.write("# Spark engine vs DuckDB (the reference's engine) at sf0.1\n\n")
         f.write(f"Same queries (each gate's oracle SQL), same parquet inputs\n")
@@ -61,10 +64,12 @@ def main():
         for name, d, s in rows:
             ratio = f"{d / s:.2f}" if s else "—"
             f.write(f"| {name} | {d:.3f} | {s:.3f} | {ratio} |\n")
+        ratio = f"{duck_total / spark_total:.2f}" if spark_total else "—"
         f.write(f"| **total** | **{duck_total:.2f}** | **{spark_total:.2f}** | "
-                f"**{duck_total / spark_total:.2f}** |\n")
+                f"**{ratio}** |\n")
     print(f"\ntotal: duckdb={duck_total:.2f}s spark={spark_total:.2f}s "
-          f"ratio={duck_total / spark_total:.2f}")
+          f"ratio={duck_total / spark_total:.2f}" if spark_total else
+          f"\ntotal: duckdb={duck_total:.2f}s spark=— (no overlapping queries)")
 
 
 if __name__ == "__main__":
