@@ -23,6 +23,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // Fixed-overhead trims (round-4 verdict: the ~0.2-0.4 s/query floor
+      // at small SF is scheduling + exchange setup, not per-row work):
+      // coalesce post-shuffle partitions to a small advisory size: fewer
+      // tiny tasks per exchange than parallelism-first, without the default
+      // 64 MB advisory collapsing CPU-bound aggregations to one task ...
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)
+      // ... make every dimension-side join a broadcast at bench scales
+      // (where the small side is <= tens of MB), skipping shuffle stages
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // ... and split single-file tables finer so a 100-200 MB parquet
+      // still scans with real parallelism (sf1 tables are one file each;
+      // 4 MB ≈ 34 splits for the 135 MB lineitem on 32 cores).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "4").toLong * (1L << 20))
+      // Row-group-sized splits only help if opening one isn't charged as
+      // 4 MB of phantom input: with the default openCostInBytes a 5 MB
+      // text-heavy file packs into 1-2 splits no matter how fine its row
+      // groups are.
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (parquet footers, codegen, shuffle infra) and build
@@ -39,7 +59,10 @@ object Bench {
     // single-shot noise. The minimum is the steady-state number. The Spark
     // cache is cleared between runs so queries that persist() intermediates
     // recompute their own work (only OS/page-level warmth carries over).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run for quick iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -171,12 +171,15 @@ object Vss {
 
   /** Brute-force path without an index: same output shape as the window
     * form, but top-k per outer row is computed with the bounded-heap
-    * [[graft.aggregates.MinMaxByK]] aggregate. The window form shuffles the
-    * ENTIRE |outer|×|inner| cross product on outerKey and sorts it; here
-    * map-side partial aggregation ships at most k candidates per (outer row,
-    * partition) into one shuffle — the same plan shape as [[vssJoin]]
-    * (round-4 verdict item 8). Ties at equal distance may break differently
-    * from row_number, as between any two brute plans. */
+    * [[graft.aggregates.MinMaxByK]] aggregate — map-side partial
+    * aggregation ships at most k candidates per (outer row, partition)
+    * into one shuffle, the same plan shape as [[vssJoin]]. (Spark's
+    * InferWindowGroupLimit also bounds the window form's shuffle map-side
+    * these days; the aggregate form additionally skips the per-group sort
+    * buffer and needs no rank-pushdown pattern to fire. Measured: both
+    * ship O(groups × k), never the cross product — LateralTopKSpec.)
+    * Ties at equal distance may break differently from row_number, as
+    * between any two brute plans. */
   private def lateralTopKAggregate(outerNN: DataFrame, innerNN: DataFrame,
       outerCol: String, innerCol: String, outerKey: String, k: Int,
       metricName: String): DataFrame = {

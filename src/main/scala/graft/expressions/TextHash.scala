@@ -151,6 +151,55 @@ object TextHash {
     }
     h
   }
+
+  final val ClassAlpha = 0
+  final val ClassNonAlnumSpace = 1
+  final val ClassSpace = 2
+
+  /**
+   * Single-pass ASCII character-class counter over UTF-8 bytes — the
+   * text-quality kernels without java.util.regex. Exactly equals the regex
+   * formulations the oracle uses (the classes are pure-ASCII, so every
+   * non-ASCII code point is "not in class"; a code point's leading byte
+   * stands for the whole char, continuation bytes are skipped):
+   *
+   *   ClassAlpha         = length(regexp_replace(s, "[^a-z]", "")): bytes
+   *                        'a'..'z' (never part of a multi-byte char)
+   *   ClassNonAlnumSpace = length(regexp_replace(s, "[a-z0-9 ]", "")):
+   *                        char-start bytes not a-z / 0-9 / space
+   *   ClassSpace         = count of ' ' (0x20)
+   *
+   * java.util.regex with per-row replaced-string allocation runs at tens of
+   * MB/s; this loop runs at memory bandwidth — the difference is the whole
+   * cost of the corpus quality filter at scale.
+   */
+  def asciiClassCount(s: UTF8String, mode: Int): Int = {
+    val n = s.numBytes
+    var cnt = 0
+    var i = 0
+    mode match {
+      case ClassAlpha =>
+        while (i < n) {
+          val b = s.getByte(i)
+          if (b >= 'a' && b <= 'z') cnt += 1
+          i += 1
+        }
+      case ClassNonAlnumSpace =>
+        while (i < n) {
+          val b = s.getByte(i)
+          // count char-start bytes (ASCII or UTF-8 leading) outside the class
+          if ((b & 0xC0) != 0x80 && !(b >= 'a' && b <= 'z') &&
+            !(b >= '0' && b <= '9') && b != ' ') cnt += 1
+          i += 1
+        }
+      case _ =>
+        while (i < n) {
+          if (s.getByte(i) == ' ') cnt += 1
+          i += 1
+        }
+    }
+    cnt
+  }
 }
 
 /** minhash_signature(shingles ARRAY<STRING>, k, seed) -> ARRAY<BIGINT>. */
@@ -202,5 +251,18 @@ case class Fingerprint64(child: Expression) extends UnaryExpression with Expects
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.rollingFingerprint($c)")
   override def prettyName: String = "fingerprint64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ascii_class_count(text, mode) -> INT — see [[TextHash.asciiClassCount]]. */
+case class AsciiClassCount(child: Expression, mode: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.asciiClassCount(v.asInstanceOf[UTF8String], mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.asciiClassCount($c, $mode)")
+  override def prettyName: String = "ascii_class_count"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

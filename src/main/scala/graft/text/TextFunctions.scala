@@ -22,7 +22,13 @@ object TextFunctions {
   /** Whitespace tokens (the convention shared with the DuckDB oracle). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** = size(tokens(text)), computed as space-count + 1 — identical for
+    * every string (split on " " yields one segment per space, empties
+    * included, in Spark and DuckDB alike) without materializing the token
+    * array per row. */
+  def tokenCount(text: Column): Column =
+    col(graft.expressions.AsciiClassCount(expr(text),
+      graft.expressions.TextHash.ClassSpace)) + 1
 
   /** BPE-ish subword unit count: letter runs, digit runs, other symbols. */
   def tokenCountBpe(text: Column): Column =
@@ -116,8 +122,14 @@ object TextFunctions {
   def textStats(text: Column): Column = {
     val nChars = length(text)
     val nTok = tokenCount(text)
-    val alpha = length(regexp_replace(text, "[^a-z]", ""))
-    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+    // Single-pass byte-loop kernels, value-identical to the oracle's
+    // length(regexp_replace(...)) formulations (see TextHash.asciiClassCount)
+    // — java.util.regex with a replaced-string allocation per row was the
+    // dominant cost of the corpus quality filter.
+    val alpha = col(graft.expressions.AsciiClassCount(expr(text),
+      graft.expressions.TextHash.ClassAlpha))
+    val punct = col(graft.expressions.AsciiClassCount(expr(text),
+      graft.expressions.TextHash.ClassNonAlnumSpace))
     struct(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),

@@ -77,4 +77,52 @@ class DedupSlowSpec extends SparkSuite {
     info(f"LSH recall on planted pairs: $lshRecall%.3f")
     assert(lshRecall >= 0.99, f"LSH recall $lshRecall%.3f")
   }
+
+  test("60k docs: simhash 16-bit chunk candidates stay near-linear; 8-bit chunks are quadratic") {
+    // The verdict's round-4 scale-killer: 8-bit chunks key each of 8 tables
+    // on 256 values, so ANY corpus produces ~8n²/256 candidates. The 16-bit
+    // default keys 4 tables on 65,536 values — near-uniform simhash bits
+    // (non-duplicate text) spread them, keeping candidates ~4n²/65536,
+    // near-linear at this n and sub-quadratic at any n with spread hashes.
+    // Measured on the signatures themselves (sum of nC2 per chunk bucket) —
+    // the exact candidate-join output size, without running the join.
+    import graft.text.{TextFunctions => TF}
+    val dir = java.nio.file.Files.createTempDirectory("graft-simhash-slow").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val n = corpus.count()
+    val sigs = corpus.select(col("doc_id"),
+      TF.simhash64(TF.tokens(col("text"))).as("sh")).persist()
+
+    def candidateCount(chunkBits: Int): Long = {
+      val nChunks = 64 / chunkBits
+      val mask = (1L << chunkBits) - 1
+      sigs.select(col("sh"),
+          explode(array((0 until nChunks).map(i => struct(lit(i).as("no"),
+            pmod(shiftright(col("sh"), i * chunkBits), lit(mask + 1)).as("v"))): _*)).as("c"))
+        .groupBy(col("c.no"), col("c.v")).agg(count(lit(1)).as("m"))
+        .agg(sum((col("m") * (col("m") - 1) / 2).cast("long"))).collect().head.getLong(0)
+    }
+    val cand16 = candidateCount(16)
+    val cand8 = candidateCount(8)
+    sigs.unpersist()
+    info(f"simhash candidates at n=$n: 16-bit chunks = $cand16%,d (${cand16.toDouble / n}%.1f·n), " +
+      f"8-bit chunks = $cand8%,d (${cand8.toDouble / n}%.1f·n)")
+    // 30k planted identical/near-identical pairs collide by design; beyond
+    // those, 16-bit buckets must stay within a small constant per doc.
+    assert(cand16 < 40L * n, f"16-bit candidate blowup: $cand16%,d")
+    // and the old default really is the quadratic regime (≈ n²/32 here)
+    assert(cand8 > cand16 * 20, f"expected 8-bit quadratic blowup, got $cand8%,d vs $cand16%,d")
+
+    // End-to-end with defaults: the planted byte-identical pairs (hamming 0)
+    // are all found, in bounded time.
+    val t0 = System.nanoTime()
+    val got = Dedup.simHashPairs(corpus, "text", "doc_id")
+      .where(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"simHashPairs (defaults) over 60k docs: $secs%.1f s, ${got.size} hamming-0 pairs")
+    val identical = (1500L until 30000L).map(i => (i, i + 30000L)).toSet
+    assert((identical -- got).isEmpty, s"missed ${(identical -- got).size} identical pairs")
+  }
 }

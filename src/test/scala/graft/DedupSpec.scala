@@ -176,6 +176,31 @@ class DedupSpec extends SparkSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("asciiClassCount kernel equals the regex formulations on arbitrary unicode") {
+    import graft.expressions.TextHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(99)
+    // Sampled per CODE POINT (parquet text is valid UTF-8; indexing a raw
+    // string by UTF-16 unit would manufacture unpaired surrogates no real
+    // column can contain).
+    val alphabet = Seq("a", "b", "z", "0", "9", " ", "A", "Z", ".", ",", "!",
+      "\t", "\n", "\u00e9", "\u6f22", new String(Character.toChars(0x1F389)), "\u00fc")
+    val samples = Seq("", " ", "   ", "hello world", alphabet.mkString) ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size))).mkString)
+    samples.foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(TextHash.asciiClassCount(u, TextHash.ClassAlpha) ==
+        s.replaceAll("[^a-z]", "").codePointCount(0, s.replaceAll("[^a-z]", "").length),
+        s"alpha on ${s.take(30)}")
+      val punctRef = s.replaceAll("[a-z0-9 ]", "")
+      assert(TextHash.asciiClassCount(u, TextHash.ClassNonAlnumSpace) ==
+        punctRef.codePointCount(0, punctRef.length), s"punct on ${s.take(30)}")
+      assert(TextHash.asciiClassCount(u, TextHash.ClassSpace) + 1 ==
+        s.split(" ", -1).length, s"spaces on ${s.take(30)}")
+    }
+  }
+
   test("langId classifies obvious samples") {
     val samples = Seq(
       ("the cat is on the table and it is not happy with you", "en"),
