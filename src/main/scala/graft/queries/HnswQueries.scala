@@ -146,8 +146,11 @@ object HnswQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val baseRows = emb.where(col("vec_id") >= 100 && col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding"))
-      Hnsw.createIndex(s, name, baseRows, "embedding", "vec_id",
-        Map("ef_search" -> "1000000"), overwrite = true)
+      // Small build: the default 256k-vectors-per-segment policy would put
+      // the whole gate index in ONE partition and serialize both rebuilds
+      // (create + compact); 512/segment makes them 4-way parallel.
+      val prevMax = s.conf.getOption(Hnsw.MaxVectorsPerPartitionKey)
+      s.conf.set(Hnsw.MaxVectorsPerPartitionKey, "512")
       val inserted = emb.where(col("vec_id") < 100)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
@@ -157,11 +160,19 @@ object HnswQueries {
       // could be picked by the TopN rewrite for the other hnsw gates.
       val hits =
         try {
+          Hnsw.createIndex(s, name, baseRows, "embedding", "vec_id",
+            Map("ef_search" -> "1000000"), overwrite = true)
           Hnsw.insert(s, name, inserted)
           Hnsw.delete(s, name, (100L until 200L) ++ (1000000L until 1000050L))
           Hnsw.compactIndex(s, name)
           Hnsw.topK(s, name, QueryVec, 10).select(col("vec_id"))
-        } finally Hnsw.dropIndex(s, name)
+        } finally {
+          Hnsw.dropIndex(s, name)
+          prevMax match {
+            case Some(v) => s.conf.set(Hnsw.MaxVectorsPerPartitionKey, v)
+            case None => s.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+          }
+        }
       // Index-selected ids; distances recomputed with the SQL-surface
       // expression over the final state for oracle value parity (the same
       // fetch-back the reference's index scan does).
