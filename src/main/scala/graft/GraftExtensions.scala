@@ -52,7 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
-      "range_join" -> graft.sql.TvfMacros.rangeJoin
+      "range_join" -> graft.sql.TvfMacros.rangeJoin,
+      // Index-backed ANN surfaces for SQL users.
+      "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,
+      "lateral_topk" -> graft.sql.TvfMacros.lateralTopKTvf
     ).foreach { case (name, builder) =>
       e.injectTableFunction((
         FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))

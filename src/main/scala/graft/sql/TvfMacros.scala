@@ -160,6 +160,45 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  // ---- Index-backed ANN as SQL table functions (the index-join surface —
+  // the brute vss_join/vss_match macros above mirror the reference; these
+  // expose the accelerated paths to SQL users):
+  //   ann_topk(TABLE(queries), 'index_name', 'query_col', k)
+  //     → queries.* + (neighbor_id, distance, rn) per row via Vss.annTopK
+  //   lateral_topk(TABLE(outer), TABLE(inner), 'outer_col', 'inner_col',
+  //                'outer_key', k[, metric])
+  //     → outer.* + inner.* + (dist, rn); rewrites onto the HNSW index join
+  //       when one matches, bounded-heap brute force otherwise.
+
+  def annTopKTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"ann_topk(queries, index_name, query_col, k) takes 4 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    Vss.annTopK(table(spark, args(0), "ann_topk queries"),
+      str(args(1), "ann_topk index_name"), str(args(2), "ann_topk query_col"),
+      intLit(args(3), "ann_topk k"))
+      .queryExecution.analyzed
+  }
+
+  def lateralTopKTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 6 || args.length > 7) throw new IllegalArgumentException(
+      s"lateral_topk(outer, inner, outer_col, inner_col, outer_key, k[, metric]) " +
+        s"takes 6 or 7 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    // Both TABLE(...) args may resolve the same relation with shared
+    // attribute ids (self-lateral); re-aliasing every column gives each
+    // side fresh ids so lateralTopK's dataset-column references stay
+    // unambiguous. The redundant aliases are gone (RemoveRedundantAliases)
+    // before the index-join rule pattern-matches the inner side.
+    def freshIds(df: DataFrame): DataFrame = df.toDF(df.columns: _*)
+    Vss.lateralTopK(freshIds(table(spark, args(0), "lateral_topk outer")),
+      freshIds(table(spark, args(1), "lateral_topk inner")),
+      str(args(2), "lateral_topk outer_col"), str(args(3), "lateral_topk inner_col"),
+      str(args(4), "lateral_topk outer_key"), intLit(args(5), "lateral_topk k"),
+      if (args.length == 7) str(args(6), "lateral_topk metric") else "l2sq")
+      .queryExecution.analyzed
+  }
+
   def rangeJoin(args: Seq[Expression]): LogicalPlan = {
     if (args.length != 7) throw new IllegalArgumentException(
       s"range_join(points, intervals, key, ts, start, end, bucket_width) takes 7 arguments, got ${args.length}")

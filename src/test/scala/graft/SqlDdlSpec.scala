@@ -88,6 +88,39 @@ class SqlDdlSpec extends SparkSuite {
     assert(e.getMessage.contains("5 or 6"))
   }
 
+  test("SQL TVFs ann_topk / lateral_topk expose the index-backed paths") {
+    setupTable()
+    spark.sql(
+      """CREATE INDEX ddl_ann_idx ON ddl_grid USING HNSW (vec)
+         WITH (id_column = 'id', ef_search = 100000)""")
+    try {
+      // ann_topk: per-row neighbors straight off the index join core.
+      val a = spark.sql(
+        """SELECT id, neighbor_id, rn FROM
+             ann_topk(TABLE(SELECT * FROM ddl_grid WHERE id < 2), 'ddl_ann_idx', 'vec', 3)
+           ORDER BY id, rn""").collect()
+      assert(a.length == 6)
+      assert(a.head.getAs[Long]("neighbor_id") == 0L) // self is nearest
+      // lateral_topk rewrites onto the index join when the index matches
+      // (inner side keeps the indexed table's own column names — renames
+      // block index binding, like any non-trivial projection would).
+      val q = spark.sql(
+        """SELECT a_id, id AS b_id, rn FROM lateral_topk(
+             TABLE(SELECT id AS a_id, vec AS a_vec FROM ddl_grid WHERE id = 0),
+             TABLE(ddl_grid),
+             'a_vec', 'vec', 'a_id', 2)
+           ORDER BY rn""")
+      assert(q.queryExecution.executedPlan.toString.contains("HnswIndexJoinCore"),
+        q.queryExecution.executedPlan.toString)
+      val rows = q.collect()
+      assert(rows.length == 2 && rows.head.getAs[Long]("b_id") == 0L)
+      // arity errors are clear
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM ann_topk('ddl_grid', 'ddl_ann_idx', 'vec')"))
+      assert(e.getMessage.contains("4 arguments"))
+    } finally Hnsw.dropIndex(spark, "ddl_ann_idx")
+  }
+
   test("SQL TVFs for the dedup family") {
     import spark.implicits._
     Seq(
