@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Pin the heap: with a small -Xms, G1 runs back-to-back concurrent cycles
+  // + young resizes under Spark's allocation pattern (measured via JFR:
+  // ~1.3 concurrent cycles/s), randomly serializing kernel-heavy stages.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ sys.env.get("SPARK_JFR").map(p =>
+  s"-XX:StartFlightRecording=duration=600s,filename=$p").toSeq

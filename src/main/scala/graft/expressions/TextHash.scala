@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -112,6 +112,205 @@ object TextHash {
       w += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** [[wordShingles]] in ascending binary order — the shape
+    * [[jaccardSimSorted]] consumes. Sorting INSIDE the kernel (vs a
+    * sort_array column) guarantees exactly one sort per document no matter
+    * where the optimizer ends up evaluating the projection. */
+  def wordShinglesSorted(s: UTF8String, n: Int): ArrayData = {
+    val arr = wordShingles(s, n)
+    val vals = arr.asInstanceOf[GenericArrayData].array
+    java.util.Arrays.sort(vals.asInstanceOf[Array[Object]], 0, vals.length,
+      Utf8Cmp.asInstanceOf[java.util.Comparator[Object]])
+    arr
+  }
+
+  /**
+   * Distinct word n-gram shingles as strings, first-occurrence order —
+   * semantically `array_distinct(transform(...))` over `split(text, " ")`
+   * but in one byte pass: tokens come from a single-space split and
+   * shingles re-join with single spaces, so each shingle IS the original
+   * byte slice spanning n consecutive space-separated fields (empty fields
+   * included) and no string is ever rebuilt. Empty array when the text has
+   * fewer than n fields.
+   */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // Field start offsets; split(" ") keeps empties, so fields = spaces + 1.
+    var starts = new Array[Int](math.max(8, bytes.length / 8))
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (nTok == starts.length) starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        starts(nTok) = i + 1
+        nTok += 1
+      }
+      i += 1
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    // Open-addressing dedup (first-occurrence order, = array_distinct).
+    // java.util collections are deliberately avoided: a HashSet per row
+    // costs ~4 node allocations + a murmur hash per element per resize,
+    // and at millions of rows that allocation storm dominated the whole
+    // dedup pipeline (measured via JFR: HashMap.newNode + resize were the
+    // top frames). Linear probing over a right-sized array hashes each
+    // shingle once and allocates nothing but the two output arrays.
+    val m = nTok - n + 1
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val table = new Array[UTF8String](cap)
+    val out = new Array[Any](m)
+    var cnt = 0
+    var w = 0
+    while (w <= nTok - n) {
+      val off = starts(w)
+      val end = if (w + n < nTok) starts(w + n) - 1 else bytes.length
+      val s = UTF8String.fromBytes(bytes, off, end - off)
+      var idx = s.hashCode & (cap - 1)
+      var dup = false
+      while (!dup && (table(idx) ne null)) {
+        if (table(idx).equals(s)) dup = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (!dup) { table(idx) = s; out(cnt) = s; cnt += 1 }
+      w += 1
+    }
+    if (cnt == m) new GenericArrayData(out)
+    else {
+      val trimmed = new Array[Any](cnt)
+      System.arraycopy(out, 0, trimmed, 0, cnt)
+      new GenericArrayData(trimmed)
+    }
+  }
+
+  // binaryCompare, NOT compareTo: Spark 4's UTF8String.compareTo re-checks
+  // System.getenv("SPARK_TESTING") on EVERY call (a collation assertion),
+  // and ProcessEnvironment.get re-encodes the key bytes each time — inside
+  // a per-row sort it was ~90% of task CPU (observed via jstack). Default
+  // collation IS binary order, so binaryCompare is semantically identical.
+  private val Utf8Cmp: java.util.Comparator[UTF8String] =
+    new java.util.Comparator[UTF8String] {
+      override def compare(a: UTF8String, b: UTF8String): Int = a.binaryCompare(b)
+    }
+
+  /** Exact Jaccard of two string arrays under set semantics (duplicates
+    * collapse; a null element counts as one distinct value on each side,
+    * matching array_intersect/array_union). 0.0 when the union is empty.
+    * Sort + two-pointer merge instead of hash sets: evaluated once per
+    * candidate pair inside verify joins, hash-set construction (node
+    * allocations, resize re-hashing) was the single hottest code path of
+    * the dedup operators; sorting a few dozen pointers and merging does
+    * the same exact count allocation-free. */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val ua = new Array[UTF8String](na)
+    val ub = new Array[UTF8String](nb)
+    var aNull = false
+    var bNull = false
+    var ka = 0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true
+      else { ua(ka) = a.getUTF8String(i); ka += 1 }
+      i += 1
+    }
+    var kb = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true
+      else { ub(kb) = b.getUTF8String(i); kb += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(ua.asInstanceOf[Array[Object]], 0, ka, Utf8Cmp.asInstanceOf[java.util.Comparator[Object]])
+    java.util.Arrays.sort(ub.asInstanceOf[Array[Object]], 0, kb, Utf8Cmp.asInstanceOf[java.util.Comparator[Object]])
+    var da = 0L; var db = 0L; var inter = 0L
+    var x = 0; var y = 0
+    while (x < ka && y < kb) {
+      val c = ua(x).binaryCompare(ub(y))
+      if (c == 0) {
+        da += 1; db += 1; inter += 1
+        val v = ua(x)
+        x += 1; while (x < ka && ua(x).equals(v)) x += 1
+        y += 1; while (y < kb && ub(y).equals(v)) y += 1
+      } else if (c < 0) {
+        da += 1
+        val v = ua(x)
+        x += 1; while (x < ka && ua(x).equals(v)) x += 1
+      } else {
+        db += 1
+        val v = ub(y)
+        y += 1; while (y < kb && ub(y).equals(v)) y += 1
+      }
+    }
+    while (x < ka) {
+      da += 1
+      val v = ua(x)
+      x += 1; while (x < ka && ua(x).equals(v)) x += 1
+    }
+    while (y < kb) {
+      db += 1
+      val v = ub(y)
+      y += 1; while (y < kb && ub(y).equals(v)) y += 1
+    }
+    if (aNull && bNull) inter += 1
+    val union = da + db - inter + (if (aNull || bNull) 1L else 0L)
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /**
+   * [[jaccardSim]] for inputs already sorted ascending in binary order with
+   * nulls first (= `sort_array(x)`): a straight two-pointer merge, no
+   * per-call sort. The verify joins sort each document's shingle array ONCE
+   * (per doc) and merge per candidate PAIR — candidates outnumber documents
+   * by orders of magnitude, so moving the sort across the join boundary
+   * removes the dominant per-pair cost (TimSort over ~100 pointers), which
+   * also matters doubly on a cold JVM: the first single-pass execution runs
+   * interpreted, and the merge loop is ~50× less interpreted work.
+   *
+   * PRECONDITION: elements are distinct as well as sorted (true of every
+   * producer: wordShingles dedups, sort_array preserves distinctness).
+   * Duplicate elements would be counted, not collapsed — use [[jaccardSim]]
+   * for arbitrary arrays.
+   */
+  def jaccardSimSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // nulls sort first: count and skip them.
+    var x = 0
+    while (x < na && a.isNullAt(x)) x += 1
+    var y = 0
+    while (y < nb && b.isNullAt(y)) y += 1
+    val aNull = x > 0
+    val bNull = y > 0
+    // Strict merge, one binaryCompare per advance: sorted-DISTINCT inputs
+    // mean no duplicate-skip loop is needed (a per-element equals check was
+    // the top frame in the verify profile). wordShingles output is distinct
+    // by construction and sort_array preserves that.
+    var da = 0L; var db = 0L; var inter = 0L
+    var va: UTF8String = null
+    var vb: UTF8String = null
+    while (x < na && y < nb) {
+      if (va == null) va = a.getUTF8String(x)
+      if (vb == null) vb = b.getUTF8String(y)
+      val c = va.binaryCompare(vb)
+      if (c == 0) {
+        da += 1; db += 1; inter += 1
+        x += 1; y += 1
+        va = null; vb = null
+      } else if (c < 0) {
+        da += 1; x += 1; va = null
+      } else {
+        db += 1; y += 1; vb = null
+      }
+    }
+    da += na - x
+    db += nb - y
+    if (aNull && bNull) inter += 1
+    val union = da + db - inter + (if (aNull || bNull) 1L else 0L)
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** 64-bit SimHash over a token array (term-frequency weighted). */
@@ -265,4 +464,55 @@ case class AsciiClassCount(child: Expression, mode: Int)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.asciiClassCount($c, $mode)")
   override def prettyName: String = "ascii_class_count"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** word_shingles(text, n) -> ARRAY<STRING> — see [[TextHash.wordShingles]].
+  * A fused kernel for what `array_distinct(transform(sequence(...),
+  * concat_ws(slice(split(text, " "), ...))))` spells: higher-order
+  * functions evaluate interpreted per element, which made shingling the
+  * dominant cost of every text-dedup pipeline. */
+case class WordShingles(child: Expression, n: Int, sorted: Boolean = false)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle n must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def fn = if (sorted) "wordShinglesSorted" else "wordShingles"
+  override def nullSafeEval(v: Any): Any =
+    if (sorted) TextHash.wordShinglesSorted(v.asInstanceOf[UTF8String], n)
+    else TextHash.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.$fn($c, $n)")
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** jaccard_sim(a ARRAY<STRING>, b ARRAY<STRING>) -> DOUBLE — one-pass
+  * set-semantics Jaccard (see [[TextHash.jaccardSim]]); replaces the
+  * array_intersect/array_union composition in verify joins. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextHash.jaccardSim($a, $b)")
+  override def prettyName: String = "jaccard_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** jaccard_sim over arrays the caller guarantees are `sort_array`-ordered —
+  * see [[TextHash.jaccardSimSorted]]; the verify-join fast path. */
+case class JaccardSimSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardSimSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextHash.jaccardSimSorted($a, $b)")
+  override def prettyName: String = "jaccard_sim_sorted"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

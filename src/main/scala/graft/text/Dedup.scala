@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.functions.array_cosine_similarity
 import TextFunctions._
@@ -24,13 +25,19 @@ import TextFunctions._
  * construction, so the stages partition evenly; candidate verification is
  * proportional to the number of colliding pairs, not n².
  *
- * Caching contract: several operators `persist()` intermediates that feed
- * the returned plan twice (signatures, prefix postings, bucket keys). The
- * results are lazy, so those persists intentionally outlive the call — they
- * are released by `spark.catalog.clearCache()` or when the executors drop
- * them under memory pressure (MEMORY_AND_DISK eviction). Long-lived
- * sessions issuing many dedup calls should clear the cache between
- * pipelines.
+ * Caching contract: NO operator leaves `persist()`ed intermediates behind —
+ * the SQL cache is empty when each call returns (asserted by DedupSpec).
+ * Corpus-sized intermediates (shingle sets, signatures, bucket keys) are
+ * never cached at all: at 100 TB caching them would thrash the executor
+ * store, so consumers re-derive them from column-pruned scans, and
+ * AQE's stage cache / exchange reuse collapse the identical subtrees a
+ * plan references twice (a self-join's two sides are one shuffle; a
+ * candidate set feeding both the id fetch and the verify join is one
+ * band-join). The two iterative operators ([[nearDupClusters]]'s label
+ * propagation, [[signBuckets]]'s split loop) persist per-round state while
+ * they run, then release it and hand back their small fixpoint as
+ * executor-local `localCheckpoint` blocks (outside the SQL cache, freed by
+ * the context cleaner when the result is dropped).
  */
 object Dedup {
 
@@ -76,9 +83,10 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    // The signature set feeds the band self-join twice — persist it so the
-    // minhash stage runs once.
-    val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed).persist()
+    // The signature set feeds both sides of the band self-join; the sides
+    // canonicalize to one exchange (reuse), so the minhash stage runs once
+    // without caching it.
+    val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
     verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
   }
 
@@ -86,20 +94,60 @@ object Dedup {
     * the shared tail of [[nearDupPairs]] and [[dropNearDuplicates]]. */
   private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
       idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int): DataFrame = {
+    // The candidate subtree feeds both the id fetch and the outer verify
+    // join below; everything stays lazy — AQE's stage cache reuses the
+    // materialized band-join stages across the two consumers, and keeps
+    // exact runtime sizes so the semi-join flips to broadcast when the
+    // candidate set is small.
     val cands = lshCandidatePairs(sigs, k, bands)
-    // Exact shingle sets are needed only for candidate rows: semi-join
-    // before computing them, so verification cost scales with collisions,
-    // not corpus size.
-    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val sets = df.select(col(idCol).cast("long").as("id"),
-        wordShingles(col(textCol), shingleN).as("sh"))
-      .join(candIds, Seq("id"), "left_semi")
-    cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val sets = candidateShingleSets(cands,
+      df.select(col(idCol).cast("long").as("id"),
+        wordShinglesSorted(col(textCol), shingleN).as("sh")))
+    verifyJaccard(cands, sets, threshold)
+  }
+
+  /** Shared exact-Jaccard verification tail: candidate pairs × per-doc
+    * shingle sets → (id_a, id_b, jaccard >= threshold).
+    *
+    * Two deliberate plan moves. (1) Each doc's shingle array is sorted ONCE
+    * (`sort_array`) so the per-PAIR kernel is a merge, not a sort — pairs
+    * outnumber docs by orders of magnitude. (2) The candidate set is
+    * re-spread over the cluster before the fetch joins: its BYTE size is
+    * tiny (two longs/row), so AQE's size-based coalescing would collapse it
+    * onto one task, serializing the entire verification CPU — the cost here
+    * is per-ROW compute, which byte-based planning cannot see. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val par = cands.sparkSession.sparkContext.defaultParallelism
+    // `sets.sh` is pre-SORTED by the shingle kernel itself (wordShingles-
+    // Sorted) — sorting inside the kernel guarantees one sort per DOCUMENT
+    // wherever the optimizer evaluates the projection; a sort_array column
+    // here proved fragile (it migrated into AQE-coalesced single-task
+    // stages and, in some plans, above the pair join).
+    val sorted = sets
+    cands.repartition(par, col("id_a"))
+      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // Materialization barrier for DOWNSTREAM consumers: a caller's sort
+      // (every gate ends in ORDER BY) samples its child for range
+      // partitioning, and without a shuffle boundary here that sampling job
+      // re-executes the whole verify — doubling the kernel work. The
+      // exchange carries only the verified pairs (three narrow columns).
+      .repartition(par)
+  }
+
+  /** Payload fetch for verification: restrict `sh` (any (id, payload)
+    * frame) to the ids appearing in candidate pairs via semi-join, so
+    * verification cost scales with collisions, not corpus size. Join
+    * strategy is left to the planner: AQE broadcasts the id set when its
+    * runtime size is small and shuffles when it isn't — the right call at
+    * 100 TB, where candidate ids can exceed executor memory. */
+  private def candidateShingleSets(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    sh.join(candIds, Seq("id"), "left_semi")
   }
 
   /**
@@ -109,8 +157,9 @@ object Dedup {
    *
    * Hybrid execution: the verified near-dup edge set is orders of magnitude
    * smaller than the corpus (it holds duplicate PAIRS only, post-LSH,
-   * post-verify), so when it fits `driverEdgeThreshold` (16 B/edge — the
-   * 1M default is 16 MB of driver heap) a driver-side union-find answers in
+   * post-verify), so when it fits `driverEdgeThreshold` (collected as
+   * primitive-long tuples, ~32 B/edge with JVM headers — the 1M default is
+   * ~32 MB of transient driver heap) a driver-side union-find answers in
    * one collect instead of one Spark job per graph-diameter round. Above
    * the bound, iterative min-label propagation runs distributed: each round
    * is two equi-joins over hash-distributed keys, rounds = component
@@ -125,11 +174,15 @@ object Dedup {
     // recompute it from scratch for the distributed loop.
     val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
     // One job answers both "does it fit?" and "give me the edges": the
-    // limit returns threshold+1 rows only when the set is too big.
-    val probe = raw.limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
+    // limit returns threshold+1 rows only when the set is too big. The
+    // tuple encoder collects specialized primitive-long pairs, not Row
+    // objects, so the heap cost is the ~32 B/edge the threshold assumes.
+    import spark.implicits._
+    val probe = raw.toDF("id_a", "id_b").as[(Long, Long)]
+      .limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
     if (probe.length <= driverEdgeThreshold) {
       raw.unpersist()
-      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val edges = probe
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -179,8 +232,13 @@ object Dedup {
       prevSum = newSum
       iter += 1
     }
+    // Label rows are bounded by the edge set's vertex count (pairs only,
+    // not the corpus): checkpoint the fixpoint so the SQL cache is left
+    // empty and the loop's lineage never replays.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /**
@@ -207,11 +265,13 @@ object Dedup {
     // (id, hash, k×8-byte sig) rows go through the one shuffle — document
     // text never shuffles.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    // Not cached: the exact-loser and representative subtrees below share
+    // this window's exchange (canonicalized reuse), and the hash + minhash
+    // kernels are cheap to re-run per consumer.
     val marked = df.select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("_h"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .withColumn("_keep", min(col("id")).over(w))
-      .persist()
     val exactLosers = marked.where(col("id") =!= col("_keep")).select(col("id"))
     // LSH over exact-dup representatives only: byte-identical documents all
     // collide in every band, so a document repeated k times would add
@@ -250,8 +310,10 @@ object Dedup {
    * sides under one global order, J >= t implies the prefixes intersect.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3,
+      broadcastDfCap: Int = 1000000): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val spark = df.sparkSession
     // The filter bounds are computed with EXACT integer arithmetic over the
     // rational t' = num/denom (threshold rounded DOWN at 5 decimals): double
     // ceil(0.28 * 25) = 8 though the exact ceiling is 7, which over-tightens
@@ -266,28 +328,75 @@ object Dedup {
     val denom = 100000L
     def ceilDiv(x: Column, n: Long, d: Long): Column =
       floor((x * n + (d - 1)) / d).cast("long")
+    // Sorted shingle kernel: the verify tail merges pre-sorted arrays; the
+    // prefix stages don't care about element order (they re-rank by df).
     val sh = df.select(col(idCol).cast("long").as("id"),
-        wordShingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0).persist()
-    val posting = sh.select(col("id"), size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("g"))
-    val gramDf = posting.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("gdf"), col("g"))
-    // Persisted: the self-join below would otherwise recompute the whole
-    // posting ⋈ doc-frequency ⋈ window pipeline for each side.
-    val prefix = posting.join(gramDf, "g")
-      .withColumn("rn", row_number().over(byRarity))
-      .where(col("rn") <= col("sz") - ceilDiv(col("sz"), num, denom) + 1)
-      .select(col("id"), col("sz"), col("g"), col("rn"))
-      .persist()
+        wordShinglesSorted(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    // Global document frequencies of REPEATED grams only: a gram absent
+    // from this set has df = 1 exactly (every gram occurs at least once),
+    // so dropping the df=1 long tail changes nothing about the (df, gram)
+    // order while shrinking the frequency table to the repeated vocabulary.
+    val hot = sh.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") > 1)
+    // One eager job answers both "does it fit?" and "give me the table":
+    // the limit returns cap+1 rows only when the repeated vocabulary is too
+    // big for the driver (cap rows ≈ 150 MB transient worst-case at the 1M
+    // default; typical corpora sit far below it). Nothing is cached: on
+    // the over-cap path the lazy plan re-aggregates — one extra map-side-
+    // combined count pass, the price of deciding adaptively.
+    val hotRows = hot.limit(broadcastDfCap + 1).collect()
+    val prefix = if (hotRows.length <= broadcastDfCap) {
+      // Fast path — rank grams per document against a BROADCAST frequency
+      // map, entirely array-side: the prefix derivation costs zero
+      // shuffles and no join (vs posting ⋈ df ⋈ window, which cost two
+      // shuffles and a per-doc sort in round 5).
+      val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, hotRows.length * 2))
+      hotRows.foreach { r =>
+        map.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          java.lang.Long.valueOf(r.getLong(1)))
+      }
+      val bc = spark.sparkContext.broadcast(map)
+      val pre = Bridge.column(graft.expressions.PrefixByDf(
+        Bridge.expression(col("sh")), bc, num, denom))
+      sh.select(col("id"), size(col("sh")).cast("long").as("sz"), explode(pre).as("p"))
+        .select(col("id"), col("sz"), col("p.g").as("g"), col("p.rn").cast("long").as("rn"))
+    } else {
+      // 100 TB path — repeated vocabulary exceeds the driver cap: derive
+      // the same (df, gram) order distributed. One equi-join posting ⋈ hot
+      // (absent ⇒ df 1) and one groupBy(id) that sorts each document's
+      // grams as an array replace round 5's row_number window.
+      val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+      val ord = posting.join(hot, Seq("g"), "left")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(coalesce(col("gdf"), lit(1L)).as("gdf"),
+          col("g").as("g")))).as("ord"))
+        .select(col("id"), size(col("ord")).cast("long").as("sz"), col("ord"))
+      ord.select(col("id"), col("sz"),
+          posexplode(slice(col("ord"), lit(1),
+            (col("sz") - ceilDiv(col("sz"), num, denom) + 1).cast("int"))))
+        .select(col("id"), col("sz"), col("col.g").as("g"),
+          (col("pos") + 1).cast("long").as("rn"))
+    }
+    // The candidate join's cost is quadratic in per-gram posting counts,
+    // not linear in bytes — its input is tiny (a few MB of (id,sz,g,rn)
+    // rows) while its probe work is the whole algorithm, so AQE's
+    // byte-based partition coalescing would serialize it onto one task.
+    // Pin the partition count to cluster parallelism instead; hash(g)
+    // spreads evenly because rarest-first prefixes exclude hot grams.
+    val prefixP = prefix.repartition(
+      sh.sparkSession.sparkContext.defaultParallelism, col("g"))
     // PPJoin positional filter: a pair colliding on a gram at positions
     // (rnA, rnB) of the shared rarity order can overlap by at most
     // 1 + min(szA−rnA, szB−rnB); J >= t needs overlap >= t(szA+szB)/(1+t)
     // = num(szA+szB)/(num+denom). The bound is loosest at the pair's FIRST
     // collision, so filtering every collision row before distinct() keeps
     // exactly the pairs whose first collision passes — completeness
-    // preserved, candidates cut hard.
-    val cands = prefix.as("x").join(prefix.as("y"),
+    // preserved, candidates cut hard. The two sides of the self-join
+    // canonicalize to one exchange, so `prefix` is computed once.
+    val cands = prefixP.as("x").join(prefixP.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           least(col("x.sz"), col("y.sz")) * denom >=
             lit(num) * greatest(col("x.sz"), col("y.sz")) &&
@@ -295,12 +404,10 @@ object Dedup {
             ceilDiv(col("x.sz") + col("y.sz"), num, num + denom))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Verify: exact Jaccard over candidate pairs only, shingles re-derived
+    // for candidate ids via semi-join (see the caching contract — the
+    // corpus-sized shingle set is never cached).
+    verifyJaccard(cands, candidateShingleSets(cands, sh), threshold)
   }
 
   /**
@@ -364,11 +471,17 @@ object Dedup {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val keys = signBuckets(base, planes, tables, seed, maxBucketSize,
       maxSplitRounds, splitPlanes)
+    // signBuckets leaves nothing cached (see its scaladoc); the self-join's
+    // two sides canonicalize to one exchange, and the candidate subtree's
+    // stages are AQE-reused across the id fetch and the verify join.
     val cands = keys.as("x").join(keys.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // Verify joins fetch vectors straight from the base relation: unlike
+    // the shingle fetches there is no per-row payload computation to
+    // restrict, so a semi-join pre-filter would only add stages.
     cands
       .join(base.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
@@ -381,7 +494,13 @@ object Dedup {
     * of over-cap buckets (see [[embeddingNearDupPairs]]). Splitting can only
     * separate buckets whose members DISAGREE on fresh planes — a bucket of
     * genuinely near-identical directions is irreducible (and its quadratic
-    * output is then the true answer, not skew). */
+    * output is then the true answer, not skew).
+    *
+    * Caching: the no-cap path builds nothing stateful. The split loop
+    * persists each round's assignment (the convergence probe would
+    * otherwise replay every prior round), then checkpoints the fixpoint —
+    * (id, t, bucket) longs, the same footprint the loop already cached —
+    * and unpersists, so the SQL cache is empty on return either way. */
   private[graft] def signBuckets(base: DataFrame, planes: Int, tables: Int,
       seed: Long, maxBucketSize: Option[Int], maxSplitRounds: Int,
       splitPlanes: Int): DataFrame = {
@@ -390,33 +509,35 @@ object Dedup {
         struct(lit(t).as("t"),
           signProjection(col("vec"), planes, seed + t).as("bucket"))): _*)).as("b"))
       .select(col("id"), col("vec"), col("b.t"), col("b.bucket"))
-    maxBucketSize.foreach { cap =>
-      var round = 0
-      var done = false
-      bucketed = bucketed.persist()
-      while (round < maxSplitRounds && !done) {
-        val hot = bucketed.groupBy(col("t"), col("bucket"))
-          .agg(count(lit(1)).as("_n")).where(col("_n") > cap)
-          .select(col("t"), col("bucket"))
-        if (hot.isEmpty) done = true
-        else {
-          // Members of hot buckets get splitPlanes fresh sign bits mixed
-          // into the key; everyone else keeps their bucket. Persist each
-          // round so the convergence probe doesn't replay prior rounds.
-          val marked = bucketed.join(hot.withColumn("_hot", lit(true)),
-            Seq("t", "bucket"), "left")
-          val next = marked.select(col("id"), col("vec"), col("t"),
-            when(col("_hot").isNotNull,
-              xxhash64(col("bucket"),
-                signProjection(col("vec"), splitPlanes, seed * 31 + round + 7)))
-              .otherwise(col("bucket")).as("bucket"))
-            .persist()
-          bucketed.unpersist()
-          bucketed = next
-          round += 1
-        }
+    if (maxBucketSize.isEmpty) return bucketed.select(col("id"), col("t"), col("bucket"))
+    val cap = maxBucketSize.get
+    var round = 0
+    var done = false
+    bucketed = bucketed.persist()
+    while (round < maxSplitRounds && !done) {
+      val hot = bucketed.groupBy(col("t"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > cap)
+        .select(col("t"), col("bucket"))
+      if (hot.isEmpty) done = true
+      else {
+        // Members of hot buckets get splitPlanes fresh sign bits mixed
+        // into the key; everyone else keeps their bucket. Persist each
+        // round so the convergence probe doesn't replay prior rounds.
+        val marked = bucketed.join(hot.withColumn("_hot", lit(true)),
+          Seq("t", "bucket"), "left")
+        val next = marked.select(col("id"), col("vec"), col("t"),
+          when(col("_hot").isNotNull,
+            xxhash64(col("bucket"),
+              signProjection(col("vec"), splitPlanes, seed * 31 + round + 7)))
+            .otherwise(col("bucket")).as("bucket"))
+          .persist()
+        bucketed.unpersist()
+        bucketed = next
+        round += 1
       }
     }
-    bucketed.select(col("id"), col("t"), col("bucket"))
+    val out = bucketed.select(col("id"), col("t"), col("bucket")).localCheckpoint(true)
+    bucketed.unpersist()
+    out
   }
 }

@@ -34,20 +34,27 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  /** Distinct word n-gram shingles (empty array when fewer than n tokens). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles (empty array when fewer than n tokens).
+    * Fused byte-loop kernel — the HOF spelling (transform + concat_ws +
+    * array_distinct) evaluates interpreted per element and was the dominant
+    * cost of every shingle-based dedup pipeline. */
+  def wordShingles(text: Column, n: Int): Column =
+    col(graft.expressions.WordShingles(expr(text), n))
 
-  /** Exact Jaccard similarity of two string arrays (DOUBLE). */
+  /** [[wordShingles]] sorted ascending (binary order) inside the kernel —
+    * feeds [[jaccardSorted]] verify joins with one guaranteed sort/doc. */
+  def wordShinglesSorted(text: Column, n: Int): Column =
+    col(graft.expressions.WordShingles(expr(text), n, sorted = true))
+
+  /** Exact Jaccard similarity of two string arrays (DOUBLE), one-pass set
+    * semantics (= array_intersect / array_union composition). */
   def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"))
+    col(graft.expressions.JaccardSim(expr(a), expr(b)))
+
+  /** [[jaccard]] over `sort_array`-ordered inputs: merge-only, no per-pair
+    * sort — pair verification cost drops to O(|a|+|b|) comparisons. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    col(graft.expressions.JaccardSimSorted(expr(a), expr(b)))
 
   /** MinHash signature of a shingle array: ARRAY<BIGINT> of k minima. */
   def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =

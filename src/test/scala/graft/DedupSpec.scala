@@ -19,6 +19,30 @@ class DedupSpec extends SparkSuite {
     (6L, "spark query engines enable vector search over completely different content")
   ).toDF("doc_id", "text")
 
+  test("dedup operators leave the SQL cache empty (caching contract)") {
+    // Each operator materializes + releases its per-round state internally;
+    // nothing survives the call (Dedup scaladoc "Caching contract").
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("vec_id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    def assertEmpty(tag: String): Unit =
+      assert(spark.sharedState.cacheManager.isEmpty, s"cache not empty after $tag")
+    Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assertEmpty("exactDupGroups")
+    Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5).collect()
+    assertEmpty("nearDupPairs")
+    Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5).collect()
+    assertEmpty("dropNearDuplicates")
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5).collect()
+    assertEmpty("ngramJaccardPairs")
+    Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3).collect()
+    assertEmpty("simHashPairs")
+    Dedup.embeddingNearDupPairs(emb, "vec", "vec_id", threshold = 0.9,
+      maxBucketSize = Some(8)).collect()
+    assertEmpty("embeddingNearDupPairs")
+  }
+
   test("exactDupGroups finds byte-identical texts only") {
     val g = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
     assert(g.length == 1)

@@ -14,6 +14,12 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // The CI box can run under heavy hypervisor CPU steal (observed 10%+,
+      // 3× single-thread slowdowns); default 120s RPC asks then time out
+      // mid-suite and Spark's uncaught handler kills the fork (exit 56).
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.register(s)
