@@ -68,6 +68,28 @@ object functions {
       org.apache.spark.sql.catalyst.expressions.Literal(k), keepSmallest = false)
       .toAggregateExpression())
 
+  /** Exact SUM of pre-scaled integer units ("cents") in a 128-bit two-long
+    * accumulator → DECIMAL(38, scale). The scale-out-safe replacement for
+    * `sum(decimal)` (per-row BigDecimal) and `sum(long)` (wraps at ~1e18):
+    * see [[graft.aggregates.Sum128]]. */
+  def sum128(units: Column, scale: Int): Column =
+    col(graft.aggregates.Sum128(expr(units), scale).toAggregateExpression())
+
+  /** The unscaled integer units of `x` as DECIMAL(precision, scale) — e.g.
+    * cents for scale=2. Rounding matches `CAST(x AS DECIMAL(p, s))`
+    * (HALF_UP over the shortest decimal representation), so sums of these
+    * units reproduce decimal-cast arithmetic exactly. */
+  def decimal_units(x: Column, precision: Int, scale: Int): Column =
+    col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+      org.apache.spark.sql.catalyst.expressions.Cast(expr(x),
+        org.apache.spark.sql.types.DecimalType(precision, scale))))
+
+  /** BIGINT value of a top-level JSON object field — the one-pass kernel for
+    * `CAST(get_json_object(j, '$.key') AS BIGINT)` (no per-row Jackson
+    * parse): see [[graft.expressions.JsonGetLong]]. */
+  def json_get_long(json: Column, key: String): Column =
+    col(JsonGetLong(expr(json), key))
+
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
@@ -109,6 +131,10 @@ object functions {
         if (es.length > 1) litInt(es(1), "shingle n") else 3))),
     "jaccard_sim" -> (es =>
       cexpr(graft.text.TextFunctions.jaccard(col(es(0)), col(es(1))))),
+    "json_get_long" -> (es => JsonGetLong(es(0), es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
+      case _ => throw new IllegalArgumentException("json_get_long key must be a string literal")
+    })),
     // vector surface
     "array_distance" -> (es => ArrayDistance(es(0), es(1))),
     "array_squared_distance" -> (es => ArraySquaredDistance(es(0), es(1))),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.{decimal_units, sum128}
 
 /**
  * Relational breadth queries over the TPC-H-ish tables. These exercise the
@@ -30,11 +31,14 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
+      // Money sums run in the 128-bit units accumulator (sum128): exact like
+      // the DECIMAL(18,2) sum the oracle computes, but three long ops per
+      // row instead of a widened-decimal BigDecimal add.
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          outD(sum(col("l_quantity").cast(dec))).as("sum_qty"),
-          outD(sum(col("l_extendedprice").cast(dec))).as("sum_base_price"),
+          outD(sum128(decimal_units(col("l_quantity"), 18, 2), 2)).as("sum_qty"),
+          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2), 2)).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -61,8 +65,11 @@ object RelationalQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast(DecimalType(38, 4)))).as("revenue"),
+          // price_cents × (100 − disc_cents) = the revenue term's unscaled
+          // value at scale 4, exactly the DECIMAL(38,4) product the oracle
+          // sums — but the whole aggregation stays in long registers.
+          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2) *
+            (lit(100L) - decimal_units(col("l_discount"), 18, 2)), 4)).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
@@ -197,21 +204,37 @@ object RelationalQueries {
     }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
+      // json_get_long is the one-pass byte kernel: get_json_object pays a
+      // Jackson streaming parse PER ROW, which was the whole 25×-vs-DuckDB
+      // gap on this query — the aggregation itself is three long registers.
       Tables.load(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", graft.functions.json_get_long(col("props"), "k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
           outD(avg(col("k"))).as("avg_k"))
         .orderBy("event_type")
     }),
     "q12_multi_distinct" -> ((s, dir) => {
-      // Multiple DISTINCT aggregates in one pass (expand-based plan).
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("n_rows"))
+      // Multiple DISTINCT aggregates. NOT countDistinct(a), countDistinct(b)
+      // in one agg: Spark plans that through Expand — every fact row is
+      // TRIPLED (one copy per grouping set) before the partial aggregate,
+      // and the per-row hash work on 3N wide rows dominated the query. Three
+      // independent branches dedup map-side on 2 pruned columns each, so
+      // the scans stay columnar-cheap, nothing is tripled, and the shuffles
+      // carry only distinct pairs — the same volume Expand shuffles, without
+      // manufacturing the 3N input. The 3-row branch results broadcast-join.
+      val li = Tables.load(s, dir, "lineitem")
+      // isNotNull mirrors COUNT(DISTINCT x)'s null-skipping (and pushes to
+      // the scan); the fixture's keys are never null, so the filter is free.
+      val parts = li.select(col("l_returnflag"), col("l_partkey"))
+        .where(col("l_partkey").isNotNull).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
+      val supps = li.select(col("l_returnflag"), col("l_suppkey"))
+        .where(col("l_suppkey").isNotNull).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supps"))
+      val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      parts.join(supps, "l_returnflag").join(rows, "l_returnflag")
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
         .orderBy("l_returnflag")
     }),
     "q6_events_agg" -> ((s, dir) => {
