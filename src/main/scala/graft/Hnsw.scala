@@ -4,7 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types._
 
 import graft.index.{GraphCache, HnswGraph, HnswIndexMeta, IndexCatalog}
@@ -35,6 +35,14 @@ object Hnsw {
   val LocationKey = "spark.graft.index.location"
   val EfSearchKey = "spark.graft.hnsw.efSearch"
   val RewriteEnabledKey = "spark.graft.hnsw.rewrite.enabled"
+  /** Opt-in: let the lateral-top-k rewrite fire on hand-written
+    * `Filter(rn <= k, Window(row_number))` SQL whose partition key the USER
+    * asserts is unique per outer row (the reference accelerates any
+    * decorrelated LATERAL, where `delim_get` proves per-row grouping
+    * structurally — hnsw_optimize_join.cpp:349-697; Spark plans carry no
+    * such proof, hence the assertion). With duplicate keys the window
+    * semantics differ (top-k per GROUP), so this defaults to off. */
+  val AssumeUniqueWindowKeyKey = "spark.graft.hnsw.rewrite.assumeUniqueWindowKey"
   /** Parity no-op: files are always persistent (SURVEY §2 O17). */
   val PersistenceKey = "spark.graft.hnsw.enableExperimentalPersistence"
   val MaxVectorsPerPartitionKey = "spark.graft.hnsw.build.maxVectorsPerPartition"
@@ -371,6 +379,50 @@ object Hnsw {
           }
           .collect().toSeq
       }
+    recordTombstones(base, name, meta, existing, hits)
+  }
+
+  /**
+   * Delete-by-DataFrame (the 100 TB shape of O12): the key set never lives
+   * on the driver as a collection — it is range-joined against a broadcast
+   * of the per-segment key ranges, shuffled on segment, and each task probes
+   * its segment's graph for membership. Only the HITS (keys actually present,
+   * = rows the tombstone file must record anyway) return to the driver.
+   * The Seq overload above keeps its direct path: for row-at-a-time deletes
+   * (the reference's DELETE semantics) a Spark job costs more than the probe.
+   */
+  def delete(spark: SparkSession, name: String, keyDf: DataFrame): HnswIndexMeta = {
+    val base = baseDir(spark)
+    val meta = IndexCatalog.load(base, name)
+    val dirPath = IndexCatalog.indexDir(base, name).getAbsolutePath
+    val existing = IndexCatalog.tombstones(base, name)
+    import spark.implicits._
+    val keyCol = keyDf.columns.head
+    // (segment, lo, hi) is tiny (one row per segment) — broadcast it so the
+    // range join never shuffles the key set by anything but its hash.
+    // Incomplete range metadata (possible on legacy artifacts) degrades to
+    // probe-everywhere, the same fallback segmentsForKey uses.
+    val ranges =
+      if (meta.segmentRanges.size == meta.segments.size)
+        meta.segments.zip(meta.segmentRanges).map { case (s, (lo, hi)) => (s, lo, hi) }
+      else meta.segments.map(s => (s, Long.MinValue, Long.MaxValue))
+    val rangeDf = broadcast(ranges.toDF("_seg", "_lo", "_hi"))
+    val hits = keyDf.select(col(keyCol).cast(LongType).as("_k")).where(col("_k").isNotNull)
+      .distinct()
+      .join(rangeDf, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+      .select(col("_seg"), col("_k"))
+      .repartition(col("_seg"))
+      .mapPartitions { rows =>
+        // One graph lookup per candidate, grouped so each task touches few
+        // segments; GraphCache makes repeated segment loads per-JVM cheap.
+        rows.map(r => (r.getString(0), r.getLong(1)))
+          .filter { case (s, k) => GraphCache.get(new File(dirPath, s)).contains(k) }
+      }.collect().toSeq
+    recordTombstones(base, name, meta, existing, hits)
+  }
+
+  private def recordTombstones(base: String, name: String, meta: HnswIndexMeta,
+      existing: Set[(String, Long)], hits: Seq[(String, Long)]): HnswIndexMeta = {
     val added = hits.toSet -- existing
     IndexCatalog.writeTombstones(base, name, existing ++ added)
     val updated = meta.copy(count = meta.count - added.map(_._2).size)

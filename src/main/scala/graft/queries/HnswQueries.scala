@@ -221,6 +221,42 @@ object HnswQueries {
       // (approximate → rows-only check, like the reference's closeness tests).
       val (l2, _) = ensureIndexes(s, dir)
       Hnsw.topK(s, l2, QueryVec, 10).withColumnRenamed("vec_id", "id")
+    }),
+    "hnsw_recall_ann" -> ((s, dir) => {
+      // Graph-quality gate at DEFAULT beam width — the analogue of the
+      // reference's closeness assertions (hnsw_basic.test:28-34): ANN top-10
+      // at ef_search = 64 must reach recall@10 >= 0.9 against brute force,
+      // averaged over 20 fixture queries. The oracle is `SELECT true`, so a
+      // regressed neighbor-selection heuristic fails the hash match — the
+      // exhaustive-ef gates above prove exactness, this one proves the graph
+      // is a good graph.
+      val (l2, _) = ensureIndexes(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // annTopK resolves ef at plan-build time, so the conf flip is scoped
+      // to construction — the returned plan carries ef = 64 regardless of
+      // when it executes.
+      val prevEf = s.conf.getOption(Hnsw.EfSearchKey)
+      s.conf.set(Hnsw.EfSearchKey, graft.index.IndexCatalog.DefaultEfSearch.toString)
+      val ann =
+        try graft.api.Vss.annTopK(queries, l2, "q_vec", 10)
+          .select(col("q_id"), col("neighbor_id"))
+        finally prevEf match {
+          case Some(v) => s.conf.set(Hnsw.EfSearchKey, v)
+          case None => s.conf.unset(Hnsw.EfSearchKey)
+        }
+      // Brute-force truth: 20 queries broadcast against the corpus, bounded
+      // per-query top-10 (same shape the lateral gate verifies exactly).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      val truth = queries.crossJoin(emb)
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("embedding")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      ann.join(truth, Seq("q_id", "neighbor_id"))
+        .agg((count(lit(1)).cast("double") / lit(200.0) >= 0.9).as("recall_ok"))
     })
   )
 
@@ -285,7 +321,11 @@ object HnswQueries {
            FROM embeddings e, embeddings q WHERE q.vec_id < 5)
          SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d) AS rn FROM s)
-         WHERE rn <= 3 ORDER BY q_id, rn"""
+         WHERE rn <= 3 ORDER BY q_id, rn""",
+    "hnsw_recall_ann" ->
+      // The Spark side emits `recall@10 >= 0.9` as a boolean; a graph-quality
+      // regression flips it to false and fails the hash match.
+      "SELECT true AS recall_ok"
     // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
   )
 }

@@ -53,7 +53,8 @@ object MacroQueries {
       s.sql(
         """SELECT left_tbl.vec_id AS l_id, right_tbl.vec_id AS r_id,
                   round(score, 4) AS score
-           FROM vss_join(TABLE(emb_sql_q), TABLE(emb_sql_all), 'embedding', 'embedding', 5)
+           FROM vss_join(TABLE(emb_sql_q), TABLE(emb_sql_all), 'embedding', 'embedding', 5,
+                         'l2sq', 'vec_id')
            ORDER BY l_id, r_id""")
     }),
     "vss_match_macro" -> ((s, dir) => {

@@ -279,8 +279,11 @@ class LateralTopKToIndexJoin(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
-    // Soundness gate: only windows whose groups are provably outer rows.
-    if (!w.getTagValue(LateralTopKToIndexJoin.PerRowWindowTag).contains(true)) return None
+    // Soundness gate: only windows whose groups are provably outer rows —
+    // either tagged by Vss.lateralTopK (its outerKey contract) or the user
+    // opted in, asserting their window partition key is unique per row.
+    if (!w.getTagValue(LateralTopKToIndexJoin.PerRowWindowTag).contains(true) &&
+      !session.conf.get(Hnsw.AssumeUniqueWindowKeyKey, "false").toBoolean) return None
     // Single row_number window expression ordered ASC by one key.
     val (rnAlias, orderKey) = w match {
       case Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)), _,

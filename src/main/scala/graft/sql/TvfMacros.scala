@@ -50,26 +50,32 @@ object TvfMacros {
   }
 
   private def build(fn: String, args: Seq[Expression],
-      make: (DataFrame, DataFrame, String, String, Int, String) => DataFrame): LogicalPlan = {
-    if (args.length < 5 || args.length > 6) {
+      make: (DataFrame, DataFrame, String, String, Int, String, Option[String]) => DataFrame): LogicalPlan = {
+    if (args.length < 5 || args.length > 7) {
       throw new IllegalArgumentException(
-        s"$fn(left_table, right_table, left_col, right_col, k[, metric]) takes 5 or 6 " +
-          s"arguments, got ${args.length}")
+        s"$fn(left_table, right_table, left_col, right_col, k[, metric[, left_key]]) " +
+          s"takes 5 to 7 arguments, got ${args.length}")
     }
     val spark = SparkSession.active
     val left = table(spark, args(0), "left_table")
     val right = table(spark, args(1), "right_table")
-    val metric = if (args.length == 6) str(args(5), "metric") else "l2sq"
+    val metric = if (args.length >= 6) str(args(5), "metric") else "l2sq"
+    // Optional 7th arg: a UNIQUE left key column. The keyless form groups
+    // the cross product by the full left-row struct (deterministic for any
+    // left table); naming a key shuffles k×(narrow key) instead of k×(whole
+    // row) — the difference between a wide-row shuffle and a long shuffle
+    // at warehouse scale.
+    val leftKey = if (args.length == 7) Some(str(args(6), "left_key")) else None
     make(left, right, str(args(2), "left_col"), str(args(3), "right_col"),
-      intLit(args(4), "k"), metric)
+      intLit(args(4), "k"), metric, leftKey)
       .queryExecution.analyzed
   }
 
   def vssJoin(args: Seq[Expression]): LogicalPlan =
-    build("vss_join", args, Vss.vssJoin(_, _, _, _, _, _))
+    build("vss_join", args, Vss.vssJoin(_, _, _, _, _, _, _))
 
   def vssMatch(args: Seq[Expression]): LogicalPlan =
-    build("vss_match", args, Vss.vssMatch(_, _, _, _, _, _))
+    build("vss_match", args, Vss.vssMatch(_, _, _, _, _, _, _))
 
   private def dblLit(e: Expression, what: String): Double = e match {
     case Literal(d: Double, DoubleType) => d

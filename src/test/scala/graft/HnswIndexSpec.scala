@@ -104,6 +104,27 @@ class HnswIndexSpec extends SparkSuite {
     } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
   }
 
+  test("delete-by-DataFrame: 100k-key set never collected on the driver") {
+    spark.conf.set(Hnsw.MaxVectorsPerPartitionKey, "100")
+    try {
+      Hnsw.createIndex(spark, "grid_del_df", gridDf, "vec", "id", overwrite = true)
+      // 100k candidate keys as a distributed Dataset — the overload range-
+      // joins them against broadcast segment ranges and probes per segment;
+      // only actual hits (even ids < 729) reach the driver's tombstone file.
+      val victims = spark.range(0L, 100000L).withColumn("id", col("id") * 2)
+      val updated = Hnsw.delete(spark, "grid_del_df", victims.toDF("id"))
+      val expectedHits = (0L until 729L).count(_ % 2 == 0)
+      assert(updated.count == 729L - expectedHits)
+      val hits = Hnsw.searchRaw(spark, "grid_del_df", Array(1f, 1f, 1f), 729)
+      assert(hits.length == 729 - expectedHits)
+      assert(hits.forall(_._1 % 2 == 1))
+      // Dedup inside the overload: deleting the same keys again is a no-op.
+      assert(Hnsw.delete(spark, "grid_del_df", victims.toDF("id")).count
+        == 729L - expectedHits)
+      Hnsw.dropIndex(spark, "grid_del_df")
+    } finally spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+  }
+
   test("insert tracks count (hnsw_insert.test) and delete+compact (hnsw_crud.test)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")

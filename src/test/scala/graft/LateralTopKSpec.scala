@@ -71,6 +71,35 @@ class LateralTopKSpec extends SparkSuite {
     } finally spark.conf.set(Hnsw.RewriteEnabledKey, "true")
   }
 
+  test("opt-in conf accelerates hand-written window top-k SQL (assumeUniqueWindowKey)") {
+    Hnsw.createIndex(spark, "lat_sql_idx", inner, "b_vec", "b_id",
+      Map("ef_search" -> "100000"), overwrite = true)
+    outer.createOrReplaceTempView("lat_outer")
+    inner.createOrReplaceTempView("lat_inner")
+    // The window form a SQL user writes by hand — no Vss tag on the Window,
+    // so by default it runs brute-force (per-row grouping is unprovable from
+    // the plan; the conf is the user's uniqueness assertion on a_id).
+    def q = spark.sql(
+      """SELECT a_id, b_id, dist, rn FROM (
+        |  SELECT o.a_id, i.b_id,
+        |         array_distance(o.a_vec, i.b_vec) AS dist,
+        |         row_number() OVER (PARTITION BY o.a_id
+        |                            ORDER BY array_distance(o.a_vec, i.b_vec)) AS rn
+        |  FROM lat_outer o, lat_inner i)
+        |WHERE rn <= 3""".stripMargin)
+    assert(!planOf(q).contains("HnswIndexJoinCore"))
+    val brute = q.collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    spark.conf.set(Hnsw.AssumeUniqueWindowKeyKey, "true")
+    try {
+      assert(planOf(q).contains("HnswIndexJoinCore"), planOf(q))
+      val accel = q.collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(accel == brute)
+    } finally spark.conf.unset(Hnsw.AssumeUniqueWindowKeyKey)
+    Hnsw.dropIndex(spark, "lat_sql_idx")
+  }
+
   test("extra filter conjuncts survive the rewrite") {
     def q = Vss.lateralTopK(outer, inner, "a_vec", "b_vec", "a_id", 3)
       .where(col("a_id") =!= 3L)

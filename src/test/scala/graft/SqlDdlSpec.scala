@@ -85,7 +85,7 @@ class SqlDdlSpec extends SparkSuite {
     // arity/argument errors are clear
     val e = intercept[Exception](
       spark.sql("SELECT * FROM vss_join('ddl_grid', 'ddl_grid', 'vec', 'vec')"))
-    assert(e.getMessage.contains("5 or 6"))
+    assert(e.getMessage.contains("5 to 7"))
   }
 
   test("SQL TVFs ann_topk / lateral_topk expose the index-backed paths") {
