@@ -354,6 +354,7 @@ object TextHash {
   final val ClassAlpha = 0
   final val ClassNonAlnumSpace = 1
   final val ClassSpace = 2
+  final val ClassBpeRuns = 3
 
   /**
    * Single-pass ASCII character-class counter over UTF-8 bytes — the
@@ -367,6 +368,13 @@ object TextHash {
    *   ClassNonAlnumSpace = length(regexp_replace(s, "[a-z0-9 ]", "")):
    *                        char-start bytes not a-z / 0-9 / space
    *   ClassSpace         = count of ' ' (0x20)
+   *   ClassBpeRuns       = len(regexp_extract_all(s, "[a-z]+|[0-9]+|[^a-z0-9 ]")):
+   *                        the alternation's branches are disjoint, so the
+   *                        leftmost-greedy match count is maximal a-z runs
+   *                        + maximal 0-9 runs + one per other non-space
+   *                        char — countable in the same single byte pass
+   *                        (a multi-byte char breaks a run exactly like the
+   *                        regex does, since its bytes are outside a-z/0-9)
    *
    * java.util.regex with per-row replaced-string allocation runs at tens of
    * MB/s; this loop runs at memory bandwidth — the difference is the whole
@@ -389,6 +397,18 @@ object TextHash {
           // count char-start bytes (ASCII or UTF-8 leading) outside the class
           if ((b & 0xC0) != 0x80 && !(b >= 'a' && b <= 'z') &&
             !(b >= '0' && b <= '9') && b != ' ') cnt += 1
+          i += 1
+        }
+      case ClassBpeRuns =>
+        var prev = ' '.toByte
+        while (i < n) {
+          val b = s.getByte(i)
+          if (b >= 'a' && b <= 'z') {
+            if (!(prev >= 'a' && prev <= 'z')) cnt += 1
+          } else if (b >= '0' && b <= '9') {
+            if (!(prev >= '0' && prev <= '9')) cnt += 1
+          } else if (b != ' ' && (b & 0xC0) != 0x80) cnt += 1
+          prev = b
           i += 1
         }
       case _ =>

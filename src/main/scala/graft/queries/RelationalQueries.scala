@@ -93,9 +93,15 @@ object RelationalQueries {
         .orderBy("c_nationkey", "rnk")
     }),
     "q5_exists" -> ((s, dir) => {
-      // Customers with at least one order (left-semi join).
+      // Customers with at least one order (left-semi join). Semi joins
+      // ignore probe-side duplicates, so dedup orders to its distinct
+      // custkeys first: the partial aggregate collapses map-side and the
+      // shuffle carries ≤|customer| keys instead of every order row — and
+      // the deduped side is small enough for AQE to flip the join to
+      // broadcast, leaving customer un-shuffled. (No forced broadcast:
+      // at 100 TB AQE decides from the measured size.)
       val c = Tables.load(s, dir, "customer")
-      val o = Tables.load(s, dir, "orders")
+      val o = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
       c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey")).orderBy("c_custkey")
     }),
@@ -128,9 +134,12 @@ object RelationalQueries {
            ORDER BY p_partkey""")
     }),
     "q9_no_orders" -> ((s, dir) => {
-      // Anti join: customers with no high-value (>300k) orders.
+      // Anti join: customers with no high-value (>300k) orders. Like
+      // q5_exists, dedup the probe side to distinct custkeys after the
+      // pushed-down price filter — anti joins ignore duplicates too.
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 300000)
+        .select(col("o_custkey")).distinct()
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
     }),
@@ -146,11 +155,19 @@ object RelationalQueries {
         .orderBy("event_type", "hour_bucket")
     }),
     "q11_rollup" -> ((s, dir) => {
-      // Grouping-set breadth: ROLLUP over returnflag/linestatus.
-      Tables.load(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          outD(sum(col("l_quantity").cast(dec))).as("sum_qty"))
+      // Grouping-set breadth: ROLLUP over returnflag/linestatus. Spark
+      // plans rollup via Expand — every fact row is TRIPLED (one copy per
+      // grouping set) before the partial aggregate. The rollup levels are
+      // re-aggregable (count → sum of counts, exact decimal sum → sum of
+      // partials), so aggregate the fact table ONCE to the tiny
+      // (rf, ls) grid and roll the grid up: Expand then triples 6 rows,
+      // not N, and the one pass over lineitem runs in long registers.
+      val grid = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"),
+          sum128(decimal_units(col("l_quantity"), 18, 2), 2).as("psum"))
+      grid.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"), outD(sum(col("psum"))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "q14_asof_join" -> ((s, dir) => {

@@ -30,9 +30,13 @@ object TextFunctions {
     col(graft.expressions.AsciiClassCount(expr(text),
       graft.expressions.TextHash.ClassSpace)) + 1
 
-  /** BPE-ish subword unit count: letter runs, digit runs, other symbols. */
+  /** BPE-ish subword unit count: letter runs, digit runs, other symbols.
+    * Single-pass byte kernel — the regexp_extract_all spelling materializes
+    * every match through java.util.regex per row (it was the dominant cost
+    * of doc_text_stats); counting run starts needs no match objects. */
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    col(graft.expressions.AsciiClassCount(expr(text),
+      graft.expressions.TextHash.ClassBpeRuns))
 
   /** Distinct word n-gram shingles (empty array when fewer than n tokens).
     * Fused byte-loop kernel — the HOF spelling (transform + concat_ws +

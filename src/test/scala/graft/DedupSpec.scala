@@ -280,4 +280,18 @@ class DedupSpec extends SparkSuite {
       .select(TF.tokenCountBpe(col("t"))).collect().head.getInt(0)
     assert(r == 4) // "abc", "123", "def", "!"
   }
+
+  test("tokenCountBpe run-count kernel matches the regex spelling") {
+    // Uppercase and multi-byte chars fall to the per-char branch; runs
+    // break on any non-class byte exactly as leftmost-greedy matching does.
+    val samples = Seq("", " ", "a", "1", "!", "a1b2", "ab 12 cd!ef", "  x  ",
+      "uber straße", "a!b?c", "99 bottles!!", "mixedCASE and umlaut ü",
+      "a" * 100 + "!" + "9" * 3, "trailing space ", " leading", "!!??..")
+    val rows = samples.toDF("t").select(
+        TF.tokenCountBpe(col("t")).as("k"),
+        size(regexp_extract_all(col("t"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("r"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
 }
