@@ -9,8 +9,10 @@ import java.nio.file.{Files, Paths}
   *
   * Queries are materialized with a noop datasource write (every row is
   * produced and serialized) instead of `.count()`, which let Catalyst prune
-  * the projections being measured. Failures are fatal — a broken query must
-  * not be reported as a fast one. */
+  * the projections being measured. A failing query is recorded as an
+  * `"err"` entry in the JSON and flips the exit code to 1 — visible, but
+  * it no longer takes the other queries' numbers down with it (round 6:
+  * one analysis error → an entirely numberless BENCH_r06). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,26 +63,42 @@ object Bench {
     // recompute their own work (only OS/page-level warmth carries over).
     // SPARK_GRAFT_ONLY=a,b,c restricts the run for quick iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> (try Right(math.min(once(), once())) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Right(v)) => jstr(k) + ":" + f"$v%.3f"
+      case (k, Left(err)) => jstr(k) + ":{\"err\":" + jstr(err) + "}"
+    }.mkString("{", ",", "}")
+    val timed = results.collect { case (_, Right(v)) => v }
+    val nErr = results.count(_._2.isLeft)
+    val total = timed.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
     // Final clean stdout line, after spark.stop() so no executor shutdown
     // logging can interleave behind it.
     println(json)
+    if (nErr > 0) sys.exit(1)
   }
 }

@@ -24,12 +24,15 @@ object AsOfJoin {
 
   /**
    * @param partitionCols equality keys (e.g. user_id) — both sides
-   * @param leftTs/rightTs  ordering column name on each side (any orderable
-   *                        numeric/timestamp type; compared with <=/>=)
+   * @param leftTs/rightTs  event-time column name on each side: TIMESTAMP /
+   *                        TIMESTAMP_NTZ / integral (see [[EventTime]]);
+   *                        the two sides may even mix types — comparison is
+   *                        on the normalized epoch-long
    * @param direction "backward" (greatest rightTs <= leftTs) or
    *                  "forward" (smallest rightTs >= leftTs)
-   * @param tolerance  optional max |leftTs - rightTs| (same units as the ts
-   *                   columns cast to long); matches beyond it become NULL
+   * @param tolerance  optional max |leftTs - rightTs| — MICROSECONDS for
+   *                   timestamp columns, the columns' own units for integral
+   *                   ones; matches beyond it become NULL
    * @param rightPrefix prefix for right-side output columns
    *
    * Left-outer semantics: every left row survives; unmatched rows carry
@@ -42,11 +45,6 @@ object AsOfJoin {
       tolerance: Option[Long] = None, rightPrefix: String = "asof_"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
-    // The right payload struct excludes the partition keys, so a tolerance
-    // check cannot read rightTs back out of it when rightTs is also a key —
-    // fail at call time with a clear message instead of at analysis.
-    require(tolerance.isEmpty || !partitionCols.contains(rightTs),
-      s"tolerance requires rightTs ('$rightTs') to not be a partition column")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq.filterNot(partitionCols.contains)
     val collisions = rightCols.map(rightPrefix + _).toSet intersect leftCols.toSet
@@ -57,12 +55,12 @@ object AsOfJoin {
 
     val leftTagged = left.select(
       pk ++ Seq(
-        col(leftTs).as("_ts"), lit(0).as("_side"),
+        EventTime.toLong(left, leftTs).as("_ts"), lit(0).as("_side"),
         struct(leftCols.map(col): _*).as("_l"),
         lit(null).cast(structTypeOf(right, rightCols)).as("_r")): _*)
     val rightTagged = right.select(
       pk ++ Seq(
-        col(rightTs).as("_ts"), lit(1).as("_side"),
+        EventTime.toLong(right, rightTs).as("_ts"), lit(1).as("_side"),
         lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
         struct(rightCols.map(col): _*).as("_r")): _*)
 
@@ -75,13 +73,19 @@ object AsOfJoin {
     val w = Window.partitionBy(pk: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // `_mts` is non-null exactly where `_r` is (right rows), so the two
+    // `last(ignoreNulls)` calls pick the same row: the matched right row's
+    // normalized ts rides alongside its payload. This keeps the tolerance
+    // check independent of the payload struct — it works even when rightTs
+    // is also a partition key (and hence excluded from `_r`).
     val matched = leftTagged.unionByName(rightTagged)
+      .withColumn("_mts", when(col("_side") === 1, col("_ts")))
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_match_ts", last(col("_mts"), ignoreNulls = true).over(w))
       .where(col("_side") === 0)
     val withTol = tolerance match {
       case Some(t) =>
-        val gap = abs(col("_ts").cast("long") -
-          col("_match").getField(rightTs).cast("long"))
+        val gap = abs(col("_ts") - col("_match_ts"))
         matched.withColumn("_match", when(gap <= t, col("_match")))
       case None => matched
     }

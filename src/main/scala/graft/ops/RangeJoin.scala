@@ -24,9 +24,12 @@ object RangeJoin {
   /**
    * @param keyCols     equality keys present on both sides (may be empty —
    *                    then bucketing alone bounds the join)
-   * @param pointTs     left point column (orderable, compared as long)
-   * @param startCol/endCol right interval bounds, inclusive
-   * @param bucketWidth bucket size in ts units
+   * @param pointTs     left point column: TIMESTAMP / TIMESTAMP_NTZ /
+   *                    integral (see [[EventTime]])
+   * @param startCol/endCol right interval bounds, inclusive (same type
+   *                    family as pointTs)
+   * @param bucketWidth bucket size — MICROSECONDS for timestamp columns,
+   *                    the columns' own units for integral ones
    * @param rightPrefix prefix for right-side output columns
    *
    * Inner-join semantics: points in no interval drop out; points in k
@@ -37,24 +40,27 @@ object RangeJoin {
       bucketWidth: Long, rightPrefix: String = "iv_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rightCols = intervals.columns.toSeq.filterNot(keyCols.contains)
-    // `div` (IntegralDivide) keeps the math exact on epoch-nanos longs —
-    // `/` would detour through double and mis-bucket near bucket edges.
+    // `div` (IntegralDivide) keeps the math exact on epoch longs — `/`
+    // would detour through double and mis-bucket near bucket edges.
     // Truncation-vs-floor alignment at negative ts is harmless: bucketing
     // only needs a MONOTONE ts→bucket map applied identically to both
     // sides, and each point meets an interval in exactly one bucket (its
-    // own), so matches are found once and exactly once.
-    val p = points.withColumn("_bucket",
-      expr(s"CAST($pointTs AS BIGINT) div $bucketWidth"))
+    // own), so matches are found once and exactly once. The normalized
+    // epoch-longs (`_ts_l`/`_s_l`/`_e_l`) ride through the join for the
+    // exact containment filter — casting a TIMESTAMP to BIGINT would
+    // truncate to SECONDS and mis-match near interval edges.
+    val p = points
+      .withColumn("_ts_l", EventTime.toLong(points, pointTs))
+      .withColumn("_bucket", expr(s"_ts_l div $bucketWidth"))
     val iv = intervals
+      .withColumn("_s_l", EventTime.toLong(intervals, startCol))
+      .withColumn("_e_l", EventTime.toLong(intervals, endCol))
       .withColumn("_bucket", explode(sequence(
-        expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
-        expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
-      .select((keyCols :+ "_bucket").map(col) ++
+        expr(s"_s_l div $bucketWidth"), expr(s"_e_l div $bucketWidth"))))
+      .select((keyCols ++ Seq("_bucket", "_s_l", "_e_l")).map(col) ++
         rightCols.map(c => col(c).as(rightPrefix + c)): _*)
     p.join(iv, keyCols :+ "_bucket")
-      .where(col(pointTs).cast("long").between(
-        col(rightPrefix + startCol).cast("long"),
-        col(rightPrefix + endCol).cast("long")))
-      .drop("_bucket")
+      .where(col("_ts_l").between(col("_s_l"), col("_e_l")))
+      .drop("_bucket", "_ts_l", "_s_l", "_e_l")
   }
 }

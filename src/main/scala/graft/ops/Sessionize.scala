@@ -21,8 +21,10 @@ object Sessionize {
 
   /**
    * @param keyCols  session scope (e.g. user_id)
-   * @param tsCol    orderable event-time column; gaps compared as long
-   * @param maxGap   max intra-session gap, in `tsCol` units (e.g. nanos)
+   * @param tsCol    event-time column: TIMESTAMP / TIMESTAMP_NTZ / integral
+   *                 (see [[EventTime]])
+   * @param maxGap   max intra-session gap — MICROSECONDS for timestamp
+   *                 columns, the column's own units for integral ones
    *
    * Output = input + `session_seq` (LONG, 1-based per key).
    */
@@ -30,13 +32,14 @@ object Sessionize {
       maxGap: Long): DataFrame = {
     val byKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
     val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_prev_ts", lag(col(tsCol), 1).over(byKey))
+    df.withColumn("_ts_l", EventTime.toLong(df, tsCol))
+      .withColumn("_prev_ts", lag(col("_ts_l"), 1).over(byKey))
       .withColumn("_new_session",
         when(col("_prev_ts").isNull ||
-          col(tsCol).cast("long") - col("_prev_ts").cast("long") > maxGap, 1L)
+          col("_ts_l") - col("_prev_ts") > maxGap, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("_new_session")).over(running))
-      .drop("_prev_ts", "_new_session")
+      .drop("_ts_l", "_prev_ts", "_new_session")
   }
 
   /** Per-session rollup: (keys…, session_seq, n_events, start_ts, end_ts). */

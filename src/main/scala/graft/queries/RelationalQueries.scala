@@ -29,6 +29,26 @@ object RelationalQueries {
   // DECIMAL(38,x) renderings — CORRECTNESS_r01 q1/q2/q6 vs q3/q5/vss_*).
   private def outD(c: org.apache.spark.sql.Column) = round(c.cast("double"), 4)
 
+  /** events with `ts` normalized to epoch-MICROS LONG regardless of the
+    * fixture's physical type. The driver regenerated events.parquet with
+    * `ts` as `timestamp[us]` (read as TIMESTAMP_NTZ) where it used to be
+    * TIMESTAMP(NANOS)-read-as-LONG-nanos under `nanosAsLong` — the r6 bench
+    * DNF. Both shapes (and plain TIMESTAMP) normalize here so the event-time
+    * gates match DuckDB's `epoch_us(ts)` on the same file either way. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy nanos-as-long read
+        ev.withColumn("ts", expr("ts div 1000"))
+      case _ =>
+        ev.withColumn("ts", graft.ops.EventTime.toLong(ev, "ts"))
+    }
+  }
+
+  /** 4-hour session gap / bucket width in the units `eventsUs` left on `ts`
+    * (micros) vs what the raw table's type implies for TVF calls. */
+  private val fourHoursUs = 4L * 3600 * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       // Money sums run in the 128-bit units accumulator (sum128): exact like
@@ -145,10 +165,10 @@ object RelationalQueries {
     }),
     "q10_events_hourly" -> ((s, dir) => {
       // Time-series bucketing: per (event_type, hour) counts + exact sums.
-      // ts is TIMESTAMP(NANOS) surfaced as LONG nanos (nanosAsLong); the
-      // bucket uses integer division (doubles can't hold epoch-nanos).
-      Tables.load(s, dir, "events")
-        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      // ts is epoch-micros after eventsUs; the bucket uses integer division
+      // (doubles can't hold epoch-micros exactly).
+      eventsUs(s, dir)
+        .withColumn("hour_bucket", expr("ts div 3600000000"))
         .groupBy(col("event_type"), col("hour_bucket"))
         .agg(count(lit(1)).as("n"),
           outD(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
@@ -173,10 +193,10 @@ object RelationalQueries {
     "q14_asof_join" -> ((s, dir) => {
       // As-of join: each purchase event picks up the most recent prior view
       // by the same user (union + window, one shuffle — ops.AsOfJoin).
-      // Oracle is DuckDB's native ASOF LEFT JOIN. ts is LONG nanos here but
-      // DuckDB surfaces micros, so both sides emit epoch-micros; (user_id,
-      // ts) is unique per type in the fixture → deterministic.
-      val ev = Tables.load(s, dir, "events")
+      // Oracle is DuckDB's native ASOF LEFT JOIN. ts is epoch-micros after
+      // eventsUs — DuckDB's epoch_us convention; (user_id, ts) is unique
+      // per type in the fixture → deterministic.
+      val ev = eventsUs(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.where(col("event_type") === "view")
@@ -184,20 +204,17 @@ object RelationalQueries {
       graft.ops.AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", "ts",
           rightPrefix = "v_")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("p_ts"), // DuckDB surfaces micros — emit micros
-          col("v_view_event_id").as("view_event_id"),
-          expr("v_ts div 1000").as("v_ts"))
+          col("ts").as("p_ts"),
+          col("v_view_event_id").as("view_event_id"), col("v_ts"))
         .orderBy("event_id")
     }),
     "q15_sessionize" -> ((s, dir) => {
-      // Gap-based sessionization (4 h gap over nanosecond timestamps), then
-      // per-session stats. One window shuffle — ops.Sessionize. Timestamps
-      // emitted as epoch-micros for DuckDB parity.
-      graft.ops.Sessionize.sessionStats(Tables.load(s, dir, "events"),
-          Seq("user_id"), "ts", maxGap = 4L * 3600 * 1000000000L)
+      // Gap-based sessionization (4 h gap over epoch-micros), then
+      // per-session stats. One window shuffle — ops.Sessionize.
+      graft.ops.Sessionize.sessionStats(eventsUs(s, dir),
+          Seq("user_id"), "ts", maxGap = fourHoursUs)
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          expr("start_ts div 1000").as("start_us"),
-          expr("end_ts div 1000").as("end_us"))
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"))
         .orderBy("user_id", "session_seq")
     }),
     "q16_range_join" -> ((s, dir) => {
@@ -206,18 +223,36 @@ object RelationalQueries {
       // equi-join (ops.RangeJoin) — never a nested loop; bucket width =
       // the session gap. Sessions partition each user's events, so every
       // purchase lands in exactly one session.
-      val ev = Tables.load(s, dir, "events")
+      val ev = eventsUs(s, dir)
       val sessions = graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts",
-        maxGap = 4L * 3600 * 1000000000L)
+        maxGap = fourHoursUs)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       graft.ops.RangeJoin.pointInInterval(purchases, sessions,
           Seq("user_id"), "ts", "start_ts", "end_ts",
-          bucketWidth = 4L * 3600 * 1000000000L)
+          bucketWidth = fourHoursUs)
         .select(col("event_id"), col("user_id"),
           col("iv_session_seq").as("session_seq"),
           col("iv_n_events").as("n_events"))
         .orderBy("event_id")
+    }),
+    "q17_sessionize_tvf" -> ((s, dir) => {
+      // SQL-TVF gate over the RAW events table — no ts normalization on the
+      // Spark side at all: proves the `sessionize` TVF (and the operator
+      // under it) directly on the timestamp type the fixture actually
+      // ships. maxGap units follow the column type (micros for timestamps,
+      // nanos for the legacy long read).
+      val ev = Tables.load(s, dir, "events")
+      ev.createOrReplaceTempView("graft_q17_events")
+      val gap = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => 4L * 3600 * 1000000000L
+        case _ => fourHoursUs
+      }
+      s.sql(
+        s"""SELECT user_id, session_seq, count(*) AS n_events
+            FROM sessionize(TABLE(graft_q17_events), 'user_id', 'ts', ${gap}L)
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq""")
     }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
@@ -343,6 +378,22 @@ object RelationalQueries {
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
          FROM t GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "q17_sessionize_tvf" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 4 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s)
+         SELECT user_id, session_seq, count(*) AS n_events
+         FROM t GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
            v.event_id AS view_event_id, epoch_us(v.ts) AS v_ts
@@ -361,7 +412,7 @@ object RelationalQueries {
            count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q10_events_hourly" ->
-      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type, hour_bucket

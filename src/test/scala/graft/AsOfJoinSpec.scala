@@ -55,6 +55,30 @@ class AsOfJoinSpec extends SparkSuite {
     assert(tight("f1") == null && tight("f2") == 2.0)
   }
 
+  test("timestamp ts columns: comparison and tolerance in micros") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq(("a", t(10000), "f1")).toDF("k", "ts", "fact")
+    val r = Seq(("a", t(8000), 1.0), ("a", t(2000), 2.0)).toDF("k", "ts", "price")
+    val base = AsOfJoin.asof(l, r, Seq("k"), "ts", "ts").select("asof_price").collect()
+    assert(base.head.getDouble(0) == 1.0)
+    // the matched gap is 2 s = 2,000,000 us
+    val tight = AsOfJoin.asof(l, r, Seq("k"), "ts", "ts", tolerance = Some(1999999L))
+      .select("asof_price").collect()
+    assert(tight.head.isNullAt(0))
+    val loose = AsOfJoin.asof(l, r, Seq("k"), "ts", "ts", tolerance = Some(2000000L))
+      .select("asof_price").collect()
+    assert(loose.head.getDouble(0) == 1.0)
+  }
+
+  test("tolerance works when rightTs is also a partition column") {
+    val l = Seq(("a", 10L, "f1"), ("b", 20L, "f2")).toDF("k", "ts", "fact")
+    val r = Seq(("a", 10L, 1.0), ("b", 99L, 2.0)).toDF("k", "ts", "price")
+    val out = AsOfJoin.asof(l, r, Seq("k", "ts"), "ts", "ts", tolerance = Some(0L))
+      .select("fact", "asof_price").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(out("f1") == 1.0 && out("f2") == null)
+  }
+
   test("plan is one window shuffle — no join node, no cartesian") {
     val plan = AsOfJoin.asof(facts, quotes, Seq("k"), "ts", "ts")
       .queryExecution.executedPlan.toString

@@ -37,6 +37,22 @@ class RangeJoinSpec extends SparkSuite {
     assert(r == Set(1L, 2L))
   }
 
+  test("TIMESTAMP_NTZ columns: micros precision at sub-second interval edges") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    // A seconds-truncating implementation would put both points and the
+    // interval start in the same second and wrongly match pid 1.
+    val ps = Seq(("a", 1L, t0.plusNanos(200000000L)), ("a", 2L, t0.plusNanos(700000000L)))
+      .toDF("k", "pid", "ts")
+    val iv = Seq(("a", 9L, t0.plusNanos(500000000L), t0.plusSeconds(1).plusNanos(500000000L)))
+      .toDF("k", "iid", "s", "e")
+    assert(ps.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val r = RangeJoin.pointInInterval(ps, iv, Seq("k"), "ts", "s", "e",
+        bucketWidth = 1000000L) // 1 s in micros
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(r == Set(2L))
+  }
+
   test("plan is an equi shuffle/broadcast join — never nested-loop") {
     val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "s", "e", 10L)
       .queryExecution.executedPlan.toString

@@ -40,6 +40,30 @@ class SessionizeSpec extends SparkSuite {
       ("u2", 1L, 1L, 90L, 90L), ("u2", 2L, 1L, 500L, 500L), ("u2", 3L, 1L, 1000L, 1000L)))
   }
 
+  test("TIMESTAMP_NTZ ts column: maxGap interpreted as micros") {
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val df = Seq(("u", base), ("u", base.plusSeconds(1)), ("u", base.plusSeconds(10)))
+      .toDF("user", "ts")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val r = Sessionize.sessionize(df, Seq("user"), "ts", maxGap = 5000000L) // 5 s
+      .orderBy("ts").select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 1L, 2L))
+    // original ts type survives on the output
+    val stats = Sessionize.sessionStats(df, Seq("user"), "ts", 5000000L)
+    assert(stats.schema("start_ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
+  test("TIMESTAMP ts column: maxGap interpreted as micros") {
+    val df = Seq(("u", new java.sql.Timestamp(0L)), ("u", new java.sql.Timestamp(1000L)),
+        ("u", new java.sql.Timestamp(10000L)))
+      .toDF("user", "ts")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val r = Sessionize.sessionize(df, Seq("user"), "ts", maxGap = 5000000L) // 5 s
+      .orderBy("ts").select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 1L, 2L))
+  }
+
   test("plan is one window shuffle — no join") {
     val plan = Sessionize.sessionize(events, Seq("user"), "ts", 200L)
       .queryExecution.executedPlan.toString
