@@ -222,6 +222,40 @@ object HnswQueries {
       val (l2, _) = ensureIndexes(s, dir)
       Hnsw.topK(s, l2, QueryVec, 10).withColumnRenamed("vec_id", "id")
     }),
+    "hnsw_recall_lateral" -> ((s, dir) => {
+      // O6-path graph-quality gate at DEFAULT beam width — the lateral-join
+      // analogue of hnsw_recall_ann, mirroring hnsw_lateral_join_group.test's
+      // with/without-index equality relaxed to ANN recall: per-outer-row
+      // top-3 THROUGH THE INDEX JOIN at ef_search = 64 must reach
+      // recall@3 >= 0.9 against the brute-force window truth over 20
+      // queries. hnsw_lateral_topk above proves the join path exact at
+      // exhaustive ef; this one proves the graph still serves it well at
+      // the reference's default beam width.
+      val (l2, _) = ensureIndexes(s, dir)
+      // Separate Tables.load per role: each call carries fresh attribute
+      // ids, so outer/inner/truth never alias each other (self-join check).
+      val queries = Tables.load(s, dir, "embeddings").where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val prevEf = s.conf.getOption(Hnsw.EfSearchKey)
+      s.conf.set(Hnsw.EfSearchKey, graft.index.IndexCatalog.DefaultEfSearch.toString)
+      val ann =
+        try graft.api.Vss.lateralTopK(queries, Tables.load(s, dir, "embeddings"),
+            "q_vec", "embedding", "q_id", 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        finally prevEf match {
+          case Some(v) => s.conf.set(Hnsw.EfSearchKey, v)
+          case None => s.conf.unset(Hnsw.EfSearchKey)
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      val truth = queries.crossJoin(Tables.load(s, dir, "embeddings"))
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("embedding")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      ann.join(truth, Seq("q_id", "neighbor_id"))
+        .agg((count(lit(1)).cast("double") / lit(60.0) >= 0.9).as("recall_ok"))
+    }),
     "hnsw_recall_ann" -> ((s, dir) => {
       // Graph-quality gate at DEFAULT beam width — the analogue of the
       // reference's closeness assertions (hnsw_basic.test:28-34): ANN top-10
@@ -325,6 +359,8 @@ object HnswQueries {
     "hnsw_recall_ann" ->
       // The Spark side emits `recall@10 >= 0.9` as a boolean; a graph-quality
       // regression flips it to false and fails the hash match.
+      "SELECT true AS recall_ok",
+    "hnsw_recall_lateral" ->
       "SELECT true AS recall_ok"
     // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
   )
