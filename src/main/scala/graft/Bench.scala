@@ -24,7 +24,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Fixed-overhead trims (round-4 verdict: the ~0.2-0.4 s/query floor
       // at small SF is scheduling + exchange setup, not per-row work):
       // coalesce post-shuffle partitions to a small advisory size: fewer
@@ -72,11 +72,50 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
+      // SPARK_GRAFT_PROFILE=1 splits each timed run into build (DataFrame
+      // construction incl. analysis), plan (optimize + physical planning +
+      // codegen), and exec (job run), plus steal-invariant scheduler
+      // counters (jobs/stages/tasks) — the floor decomposition for the
+      // sub-second queries where orchestration, not data, is the cost.
+      val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        if (profile) {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val stages = new java.util.concurrent.atomic.AtomicInteger
+          val tasks = new java.util.concurrent.atomic.AtomicInteger
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet()
+              stages.addAndGet(j.stageInfos.size)
+              tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force optimize + physical plan
+          val t2 = System.nanoTime()
+          graft.spark.ExecTuning.withSizedAqe(df) {
+            df.write.format("noop").mode("overwrite").save()
+          }
+          val t3 = System.nanoTime()
+          Thread.sleep(100) // listener events are async; let the bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          System.err.println(f"[profile] $name build=${(t1 - t0) / 1e6}%.1fms " +
+            f"plan=${(t2 - t1) / 1e6}%.1fms exec=${(t3 - t2) / 1e6}%.1fms " +
+            f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+          (t3 - t0) / 1e9
+        } else {
+          // Size-based AQE choice (ExecTuning): small-input queries skip
+          // AQE's per-exchange job round-trips; big ones keep its runtime
+          // re-planning. Same policy a user session would run with.
+          graft.spark.ExecTuning.withSizedAqe(df) {
+            df.write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
       }
       name -> (try Right(math.min(once(), once())) catch {
         case e: Throwable =>

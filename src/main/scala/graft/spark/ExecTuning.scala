@@ -1,0 +1,63 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Execute-time policy knobs.
+ *
+ * == Adaptive execution vs the small-query floor ==
+ *
+ * AQE materializes every exchange as its own job (submission + listener
+ * round-trip + stage re-optimization). That re-planning is what makes the
+ * big shuffling queries robust — runtime broadcast decisions, skew splits,
+ * partition coalescing — and it is pure overhead on a query whose whole
+ * input is a few MB: measured at sf1 (local[32]), the sub-second gate
+ * queries run 2x faster with AQE off (e.g. `q4_window` 4 jobs → 2,
+ * `q8_corr_subquery` 5 → 3, subset total 6.4 s → 3.3 s) while nothing
+ * about their plans changes — the savings are scheduling round trips, not
+ * compute. On a 100 TB cluster the same queries would be large and AQE
+ * unambiguously right; the decision is a function of INPUT SIZE, not of
+ * the query.
+ *
+ * [[withSizedAqe]] encodes that: it reads the static size estimate of the
+ * optimized plan (for parquet relations this is the summed file size —
+ * known before execution) and disables AQE for this one execution when the
+ * total input falls under `spark.graft.aqe.smallQueryBytes` (default
+ * 64 MB, matching the broadcast threshold reasoning: below it, even the
+ * build side of a join is broadcastable, so there is no runtime join
+ * decision left for AQE to improve). Set the conf to 0 to disable the
+ * policy. Static broadcast decisions still apply below the threshold —
+ * parquet size statistics drive `autoBroadcastJoinThreshold` without AQE.
+ */
+object ExecTuning {
+
+  val SmallQueryBytesKey = "spark.graft.aqe.smallQueryBytes"
+  val DefaultSmallQueryBytes: Long = 64L << 20
+
+  /** Total static size estimate of the plan's leaves (bytes). */
+  def inputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+
+  /**
+   * Run `body` (typically an action on `df`) with AQE disabled when the
+   * query's static input estimate is under the small-query threshold.
+   * Conf is restored afterwards; single-session callers only (the flip is
+   * session-scoped, as all Spark runtime conf is).
+   */
+  def withSizedAqe[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.getOption(SmallQueryBytesKey)
+      .map(_.toLong).getOrElse(DefaultSmallQueryBytes)
+    val small = threshold > 0 && {
+      try inputBytes(df) < threshold
+      catch { case _: Exception => false }
+    }
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey, "true")
+    if (small && prev == "true") {
+      spark.conf.set(aqeKey, "false")
+      try body finally spark.conf.set(aqeKey, prev)
+    } else body
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.spark.ExecTuning
+
+/** Size-based AQE choice: small inputs execute without AQE, big inputs and
+  * opted-out sessions keep it; conf is always restored. */
+class ExecTuningSpec extends SparkSuite {
+
+  private def adaptiveNow: String = spark.conf.get("spark.sql.adaptive.enabled", "true")
+
+  test("small-input query runs with AQE disabled, conf restored after") {
+    val df = Tables.load(spark, sf("0.001"), "nation").groupBy(col("n_name")).count()
+    assert(ExecTuning.inputBytes(df) < ExecTuning.DefaultSmallQueryBytes)
+    val prev = adaptiveNow
+    var inside: String = null
+    ExecTuning.withSizedAqe(df) { inside = adaptiveNow }
+    assert(inside == "false")
+    assert(adaptiveNow == prev)
+  }
+
+  test("threshold 0 disables the policy; a tiny threshold keeps AQE on") {
+    val df = Tables.load(spark, sf("0.001"), "nation").groupBy(col("n_name")).count()
+    for (t <- Seq("0", "1")) { // 0 = policy off; 1 byte = nothing is small
+      spark.conf.set(ExecTuning.SmallQueryBytesKey, t)
+      try {
+        var inside: String = null
+        ExecTuning.withSizedAqe(df) { inside = adaptiveNow }
+        assert(inside == "true", s"threshold=$t")
+      } finally spark.conf.unset(ExecTuning.SmallQueryBytesKey)
+    }
+  }
+
+  test("conf restored even when the body throws") {
+    val df = Tables.load(spark, sf("0.001"), "nation")
+    val prev = adaptiveNow
+    intercept[RuntimeException] {
+      ExecTuning.withSizedAqe(df) { throw new RuntimeException("boom") }
+    }
+    assert(adaptiveNow == prev)
+  }
+
+  test("results identical with and without the policy") {
+    val mk = () => Tables.load(spark, sf("0.001"), "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+    val withPolicy = ExecTuning.withSizedAqe(mk())(mk().collect().toSeq)
+    spark.conf.set(ExecTuning.SmallQueryBytesKey, "0")
+    val without = try mk().collect().toSeq
+      finally spark.conf.unset(ExecTuning.SmallQueryBytesKey)
+    assert(withPolicy == without)
+  }
+}

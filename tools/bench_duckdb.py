@@ -47,8 +47,12 @@ def main():
             t0 = time.time()
             con.execute(sql).fetchall()
             times.append(time.time() - t0)
-        rows.append((name, min(times), spark.get(name)))
-        print(f"{name}: duckdb={min(times):.3f}s spark={spark.get(name)}s")
+        # Bench writes {"err": ...} for a failed query — treat as missing.
+        sp = spark.get(name)
+        if not isinstance(sp, (int, float)):
+            sp = None
+        rows.append((name, min(times), sp))
+        print(f"{name}: duckdb={min(times):.3f}s spark={sp}s")
     # Totals over the SAME query set on both sides: a row whose Spark time
     # is missing must not count toward the DuckDB total either.
     both = [r for r in rows if r[2] is not None]
