@@ -254,6 +254,27 @@ object RelationalQueries {
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq""")
     }),
+    "q18_asof_tvf" -> ((s, dir) => {
+      // SQL-TVF gate for as_of_join over the RAW timestamp-typed events —
+      // same posture as q17: no Spark-side normalization, the TVF (via
+      // ops.AsOfJoin + EventTime) must handle the shipped type itself.
+      // Output omits ts columns: the joined ids fully determine the match,
+      // and the raw column's physical type (TIMESTAMP_NTZ vs DuckDB's
+      // TIMESTAMP) would only test the comparator's dtype canon, not the
+      // operator.
+      val ev = Tables.load(s, dir, "events")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_q18_purchases")
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"), col("ts"))
+        .createOrReplaceTempView("graft_q18_views")
+      s.sql(
+        """SELECT event_id, user_id, asof_view_event_id AS view_event_id
+           FROM as_of_join(TABLE(graft_q18_purchases), TABLE(graft_q18_views),
+                           'user_id', 'ts', 'ts')
+           ORDER BY event_id""")
+    }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
       // json_get_long is the one-pass byte kernel: get_json_object pays a
@@ -394,6 +415,12 @@ object RelationalQueries {
          SELECT user_id, session_seq, count(*) AS n_events
          FROM t GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "q18_asof_tvf" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
            v.event_id AS view_event_id, epoch_us(v.ts) AS v_ts

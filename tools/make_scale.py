@@ -75,10 +75,10 @@ emit("lineitem", f"""
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM src, r""")
-# events goes through pyarrow, not DuckDB: DuckDB reads TIMESTAMP_NS as
-# micros and writes TIMESTAMP_MICROS, silently dropping the NANOS logical
-# type the Spark side reads via spark.sql.legacy.parquet.nanosAsLong (and
-# the oracle side via epoch_ns). pyarrow preserves timestamp[ns].
+# events goes through pyarrow, not DuckDB, so the source's exact timestamp
+# logical type survives (timestamp[us] since the round-6 fixture regen;
+# timestamp[ns] before it — DuckDB would silently coerce either to its own
+# write convention, changing what the Spark side reads).
 def emit_events():
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -94,7 +94,7 @@ def emit_events():
     out = pa.concat_tables(reps)
     pq.write_table(out, OUT / "events.parquet", version="2.6",
                    coerce_timestamps=None, row_group_size=GROUP_ROWS["events"])
-    print(f"events: {out.num_rows} rows (pyarrow, timestamp[ns] preserved)")
+    print(f"events: {out.num_rows} rows (pyarrow, source timestamp type preserved)")
 
 
 emit_events()
