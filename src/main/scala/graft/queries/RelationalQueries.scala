@@ -254,6 +254,29 @@ object RelationalQueries {
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq""")
     }),
+    "q19_range_tvf" -> ((s, dir) => {
+      // Third of the event-TVF trio on the RAW timestamp-typed table:
+      // sessionStats over raw ts yields TIMESTAMP-typed intervals
+      // (start_ts/end_ts), and the range_join TVF buckets/filters them
+      // through EventTime — point AND interval columns in the shipped
+      // type, width in the type's units (micros vs legacy nanos).
+      val ev = Tables.load(s, dir, "events")
+      val gap = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => 4L * 3600 * 1000000000L
+        case _ => fourHoursUs
+      }
+      graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts", gap)
+        .createOrReplaceTempView("graft_q19_sessions")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_q19_purchases")
+      s.sql(
+        s"""SELECT event_id, user_id, iv_session_seq AS session_seq,
+                   iv_n_events AS n_events
+            FROM range_join(TABLE(graft_q19_purchases), TABLE(graft_q19_sessions),
+                            'user_id', 'ts', 'start_ts', 'end_ts', ${gap}L)
+            ORDER BY event_id""")
+    }),
     "q18_asof_tvf" -> ((s, dir) => {
       // SQL-TVF gate for as_of_join over the RAW timestamp-typed events —
       // same posture as q17: no Spark-side normalization, the TVF (via
@@ -415,6 +438,28 @@ object RelationalQueries {
          SELECT user_id, session_seq, count(*) AS n_events
          FROM t GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "q19_range_tvf" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 4 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s),
+         iv AS (
+           SELECT user_id, session_seq, count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts
+           FROM t GROUP BY user_id, session_seq)
+         SELECT p.event_id, p.user_id, iv.session_seq, iv.n_events
+         FROM events p JOIN iv
+           ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "q18_asof_tvf" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
