@@ -63,20 +63,17 @@ object Bench {
     // recompute their own work (only OS/page-level warmth carries over).
     // SPARK_GRAFT_ONLY=a,b,c restricts the run for quick iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonUtil.str(s)
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       // SPARK_GRAFT_PROFILE=1 splits each timed run into build (DataFrame
-      // construction incl. analysis), plan (optimize + physical planning +
-      // codegen), and exec (job run), plus steal-invariant scheduler
-      // counters (jobs/stages/tasks) — the floor decomposition for the
-      // sub-second queries where orchestration, not data, is the cost.
+      // construction incl. analysis) and exec (the noop write: the write's
+      // own optimize + physical planning + codegen, then the job run — the
+      // write plans its OWN QueryExecution, so a separately-forced read
+      // plan would time a plan that never executes), plus steal-invariant
+      // scheduler counters (jobs/stages/tasks) — the floor decomposition
+      // for the sub-second queries where orchestration is the cost.
       val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
       def once(): Double = {
         spark.catalog.clearCache()
@@ -95,18 +92,20 @@ object Bench {
           }
           spark.sparkContext.addSparkListener(listener)
           val t1 = System.nanoTime()
-          df.queryExecution.executedPlan // force optimize + physical plan
-          val t2 = System.nanoTime()
-          graft.spark.ExecTuning.withSizedAqe(df) {
-            df.write.format("noop").mode("overwrite").save()
+          var t2 = t1
+          try {
+            graft.spark.ExecTuning.withSizedAqe(df) {
+              df.write.format("noop").mode("overwrite").save()
+            }
+            t2 = System.nanoTime()
+          } finally {
+            Thread.sleep(100) // listener events are async; let the bus drain
+            spark.sparkContext.removeSparkListener(listener)
           }
-          val t3 = System.nanoTime()
-          Thread.sleep(100) // listener events are async; let the bus drain
-          spark.sparkContext.removeSparkListener(listener)
           System.err.println(f"[profile] $name build=${(t1 - t0) / 1e6}%.1fms " +
-            f"plan=${(t2 - t1) / 1e6}%.1fms exec=${(t3 - t2) / 1e6}%.1fms " +
+            f"exec=${(t2 - t1) / 1e6}%.1fms " +
             f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
-          (t3 - t0) / 1e9
+          (t2 - t0) / 1e9
         } else {
           // Size-based AQE choice (ExecTuning): small-input queries skip
           // AQE's per-exchange job round-trips; big ones keep its runtime

@@ -238,11 +238,25 @@ object HnswQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val prevEf = s.conf.getOption(Hnsw.EfSearchKey)
       s.conf.set(Hnsw.EfSearchKey, graft.index.IndexCatalog.DefaultEfSearch.toString)
+      // The lateral rule resolves ef at OPTIMIZATION time, which for a lazy
+      // DataFrame happens after this builder returns (and after the finally
+      // restores the conf — the gate would then run at the gate index's
+      // exhaustive meta ef and could never fail). Execute the ANN side
+      // inside the conf scope and hand back its (tiny, ≤ 60-row) result as
+      // a local relation; the recall join below stays distributed.
       val ann =
-        try graft.api.Vss.lateralTopK(queries, Tables.load(s, dir, "embeddings"),
-            "q_vec", "embedding", "q_id", 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"))
-        finally prevEf match {
+        try {
+          val rows = graft.api.Vss.lateralTopK(queries,
+              Tables.load(s, dir, "embeddings"), "q_vec", "embedding", "q_id", 3)
+            .select(col("q_id"), col("vec_id").as("neighbor_id"))
+            .collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("q_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("neighbor_id",
+                org.apache.spark.sql.types.LongType))))
+        } finally prevEf match {
           case Some(v) => s.conf.set(Hnsw.EfSearchKey, v)
           case None => s.conf.unset(Hnsw.EfSearchKey)
         }

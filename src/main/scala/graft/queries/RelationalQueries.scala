@@ -49,6 +49,15 @@ object RelationalQueries {
     * (micros) vs what the raw table's type implies for TVF calls. */
   private val fourHoursUs = 4L * 3600 * 1000000L
 
+  /** The same 4 hours in the RAW table's own ts units — for the TVF gates
+    * that pass the table through unnormalized (micros for timestamp
+    * columns, nanos for the legacy long read). One switch, not one per
+    * gate: when the legacy shape is dropped, this is the only place. */
+  private def rawFourHours(ev: DataFrame): Long = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => 4L * 3600 * 1000000000L
+    case _ => fourHoursUs
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       // Money sums run in the 128-bit units accumulator (sum128): exact like
@@ -244,10 +253,7 @@ object RelationalQueries {
       // nanos for the legacy long read).
       val ev = Tables.load(s, dir, "events")
       ev.createOrReplaceTempView("graft_q17_events")
-      val gap = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => 4L * 3600 * 1000000000L
-        case _ => fourHoursUs
-      }
+      val gap = rawFourHours(ev)
       s.sql(
         s"""SELECT user_id, session_seq, count(*) AS n_events
             FROM sessionize(TABLE(graft_q17_events), 'user_id', 'ts', ${gap}L)
@@ -261,10 +267,7 @@ object RelationalQueries {
       // through EventTime — point AND interval columns in the shipped
       // type, width in the type's units (micros vs legacy nanos).
       val ev = Tables.load(s, dir, "events")
-      val gap = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => 4L * 3600 * 1000000000L
-        case _ => fourHoursUs
-      }
+      val gap = rawFourHours(ev)
       graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts", gap)
         .createOrReplaceTempView("graft_q19_sessions")
       ev.where(col("event_type") === "purchase")

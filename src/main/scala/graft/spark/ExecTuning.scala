@@ -55,7 +55,9 @@ object ExecTuning {
     }
     val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqeKey, "true")
-    if (small && prev == "true") {
+    // Spark parses boolean confs case-insensitively ("TRUE" is valid) —
+    // match that, or the policy silently no-ops under such a spelling.
+    if (small && prev.equalsIgnoreCase("true")) {
       spark.conf.set(aqeKey, "false")
       try body finally spark.conf.set(aqeKey, prev)
     } else body

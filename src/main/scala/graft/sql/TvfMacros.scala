@@ -143,6 +143,14 @@ object TvfMacros {
   //   as_of_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, 'backward'])
   //   sessionize(TABLE(t), 'key', 'ts', max_gap)
   //   range_join(TABLE(points), TABLE(intervals), 'key', 'ts', 's', 'e', width)
+  //
+  // ts columns may be TIMESTAMP / TIMESTAMP_NTZ / integral (ops.EventTime).
+  // UNITS of max_gap / width / tolerance: MICROSECONDS when the ts column
+  // is timestamp-typed, the column's own units when integral. (Before
+  // round 7, timestamp columns were compared at epoch-SECONDS granularity
+  // via a lossy cast; micros is the engine-wide convention now — callers
+  // holding second-denominated gaps against timestamp columns must scale
+  // by 1e6.)
 
   def asOfJoin(args: Seq[Expression]): LogicalPlan = {
     if (args.length < 5 || args.length > 6) throw new IllegalArgumentException(
