@@ -180,7 +180,7 @@ object RelationalQueries {
         .withColumn("hour_bucket", expr("ts div 3600000000"))
         .groupBy(col("event_type"), col("hour_bucket"))
         .agg(count(lit(1)).as("n"),
-          outD(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+          outD(sum128(decimal_units(col("value"), 18, 4), 4)).as("sum_value"))
         .orderBy("event_type", "hour_bucket")
     }),
     "q11_rollup" -> ((s, dir) => {
@@ -343,7 +343,7 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           count(col("user_id")).as("n_users"),
-          outD(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+          outD(sum128(decimal_units(col("value"), 18, 4), 4)).as("sum_value"))
         .orderBy("event_type")
     })
   )
