@@ -146,8 +146,10 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
         .agg(
-          outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast(DecimalType(38, 4)))).as("volume"),
+          // Same long-register revenue term as q2: cents × (100 − cents)
+          // is the DECIMAL(38,4) product's unscaled value at scale 4.
+          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2) *
+            (lit(100L) - decimal_units(col("l_discount"), 18, 2)), 4)).as("volume"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name", "ship_year")
     }),
