@@ -325,16 +325,20 @@ object RelationalQueries {
       // carry only distinct pairs — the same volume Expand shuffles, without
       // manufacturing the 3N input. The 3-row branch results broadcast-join.
       val li = Tables.load(s, dir, "lineitem")
-      // isNotNull mirrors COUNT(DISTINCT x)'s null-skipping (and pushes to
-      // the scan); the fixture's keys are never null, so the filter is free.
+      // The parts branch groups by (rf, partkey) WITH per-group counts, so
+      // COUNT(*) rides the same pass as the part-distinct: n_rows is the
+      // sum of group counts (null keys included), n_parts counts the
+      // non-null key groups — mirroring COUNT(DISTINCT x)'s null-skipping
+      // exactly. One lineitem scan + shuffle fewer than a third branch.
       val parts = li.select(col("l_returnflag"), col("l_partkey"))
-        .where(col("l_partkey").isNotNull).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_partkey").isNotNull, 1L).otherwise(0L)).as("n_parts"),
+          sum(col("c")).as("n_rows"))
       val supps = li.select(col("l_returnflag"), col("l_suppkey"))
         .where(col("l_suppkey").isNotNull).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supps"))
-      val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-      parts.join(supps, "l_returnflag").join(rows, "l_returnflag")
+      parts.join(supps, "l_returnflag")
         .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
         .orderBy("l_returnflag")
     }),
