@@ -140,7 +140,7 @@ object TvfMacros {
   }
 
   // ---- Event-stream operators as SQL table functions:
-  //   as_of_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, 'backward'])
+  //   as_of_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, 'backward'[, tol]])
   //   sessionize(TABLE(t), 'key', 'ts', max_gap)
   //   range_join(TABLE(points), TABLE(intervals), 'key', 'ts', 's', 'e', width)
   //
@@ -153,14 +153,17 @@ object TvfMacros {
   // by 1e6.)
 
   def asOfJoin(args: Seq[Expression]): LogicalPlan = {
-    if (args.length < 5 || args.length > 6) throw new IllegalArgumentException(
-      s"as_of_join(left, right, key, left_ts, right_ts[, direction]) takes 5 or 6 arguments, got ${args.length}")
+    if (args.length < 5 || args.length > 7) throw new IllegalArgumentException(
+      s"as_of_join(left, right, key, left_ts, right_ts[, direction[, tolerance]]) " +
+        s"takes 5 to 7 arguments, got ${args.length}")
     val spark = SparkSession.active
     graft.ops.AsOfJoin.asof(
       table(spark, args(0), "as_of_join left"), table(spark, args(1), "as_of_join right"),
       Seq(str(args(2), "as_of_join key")), str(args(3), "as_of_join left_ts"),
       str(args(4), "as_of_join right_ts"),
-      if (args.length == 6) str(args(5), "as_of_join direction") else "backward")
+      if (args.length >= 6) str(args(5), "as_of_join direction") else "backward",
+      // Units follow the ts type (micros for timestamps) — see block comment.
+      if (args.length == 7) Some(lngLit(args(6), "as_of_join tolerance")) else None)
       .queryExecution.analyzed
   }
 

@@ -169,6 +169,18 @@ class SqlDdlSpec extends SparkSuite {
          as_of_join(TABLE(tvf_facts), TABLE(tvf_quotes), 'k', 'ts', 'ts')
          ORDER BY fact""").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(asof == Seq(("f1", 1.0), ("f2", 2.0)))
+    // optional 7th arg: tolerance (f1's match at gap 5 survives, f2's at
+    // gap 5 too; tolerance 4 nulls both)
+    val tol = spark.sql(
+      """SELECT fact, asof_price FROM
+         as_of_join(TABLE(tvf_facts), TABLE(tvf_quotes), 'k', 'ts', 'ts', 'backward', 4)
+         ORDER BY fact""").collect().map(r => (r.getString(0), r.isNullAt(1))).toSeq
+    assert(tol == Seq(("f1", true), ("f2", true)))
+    val tol5 = spark.sql(
+      """SELECT fact, asof_price FROM
+         as_of_join(TABLE(tvf_facts), TABLE(tvf_quotes), 'k', 'ts', 'ts', 'backward', 5)
+         ORDER BY fact""").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(tol5 == Seq(("f1", 1.0), ("f2", 2.0)))
     Seq(("u", 100L), ("u", 150L), ("u", 900L)).toDF("k", "ts")
       .createOrReplaceTempView("tvf_ev")
     val sess = spark.sql(
