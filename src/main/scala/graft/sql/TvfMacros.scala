@@ -132,6 +132,10 @@ object TvfMacros {
       Dedup.embeddingNearDupPairs(df, v, i,
         dblLit(args(3), "embedding_near_dup threshold")))
 
+  /** Comma-separated key list → trimmed column names (see block comment). */
+  private def keys(e: Expression, what: String): Seq[String] =
+    str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def lngLit(e: Expression, what: String): Long = e match {
     case Literal(l: Long, _: org.apache.spark.sql.types.LongType) => l
     case Literal(i: Int, IntegerType) => i.toLong
@@ -143,6 +147,11 @@ object TvfMacros {
   //   as_of_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, 'backward'[, tol]])
   //   sessionize(TABLE(t), 'key', 'ts', max_gap)
   //   range_join(TABLE(points), TABLE(intervals), 'key', 'ts', 's', 'e', width)
+  //
+  // 'key' may be a comma-separated list ('user_id, region') — split and
+  // trimmed into the operators' multi-key form, mirroring the Scala API's
+  // Seq[String] (column names containing a literal comma are not
+  // addressable through the TVF surface; use the Scala API for those).
   //
   // ts columns may be TIMESTAMP / TIMESTAMP_NTZ / integral (ops.EventTime).
   // UNITS of max_gap / width / tolerance: MICROSECONDS when the ts column
@@ -159,7 +168,7 @@ object TvfMacros {
     val spark = SparkSession.active
     graft.ops.AsOfJoin.asof(
       table(spark, args(0), "as_of_join left"), table(spark, args(1), "as_of_join right"),
-      Seq(str(args(2), "as_of_join key")), str(args(3), "as_of_join left_ts"),
+      keys(args(2), "as_of_join key"), str(args(3), "as_of_join left_ts"),
       str(args(4), "as_of_join right_ts"),
       if (args.length >= 6) str(args(5), "as_of_join direction") else "backward",
       // Units follow the ts type (micros for timestamps) — see block comment.
@@ -172,7 +181,7 @@ object TvfMacros {
       s"sessionize(table, key, ts, max_gap) takes 4 arguments, got ${args.length}")
     val spark = SparkSession.active
     graft.ops.Sessionize.sessionize(table(spark, args(0), "sessionize table"),
-      Seq(str(args(1), "sessionize key")), str(args(2), "sessionize ts"),
+      keys(args(1), "sessionize key"), str(args(2), "sessionize ts"),
       lngLit(args(3), "sessionize max_gap"))
       .queryExecution.analyzed
   }
@@ -222,7 +231,7 @@ object TvfMacros {
     val spark = SparkSession.active
     graft.ops.RangeJoin.pointInInterval(
       table(spark, args(0), "range_join points"), table(spark, args(1), "range_join intervals"),
-      Seq(str(args(2), "range_join key")), str(args(3), "range_join ts"),
+      keys(args(2), "range_join key"), str(args(3), "range_join ts"),
       str(args(4), "range_join start"), str(args(5), "range_join end"),
       lngLit(args(6), "range_join bucket_width"))
       .queryExecution.analyzed

@@ -187,6 +187,14 @@ class SqlDdlSpec extends SparkSuite {
       "SELECT ts, session_seq FROM sessionize(TABLE(tvf_ev), 'k', 'ts', 200) ORDER BY ts")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sess == Seq((100L, 1L), (150L, 1L), (900L, 2L)))
+    // comma-separated multi-key: (k, region) scopes sessions separately
+    Seq(("u", "eu", 100L), ("u", "us", 150L), ("u", "eu", 900L)).toDF("k", "region", "ts")
+      .createOrReplaceTempView("tvf_ev2")
+    val sess2 = spark.sql(
+      """SELECT region, ts, session_seq
+         FROM sessionize(TABLE(tvf_ev2), 'k, region', 'ts', 200) ORDER BY ts""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sess2 == Seq(("eu", 100L, 1L), ("us", 150L, 1L), ("eu", 900L, 2L)))
     Seq(("a", 1L, 15L)).toDF("k", "pid", "ts").createOrReplaceTempView("tvf_pts")
     Seq(("a", 9L, 10L, 20L)).toDF("k", "iid", "s", "e")
       .createOrReplaceTempView("tvf_iv")
