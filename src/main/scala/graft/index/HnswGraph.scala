@@ -96,8 +96,15 @@ final class HnswGraph(
       case Some(n) if !removed.contains(n) =>
         throw new IllegalArgumentException(s"duplicate key $key in HNSW index")
       case Some(n) =>
-        removed -= n // revive: graph node still routable, just unhide
+        // Revive a tombstoned key. The node's adjacency was built for the
+        // OLD vector — unhiding is only sound when the vector is unchanged.
+        // A different vector must be re-linked (standard insert connect at
+        // the node's existing levels), or searches near the new vector
+        // would routinely miss it: its edges point at the old neighborhood.
+        val same = java.util.Arrays.equals(vecs(n), vec)
+        removed -= n
         vecs(n) = vec
+        if (!same && keys.length > 1) relink(n)
         return
       case None =>
     }
@@ -139,6 +146,43 @@ final class HnswGraph(
       lc -= 1
     }
     if (level > topLevel) { topLevel = level; entryPoint = node }
+  }
+
+  /** Re-run the connect phase for an existing node whose vector changed
+    * (revive-with-update): beam-search from the entry point at each of the
+    * node's levels, append the selected bidirectional edges (degree-capped
+    * via shrink). Old edges stay — extra links only help navigability; the
+    * stale ones are pruned by shrink as the node's degree refills. */
+  private def relink(node: Int): Unit = {
+    val vec = vecs(node)
+    val level = nodeLevels(node)
+    var ep = entryPoint
+    var lc = topLevel
+    while (lc > level) {
+      ep = greedyClosest(vec, ep, lc)
+      lc -= 1
+    }
+    lc = math.min(topLevel, level)
+    var eps = Array(ep)
+    while (lc >= 0) {
+      val (foundD, foundN) = searchLayer(vec, eps, efConstruction, lc)
+      val selected = selectNeighbors(vec, foundD, foundN, capAt(lc))
+      val lb = links(node)(lc)
+      var i = 0
+      while (i < selected.length) {
+        val nb = selected(i)
+        if (nb != node && !lb.containsVal(nb)) {
+          lb.add(nb)
+          val back = links(nb)(lc)
+          if (!back.containsVal(node)) back.add(node)
+          if (back.size > capAt(lc)) shrink(nb, lc)
+        }
+        i += 1
+      }
+      if (lb.size > capAt(lc)) shrink(node, lc)
+      eps = foundN
+      lc -= 1
+    }
   }
 
   /** Mark a key deleted; it stays in the graph as a routing node. */

@@ -2,7 +2,7 @@ package graft.index
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Paths, StandardCopyOption}
 import java.util.Properties
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -58,7 +58,7 @@ object IndexCatalog {
   val DefaultEfSearch = 64
 
   private val MetaFile = "meta.properties"
-  private val TombFile = "tombstones.txt"
+  private[index] val TombFile = "tombstones.txt"
 
   def indexDir(base: String, name: String): File = new File(base, name)
 
@@ -152,9 +152,19 @@ object IndexCatalog {
 
   def writeTombstones(base: String, name: String, entries: Set[(String, Long)]): Unit = {
     val f = new File(indexDir(base, name), TombFile)
-    Files.write(f.toPath,
+    // Write-then-rename like save(): an in-place truncate+write lets a
+    // concurrent reader see a torn file — a cut last line crashes the
+    // parser, a cleanly-truncated one silently resurrects deleted keys
+    // (and TombstoneCache would pin the bad set under its mtime/size).
+    val tmp = new File(f.getParentFile, TombFile + ".tmp")
+    Files.write(tmp.toPath,
       entries.toSeq.sorted.map { case (s, k) => s"$s,$k" }.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: AtomicMoveNotSupportedException =>
+      Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def writeGraph(file: File, g: HnswGraph): Unit = {
@@ -252,10 +262,16 @@ object GraphCache {
   def currentEntries: Int = cache.synchronized(cache.size())
 
   def invalidate(dirPrefix: String): Unit = cache.synchronized {
+    // Match the DIRECTORY, not a raw string prefix: dropping index "foo"
+    // must not evict sibling "foobar"'s warm graphs.
+    val dir = if (dirPrefix.endsWith(File.separator)) dirPrefix
+      else dirPrefix + File.separator
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.path.startsWith(dirPrefix)) { totalBytes -= e.getValue.bytes; it.remove() }
+      if (e.getKey.path.startsWith(dir) || e.getKey.path == dirPrefix) {
+        totalBytes -= e.getValue.bytes; it.remove()
+      }
     }
   }
 }
@@ -270,7 +286,7 @@ object TombstoneCache {
   private val cache = TrieMap.empty[String, Versioned]
 
   def get(base: String, name: String): Set[(String, Long)] = {
-    val f = new File(IndexCatalog.indexDir(base, name), "tombstones.txt")
+    val f = new File(IndexCatalog.indexDir(base, name), IndexCatalog.TombFile)
     if (!f.isFile) return Set.empty
     val (path, mtime, size) = (f.getAbsolutePath, f.lastModified(), f.length())
     cache.get(path) match {

@@ -145,6 +145,15 @@ object Ivf {
       .withColumn("ivf_cell", explode(cellsCol))
     val layout = spark.read.parquet(path)
     val layoutCols = layout.columns.toSeq
+    // The internal names this plan introduces must not already exist on the
+    // layout: withColumn("distance") would silently REPLACE a layout column
+    // of that name (then the packed struct carries two 'distance' fields
+    // and the fetch-back is ambiguous), and q_id/q_vec would collide with
+    // the broadcast query side. Fail at call time with a clear message.
+    val reserved = Seq("distance", "q_id", "q_vec") intersect layoutCols
+    require(reserved.isEmpty,
+      s"IVF layout column(s) ${reserved.mkString(", ")} collide with topKJoin's " +
+        "internal names (distance, q_id, q_vec); rename them in the layout")
     // Value struct leads with (distance, tieCol…): the aggregate's
     // equal-distance tie-break compares the value lexicographically, so
     // results are deterministic and oracle-reproducible (ORDER BY d, tie).

@@ -40,6 +40,14 @@ object RangeJoin {
       bucketWidth: Long, rightPrefix: String = "iv_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rightCols = intervals.columns.toSeq.filterNot(keyCols.contains)
+    // Same guard as AsOfJoin: a points column equal to a prefixed interval
+    // column would yield duplicate output names (every downstream col()
+    // ambiguous). Fail at call time with a clear message.
+    val collisions = rightCols.map(rightPrefix + _).toSet intersect
+      points.columns.toSet
+    require(collisions.isEmpty,
+      s"prefixed interval column(s) ${collisions.mkString(", ")} collide with " +
+        s"point columns; pass a different rightPrefix")
     // `div` (IntegralDivide) keeps the math exact on epoch longs — `/`
     // would detour through double and mis-bucket near bucket edges.
     // Truncation-vs-floor alignment at negative ts is harmless: bucketing

@@ -44,7 +44,11 @@ object Dedup {
   /** Groups of byte-identical texts: (text_hash, n, doc ids ascending,
     * keeper = smallest id). */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("text_hash"), col(idCol).cast("long").as("_id"))
+    // NULL texts are UNKNOWN, not byte-identical: md5(NULL) is NULL and a
+    // bare groupBy would collapse every null-text row into one "duplicate"
+    // group — silent data loss downstream. They can never be exact dups.
+    df.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("text_hash"), col(idCol).cast("long").as("_id"))
       .groupBy(col("text_hash"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("_id"))).as("ids"),
         min(col("_id")).as("keep_id"))
@@ -124,10 +128,9 @@ object Dedup {
     // wherever the optimizer evaluates the projection; a sort_array column
     // here proved fragile (it migrated into AQE-coalesced single-task
     // stages and, in some plans, above the pair join).
-    val sorted = sets
     cands.repartition(par, col("id_a"))
-      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -204,9 +207,15 @@ object Dedup {
     val edges = raw.toDF("src", "dst")
       .union(raw.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
+    // Labels are lineage-TRUNCATED each round (eager localCheckpoint, a
+    // LogicalRDD leaf), not merely persisted: the pointer-jump below embeds
+    // the round's plan twice, so an un-truncated lineage would grow
+    // exponentially in rounds (2^k subtrees just to canonicalize/print).
+    // Label rows are bounded by the pair set's vertex count, and the
+    // context cleaner frees each superseded round's blocks.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist()
+      .localCheckpoint(true)
     // Labels only ever decrease, so the label sum is a convergence witness:
     // unchanged sum ⟺ fixpoint — one cheap aggregate per round instead of a
     // change-detection join.
@@ -221,24 +230,37 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+      // Pointer-jump: also follow the label's OWN label (cluster_id is a
+      // vertex id with a label of its own), doubling the propagated
+      // distance per round — rounds ≈ log2(diameter) instead of diameter,
+      // so the default cap covers chains the hop-per-round loop missed.
+      val updated = prop.join(
+          prop.select(col("id").as("cluster_id"), col("cluster_id").as("_g")),
+          Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_g"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true) // truncate: see labels note above
       val newSum = labelSum(updated)
-      labels.unpersist()
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
     }
-    // Label rows are bounded by the edge set's vertex count (pairs only,
-    // not the corpus): checkpoint the fixpoint so the SQL cache is left
-    // empty and the loop's lineage never replays.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    if (!converged) {
+      edges.unpersist()
+      // Silent non-convergence would hand back wrong cluster ids (and
+      // under-dedup downstream) — fail loud; the cap is a parameter.
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIterations rounds " +
+          "(component diameter too large); raise maxIterations")
+    }
+    // labels is already an eager localCheckpoint (truncated per round), so
+    // the SQL cache is left empty and the loop's lineage never replays.
     edges.unpersist()
-    out
+    labels
   }
 
   /**
@@ -257,7 +279,7 @@ object Dedup {
    */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxIterations: Int = 10): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // One pass over the text computes BOTH the exact-dup hash and the
     // minhash signature; a window over the hash then splits exact losers
@@ -268,7 +290,11 @@ object Dedup {
     // Not cached: the exact-loser and representative subtrees below share
     // this window's exchange (canonicalized reuse), and the hash + minhash
     // kernels are cheap to re-run per consumer.
-    val marked = df.select(col(idCol).cast("long").as("id"),
+    // NULL-text rows never enter the dedup logic (md5(NULL) would pool
+    // them into one bogus "exact-dup" group); absent from both loser sets,
+    // they all survive the final anti-join untouched.
+    val marked = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("_h"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .withColumn("_keep", min(col("id")).over(w))
@@ -282,7 +308,7 @@ object Dedup {
     val sigs = marked.where(col("id") === col("_keep"))
       .where(size(col("sig")) > 0).select(col("id"), col("sig"))
     val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
-    val nearLosers = nearDupClusters(pairs)
+    val nearLosers = nearDupClusters(pairs, maxIterations)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))
     df.join(exactLosers.union(nearLosers).withColumnRenamed("id", idCol),
@@ -429,7 +455,12 @@ object Dedup {
    */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, chunkBits: Int = 16): DataFrame = {
-    require(64 % chunkBits == 0, "chunkBits must divide 64")
+    // chunkBits == 64 passes the divisibility check but degenerates: the
+    // JVM shift count is mod 64, so mask+1 == 1 and every row lands in
+    // chunk_val 0 — a full cross join. (It would also leave fewer chunks
+    // than maxHamming+1, breaking the pigeonhole completeness argument.)
+    require(chunkBits > 0 && chunkBits < 64 && 64 % chunkBits == 0,
+      "chunkBits must divide 64 and be in [1, 32]")
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
     val sigs = df.select(col(idCol).cast("long").as("id"),

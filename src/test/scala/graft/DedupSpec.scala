@@ -83,6 +83,28 @@ class DedupSpec extends SparkSuite {
     assert(dist == expected)
   }
 
+  test("NULL texts are never 'duplicates' of each other") {
+    // md5(NULL) is NULL — without the guard every null-text row pools into
+    // one bogus exact-dup group and all but one are silently dropped.
+    val df = Seq((1L, "same"), (2L, "same"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 1 &&
+      groups.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L))
+    val kept = Dedup.dropNearDuplicates(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L)) // both null-text rows survive
+  }
+
+  test("distributed label propagation converges on a long chain (pointer jumping)") {
+    // A 40-node path graph: hop-per-round propagation would need 39 rounds;
+    // pointer jumping converges within the default cap of 10.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40 && labels.values.forall(_ == 1L))
+  }
+
   test("dropNearDuplicates keeps one representative per cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -32,6 +32,31 @@ class HnswGraphSpec extends AnyFunSuite {
     assert(hits(0)._1 == 0L * 81 + 1 * 9 + 2) // (1,2,3) itself
   }
 
+  test("delete + re-add with a DIFFERENT vector re-links the node (findable)") {
+    val rnd = new Random(11)
+    val dim = 8
+    val g = new HnswGraph(dim, "l2sq")
+    // Two well-separated clusters around 0 and around 10.
+    val clusterA = Array.fill(300)(Array.fill(dim)(rnd.nextFloat() * 0.5f))
+    for (i <- 0 until 300) g.add(i.toLong, clusterA(i))
+    for (i <- 300 until 600)
+      g.add(i.toLong, Array.fill(dim)(10f + rnd.nextFloat() * 0.5f))
+    // Key 0 lived in cluster A; revive it deep inside cluster B.
+    g.remove(0L)
+    val newVec = Array.fill(dim)(10.2f)
+    g.add(0L, newVec)
+    // A query at the new location must find it as the nearest: with stale
+    // cluster-A adjacency the beam search cannot reach it from cluster B.
+    val hits = g.search(newVec, k = 1, ef = 64)
+    assert(hits.nonEmpty && hits(0)._1 == 0L,
+      s"revived key should be findable at its NEW location, got ${hits.toSeq}")
+    // Unchanged-vector revive (the cheap unhide path) still works.
+    g.remove(5L)
+    assert(!g.search(clusterA(5), k = 1, ef = 64).exists(_._1 == 5L))
+    g.add(5L, clusterA(5))
+    assert(g.search(clusterA(5), k = 1, ef = 64).exists(_._1 == 5L))
+  }
+
   test("high recall vs brute force on random vectors") {
     val rnd = new Random(7)
     val n = 2000
