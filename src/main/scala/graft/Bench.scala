@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // A/B knobs for the ExecTuning small-query policy (run/fork=true means
+      // -D flags never reach this JVM; env is the override channel).
+      .config(graft.spark.ExecTuning.SmallQueryShufflePartitionsKey,
+        sys.env.getOrElse("SPARK_GRAFT_SMALL_SHUFFLE",
+          graft.spark.ExecTuning.DefaultSmallQueryShufflePartitions.toString))
       // Fixed-overhead trims (round-4 verdict: the ~0.2-0.4 s/query floor
       // at small SF is scheduling + exchange setup, not per-row work):
       // coalesce post-shuffle partitions to a small advisory size: fewer

@@ -34,6 +34,12 @@ object ExecTuning {
   val SmallQueryBytesKey = "spark.graft.aqe.smallQueryBytes"
   val DefaultSmallQueryBytes: Long = 64L << 20
 
+  /** Post-shuffle partition count used for small-input executions
+    * (0 disables the trim). 8 keeps every core class busy at the MB scale
+    * while cutting per-exchange task dispatch 4x vs a 32-wide default. */
+  val SmallQueryShufflePartitionsKey = "spark.graft.smallQueryShufflePartitions"
+  val DefaultSmallQueryShufflePartitions = 8
+
   /** Total static size estimate of the plan's leaves (bytes). */
   def inputBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.collectLeaves()
@@ -58,8 +64,25 @@ object ExecTuning {
     // Spark parses boolean confs case-insensitively ("TRUE" is valid) —
     // match that, or the policy silently no-ops under such a spelling.
     if (small && prev.equalsIgnoreCase("true")) {
+      // Without AQE there is no runtime partition coalescing, so also trim
+      // the static post-shuffle width: a few-MB input never needs 32
+      // reducers, and each exchange's task dispatch is the measured floor
+      // for sub-second queries (profiled: ~0.5-1 ms driver-side per task).
+      // Explicit repartition(n, ...) calls — the CPU-bound dedup verify
+      // stages pin defaultParallelism that way — are untouched; only the
+      // shuffle.partitions default changes. At 100 TB every real query
+      // exceeds the byte threshold and this branch never runs.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = spark.conf.get(shufKey, "200")
+      val trim = spark.conf.getOption(SmallQueryShufflePartitionsKey)
+        .map(_.toInt).getOrElse(DefaultSmallQueryShufflePartitions)
       spark.conf.set(aqeKey, "false")
-      try body finally spark.conf.set(aqeKey, prev)
+      val prevShufN = scala.util.Try(prevShuf.toInt).getOrElse(Int.MaxValue)
+      if (trim > 0 && trim < prevShufN) spark.conf.set(shufKey, trim.toString)
+      try body finally {
+        spark.conf.set(aqeKey, prev)
+        spark.conf.set(shufKey, prevShuf)
+      }
     } else body
   }
 }

@@ -32,6 +32,33 @@ class ExecTuningSpec extends SparkSuite {
     }
   }
 
+  test("small-input query also trims shuffle partitions, conf restored") {
+    val df = Tables.load(spark, sf("0.001"), "nation").groupBy(col("n_name")).count()
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "32")
+    try {
+      var inside: String = null
+      ExecTuning.withSizedAqe(df) { inside = spark.conf.get(shufKey) }
+      assert(inside == ExecTuning.DefaultSmallQueryShufflePartitions.toString)
+      assert(spark.conf.get(shufKey) == "32")
+      // the trim only ever narrows: a session already below it is untouched
+      spark.conf.set(shufKey, "4")
+      ExecTuning.withSizedAqe(df) { inside = spark.conf.get(shufKey) }
+      assert(inside == "4")
+      // trim conf of 0 disables the partition trim but keeps the AQE flip
+      spark.conf.set(shufKey, "32")
+      spark.conf.set(ExecTuning.SmallQueryShufflePartitionsKey, "0")
+      try {
+        var in2: (String, String) = null
+        ExecTuning.withSizedAqe(df) {
+          in2 = (spark.conf.get(shufKey), adaptiveNow)
+        }
+        assert(in2 == (("32", "false")))
+      } finally spark.conf.unset(ExecTuning.SmallQueryShufflePartitionsKey)
+    } finally spark.conf.set(shufKey, prev)
+  }
+
   test("conf restored even when the body throws") {
     val df = Tables.load(spark, sf("0.001"), "nation")
     val prev = adaptiveNow
