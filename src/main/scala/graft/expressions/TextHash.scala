@@ -419,6 +419,82 @@ object TextHash {
     }
     cnt
   }
+
+  /**
+   * Single-pass repetition signals over space-split tokens — the raw
+   * counts behind the Gopher/MassiveText repetition filters (Rae et al.
+   * 2021 §A1.1): total tokens, distinct tokens, total bigrams
+   * (= max(0, n_tokens−1)) and the occurrence count of the most frequent
+   * bigram. Downstream filters derive e.g. `1 − n_distinct/n_tokens`
+   * (duplicate-token fraction) and `top_bigram/n_bigrams`.
+   *
+   * Token identity is the FNV-1a 64 hash (the [[minHashText]] convention):
+   * at document scale a 64-bit collision is ~1e-13, so the counts equal
+   * exact string grouping — which is what the unnest+GROUP BY oracle
+   * computes. Split semantics mirror `split(text, ' ')` with empty tokens
+   * kept, so both engines tokenize identically. One pass over the UTF-8
+   * bytes plus two open-addressed count tables; no strings materialized.
+   */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var tokenHashes = new Array[Long](math.max(8, bytes.length / 5))
+    var nTokens = 0
+    var h = Fnv64Offset
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTokens == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+        }
+        tokenHashes(nTokens) = h
+        nTokens += 1
+        h = Fnv64Offset
+      } else {
+        h ^= (bytes(i) & 0xffL)
+        h *= Fnv64Prime
+      }
+      i += 1
+    }
+    def pow2(atLeast: Int): Int = {
+      var c = 8
+      while (c < atLeast) c <<= 1
+      c
+    }
+    // distinct tokens: open-addressed set keyed by token hash (count==0 ⇔
+    // slot empty — a present key always has count ≥ 1, so no sentinel key)
+    val tcap = pow2(nTokens * 2)
+    val tkeys = new Array[Long](tcap)
+    val tcnt = new Array[Int](tcap)
+    var nDistinct = 0
+    var w = 0
+    while (w < nTokens) {
+      val k = tokenHashes(w)
+      var slot = (mix64(k) & (tcap - 1)).toInt
+      while (tcnt(slot) != 0 && tkeys(slot) != k) slot = (slot + 1) & (tcap - 1)
+      if (tcnt(slot) == 0) { tkeys(slot) = k; nDistinct += 1 }
+      tcnt(slot) += 1
+      w += 1
+    }
+    val nBigrams = math.max(0, nTokens - 1)
+    var top = 0
+    if (nBigrams > 0) {
+      val bcap = pow2(nBigrams * 2)
+      val bkeys = new Array[Long](bcap)
+      val bcnt = new Array[Int](bcap)
+      w = 0
+      while (w < nBigrams) {
+        val k = mix64(mix64(tokenHashes(w)) ^ tokenHashes(w + 1))
+        var slot = (k & (bcap - 1)).toInt
+        while (bcnt(slot) != 0 && bkeys(slot) != k) slot = (slot + 1) & (bcap - 1)
+        if (bcnt(slot) == 0) bkeys(slot) = k
+        bcnt(slot) += 1
+        if (bcnt(slot) > top) top = bcnt(slot)
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens.toLong, nDistinct.toLong, nBigrams.toLong, top.toLong))
+  }
 }
 
 /** minhash_signature(shingles ARRAY<STRING>, k, seed) -> ARRAY<BIGINT>. */
@@ -520,6 +596,28 @@ case class JaccardSim(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sim"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** repetition_stats(text) -> STRUCT<n_tokens, n_distinct, n_bigrams,
+  * top_bigram: BIGINT> — see [[TextHash.repetitionStats]]. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullSafeEval(v: Any): Any =
+    TextHash.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.repetitionStats($c)")
+  override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false)))
 }
 
 /** jaccard_sim over arrays the caller guarantees are `sort_array`-ordered —

@@ -106,6 +106,7 @@ object functions {
     "lang_id" -> (es => LangId(es(0))),
     "simhash64" -> (es => SimHash64(es(0))),
     "fingerprint64" -> (es => Fingerprint64(es(0))),
+    "repetition_stats" -> (es => RepetitionStats(es(0))),
     "minhash_signature" -> (es => MinHashSignature(es(0),
       if (es.length > 1) litInt(es(1), "minhash k") else 64,
       if (es.length > 2) litLong(es(2), "minhash seed") else 42L)),

@@ -150,6 +150,20 @@ object TextQueries {
           TF.simhash64(TF.tokens(col("text"))).as("simhash"),
           TF.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+    "doc_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: one single-pass kernel per doc vs
+      // the oracle's unnest + two GROUP BYs. Counts (not ratios) keep the
+      // hash compare integer-exact.
+      Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TF.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.top_bigram").as("top_bigram"))
+        .orderBy("doc_id")
     })
   )
 
@@ -290,7 +304,27 @@ object TextQueries {
          FROM aug a, aug b
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "doc_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         ts AS (SELECT doc_id, count(*) AS n_tokens,
+                  count(DISTINCT tok) AS n_distinct
+                FROM tok GROUP BY doc_id),
+         bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || chr(1) || t[i+1])) AS g
+                FROM toks),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+         bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  max(c) AS top_bigram
+                FROM bc GROUP BY doc_id)
+         SELECT ts.doc_id, n_tokens, n_distinct,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top_bigram, 0) AS top_bigram
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         ORDER BY ts.doc_id""",
     // doc_fingerprints: no oracle (engine-native hashes)
   )
 }

@@ -75,6 +75,11 @@ object TextFunctions {
   /** Rolling-hash document fingerprint. */
   def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
 
+  /** Repetition signals (Gopher-style): struct(n_tokens, n_distinct,
+    * n_bigrams, top_bigram) — see [[graft.expressions.RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    col(graft.expressions.RepetitionStats(expr(text)))
+
   /** Heuristic language ID: 'en'|'es'|'de'|'fr'|'zh'|'und'. */
   def langId(text: Column): Column = col(LangId(expr(text)))
 

@@ -222,6 +222,34 @@ class DedupSpec extends SparkSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("repetitionStats matches a naive split/group computation") {
+    // property-style check against a Scala-collections reference on random
+    // texts incl. empty-token edge cases (leading/trailing/double spaces)
+    val rnd = new scala.util.Random(7)
+    val words = Seq("a", "b", "cat", "dog", "", "the")
+    val samples = Seq("", " ", "a", "a a", "a b a b a",  "  x ") ++
+      (1 to 100).map(_ => (1 to (1 + rnd.nextInt(30)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(TF.repetitionStats(col("text")).as("r")).select("r.*")
+      .collect()
+    samples.zip(got).foreach { case (text, row) =>
+      val toks = text.split(" ", -1).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).toSeq
+      val expTop = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(row.getLong(0) == toks.size.toLong, s"n_tokens for '$text'")
+      assert(row.getLong(1) == toks.distinct.size.toLong, s"n_distinct for '$text'")
+      assert(row.getLong(2) == math.max(0, toks.size - 1).toLong, s"n_bigrams for '$text'")
+      assert(row.getLong(3) == expTop, s"top_bigram for '$text'")
+    }
+    // NULL text → NULL struct; SQL surface registered
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .selectExpr("repetition_stats(text) AS r").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("asciiClassCount kernel equals the regex formulations on arbitrary unicode") {
     import graft.expressions.TextHash
     import org.apache.spark.unsafe.types.UTF8String
