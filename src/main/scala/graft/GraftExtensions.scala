@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,
       "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
       "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,
+      "decontaminate" -> graft.sql.TvfMacros.decontaminate,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,

@@ -151,6 +151,16 @@ object TextQueries {
           TF.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "doc_decontam" -> ((s, dir) => {
+      // Eval-set contamination scan: every 50th doc plays the benchmark
+      // set; the rest is the corpus. Broadcast-joined distinct-shingle
+      // overlap — see Decontaminate scaladoc for the 100 TB plan shape.
+      val d = Tables.load(s, dir, "documents")
+      graft.text.Decontaminate.overlapCounts(
+          d.where(col("doc_id") % 50 =!= 0),
+          d.where(col("doc_id") % 50 === 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "doc_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: one single-pass kernel per doc vs
       // the oracle's unnest + two GROUP BYs. Counts (not ratios) keep the
@@ -305,6 +315,17 @@ object TextQueries {
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
          ORDER BY id_a, id_b""",
+    "doc_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM w WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+         c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
+         SELECT doc_id, count(*) AS n_hits
+         FROM c JOIN ev USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     "doc_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents WHERE text IS NOT NULL),

@@ -132,6 +132,22 @@ object TvfMacros {
       Dedup.embeddingNearDupPairs(df, v, i,
         dblLit(args(3), "embedding_near_dup threshold")))
 
+  /** decontaminate(TABLE(corpus), TABLE(eval), 'text_col', 'id_col'[, n])
+    * → (id_col, n_hits) per corpus doc sharing word-n-gram shingles with
+    * the eval set — see [[graft.text.Decontaminate.overlapCounts]]. */
+  def decontaminate(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 5) throw new IllegalArgumentException(
+      s"decontaminate(corpus, eval, text_col, id_col[, n]) takes 4 or 5 " +
+        s"arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Decontaminate.overlapCounts(
+      table(spark, args(0), "decontaminate corpus"),
+      table(spark, args(1), "decontaminate eval"),
+      str(args(2), "decontaminate text_col"), str(args(3), "decontaminate id_col"),
+      if (args.length == 5) intLit(args(4), "decontaminate n") else 3)
+      .queryExecution.analyzed
+  }
+
   /** Comma-separated key list → trimmed column names (see block comment). */
   private def keys(e: Expression, what: String): Seq[String] =
     str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -222,6 +222,41 @@ class DedupSpec extends SparkSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("decontaminate flags and drops docs overlapping the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 3-grams with eval 100
+      (2L, "completely different content about spark query engines"),
+      (3L, "short text"), // < 3 tokens: no shingles, can never be flagged
+      (4L, "the quick brown cat sleeps")) // shares only "the quick brown"
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = graft.text.Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 shares: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert(hits == Map(1L -> 3L, 4L -> 1L))
+    val kept = graft.text.Decontaminate
+      .dropContaminated(corpus, eval, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // SQL TVF surface
+    corpus.createOrReplaceTempView("decon_corpus")
+    eval.createOrReplaceTempView("decon_eval")
+    val viaSql = spark.sql(
+      """SELECT doc_id, n_hits
+         FROM decontaminate(TABLE(decon_corpus), TABLE(decon_eval), 'text', 'doc_id')
+         ORDER BY doc_id""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == Seq((1L, 3L), (4L, 1L)))
+    // scale posture: an equi-join on the shingle (broadcastable eval side),
+    // never a nested-loop/cartesian over corpus x eval
+    val plan = graft.text.Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("repetitionStats matches a naive split/group computation") {
     // property-style check against a Scala-collections reference on random
     // texts incl. empty-token edge cases (leading/trailing/double spaces)
