@@ -495,6 +495,50 @@ object TextHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTokens.toLong, nDistinct.toLong, nBigrams.toLong, top.toLong))
   }
+
+  /**
+   * Token-window chunking — the sequence-segmentation step of a training
+   * pipeline: split a document into windows of `size` tokens starting
+   * every `stride` tokens (stride < size ⇒ overlapping windows; the last
+   * window may be short). Because tokens are the `split(text, ' ')`
+   * convention (single-space separators, empty tokens kept), every chunk
+   * is a CONTIGUOUS BYTE SLICE of the original string — the kernel records
+   * token boundary offsets in one pass and emits zero-copy-adjacent
+   * substrings, identical to `array_to_string(w[a:b], ' ')` in the oracle.
+   */
+  def chunkTokens(s: UTF8String, size: Int, stride: Int): ArrayData = {
+    require(size > 0 && stride > 0, "chunk size and stride must be positive")
+    val bytes = s.getBytes
+    // boundaries(k) = byte offset where token k starts; token k ends at
+    // boundaries(k+1) - 1 (the space) except the last, which ends at EOS.
+    var starts = new Array[Int](16)
+    var nTokens = 0
+    var i = 0
+    var tokenStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTokens == starts.length) starts = java.util.Arrays.copyOf(starts, nTokens * 2)
+        starts(nTokens) = tokenStart
+        nTokens += 1
+        tokenStart = i + 1
+      }
+      i += 1
+    }
+    def tokenEnd(k: Int): Int =
+      if (k == nTokens - 1) bytes.length else starts(k + 1) - 1
+    val nChunks = 1 + (nTokens - 1) / stride
+    val out = new Array[Any](nChunks)
+    var c = 0
+    var a = 0
+    while (a < nTokens) {
+      val last = math.min(a + size, nTokens) - 1
+      val from = starts(a)
+      out(c) = UTF8String.fromBytes(bytes, from, tokenEnd(last) - from)
+      c += 1
+      a += stride
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** minhash_signature(shingles ARRAY<STRING>, k, seed) -> ARRAY<BIGINT>. */
@@ -609,6 +653,21 @@ case class RepetitionStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.repetitionStats($c)")
   override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** chunk_tokens(text, size, stride) -> ARRAY<STRING> — see
+  * [[TextHash.chunkTokens]]. */
+case class ChunkTokens(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(size > 0 && stride > 0, "chunk size and stride must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.chunkTokens(v.asInstanceOf[UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.chunkTokens($c, $size, $stride)")
+  override def prettyName: String = "chunk_tokens"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

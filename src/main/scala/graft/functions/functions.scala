@@ -107,6 +107,8 @@ object functions {
     "simhash64" -> (es => SimHash64(es(0))),
     "fingerprint64" -> (es => Fingerprint64(es(0))),
     "repetition_stats" -> (es => RepetitionStats(es(0))),
+    "chunk_tokens" -> (es => ChunkTokens(es(0),
+      litInt(es(1), "chunk size"), litInt(es(2), "chunk stride"))),
     "minhash_signature" -> (es => MinHashSignature(es(0),
       if (es.length > 1) litInt(es(1), "minhash k") else 64,
       if (es.length > 2) litLong(es(2), "minhash seed") else 42L)),

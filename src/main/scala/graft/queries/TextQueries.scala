@@ -151,6 +151,16 @@ object TextQueries {
           TF.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "doc_chunks" -> ((s, dir) => {
+      // Training sequence segmentation: 40-token windows every 24 tokens
+      // (overlapping). Chunks are byte slices of the source text, so the
+      // oracle's array_to_string(w[a:b], ' ') reproduces them exactly.
+      Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TF.chunkTokens(col("text"), 40, 24)).as(Seq("chunk_no", "chunk")))
+        .orderBy("doc_id", "chunk_no")
+    }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark
       // set; the rest is the corpus. Broadcast-joined distinct-shingle
@@ -315,6 +325,13 @@ object TextQueries {
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
          ORDER BY id_a, id_b""",
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM w)
+         SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_no,
+           array_to_string(w[st+1 : least(st+40, len(w))], ' ') AS chunk
+         FROM c ORDER BY doc_id, chunk_no""",
     "doc_decontam" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

@@ -80,6 +80,11 @@ object TextFunctions {
   def repetitionStats(text: Column): Column =
     col(graft.expressions.RepetitionStats(expr(text)))
 
+  /** Token-window chunks of `size` tokens every `stride` tokens (training
+    * sequence segmentation) — see [[graft.expressions.ChunkTokens]]. */
+  def chunkTokens(text: Column, size: Int, stride: Int): Column =
+    col(graft.expressions.ChunkTokens(expr(text), size, stride))
+
   /** Heuristic language ID: 'en'|'es'|'de'|'fr'|'zh'|'und'. */
   def langId(text: Column): Column = col(LangId(expr(text)))
 

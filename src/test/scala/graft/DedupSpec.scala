@@ -257,6 +257,33 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("chunkTokens matches the sliding-window reference incl. edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "b", "cc", "", "dddd")
+    val samples = Seq("", " ", "one", "a b c", "a  b", " lead", "trail ") ++
+      (1 to 80).map(_ => (1 to (1 + rnd.nextInt(25)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    for ((size, stride) <- Seq((4, 4), (4, 2), (3, 5), (1, 1))) {
+      val got = samples.toDF("text")
+        .select(TF.chunkTokens(col("text"), size, stride).as("c"))
+        .collect().map(_.getSeq[String](0))
+      samples.zip(got).foreach { case (text, chunks) =>
+        val toks = text.split(" ", -1).toSeq
+        val exp = (0 until toks.size by stride)
+          .map(st => toks.slice(st, st + size).mkString(" "))
+        assert(chunks == exp, s"size=$size stride=$stride text='$text'")
+      }
+    }
+    // SQL surface + NULL propagation
+    val viaSql = Seq(("a b c d e", 1)).toDF("text", "x")
+      .selectExpr("chunk_tokens(text, 2, 2) AS c").collect().head.getSeq[String](0)
+    assert(viaSql == Seq("a b", "c d", "e"))
+    val nul = Seq((null: String, 1)).toDF("text", "x")
+      .selectExpr("chunk_tokens(text, 2, 2) AS c").collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("repetitionStats matches a naive split/group computation") {
     // property-style check against a Scala-collections reference on random
     // texts incl. empty-token edge cases (leading/trailing/double spaces)
