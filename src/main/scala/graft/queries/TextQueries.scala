@@ -155,11 +155,16 @@ object TextQueries {
       // Training sequence segmentation: 40-token windows every 24 tokens
       // (overlapping). Chunks are byte slices of the source text, so the
       // oracle's array_to_string(w[a:b], ' ') reproduces them exactly.
+      // Sort BEFORE the explode: the range shuffle then moves each doc's
+      // text once instead of its ~1.7x overlapping chunks, and Generate
+      // preserves per-partition order (chunk_no ascends within a doc), so
+      // rows still stream out (doc_id, chunk_no)-ordered. The driver
+      // compare is order-insensitive (sorts before hashing) either way.
       Tables.load(s, dir, "documents")
         .where(col("text").isNotNull)
+        .orderBy("doc_id")
         .select(col("doc_id"),
           posexplode(TF.chunkTokens(col("text"), 40, 24)).as(Seq("chunk_no", "chunk")))
-        .orderBy("doc_id", "chunk_no")
     }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark

@@ -22,7 +22,9 @@ DUMP = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 FAIR = [k for k in json.load(open(f"{DUMP}/oracle_sql.json"))
         if k.startswith(("q", "vss_"))] + [
     "doc_text_stats", "doc_exact_dedup", "doc_lang_quality",
-    "doc_quality_filter", "doc_det_sample"]
+    "doc_quality_filter", "doc_det_sample",
+    # round-7 continuation gates: kernel-vs-SQL same-spec comparisons
+    "doc_repetition", "doc_chunks", "doc_decontam"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
