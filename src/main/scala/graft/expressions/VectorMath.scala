@@ -142,4 +142,75 @@ object VectorMath {
     else if (a2 == 0.0 || b2 == 0.0) 1.0
     else 1.0 - ab / math.sqrt(a2 * b2)
   }
+
+  // ---- Embedding storage kernels (beyond the reference surface; the
+  // preprocessing every large-scale embedding pipeline runs before
+  // indexing/serving). Exact cross-engine formulas documented per kernel —
+  // the oracle mirrors the operation order so doubles are bit-identical.
+
+  /** Unit-L2 vector: x_i / sqrt(Σ x_i²), accumulated in Double, cast back
+    * to Float. Zero vector normalizes to itself. */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    val out = new Array[Float](n)
+    if (s != 0.0) {
+      val norm = math.sqrt(s)
+      i = 0
+      while (i < n) {
+        out(i) = (a.getFloat(i).toDouble / norm).toFloat
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Symmetric int8 quantization: scale = maxabs/127 (Float, for
+    * dequantization); code_i = floor(x_i * 127 / maxabs + 0.5) clamped to
+    * [-127, 127] — the multiply-then-divide order is the contract (the
+    * oracle spells the same `CAST(x AS DOUBLE) * 127 / maxabs`, so the
+    * doubles match bit-for-bit and floor can never disagree). The all-zero
+    * vector quantizes to scale 0, all-zero codes. */
+  def quantizeI8(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val codes = new Array[Byte](n)
+    if (maxAbs > 0.0f) {
+      val m = maxAbs.toDouble
+      i = 0
+      while (i < n) {
+        val q = math.floor(a.getFloat(i).toDouble * 127.0 / m + 0.5)
+        codes(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      maxAbs / 127.0f,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)))
+  }
+
+  /** Inverse of [[quantizeI8]]: code_i * scale (Double multiply, Float
+    * result) — the lossy reconstruction used at serving time. */
+  def dequantizeI8(codes: ArrayData, scale: Float): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (codes.getByte(i).toDouble * scale.toDouble).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

@@ -76,3 +76,48 @@ case class ArrayNegativeInnerProduct(left: Expression, right: Expression) extend
   override def prettyName: String = "array_negative_inner_product"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+// ---- Embedding storage expressions (beyond the reference surface; see
+// VectorMath kernel docs for the exact cross-engine formulas).
+
+/** array_l2_normalize(vec ARRAY<FLOAT>) -> ARRAY<FLOAT>. */
+case class ArrayL2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.l2Normalize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VectorMath.l2Normalize($c)")
+  override def prettyName: String = "array_l2_normalize"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array_quantize_i8(vec ARRAY<FLOAT>) -> STRUCT<scale FLOAT, codes ARRAY<TINYINT>>. */
+case class ArrayQuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.quantizeI8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VectorMath.quantizeI8($c)")
+  override def prettyName: String = "array_quantize_i8"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array_dequantize_i8(codes ARRAY<TINYINT>, scale FLOAT) -> ARRAY<FLOAT>. */
+case class ArrayDequantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(ByteType), FloatType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(codes: Any, scale: Any): Any =
+    VectorMath.dequantizeI8(codes.asInstanceOf[ArrayData], scale.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, s) => s"graft.expressions.VectorMath.dequantizeI8($c, $s)")
+  override def prettyName: String = "array_dequantize_i8"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -50,6 +50,21 @@ object functions {
   def array_negative_inner_product(a: Column, b: Column): Column =
     col(ArrayNegativeInnerProduct(expr(vec(a)), expr(vec(b))))
 
+  /** Unit-L2-normalized copy of a float vector (zero vector unchanged). */
+  def array_l2_normalize(a: Column): Column =
+    col(ArrayL2Normalize(expr(vec(a))))
+
+  /** Symmetric int8 quantization: struct(scale FLOAT, codes ARRAY<TINYINT>)
+    * with code_i = floor(x_i * 127 / maxabs + 0.5) — 4x smaller embedding
+    * storage for the 100 TB corpus; pair with [[array_dequantize_i8]]. */
+  def array_quantize_i8(a: Column): Column =
+    col(ArrayQuantizeI8(expr(vec(a))))
+
+  /** Lossy reconstruction codes_i * scale of [[array_quantize_i8]] output. */
+  def array_dequantize_i8(codes: Column, scale: Column): Column =
+    col(ArrayDequantizeI8(expr(codes.cast(ArrayType(org.apache.spark.sql.types.ByteType))),
+      expr(scale.cast(FloatType))))
+
   /** A float-vector literal column. */
   def lit_vector(v: Array[Float]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
@@ -145,6 +160,9 @@ object functions {
     "array_cosine_distance" -> (es => ArrayCosineDistance(es(0), es(1))),
     "array_inner_product" -> (es => ArrayInnerProduct(es(0), es(1))),
     "array_negative_inner_product" -> (es => ArrayNegativeInnerProduct(es(0), es(1))),
+    "array_l2_normalize" -> (es => ArrayL2Normalize(es(0))),
+    "array_quantize_i8" -> (es => ArrayQuantizeI8(es(0))),
+    "array_dequantize_i8" -> (es => ArrayDequantizeI8(es(0), es(1))),
     // 3-arg forms extend the built-ins (DuckDB-core k-arg semantics, O10);
     // 2-arg falls through to Spark's own MinBy/MaxBy.
     "min_by" -> (es =>

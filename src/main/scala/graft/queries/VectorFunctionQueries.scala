@@ -43,7 +43,32 @@ object VectorFunctionQueries {
       withQueryVec(s, dir)
         .select(col("vec_id"), round(array_distance(col("embedding"), col("qvec")), 4).as("d"))
         .orderBy(col("d"), col("vec_id"))
-        .limit(10))
+        .limit(10)),
+    "vss_l2_normalize" -> ((s, dir) => {
+      // Normalized vector checked via two dot products (a LIST output would
+      // break the driver comparator): u·v recovers the norm, u·u ≈ 1.
+      val e = Tables.load(s, dir, "embeddings")
+      val n = array_l2_normalize(col("embedding"))
+      e.select(col("vec_id"),
+          round(array_inner_product(n, col("embedding")), 4).as("d"),
+          round(array_inner_product(n, n), 4).as("unit"))
+        .orderBy("vec_id")
+    }),
+    "vss_quantize_i8" -> ((s, dir) => {
+      // Codes proven byte-exact via md5 of the comma-joined list; the
+      // dequantized reconstruction closes the loop through
+      // array_dequantize_i8. Formula order is the cross-engine contract —
+      // see VectorMath.quantizeI8.
+      val e = Tables.load(s, dir, "embeddings")
+      e.withColumn("q", array_quantize_i8(col("embedding")))
+        .select(col("vec_id"),
+          round(col("q.scale").cast("double"), 6).as("scale"),
+          md5(concat_ws(",", col("q.codes").cast("array<string>"))).as("codes_md5"),
+          round(array_inner_product(
+            array_dequantize_i8(col("q.codes"), col("q.scale")),
+            col("embedding")), 4).as("recon_dot"))
+        .orderBy("vec_id")
+    })
   )
 
   private val fromClause =
@@ -65,6 +90,44 @@ object VectorFunctionQueries {
       metricSql("-list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
     "vss_topn_scan" ->
       s"""SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS d
-          $fromClause ORDER BY d, e.vec_id LIMIT 10""".stripMargin
+          $fromClause ORDER BY d, e.vec_id LIMIT 10""".stripMargin,
+    "vss_l2_normalize" ->
+      """WITH n AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings),
+         nv AS (
+           SELECT vec_id, v,
+             CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))
+             END AS nu
+           FROM n)
+         SELECT vec_id,
+           round(list_inner_product(nu::DOUBLE[], v::DOUBLE[]), 4) AS d,
+           round(list_inner_product(nu::DOUBLE[], nu::DOUBLE[]), 4) AS unit
+         FROM nv ORDER BY vec_id""",
+    "vss_quantize_i8" ->
+      """WITH q AS (
+           SELECT vec_id, embedding AS v,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+           FROM embeddings),
+         enc AS (
+           SELECT vec_id, v,
+             CASE WHEN maxabs = 0 THEN CAST(0 AS FLOAT)
+                  ELSE CAST(CAST(maxabs AS FLOAT) / CAST(127 AS FLOAT) AS FLOAT)
+             END AS scale,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                         floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5))) AS TINYINT))
+             END AS codes
+           FROM q)
+         SELECT vec_id,
+           round(CAST(scale AS DOUBLE), 6) AS scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           round(list_inner_product(
+             list_transform(codes, c -> CAST(CAST(c AS DOUBLE) * scale AS FLOAT))::DOUBLE[],
+             v::DOUBLE[]), 4) AS recon_dot
+         FROM enc ORDER BY vec_id"""
   )
 }

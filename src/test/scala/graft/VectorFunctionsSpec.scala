@@ -86,4 +86,48 @@ class VectorFunctionsSpec extends SparkSuite {
     val e = intercept[Exception](df.select(array_distance($"a", $"b")).head())
     assert(e.getMessage != null)
   }
+
+  test("l2_normalize yields unit vectors; zero vector unchanged") {
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.fill(40)(Array.fill(8)(rnd.nextFloat() * 20f - 10f)) :+
+      Array.fill(8)(0f)
+    val rows = vecs.toDF("v")
+      .select($"v", array_l2_normalize($"v").as("n"))
+      .select(array_inner_product($"n", $"n").as("u"), $"n", $"v").collect()
+    rows.dropRight(1).foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6, "unit norm")
+    }
+    assert(rows.last.getSeq[Float](1).forall(_ == 0f), "zero vector stays zero")
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT array_l2_normalize(array(3.0f, 4.0f)) AS n").head().getSeq[Float](0)
+    assert(viaSql == Seq(0.6f, 0.8f))
+  }
+
+  test("int8 quantize/dequantize: codes bounded, reconstruction within half-step") {
+    val rnd = new scala.util.Random(6)
+    val vecs = Seq.fill(40)(Array.fill(16)(rnd.nextFloat() * 6f - 3f)) :+
+      Array.fill(16)(0f)
+    val rows = vecs.toDF("v")
+      .withColumn("q", array_quantize_i8($"v"))
+      .select($"v", $"q.scale".as("s"), $"q.codes".as("c"),
+        array_dequantize_i8($"q.codes", $"q.scale").as("r")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val s = r.getFloat(1)
+      val c = r.getSeq[Byte](2)
+      val rec = r.getSeq[Float](3)
+      assert(c.forall(b => b >= -127 && b <= 127))
+      val maxAbs = v.map(math.abs).max
+      if (maxAbs == 0f) {
+        assert(s == 0f && c.forall(_ == 0) && rec.forall(_ == 0f))
+      } else {
+        // symmetric quantization: |x - code*scale| <= scale/2 (+ float eps)
+        v.zip(rec).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= s / 2 + 1e-4f, s"x=$x y=$y scale=$s")
+        }
+        assert(c.map(math.abs(_)).max == 127, "max-|x| element uses the full range")
+      }
+    }
+  }
 }
