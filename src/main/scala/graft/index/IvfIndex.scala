@@ -33,7 +33,7 @@ import graft.expressions.VectorMath
  */
 object Ivf {
 
-  private val CentroidFile = "_ivf_centroids.bin"
+  private[graft] val CentroidFile = "_ivf_centroids.bin"
 
   /** Nearest-centroid cell id (argmin L2). Eval-only: runs once per row in
     * the build pass, not in a query hot loop. */
@@ -171,7 +171,7 @@ object Ivf {
         (col("_pos") + 1).cast("int").as("rn"): _*)
   }
 
-  private def writeCentroids(f: File, cs: Array[Array[Float]]): Unit = {
+  private[graft] def writeCentroids(f: File, cs: Array[Array[Float]]): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
     try {
       out.writeInt(cs.length)

@@ -1,0 +1,297 @@
+package graft.index
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
+
+import graft.expressions.VectorMath
+
+/**
+ * Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+ * Nearest Neighbor Search", TPAMI 2011) over the IVF layout — the
+ * memory-scale ANN path for when even one cell's RAW vectors are too big
+ * to scan comfortably: a D-dim float vector (4·D bytes) becomes `m` byte
+ * codes (one per D/m-dim subspace, each quantized to its own `ksub`-entry
+ * codebook), a 4·D/m compression (32x at D=64, m=8).
+ *
+ * Spark-first shape:
+ *  - **train**: codebooks fit driver-side on a bounded sample (the
+ *    standard practice — faiss trains on ~10^5-10^6 samples regardless of
+ *    corpus size) with seeded Lloyd iterations; a few KB of state.
+ *  - **encode**: one build-pass expression per corpus row (argmin per
+ *    subspace), exactly like the IVF cell assignment.
+ *  - **search (ADC)**: per query, an m×ksub lookup table of exact
+ *    sub-distances is computed driver-side; the corpus-side approximate
+ *    distance is `m` table lookups per row through a whole-stage-codegen
+ *    expression over the CODE column only — column pruning means the scan
+ *    never reads the raw vectors. The exact re-rank step fetches raw
+ *    vectors for the ≤ refine·k ADC survivors via a broadcast semi-join.
+ *
+ * 100 TB posture: inverted lists are parquet partitions (partition-pruned
+ * by nprobe, as in [[Ivf]]), the hot scan touches 1/32nd of the bytes, and
+ * nothing corpus-sized ever reaches the driver or a shuffle — the ADC
+ * top-(refine·k) runs through TakeOrderedAndProject, the re-rank over a
+ * broadcast id set.
+ */
+object Pq {
+
+  private val CodebookFile = "_pq_codebooks.bin"
+
+  /** centroids(mi)(c) is the `dsub`-dim centroid c of subspace mi. */
+  case class Codebooks(m: Int, ksub: Int, dsub: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    def dim: Int = m * dsub
+  }
+
+  // ---- training (driver-side, bounded sample) ----
+
+  /** Seeded Lloyd k-means on `points` (all `dsub`-dim); k clamped to the
+    * number of distinct points available. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val kk = math.min(k, n)
+    // seeded distinct-index init
+    val init = rnd.shuffle((0 until n).toVector).take(kk)
+    val cents = init.map(i => points(i).clone).toArray
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = VectorMath.l2Squared(points(i), cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](points(0).length))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val s = sums(assign(i))
+        val p = points(i)
+        var j = 0
+        while (j < p.length) { s(j) += p(j); j += 1 }
+        counts(assign(i)) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < cents(c).length) {
+            cents(c)(j) = (sums(c)(j) / counts(c)).toFloat
+            j += 1
+          }
+        } // empty cluster keeps its previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /**
+   * Fit per-subspace codebooks on a driver-collected sample of up to
+   * `sampleRows` vectors. `dim % m == 0` required (equal subspaces).
+   */
+  def train(df: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
+      sampleRows: Int = 50000, iters: Int = 15, seed: Long = 42L): Codebooks = {
+    val sample = df.select(col(vecCol).cast("array<float>"))
+      .where(col(vecCol).isNotNull)
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centroids = Array.tabulate(m) { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      lloyd(sub, ksub, iters, seed + mi)
+    }
+    Codebooks(m, centroids(0).length, dsub, centroids)
+  }
+
+  // ---- encode (build pass) ----
+
+  /** Per-row PQ code: argmin centroid per subspace. Build-time only
+    * (CodegenFallback like the IVF cell assignment). */
+  private[graft] case class PqEncode(child: Expression, cb: Codebooks)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      require(vec.length == cb.dim,
+        s"vector dim ${vec.length} != codebook dim ${cb.dim}")
+      val codes = new Array[Byte](cb.m)
+      var mi = 0
+      while (mi < cb.m) {
+        val off = mi * cb.dsub
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.ksub) {
+          val cent = cb.centroids(mi)(c)
+          var d = 0.0
+          var j = 0
+          while (j < cb.dsub) {
+            val diff = vec(off + j).toDouble - cent(j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(mi) = best.toByte
+        mi += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def encodeCol(vec: Column, cb: Codebooks): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec.cast("array<float>")), cb))
+
+  // ---- search (ADC) ----
+
+  /** ADC lookup table for query `q`: flat m×ksub floats,
+    * T(mi·ksub + c) = ||q_sub(mi) − centroid(mi)(c)||². */
+  def lookupTable(q: Array[Float], cb: Codebooks): Array[Float] = {
+    require(q.length == cb.dim, s"query dim ${q.length} != codebook dim ${cb.dim}")
+    val t = new Array[Float](cb.m * cb.ksub)
+    var mi = 0
+    while (mi < cb.m) {
+      val off = mi * cb.dsub
+      var c = 0
+      while (c < cb.ksub) {
+        val cent = cb.centroids(mi)(c)
+        var d = 0.0
+        var j = 0
+        while (j < cb.dsub) {
+          val diff = q(off + j).toDouble - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        t(mi * cb.ksub + c) = d.toFloat
+        c += 1
+      }
+      mi += 1
+    }
+    t
+  }
+
+  /** Hot-path kernel: Σ_mi T(mi·ksub + code_mi) — m array lookups/row. */
+  def adc(codes: ArrayData, table: Array[Float], ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += table(mi * ksub + (codes.getByte(mi) & 0xff))
+      mi += 1
+    }
+    s
+  }
+
+  /** array_pq_adc(codes ARRAY<TINYINT>) -> DOUBLE with the query's table
+    * bound as a codegen reference object (whole-stage-codegen hot path). */
+  private[graft] case class PqAdcDistance(child: Expression, table: Array[Float], ksub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      adc(v.asInstanceOf[ArrayData], table, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqTable", table, "float[]")
+      defineCodeGen(ctx, ev, c => s"graft.index.Pq.adc($c, $ref, $ksub)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def adcCol(codes: Column, table: Array[Float], ksub: Int): Column =
+    Bridge.column(PqAdcDistance(Bridge.expression(codes), table, ksub))
+
+  // ---- IVF-PQ layout ----
+
+  /**
+   * [[Ivf.build]] plus a `pq_code` column: parquet partitioned by
+   * `ivf_cell`, centroids + codebooks persisted alongside. One extra
+   * build-pass expression; same single corpus pass.
+   */
+  def buildIvfPq(df: DataFrame, vecCol: String, outPath: String, nCells: Int,
+      m: Int, ksub: Int = 256, sampleFraction: Double = 1.0,
+      seed: Long = 42L): Codebooks = {
+    val cb = train(df, vecCol, m, ksub, seed = seed)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(sample)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val cellExpr = Bridge.column(Ivf.NearestCell(Bridge.expression(
+      col(vecCol).cast("array<float>")), centroids))
+    df.withColumn("ivf_cell", cellExpr)
+      .withColumn("pq_code", encodeCol(col(vecCol), cb))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(outPath)
+    Ivf.writeCentroids(new File(outPath, Ivf.CentroidFile), centroids)
+    writeCodebooks(new File(outPath, CodebookFile), cb)
+    cb
+  }
+
+  /**
+   * IVF-PQ top-k: partition-pruned nprobe cells → ADC ordering over the
+   * byte codes (vectors not read) → exact re-rank of the `refine`·k ADC
+   * survivors (raw vectors fetched by a broadcast id semi-join).
+   * Returns (idCol, distance), exact distances, ascending.
+   */
+  def topK(spark: SparkSession, path: String, vecCol: String, idCol: String,
+      q: Array[Float], k: Int, nprobe: Int, refine: Int = 4): DataFrame = {
+    val cb = readCodebooks(new File(path, CodebookFile))
+    val table = lookupTable(q, cb)
+    val probed = Ivf.probe(spark, path, q, nprobe)
+    val candidates = probed
+      .select(col(idCol), adcCol(col("pq_code"), table, cb.ksub).as("_adc"))
+      .orderBy(col("_adc"), col(idCol))
+      .limit(math.max(k, refine * k))
+      .select(col(idCol))
+    val qCol = graft.functions.lit_vector(q)
+    probed.join(broadcast(candidates), Seq(idCol))
+      .select(col(idCol),
+        graft.functions.array_distance(col(vecCol), qCol).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  // ---- persistence ----
+
+  private def writeCodebooks(f: File, cb: Codebooks): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    try {
+      out.writeInt(cb.m); out.writeInt(cb.ksub); out.writeInt(cb.dsub)
+      cb.centroids.foreach(_.foreach(_.foreach(out.writeFloat)))
+    } finally out.close()
+  }
+
+  private[graft] def readCodebooks(f: File): Codebooks = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    try {
+      val m = in.readInt(); val ksub = in.readInt(); val dsub = in.readInt()
+      Codebooks(m, ksub, dsub,
+        Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(in.readFloat()))))
+    } finally in.close()
+  }
+}

@@ -216,6 +216,38 @@ object HnswQueries {
           round(col("distance"), 4).as("d"), col("rn"))
         .orderBy("q_id", "rn")
     }),
+    "ivf_pq_recall" -> ((s, dir) => {
+      // IVF-PQ quality gate (the hnsw_recall_ann analogue for the
+      // memory-scale path): ADC over 8-byte codes + refine·k exact re-rank
+      // must reach recall@10 >= 0.9 vs brute force over 10 fixture
+      // queries. Exhaustive probe isolates the PQ approximation itself.
+      val layout = ensureIvfPqLayout(s, dir)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      val truth = queries.crossJoin(emb)
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("embedding")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val qvecs = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      var hit = 0
+      var total = 0
+      qvecs.foreach { case (qid, q) =>
+        val got = graft.index.Pq.topK(s, layout, "embedding", "vec_id", q,
+            k = 10, nprobe = 8, refine = 8)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        hit += got.intersect(truth(qid)).size
+        total += truth(qid).size
+      }
+      import s.implicits._
+      Seq(hit.toDouble / total >= 0.9).toDF("recall_ok")
+    }),
     "hnsw_topn_ann" -> ((s, dir) => {
       // Bench entry: default-ef ANN top-k through the raw search surface
       // (approximate → rows-only check, like the reference's closeness tests).
@@ -324,6 +356,24 @@ object HnswQueries {
     layout
   }
 
+  /** Idempotently build the IVF-PQ layout for this sf dir (codes + cells +
+    * codebooks); rebuild on any stale/unreadable artifact. */
+  private[graft] def ensureIvfPqLayout(s: SparkSession, dir: String): String = {
+    val layout = new java.io.File(Hnsw.baseDir(s),
+      s"ivfpq_emb_${math.abs(dir.hashCode)}").getAbsolutePath
+    val ok =
+      try {
+        graft.index.Pq.readCodebooks(
+          new java.io.File(layout, "_pq_codebooks.bin")).m > 0 &&
+          s.read.parquet(layout).select("pq_code").head(1).nonEmpty
+      } catch { case _: Exception => false }
+    if (!ok) {
+      graft.index.Pq.buildIvfPq(graft.Tables.load(s, dir, "embeddings"),
+        "embedding", layout, nCells = 8, m = 8, ksub = 64)
+    }
+    layout
+  }
+
   val oracleSql: Map[String, String] = Map(
     "hnsw_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
@@ -375,6 +425,10 @@ object HnswQueries {
       // regression flips it to false and fails the hash match.
       "SELECT true AS recall_ok",
     "hnsw_recall_lateral" ->
+      "SELECT true AS recall_ok",
+    "ivf_pq_recall" ->
+      // PQ quality gate: a codebook/encode/ADC regression flips the Spark
+      // side to false and fails the hash match.
       "SELECT true AS recall_ok"
     // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
   )

@@ -85,4 +85,72 @@ class IvfSpec extends SparkSuite {
       .select("vec_id").as[Long].collect()
     assert(exhaustive.head == qid)
   }
+
+  // ---- IVF-PQ (product quantization over the same layout family) ----
+
+  private lazy val pqLayout: (String, graft.index.Pq.Codebooks) = {
+    val out = Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath + "/emb"
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+    val cb = graft.index.Pq.buildIvfPq(emb, "embedding", out, nCells = 8, m = 8, ksub = 64)
+    (out, cb)
+  }
+
+  test("pq codebooks: shape, persistence roundtrip, deterministic encode") {
+    import graft.index.Pq
+    val (out, cb) = pqLayout
+    assert(cb.m == 8 && cb.dsub == 8 && cb.ksub == 64)
+    val rt = Pq.readCodebooks(new java.io.File(out, "_pq_codebooks.bin"))
+    assert(rt.m == cb.m && rt.ksub == cb.ksub && rt.dsub == cb.dsub)
+    assert(rt.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+    // codes persisted in the layout: 8 bytes per row (32x under 64 floats)
+    val codes = spark.read.parquet(out).select("pq_code").head().getSeq[Byte](0)
+    assert(codes.length == 8)
+  }
+
+  test("pq ADC distance approximates the true distance (rank correlation)") {
+    import graft.index.Pq
+    val (out, cb) = pqLayout
+    val q = graft.queries.HnswQueries.QueryVec
+    val table = Pq.lookupTable(q, cb)
+    val rows = spark.read.parquet(out)
+      .select(col("vec_id"),
+        Pq.adcCol(col("pq_code"), table, cb.ksub).as("adc"),
+        graft.functions.array_distance(col("embedding"),
+          graft.functions.lit_vector(q)).as("d"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // ADC approximates squared L2; compare against d² ordering: the top-10%
+    // by ADC must sit well inside the true lower half.
+    val byAdc = rows.sortBy(_._1).map(_._2)
+    val trueSorted = rows.map(_._2).sorted
+    val medianTrue = trueSorted(rows.length / 2)
+    val head = byAdc.take(math.max(10, rows.length / 10))
+    assert(head.count(_ <= medianTrue).toDouble / head.length >= 0.9,
+      s"ADC head not concentrated below the true median")
+  }
+
+  test("pq topK: recall vs brute force, exact distances, bounded candidates") {
+    import spark.implicits._
+    import graft.index.Pq
+    val (out, _) = pqLayout
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+    val qids = (0L until 10L)
+    var hit = 0
+    var total = 0
+    qids.foreach { qid =>
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val got = Pq.topK(spark, out, "embedding", "vec_id", q, k = 10,
+          nprobe = 8, refine = 8)
+        .select("vec_id").as[Long].collect().toSet
+      val truth = emb
+        .select(col("vec_id"), graft.functions.array_distance(col("embedding"),
+          graft.functions.lit_vector(q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      hit += got.intersect(truth).size
+      total += truth.size
+      assert(got.contains(qid), s"self not found for q=$qid")
+    }
+    assert(hit.toDouble / total >= 0.9, s"recall@10 = ${hit.toDouble / total}")
+  }
 }
