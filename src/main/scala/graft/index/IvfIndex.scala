@@ -55,7 +55,7 @@ object Ivf {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  private def nearestCells(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+  private[graft] def nearestCells(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
     centroids.indices
       .map(c => (c, VectorMath.l2Squared(q, centroids(c))))
       .sortBy(_._2).take(nprobe).map(_._1)

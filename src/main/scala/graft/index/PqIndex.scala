@@ -276,6 +276,97 @@ object Pq {
       .limit(k)
   }
 
+  /** [[adc]] against the row's own query: table picked by `qIdx` from the
+    * batch's table array (one codegen reference object for the batch). */
+  private[graft] case class PqAdcIndexed(left: Expression, right: Expression,
+      tables: Array[Array[Float]], ksub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, qIdx: Any): Any =
+      adc(codes.asInstanceOf[ArrayData], tables(qIdx.asInstanceOf[Int]), ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqTables", tables, "float[][]")
+      defineCodeGen(ctx, ev, (c, i) => s"graft.index.Pq.adc($c, $ref[$i], $ksub)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /**
+   * Batch IVF-PQ ANN join — the training-pipeline shape over the
+   * compressed codes: for each query row, the k nearest layout rows by
+   * EXACT distance among the `refine`·k best ADC candidates of its
+   * `nprobe` cells. Returns (q_id, idCol, distance, rn 1..k).
+   *
+   * The query batch is bounded by the same contract as [[Ivf.topKJoin]]'s
+   * broadcast side (it must fit an executor); its vectors are collected
+   * once to build the ADC tables (m·ksub floats ≈ 2 KB per query), which
+   * ride into codegen as one reference object. The corpus side is never
+   * shuffled: the `ivf_cell` equi-join partition-prunes, the ADC pass
+   * reads only the code column, and per-query bounded heaps
+   * (`min_by(k)`) ship at most refine·k candidate ids per partition.
+   */
+  def topKJoin(spark: SparkSession, path: String, vecCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int, refine: Int = 4): DataFrame = {
+    val cb = readCodebooks(new File(path, CodebookFile))
+    val ivfCents = Ivf.readCentroids(new File(path, Ivf.CentroidFile))
+    val np = math.min(nprobe, ivfCents.length)
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .collect()
+    val tables = qRows.map(r => lookupTable(r.getSeq[Float](1).toArray, cb))
+    import spark.implicits._
+    val qCells = qRows.iterator.zipWithIndex.flatMap { case (r, qi) =>
+      val vec = r.getSeq[Float](1).toArray
+      Ivf.nearestCells(vec, ivfCents, np).map(c => (qi, r.getLong(0), c))
+    }.toSeq.toDF("_qi", "q_id", "ivf_cell")
+    val layout = spark.read.parquet(path)
+    val adcExpr = Bridge.column(PqAdcIndexed(
+      Bridge.expression(col("pq_code")), Bridge.expression(col("_qi")),
+      tables, cb.ksub))
+    val candidates = layout.join(broadcast(qCells), "ivf_cell")
+      .withColumn("_adc", adcExpr)
+      .groupBy(col("_qi"), col("q_id"))
+      .agg(graft.functions.min_by_k(struct(col("_adc"), col(idCol).as("_cid")),
+        col("_adc"), math.max(k, refine * k)).as("_top"))
+      .select(col("_qi"), col("q_id"), explode(col("_top")).as("_v"))
+      .select(col("_qi"), col("q_id"), col("_v._cid").as(idCol))
+    // Exact re-rank: candidate ids (≤ |q|·refine·k) broadcast back against
+    // the layout's raw vectors; distance via the per-query vector array.
+    val qVecs = qRows.map(r => r.getSeq[Float](1).toArray)
+    val distExpr = Bridge.column(PqExactDistance(
+      Bridge.expression(col(vecCol).cast("array<float>")),
+      Bridge.expression(col("_qi")), qVecs))
+    layout.join(broadcast(candidates), Seq(idCol))
+      .withColumn("_d", distExpr)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.min_by_k(struct(col("_d"), col(idCol).as("_cid")),
+        col("_d"), k).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_pos", "_v")))
+      .select(col("q_id"), col("_v._cid").as(idCol),
+        col("_v._d").as("distance"), (col("_pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Exact distance to the row's own query vector (batch analogue of the
+    * `array_distance(vec, lit_vector(q))` single-query spelling). */
+  private[graft] case class PqExactDistance(left: Expression, right: Expression,
+      qVecs: Array[Array[Float]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(vec: Any, qIdx: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData].toFloatArray()
+      math.sqrt(VectorMath.l2Squared(v, qVecs(qIdx.asInstanceOf[Int])))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqQVecs", qVecs, "float[][]")
+      defineCodeGen(ctx, ev, (c, i) =>
+        s"java.lang.Math.sqrt(graft.expressions.VectorMath.l2Squared($c.toFloatArray(), $ref[$i]))")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---- persistence ----
 
   private def writeCodebooks(f: File, cb: Codebooks): Unit = {

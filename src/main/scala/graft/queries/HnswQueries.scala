@@ -234,17 +234,14 @@ object HnswQueries {
         .select(col("q_id"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
-      val qvecs = queries.collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      var hit = 0
-      var total = 0
-      qvecs.foreach { case (qid, q) =>
-        val got = graft.index.Pq.topK(s, layout, "embedding", "vec_id", q,
-            k = 10, nprobe = 8, refine = 8)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        hit += got.intersect(truth(qid)).size
-        total += truth(qid).size
-      }
+      // One batched ADC + re-rank plan for all 10 queries (Pq.topKJoin) —
+      // the per-query loop spelling cost 20 Spark jobs per run.
+      val got = graft.index.Pq.topKJoin(s, layout, "embedding", "vec_id",
+          queries, "q_id", "q_vec", k = 10, nprobe = 8, refine = 8)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val hit = got.count { case (qid, id) => truth(qid).contains(id) }
+      val total = truth.values.map(_.size).sum
       import s.implicits._
       Seq(hit.toDouble / total >= 0.9).toDF("recall_ok")
     }),

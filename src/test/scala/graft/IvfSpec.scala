@@ -153,4 +153,36 @@ class IvfSpec extends SparkSuite {
     }
     assert(hit.toDouble / total >= 0.9, s"recall@10 = ${hit.toDouble / total}")
   }
+
+  test("pq topKJoin: batched ADC equals the per-query loop; corpus never shuffles wide") {
+    import spark.implicits._
+    import graft.index.Pq
+    val (out, _) = pqLayout
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batched = Pq.topKJoin(spark, out, "embedding", "vec_id",
+        queries, "q_id", "q_vec", k = 5, nprobe = 8, refine = 8)
+    val got = batched.select("q_id", "vec_id", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got.size == 6 * 5)
+    (0L until 6L).foreach { qid =>
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val loop = Pq.topK(spark, out, "embedding", "vec_id", q, k = 5,
+          nprobe = 8, refine = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      val fromBatch = got.filter(_._1 == qid).toSeq.sortBy(_._3).map(_._2)
+      assert(fromBatch == loop, s"q=$qid batched=$fromBatch loop=$loop")
+    }
+    // distances are the EXACT re-ranked ones, ascending per query
+    val ds = batched.select("q_id", "rn", "distance").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    ds.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
 }
