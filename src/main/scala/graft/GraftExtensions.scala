@@ -56,7 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,
-      "lateral_topk" -> graft.sql.TvfMacros.lateralTopKTvf
+      "lateral_topk" -> graft.sql.TvfMacros.lateralTopKTvf,
+      "ivfpq_topk" -> graft.sql.TvfMacros.ivfPqTopKTvf
     ).foreach { case (name, builder) =>
       e.injectTableFunction((
         FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))

@@ -222,6 +222,23 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** ivfpq_topk(TABLE(queries), 'layout_path', 'vec_col', 'id_col',
+    * 'query_id_col', 'query_vec_col', k, nprobe[, refine]) → batched
+    * IVF-PQ ANN join over a [[graft.index.Pq.buildIvfPq]] layout. */
+  def ivfPqTopKTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 8 || args.length > 9) throw new IllegalArgumentException(
+      s"ivfpq_topk(queries, layout_path, vec_col, id_col, query_id_col, " +
+        s"query_vec_col, k, nprobe[, refine]) takes 8 or 9 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.index.Pq.topKJoin(spark, str(args(1), "ivfpq_topk layout_path"),
+      str(args(2), "ivfpq_topk vec_col"), str(args(3), "ivfpq_topk id_col"),
+      table(spark, args(0), "ivfpq_topk queries"),
+      str(args(4), "ivfpq_topk query_id_col"), str(args(5), "ivfpq_topk query_vec_col"),
+      intLit(args(6), "ivfpq_topk k"), intLit(args(7), "ivfpq_topk nprobe"),
+      if (args.length == 9) intLit(args(8), "ivfpq_topk refine") else 4)
+      .queryExecution.analyzed
+  }
+
   def lateralTopKTvf(args: Seq[Expression]): LogicalPlan = {
     if (args.length < 6 || args.length > 7) throw new IllegalArgumentException(
       s"lateral_topk(outer, inner, outer_col, inner_col, outer_key, k[, metric]) " +

@@ -184,5 +184,13 @@ class IvfSpec extends SparkSuite {
     }
     val plan = batched.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    // SQL TVF surface over the same layout
+    queries.createOrReplaceTempView("pq_queries")
+    val viaSql = spark.sql(
+      s"""SELECT q_id, vec_id, rn
+          FROM ivfpq_topk(TABLE(pq_queries), '$out', 'embedding', 'vec_id',
+                          'q_id', 'q_vec', 5, 8, 8)
+          ORDER BY q_id, rn""").as[(Long, Long, Int)].collect().toSet
+    assert(viaSql == got)
   }
 }
