@@ -11,7 +11,7 @@ algorithm. Writes PERF_VS_DUCKDB.md.
 
 Usage: python3 tools/bench_duckdb.py [sf_dir] [verify_dump_dir]
 """
-import json, sys, time, pathlib
+import json, os, sys, time, pathlib
 
 import duckdb
 
@@ -60,7 +60,7 @@ def main():
     both = [r for r in rows if r[2] is not None]
     duck_total = sum(r[1] for r in both)
     spark_total = sum(r[2] for r in both)
-    with open("PERF_VS_DUCKDB.md", "w") as f:
+    with open(os.environ.get("PERF_OUT", "PERF_VS_DUCKDB.md"), "w") as f:
         f.write("# Spark engine vs DuckDB (the reference's engine) at sf0.1\n\n")
         f.write(f"Same queries (each gate's oracle SQL), same parquet inputs\n")
         f.write(f"(`{SF}`), both engines at 32 threads, min of 2 runs.\n")
