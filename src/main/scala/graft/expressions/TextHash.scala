@@ -496,6 +496,34 @@ object TextHash {
       Array[Any](nTokens.toLong, nDistinct.toLong, nBigrams.toLong, top.toLong))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /**
+   * Lowercase-hex MD5 of the UTF-8 bytes — byte-identical to Spark's
+   * built-in `md5` (and DuckDB's), but with a THREAD-LOCAL reused digest:
+   * the built-in goes through commons-codec `DigestUtils.md5Hex`, which
+   * calls `MessageDigest.getInstance` per ROW (a JCA provider lookup +
+   * allocation that dominated the exact-dedup scan: ~1 µs/row ≈ half the
+   * corpus-hash stage at 500k docs/s-scale row counts).
+   */
+  def md5Hex(s: UTF8String): UTF8String = {
+    val d = md5Digest.get()
+    d.reset()
+    val out = d.digest(s.getBytes)
+    val hex = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = HexChars((out(i) >> 4) & 0xf).toByte
+      hex(2 * i + 1) = HexChars(out(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /**
    * Token-window chunking — the sequence-segmentation step of a training
    * pipeline: split a document into windows of `size` tokens starting
@@ -653,6 +681,20 @@ case class RepetitionStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.repetitionStats($c)")
   override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** md5_hex(text) -> STRING — drop-in for the built-in `md5(string)` with a
+  * reused thread-local digest; see [[TextHash.md5Hex]]. */
+case class Md5Hex(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.md5Hex(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Hex($c)")
+  override def prettyName: String = "md5_hex"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -48,7 +48,7 @@ object Dedup {
     // bare groupBy would collapse every null-text row into one "duplicate"
     // group — silent data loss downstream. They can never be exact dups.
     df.where(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("text_hash"), col(idCol).cast("long").as("_id"))
+      .select(TextFunctions.md5Hex(col(textCol)).as("text_hash"), col(idCol).cast("long").as("_id"))
       .groupBy(col("text_hash"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("_id"))).as("ids"),
         min(col("_id")).as("keep_id"))
@@ -295,7 +295,7 @@ object Dedup {
     // they all survive the final anti-join untouched.
     val marked = df.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        md5(col(textCol)).as("_h"),
+        TextFunctions.md5Hex(col(textCol)).as("_h"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .withColumn("_keep", min(col("id")).over(w))
     val exactLosers = marked.where(col("id") =!= col("_keep")).select(col("id"))

@@ -75,6 +75,11 @@ object TextFunctions {
   /** Rolling-hash document fingerprint. */
   def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
 
+  /** Lowercase-hex MD5, byte-identical to the built-in `md5(string)` but
+    * with a reused thread-local digest (the built-in pays a per-row
+    * MessageDigest.getInstance) — the dedup/sampling content hash. */
+  def md5Hex(text: Column): Column = col(graft.expressions.Md5Hex(expr(text)))
+
   /** Repetition signals (Gopher-style): struct(n_tokens, n_distinct,
     * n_bigrams, top_bigram) — see [[graft.expressions.RepetitionStats]]. */
   def repetitionStats(text: Column): Column =
@@ -130,7 +135,7 @@ object TextFunctions {
       fraction: Double): org.apache.spark.sql.DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
     val threshold = (fraction * (1L << 60).toDouble).toLong
-    df.where(conv(substring(md5(df(keyCol).cast("string")), 1, 15), 16, 10)
+    df.where(conv(substring(md5Hex(df(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long") < threshold)
   }
 

@@ -222,6 +222,20 @@ class DedupSpec extends SparkSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("md5Hex kernel is byte-identical to the built-in md5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val samples = Seq("", " ", "hello", "héllo 漢 🎉") ++
+      (1 to 200).map(_ => rnd.nextString(rnd.nextInt(80)))
+    val rows = samples.toDF("s")
+      .select(TF.md5Hex(col("s")).as("fast"), md5(col("s")).as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    val nul = Seq((null: String, 1)).toDF("s", "x")
+      .select(TF.md5Hex(col("s"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("decontaminate flags and drops docs overlapping the eval set") {
     import spark.implicits._
     val corpus = Seq(
