@@ -48,4 +48,55 @@ class IvfSlowSpec extends SparkSuite {
     // every query got a full k
     assert(top.length == 3000)
   }
+
+  test("IVF-PQ envelope: 500k x FLOAT[16], batched ADC join, code-only scan") {
+    import graft.index.Pq
+    // Same planted-cluster construction at dim 16 (m=8 -> dsub=2).
+    val corpus = spark.range(500000L).select(col("id"),
+      array((0 until 16).map { d =>
+        ((col("id") % 64) * lit(if (d % 2 == 0) 3.0 else -3.0) +
+          pmod(col("id") * 2654435761L + d, lit(1000003L)).cast("double") / 1000003.0)
+          .cast("float")
+      }: _*).as("vec"))
+    val dir = Files.createTempDirectory("graft-ivfpq-slow").toFile.getAbsolutePath
+    corpus.write.mode("overwrite").parquet(dir + "/src")
+    val table = spark.read.parquet(dir + "/src")
+
+    val t0 = System.nanoTime()
+    Pq.buildIvfPq(table, "vec", dir + "/layout", nCells = 64, m = 8, ksub = 64,
+      sampleFraction = 0.05)
+    info(f"IVF-PQ build over 500k rows: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val queries = table.where(col("id") % 1000 === 7)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val t1 = System.nanoTime()
+    val batched = Pq.topKJoin(spark, dir + "/layout", "vec", "id",
+      queries, "q_id", "q_vec", k = 3, nprobe = 4, refine = 8)
+    val top = batched
+      .select(col("q_id"), col("id"), col("rn"), col("distance")).collect()
+    info(f"PQ batch topKJoin (500 queries, nprobe 4/64): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+
+    assert(top.length == 500 * 3)
+    // ~7800 same-cluster vectors share (almost) one PQ code, so ADC cannot
+    // rank WITHIN a cluster — what PQ promises here is routing: every
+    // result must come from the query's own cluster (within-cluster
+    // distance < 3; the nearest foreign cluster is >= 12 away), with the
+    // exact re-rank distances ascending per query.
+    top.foreach { r =>
+      assert(r.getDouble(3) < 3.0,
+        s"rank ${r.getInt(2)} for q=${r.getLong(0)} came from a foreign cluster " +
+          s"(d=${r.getDouble(3)})")
+    }
+    top.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ds = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // The 32x-compression claim is real only if the ADC pass scans the CODE
+    // column, not the raw vectors: the plan must contain a layout scan
+    // whose read schema has pq_code and NOT vec.
+    val scans = batched.queryExecution.executedPlan.toString
+      .split("ReadSchema: ").drop(1).map(_.takeWhile(_ != '\n'))
+    assert(scans.exists(s => s.contains("pq_code") && !s.contains("vec")),
+      s"no code-only scan found in:\n${scans.mkString("\n")}")
+  }
 }
