@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
       "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,
       "decontaminate" -> graft.sql.TvfMacros.decontaminate,
+      "top_ngrams" -> graft.sql.TvfMacros.topNgramsTvf,
+      "sample_by_budget" -> graft.sql.TvfMacros.sampleByBudgetTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,

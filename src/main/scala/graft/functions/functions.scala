@@ -149,6 +149,10 @@ object functions {
         if (es.length > 1) litInt(es(1), "shingle n") else 3))),
     "jaccard_sim" -> (es =>
       cexpr(graft.text.TextFunctions.jaccard(col(es(0)), col(es(1))))),
+    "redact_pii" -> (es =>
+      cexpr(graft.text.TextFunctions.redactPii(col(es(0))))),
+    "pii_stats" -> (es =>
+      cexpr(graft.text.TextFunctions.piiStats(col(es(0))))),
     "json_get_long" -> (es => JsonGetLong(es(0), es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
       case _ => throw new IllegalArgumentException("json_get_long key must be a string literal")

@@ -176,6 +176,52 @@ object TextQueries {
           d.where(col("doc_id") % 50 === 0), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_pii_redact" -> ((s, dir) => {
+      // PII scrub + audit counts. The fixture text is PII-free by
+      // construction, so the gate derives per-row PII deterministically
+      // from doc_id (both engines compute the identical concat) — matches
+      // then vary in count, position, and content across rows, and the
+      // md5 of the redacted text pins replacement semantics exactly.
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 3 =!= 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@ex"), (id % 5).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" from 192.168."), (id % 256).cast("string"),
+          lit("."), (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call +1-555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-0199"))).otherwise(lit("")))
+      d.select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          TF.piiStats(col("t")).as("p"),
+          TF.md5Hex(TF.redactPii(col("t"))).as("red_md5"))
+        .select(col("doc_id"), col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"), col("p.n_phones").as("n_phones"),
+          col("red_md5"))
+        .orderBy("doc_id")
+    }),
+    "doc_source_mix" -> ((s, dir) => {
+      // Training-mix composition: per-source token budgets filled in
+      // deterministic hash order via the bucketed distributed prefix sum
+      // (Mix.byTokenBudget, buckets=256); the oracle is the textbook
+      // one-window-per-source cumsum — the gate proves the decomposition
+      // exact. Budgets derive from the source name so they vary per group.
+      val d = Tables.load(s, dir, "documents")
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("budget",
+          (lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
+            .cast("long"))
+      graft.text.Mix.byTokenBudget(d, "doc_id", "text", "source", budgets)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+    "doc_top_ngrams" -> ((s, dir) => {
+      // Corpus-level vocabulary statistics: top-20 bigrams by occurrence.
+      // chunk_tokens(text, 2, 1) is the bigram stream; one shuffle of
+      // (gram, partial-count) pairs, TakeOrdered top-k. Count-desc with a
+      // gram tiebreak keeps the k-row cut deterministic.
+      TF.topNgrams(Tables.load(s, dir, "documents"), "text", n = 2, k = 20)
+    }),
     "doc_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: one single-pass kernel per doc vs
       // the oracle's unnest + two GROUP BYs. Counts (not ratios) keep the
@@ -348,6 +394,49 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_hits
          FROM c JOIN ev USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 <> 0
+                THEN ' contact user' || doc_id || '@ex' || (doc_id % 5) || '.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+         FROM aug ORDER BY doc_id""",
+    "doc_source_mix" ->
+      """WITH t AS (
+           SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             CAST(sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, cum_tokens FROM c
+         WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)
+         ORDER BY doc_id""",
+    "doc_top_ngrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS gram
+               FROM w WHERE len(w) >= 2)
+         SELECT gram, count(*) AS n_occ FROM g
+         GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 20""",
     "doc_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents WHERE text IS NOT NULL),

@@ -148,6 +148,38 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** top_ngrams(TABLE(t), 'text_col', n, k) → (gram, n_occ): corpus-level
+    * top-k word n-grams — see [[graft.text.TextFunctions.topNgrams]]. */
+  def topNgramsTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"top_ngrams(t, text_col, n, k) takes 4 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.TextFunctions.topNgrams(
+      table(spark, args(0), "top_ngrams table"),
+      str(args(1), "top_ngrams text_col"),
+      intLit(args(2), "top_ngrams n"), intLit(args(3), "top_ngrams k"))
+      .queryExecution.analyzed
+  }
+
+  /** sample_by_budget(TABLE(corpus), TABLE(budgets), 'key_col', 'text_col',
+    * 'group_col'[, buckets]) — fill per-group token budgets in deterministic
+    * hash order; see [[graft.text.Mix.byTokenBudget]]. The budgets table
+    * must carry (group_col, budget) columns. */
+  def sampleByBudgetTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 5 || args.length > 6) throw new IllegalArgumentException(
+      s"sample_by_budget(corpus, budgets, key_col, text_col, group_col[, buckets]) " +
+        s"takes 5 or 6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Mix.byTokenBudget(
+      table(spark, args(0), "sample_by_budget corpus"),
+      str(args(2), "sample_by_budget key_col"),
+      str(args(3), "sample_by_budget text_col"),
+      str(args(4), "sample_by_budget group_col"),
+      table(spark, args(1), "sample_by_budget budgets"),
+      if (args.length == 6) intLit(args(5), "sample_by_budget buckets") else 256)
+      .queryExecution.analyzed
+  }
+
   /** Comma-separated key list → trimmed column names (see block comment). */
   private def keys(e: Expression, what: String): Seq[String] =
     str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-mix composition: fill per-source token budgets with a
+ * deterministic, reproducible document sample.
+ *
+ * A pre-training data mix is specified as "B_s tokens from source s" (web,
+ * code, books, …). The selection must be a pure function of the corpus —
+ * reproducible across runs, engines, partitionings, and retries — so the
+ * order documents fill their source's budget is the md5-of-key order (the
+ * same device as [[TextFunctions.deterministicSample]]): a doc is kept iff
+ * the cumulative token count of all docs at-or-before it in that order is
+ * within the source's budget.
+ *
+ * == Why not one window per source ==
+ *
+ * The textbook spelling is a single cumulative sum over
+ * `Window.partitionBy(source).orderBy(hash)`. At 100 TB that serializes
+ * each source into ONE task — and real mixes are dominated by one giant
+ * source (web). [[byTokenBudget]] instead decomposes the prefix sum:
+ *
+ *  1. bucket every doc by a RANGE of its hash prefix (order-preserving:
+ *     bucket b holds hashes in [b/N, (b+1)/N) of the prefix space), so
+ *     (source, bucket) partitions are corpus_bytes / N in expectation
+ *     regardless of source skew;
+ *  2. one tiny aggregate computes per-(source, bucket) token totals —
+ *     sources × N rows — and a window over THAT grid yields each bucket's
+ *     starting offset (exclusive prefix sum);
+ *  3. the offsets broadcast back and the cumulative sum runs per
+ *     (source, bucket) — N-way parallel within every source.
+ *
+ * Equivalent to the one-window spelling (the oracle gate proves it) with
+ * the skew bottleneck removed: the only per-source serial work is N grid
+ * rows on the driver-side-free window of step 2.
+ */
+object Mix {
+
+  /**
+   * Keep documents while their source's token budget lasts.
+   *
+   * @param df       corpus; one row per document
+   * @param keyCol   unique document key (drives the deterministic order)
+   * @param textCol  text column; its whitespace token count is the budget
+   *                 currency
+   * @param groupCol mix dimension (e.g. `source`)
+   * @param budgets  (groupCol, budget) rows — token budget per group;
+   *                 groups absent from `budgets` are dropped (inner join),
+   *                 budget 0 drops the whole group. Dimension-sized:
+   *                 broadcast.
+   * @param buckets  prefix-sum fan-out per group (≥1). 1 = the plain
+   *                 one-window-per-group spelling.
+   * @return kept rows of `df` plus `cum_tokens` — the inclusive cumulative
+   *         token count at this doc in fill order (≤ budget).
+   */
+  def byTokenBudget(df: DataFrame, keyCol: String, textCol: String,
+      groupCol: String, budgets: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    // Hash prefix value in [0, 256): two hex chars of md5(key). Bucket =
+    // order-preserving range split of that space (NOT modulo — bucket order
+    // must concatenate to global hash order for the offsets to compose).
+    val t = df
+      .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
+      .withColumn("_mix_toks", TextFunctions.tokenCount(df(textCol)).cast("long"))
+      .withColumn("_mix_b",
+        (conv(substring(col("_mix_h"), 1, 2), 16, 10).cast("int") * buckets / 256)
+          .cast("int"))
+
+    // Per-(group, bucket) totals → exclusive prefix sum over the bucket grid.
+    // The grid is |groups| × buckets rows — broadcastable by construction.
+    val grid = t.groupBy(col(groupCol), col("_mix_b"))
+      .agg(sum(col("_mix_toks")).as("_mix_bt"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_mix_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grid
+      .withColumn("_mix_off", coalesce(sum(col("_mix_bt")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("_mix_b"), col("_mix_off"))
+
+    // In-bucket inclusive cumsum + the bucket's offset = global cumsum in
+    // (hash, key) order. Key tiebreak keeps the order total even under a
+    // (vanishing) md5-prefix collision.
+    val wIn = Window.partitionBy(col(groupCol), col("_mix_b"))
+      .orderBy(col("_mix_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), Seq(groupCol, "_mix_b"))
+      .withColumn("cum_tokens", col("_mix_off") + sum(col("_mix_toks")).over(wIn))
+      .join(broadcast(budgets), Seq(groupCol))
+      .where(col("cum_tokens") <= col("budget"))
+      .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "budget")
+  }
+}

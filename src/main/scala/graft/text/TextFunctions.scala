@@ -139,6 +139,67 @@ object TextFunctions {
       .cast("long") < threshold)
   }
 
+  // === PII scrubbing ======================================================
+  // Patterns are deliberately restricted to constructs whose match semantics
+  // coincide between java.util.regex (Spark's regexp_* builtins) and RE2
+  // (DuckDB's): character classes, bounded/greedy quantifiers, \b — no
+  // backreferences, no lookaround, no lazy quantifiers. That keeps the
+  // operator oracle-checkable byte-for-byte across engines.
+
+  /** Email addresses: maximal local part, domain with an alpha TLD ≥ 2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded; no range check — scrubbing favors
+    * recall, and 999.1.1.1 in text is still a quad worth redacting). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-format phone numbers: +CC-NNN-NNN(N)-NNNN. */
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}\\b"
+
+  /**
+   * Redact emails / phone numbers / IPv4 addresses to typed placeholders —
+   * the standard pre-training scrub step (C4/Dolma-style pipelines). Pure
+   * composition of the codegen'd `regexp_replace` builtin: per-row work is
+   * three linear regex passes, embarrassingly parallel, no shuffle. Email
+   * first (its domain may contain digits/dots an IP pass would chew up),
+   * then phone (so the +CC prefix isn't orphaned), then IPv4.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-category PII match counts as struct(n_emails, n_ips, n_phones) —
+    * the audit/reporting side of [[redactPii]] (counts over the ORIGINAL
+    * text, so a doc can be scored without rewriting it). */
+  def piiStats(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"))
+
+  /**
+   * Corpus-level top-k word n-grams by occurrence count (vocabulary /
+   * boilerplate analysis; the global-statistics pass of a curation
+   * pipeline). `chunk_tokens(text, n, 1)` IS the n-gram stream — sliding
+   * windows of n tokens at stride 1 — with the short tail windows dropped
+   * by token count. At scale: explode → map-side partial count collapses
+   * each partition to its distinct grams, the one shuffle carries
+   * (gram, partial) pairs, and the k-row result is a TakeOrdered merge —
+   * no all-grams sort anywhere.
+   */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    df.where(df(textCol).isNotNull)
+      .select(explode(chunkTokens(df(textCol), n, 1)).as("gram"))
+      .where(tokenCount(org.apache.spark.sql.functions.col("gram")) === n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(org.apache.spark.sql.functions.col("n_occ").desc,
+        org.apache.spark.sql.functions.col("gram"))
+      .limit(k)
+  }
+
   /**
    * Quality statistics struct: token count, mean token length, alpha ratio,
    * punctuation ratio, stopword ratio — the usual cheap quality-scoring

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Mix, TextFunctions => TF}
+
+/** PII scrubbing, token-budget mix sampling, corpus top-ngrams. */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones, and IPv4 addresses") {
+    val rows = Seq(
+      "write to jane.doe+spam@mail-host.co.uk today",
+      "server at 10.0.255.3 is down",
+      "call +44-020-7946-0958 now",
+      "a@b.io and c_d%x@e.f.gg plus 1.2.3.4",
+      "no pii here at all",
+      "half-formed user@host and 300.300 and +1-12-3-4 stay put").toDF("t")
+    val got = rows.select(TF.redactPii($"t")).as[String].collect()
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "server at <IP> is down")
+    assert(got(2) == "call <PHONE> now")
+    assert(got(3) == "<EMAIL> and <EMAIL> plus <IP>")
+    assert(got(4) == "no pii here at all")
+    // user@host: no dot-TLD → not an email; 300.300: not a quad;
+    // +1-12-3-4: wrong group widths — all intentionally untouched.
+    assert(got(5) == "half-formed user@host and 300.300 and +1-12-3-4 stay put")
+  }
+
+  test("piiStats counts per category without rewriting") {
+    val df = Seq("x@y.com then z@w.org at 1.2.3.4 and 5.6.7.8 call +1-555-123-4567")
+      .toDF("t")
+    val r = df.select(TF.piiStats($"t").as("p"))
+      .select($"p.n_emails", $"p.n_ips", $"p.n_phones").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+  }
+
+  test("redactPii does not cross word boundaries mid-digit-run") {
+    // \b keeps 1234.5.6.7 (leading run too wide for a quad start) intact.
+    val got = Seq("seq 1234.5.6.7 x").toDF("t")
+      .select(TF.redactPii($"t")).as[String].head()
+    assert(got == "seq 1234.5.6.7 x")
+  }
+
+  // --- Mix.byTokenBudget ---------------------------------------------------
+
+  private def mixCorpus = {
+    // 3 sources, values sized so budgets cut mid-source. Tokens = words.
+    val docs = (1 to 60).map { i =>
+      val src = s"s${i % 3}"
+      val words = 1 + (i * 7) % 5 // 1..5 tokens
+      (i.toLong, src, Seq.fill(words)("w").mkString(" "))
+    }
+    docs.toDF("doc_id", "source", "text")
+  }
+
+  private def oneWindowExpected(budget: Long): Set[Long] = {
+    // The textbook single-window spelling, as plain SQL on the same session.
+    mixCorpus.createOrReplaceTempView("mix_corpus")
+    spark.sql(
+      s"""WITH t AS (SELECT doc_id, source, size(split(text, ' ')) AS toks,
+                      md5(CAST(doc_id AS STRING)) AS h FROM mix_corpus),
+          c AS (SELECT doc_id, sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+          SELECT doc_id FROM c WHERE cum <= $budget""")
+      .as[Long].collect().toSet
+  }
+
+  test("byTokenBudget matches the one-window spelling at every bucket width") {
+    val budgets = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
+    val expected = oneWindowExpected(20L)
+    assert(expected.nonEmpty && expected.size < 60, "budget must cut mid-source")
+    for (buckets <- Seq(1, 4, 256)) {
+      val got = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets,
+        buckets = buckets).select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("byTokenBudget cum_tokens is the inclusive prefix sum and ≤ budget") {
+    val budgets = Seq(("s0", 25L), ("s1", 10L), ("s2", 0L)).toDF("source", "budget")
+    val rows = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
+      .select($"source", $"cum_tokens", size(split($"text", " ")).cast("long").as("toks"))
+      .collect()
+    assert(rows.nonEmpty)
+    // budget 0 drops the whole group
+    assert(!rows.exists(_.getString(0) == "s2"))
+    val bySrc = rows.groupBy(_.getString(0))
+    for ((src, rs) <- bySrc) {
+      val cap = if (src == "s0") 25L else 10L
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.last.getLong(1) <= cap)
+      // inclusive prefix sums: cum differences are exactly the row's tokens
+      sorted.zip(0L +: sorted.map(_.getLong(1)).init).foreach { case (r, prev) =>
+        assert(r.getLong(1) - prev == r.getLong(2))
+      }
+    }
+  }
+
+  test("byTokenBudget drops groups missing from the budget table") {
+    val budgets = Seq(("s0", 1000L)).toDF("source", "budget")
+    val got = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
+    assert(got.select("source").distinct().as[String].collect().toSeq == Seq("s0"))
+    // generous budget keeps all 20 of s0's docs
+    assert(got.count() == 20)
+  }
+
+  // --- topNgrams -----------------------------------------------------------
+
+  test("topNgrams counts sliding bigrams with a deterministic tiebreak") {
+    val df = Seq(
+      "a b a b c", // bigrams: "a b","b a","a b","b c"
+      "a b",       // "a b"
+      "z",         // too short → none
+      null.asInstanceOf[String]).toDF("text")
+    val got = TF.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "b a" < "b c" — the count tie at 1 breaks on the gram itself
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("SQL surface: redact_pii / pii_stats / top_ngrams / sample_by_budget") {
+    Seq((1L, "s0", "mail me a@b.io now please")).toDF("doc_id", "source", "text")
+      .createOrReplaceTempView("pii_sql_t")
+    assert(spark.sql("SELECT redact_pii(text) FROM pii_sql_t").as[String].head()
+      == "mail me <EMAIL> now please")
+    assert(spark.sql("SELECT pii_stats(text).n_emails FROM pii_sql_t")
+      .as[Long].head() == 1L)
+
+    Seq("a b a", "a b").toDF("text").createOrReplaceTempView("ng_sql_t")
+    val grams = spark.sql(
+      "SELECT * FROM top_ngrams(TABLE(ng_sql_t), 'text', 2, 10)")
+      .as[(String, Long)].collect().toSeq
+    assert(grams == Seq(("a b", 2L), ("b a", 1L)))
+
+    mixCorpus.createOrReplaceTempView("mix_sql_t")
+    Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
+      .createOrReplaceTempView("mix_sql_b")
+    val got = spark.sql(
+      """SELECT doc_id FROM sample_by_budget(TABLE(mix_sql_t), TABLE(mix_sql_b),
+                                             'doc_id', 'text', 'source')""")
+      .as[Long].collect().toSet
+    assert(got == oneWindowExpected(20L))
+  }
+
+  test("topNgrams trigram windows drop short tails") {
+    val df = Seq("p q r s").toDF("text") // trigrams: "p q r", "q r s"
+    val got = TF.topNgrams(df, "text", n = 3, k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("p q r", 1L), ("q r s", 1L)))
+  }
+}

@@ -24,7 +24,9 @@ FAIR = [k for k in json.load(open(f"{DUMP}/oracle_sql.json"))
     "doc_text_stats", "doc_exact_dedup", "doc_lang_quality",
     "doc_quality_filter", "doc_det_sample",
     # round-7 continuation gates: kernel-vs-SQL same-spec comparisons
-    "doc_repetition", "doc_chunks", "doc_decontam"]
+    "doc_repetition", "doc_chunks", "doc_decontam",
+    # round-7 late gates: PII scrub, mix sampling, corpus ngram stats
+    "doc_pii_redact", "doc_source_mix", "doc_top_ngrams"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
