@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Mix
+
+/**
+ * Scale-envelope test for [[graft.text.Mix.byTokenBudget]] under exactly the
+ * skew it exists for: 500k docs where ONE source ("web") holds 90% of the
+ * corpus and ten long-tail sources split the rest. Every doc carries a
+ * constant 4 tokens, so the closed form is exact: a source with budget B
+ * keeps min(n_docs, B/4) docs and its max cum_tokens is 4 × kept. Kept-set
+ * MEMBERSHIP (which depends on the md5 fill order, not just counts) is
+ * cross-checked against the textbook one-window cumsum via a per-source
+ * doc_id checksum — the same equivalence the oracle gate proves at sf0.01,
+ * here at 500k rows with a 45:1 group-size skew.
+ */
+class MixSlowSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Web = 450000L // docs 0 .. 449999
+  private val TailSrc = 10  // s0..s9, 5k docs each
+
+  private lazy val corpus = spark.range(500000L).select(
+    col("id").as("doc_id"),
+    when(col("id") < Web, lit("web"))
+      .otherwise(concat(lit("s"), (col("id") % TailSrc).cast("string"))).as("source"),
+    lit("w w w w").as("text"))
+
+  test("500k docs, 90% one source: closed-form counts and window equivalence") {
+    val budgets = (Seq(("web", 100000L)) ++
+      (0 until TailSrc).map(i => (s"s$i", 100000L))).toDF("source", "budget")
+
+    val kept = Mix.byTokenBudget(corpus, "doc_id", "text", "source", budgets)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), max("cum_tokens").as("max_cum"),
+        sum("doc_id").as("id_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // web: budget 100k tokens / 4 per doc = 25k of 450k kept (cut mid-source);
+    // every tail source: 5k docs = 20k tokens < budget -> all kept.
+    assert(kept("web")._1 == 25000L && kept("web")._2 == 100000L)
+    for (i <- 0 until TailSrc) {
+      assert(kept(s"s$i")._1 == 5000L && kept(s"s$i")._2 == 20000L, s"s$i")
+    }
+
+    // Membership equivalence vs the one-window spelling (id checksums).
+    corpus.createOrReplaceTempView("mix_slow_corpus")
+    val expected = spark.sql(
+      """WITH c AS (SELECT doc_id, source,
+           sum(4) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM mix_slow_corpus)
+         SELECT source, sum(doc_id) AS id_sum FROM c WHERE cum <= 100000
+         GROUP BY source""")
+      .as[(String, Long)].collect().toMap
+    assert(kept.view.mapValues(_._3).toMap == expected)
+  }
+}
