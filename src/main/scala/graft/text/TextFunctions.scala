@@ -156,23 +156,34 @@ object TextFunctions {
 
   /**
    * Redact emails / phone numbers / IPv4 addresses to typed placeholders —
-   * the standard pre-training scrub step (C4/Dolma-style pipelines). Pure
-   * composition of the codegen'd `regexp_replace` builtin: per-row work is
-   * three linear regex passes, embarrassingly parallel, no shuffle. Email
-   * first (its domain may contain digits/dots an IP pass would chew up),
-   * then phone (so the +CC prefix isn't orphaned), then IPv4.
+   * the standard pre-training scrub step (C4/Dolma-style pipelines). The
+   * three regexes above are the SPEC; evaluation is the single-pass byte
+   * kernel [[graft.expressions.PiiScrub]] (for these class-run patterns,
+   * leftmost-greedy matching reduces to maximal-run scanning — the
+   * backtracking java.util.regex spelling re-walked every word at every
+   * start position and was ~the whole per-row cost). Email first (its
+   * domain may contain digits/dots an IP pass would chew up), then phone
+   * (so the +CC prefix isn't orphaned), then IPv4 — same pass order as the
+   * oracle's regexp_replace nesting. Embarrassingly parallel, no shuffle.
    */
-  def redactPii(text: Column): Column =
+  def redactPii(text: Column): Column = col(graft.expressions.RedactPii(expr(text)))
+
+  /** Per-category PII match counts as struct(n_emails, n_ips, n_phones) —
+    * the audit/reporting side of [[redactPii]] (counts over the ORIGINAL
+    * text, so a doc can be scored without rewriting it). Same kernel. */
+  def piiStats(text: Column): Column = col(graft.expressions.PiiStats(expr(text)))
+
+  /** The regexp_* builtin composition [[redactPii]] replaces — kept as the
+    * executable spec the kernel is property-tested against. */
+  private[graft] def redactPiiRegex(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
-  /** Per-category PII match counts as struct(n_emails, n_ips, n_phones) —
-    * the audit/reporting side of [[redactPii]] (counts over the ORIGINAL
-    * text, so a doc can be scored without rewriting it). */
-  def piiStats(text: Column): Column = struct(
+  /** Regex spelling of [[piiStats]] — the property-test spec. */
+  private[graft] def piiStatsRegex(text: Column): Column = struct(
     regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
     regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),
     regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"))

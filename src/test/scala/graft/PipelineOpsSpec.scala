@@ -42,6 +42,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == "seq 1234.5.6.7 x")
   }
 
+  test("PII kernel matches java.util.regex on adversarial random strings") {
+    // The kernel's spec is the regex composition; fuzz the equivalence over
+    // strings dense in pattern-relevant bytes (plus a non-ASCII char to pin
+    // the byte-level \b handling).
+    import java.util.regex.Pattern
+    val email = Pattern.compile(TF.EmailRe)
+    val phone = Pattern.compile(TF.PhoneRe)
+    val ip = Pattern.compile(TF.Ipv4Re)
+    def regexRedact(s: String): String =
+      ip.matcher(phone.matcher(email.matcher(s).replaceAll("<EMAIL>"))
+        .replaceAll("<PHONE>")).replaceAll("<IP>")
+    def count(p: Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    val alphabet = "ab1@.-+_% 9é".toCharArray.toSeq
+    val strGen = org.scalacheck.Gen.chooseNum(0, 40).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf(alphabet)).map(_.mkString))
+    val prop = org.scalacheck.Prop.forAll(strGen) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val kr = graft.expressions.PiiScrub.redact(u).toString
+      val st = graft.expressions.PiiScrub.stats(u)
+      kr == regexRedact(s) &&
+        st.getLong(0) == count(email, s) &&
+        st.getLong(1) == count(ip, s) &&
+        st.getLong(2) == count(phone, s)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- Mix.byTokenBudget ---------------------------------------------------
 
   private def mixCorpus = {
