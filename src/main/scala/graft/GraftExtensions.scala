@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,
       "decontaminate" -> graft.sql.TvfMacros.decontaminate,
       "top_ngrams" -> graft.sql.TvfMacros.topNgramsTvf,
+      "token_freq" -> graft.sql.TvfMacros.tokenFreqTvf,
       "sample_by_budget" -> graft.sql.TvfMacros.sampleByBudgetTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,

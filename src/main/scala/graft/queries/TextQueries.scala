@@ -215,6 +215,13 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("cum_tokens"))
         .orderBy("doc_id")
     }),
+    "doc_token_freq" -> ((s, dir) => {
+      // Corpus-relative rarity signal (integer-exact LM-surprise analogue):
+      // per doc, the sum/min of its tokens' corpus occurrence counts.
+      graft.text.TextFunctions
+        .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "doc_top_ngrams" -> ((s, dir) => {
       // Corpus-level vocabulary statistics: top-20 bigrams by occurrence.
       // chunk_tokens(text, 2, 1) is the bigram stream; one shuffle of
@@ -429,6 +436,15 @@ object TextQueries {
          SELECT doc_id, source, cum_tokens FROM c
          WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)
          ORDER BY doc_id""",
+    "doc_token_freq" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS freq_sum,
+           CAST(min(cnt) AS BIGINT) AS min_freq
+         FROM tok JOIN c USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
     "doc_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),

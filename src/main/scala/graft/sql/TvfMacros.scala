@@ -161,6 +161,18 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** token_freq(TABLE(t), 'text_col', 'id_col') → per-doc corpus-frequency
+    * stats — see [[graft.text.TextFunctions.tokenFrequencyStats]]. */
+  def tokenFreqTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 3) throw new IllegalArgumentException(
+      s"token_freq(t, text_col, id_col) takes 3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.TextFunctions.tokenFrequencyStats(
+      table(spark, args(0), "token_freq table"),
+      str(args(1), "token_freq text_col"), str(args(2), "token_freq id_col"))
+      .queryExecution.analyzed
+  }
+
   /** sample_by_budget(TABLE(corpus), TABLE(budgets), 'key_col', 'text_col',
     * 'group_col'[, buckets]) — fill per-group token budgets in deterministic
     * hash order; see [[graft.text.Mix.byTokenBudget]]. The budgets table

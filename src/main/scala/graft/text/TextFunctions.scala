@@ -212,6 +212,32 @@ object TextFunctions {
   }
 
   /**
+   * Corpus-relative token-frequency statistics per document: n_tokens plus
+   * the sum and minimum of each token's CORPUS occurrence count — the
+   * integer-exact analogue of an LM-perplexity quality signal (CCNet-style
+   * pipelines score docs by how surprising their tokens are; min_freq = 1
+   * flags docs with corpus-unique tokens, low freq_sum/n_tokens flags
+   * rare-vocabulary docs). Two passes over the exploded token stream: a
+   * vocabulary count aggregate (vocab ≪ corpus by Zipf), then a token-keyed
+   * join back — both shuffles carry tokens, never documents, and the
+   * per-doc reduce is the only doc-keyed exchange. Integer outputs keep the
+   * oracle comparison exact (a log-prob sum would be float-order-dependent
+   * across engines).
+   */
+  def tokenFrequencyStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val c = org.apache.spark.sql.functions.col(_)
+    val tok = df.where(df(textCol).isNotNull)
+      .select(df(idCol), explode(tokens(df(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tok.join(counts, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(c("cnt")).as("freq_sum"),
+        min(c("cnt")).as("min_freq"))
+  }
+
+  /**
    * Quality statistics struct: token count, mean token length, alpha ratio,
    * punctuation ratio, stopword ratio — the usual cheap quality-scoring
    * features for corpus filtering. All arithmetic is exact-int-then-double

@@ -174,6 +174,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == oneWindowExpected(20L))
   }
 
+  test("tokenFrequencyStats: corpus-relative counts, hand-checked") {
+    // corpus: "a a b" (doc 1), "a c" (doc 2) → counts: a=3, b=1, c=1
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TF.tokenFrequencyStats(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 3 tokens, freq_sum 3+3+1=7, min 1; doc 2: 2 tokens, 3+1=4, min 1
+    assert(got == Seq((1L, 3L, 7L, 1L), (2L, 2L, 4L, 1L)))
+    df.createOrReplaceTempView("tf_sql_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM token_freq(TABLE(tf_sql_t), 'text', 'doc_id') ORDER BY doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaSql == got)
+  }
+
   test("topNgrams trigram windows drop short tails") {
     val df = Seq("p q r s").toDF("text") // trigrams: "p q r", "q r s"
     val got = TF.topNgrams(df, "text", n = 3, k = 10)
