@@ -30,6 +30,8 @@ object Bench {
       .config(graft.spark.ExecTuning.SmallQueryShufflePartitionsKey,
         sys.env.getOrElse("SPARK_GRAFT_SMALL_SHUFFLE",
           graft.spark.ExecTuning.DefaultSmallQueryShufflePartitions.toString))
+      .config(graft.spark.ExecTuning.SmallQueryCodegenKey,
+        sys.env.getOrElse("SPARK_GRAFT_SMALL_CODEGEN", "true"))
       // Fixed-overhead trims (round-4 verdict: the ~0.2-0.4 s/query floor
       // at small SF is scheduling + exchange setup, not per-row work):
       // coalesce post-shuffle partitions to a small advisory size: fewer
