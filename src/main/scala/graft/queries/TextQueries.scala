@@ -215,6 +215,28 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("cum_tokens"))
         .orderBy("doc_id")
     }),
+    "doc_pipeline_e2e" -> ((s, dir) => {
+      // The round-7 operators composed end-to-end, the way a training-data
+      // build actually runs: quality filter → eval-set decontamination →
+      // exact-dup drop → per-source token-budget mix. Every stage is proven
+      // by its own gate; this one proves the COMPOSITION (the oracle
+      // replays the whole chain in SQL). Same eval split as doc_decontam.
+      val d = Tables.load(s, dir, "documents")
+      val eval = d.where(col("doc_id") % 50 === 0)
+      val corpus = d.where(col("doc_id") % 50 =!= 0)
+      val clean = Dedup.dropExactDuplicates(
+        graft.text.Decontaminate.dropContaminated(
+          TF.filterByQuality(corpus, "text", minScore = 0.93),
+          eval, "text", "doc_id"),
+        "text", "doc_id")
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("budget",
+          (lit(500) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 4))
+            .cast("long"))
+      graft.text.Mix.byTokenBudget(clean, "doc_id", "text", "source", budgets)
+        .select(col("doc_id"), col("source"), col("lang"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
     "doc_token_freq" -> ((s, dir) => {
       // Corpus-relative rarity signal (integer-exact LM-surprise analogue):
       // per doc, the sum/min of its tokens' corpus occurrence counts.
@@ -435,6 +457,52 @@ object TextQueries {
            FROM t)
          SELECT doc_id, source, cum_tokens FROM c
          WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)
+         ORDER BY doc_id""",
+    "doc_pipeline_e2e" ->
+      """WITH f AS (
+           SELECT doc_id, text, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS mean_tok_len,
+             round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS alpha_ratio,
+             round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS punct_ratio
+           FROM documents WHERE doc_id % 50 <> 0),
+         q AS (
+           SELECT doc_id, text, lang, source FROM f
+           WHERE round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.25
+               + alpha_ratio * 0.35
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+               + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.25 END) * 0.2, 6) >= 0.93),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM q),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM w WHERE len(w) >= 3),
+         evw AS (SELECT string_split(text, ' ') AS w FROM documents
+                 WHERE doc_id % 50 = 0),
+         ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[i:i+2], ' ')))) AS g
+                FROM evw WHERE len(w) >= 3),
+         contam AS (SELECT DISTINCT doc_id
+                    FROM (SELECT doc_id, unnest(s) AS g FROM sh) c
+                    JOIN ev USING (g)),
+         clean AS (SELECT * FROM q
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                  ORDER BY doc_id) AS rn FROM clean),
+         t AS (SELECT doc_id, source, lang,
+                 len(string_split(text, ' ')) AS toks,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM dd WHERE rn = 1),
+         c2 AS (SELECT doc_id, source, lang,
+                  CAST(sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+         SELECT doc_id, source, lang, cum_tokens FROM c2
+         WHERE cum_tokens <= 500 + 100 * (CAST(substr(source, 4, 10) AS INT) % 4)
          ORDER BY doc_id""",
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -54,6 +54,21 @@ object Dedup {
         min(col("_id")).as("keep_id"))
       .where(col("n") > 1)
 
+  /** Drop byte-identical duplicates, keeping the smallest id of each
+    * identical-text group — the drop-side counterpart of
+    * [[exactDupGroups]]. One hash-partitioned window shuffle (no second
+    * corpus exchange, unlike a groupBy + self-semi-join spelling). NULL
+    * texts pass through untouched: they are unknown content, not
+    * byte-identical to each other. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.md5Hex(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_dedup_rn", row_number().over(w))
+      .where(col(textCol).isNull || col("_dedup_rn") === 1)
+      .drop("_dedup_rn")
+  }
+
   /** (id, sig) pairs — the shared first stage of the MinHash path. The
     * fused kernel never materializes shingle strings; only the 64×8-byte
     * signature flows into the band join (the property that matters when the

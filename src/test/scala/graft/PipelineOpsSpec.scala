@@ -174,6 +174,15 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == oneWindowExpected(20L))
   }
 
+  test("dropExactDuplicates keeps the smallest id; nulls pass through") {
+    val df = Seq((5L, "x"), (2L, "x"), (3L, "y"),
+      (4L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = graft.text.Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 6L))
+  }
+
   test("tokenFrequencyStats: corpus-relative counts, hand-checked") {
     // corpus: "a a b" (doc 1), "a c" (doc 2) → counts: a=3, b=1, c=1
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
