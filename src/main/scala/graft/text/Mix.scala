@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
  * Equivalent to the one-window spelling (the oracle gate proves it) with
  * the skew bottleneck removed: the only per-source serial work is N grid
  * rows on the driver-side-free window of step 2.
+ *
+ * Regimes: the bucket fan-out targets FEW GIANT groups (a handful of
+ * sources holding a 100 TB corpus) — the offsets grid is |groups| × N rows
+ * and is broadcast, so it assumes |groups| ≪ corpus. A mix keyed by a
+ * high-cardinality dimension (per-domain budgets, millions of groups) gets
+ * its parallelism from the group count itself: pass `buckets = 1` and the
+ * grid/broadcast collapses to one row per group.
  */
 object Mix {
 
