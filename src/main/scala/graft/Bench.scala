@@ -41,7 +41,8 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)
       // ... make every dimension-side join a broadcast at bench scales
       // (where the small side is <= tens of MB), skipping shuffle stages
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong * (1L << 20))
       // ... and split single-file tables finer so a 100-200 MB parquet
       // still scans with real parallelism (sf1 tables are one file each;
       // 4 MB ≈ 34 splits for the 135 MB lineitem on 32 cores).

@@ -56,4 +56,35 @@ object StreamingIndex {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("_text_hash")
       .drop("_text_hash")
+
+  /**
+   * Streaming gap-based sessionization — the continuous analogue of
+   * [[graft.ops.Sessionize.sessionStats]], on Spark's native
+   * `session_window` state store (merging windows, watermark eviction).
+   * Emits one row per CLOSED session (append mode: a session is final once
+   * the watermark passes its end) with the session bounds and event count.
+   *
+   * Semantics note vs the batch operator: `session_window`'s `end` is
+   * last-event-time + gap (the window bound), where batch `sessionStats`
+   * reports `end_ts` = the last event's timestamp; and sessions are
+   * numbered in the batch API (`session_seq`) but unnumbered here — a
+   * stream has no per-key total order to rank over until the watermark
+   * closes it.
+   *
+   * @param gap session gap as a duration string (e.g. "4 hours"),
+   *            matching `maxGap` micros in the batch operator
+   */
+  def streamingSessionStats(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, gap: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one session key")
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) ++ Seq(
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events")): _*)
+  }
 }

@@ -76,6 +76,45 @@ class StreamingIndexSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streamingSessionStats: closed sessions emit once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val stream = mem.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val sessions = StreamingIndex.streamingSessionStats(
+      stream, Seq("user_id"), "ts", gap = "4 hours", watermark = "10 minutes")
+    val query = sessions.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-s").toString)
+      .start()
+    try {
+      val H = 3600L
+      // user 1: two events 1h apart (one session), then one event 10h later
+      // (a second session) — same construction as the batch operator's spec.
+      mem.addData((1L, 0L), (1L, H))
+      query.processAllAvailable()
+      mem.addData((1L, 10 * H))
+      query.processAllAvailable()
+      // Watermark now trails the 10h event by 10 min — past session 1's
+      // end (1h + 4h gap = 5h), so session 1 is final and emitted;
+      // session 2 (ends 14h) is still open.
+      var out = spark.table("stream_sessions")
+        .select($"user_id", $"n_events", unix_timestamp($"start_ts"), unix_timestamp($"end_ts"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out == Set((1L, 2L, 0L, H + 4 * H)), out.toString)
+      // another user far in the future pushes the watermark past session 2
+      mem.addData((2L, 100 * H))
+      query.processAllAvailable()
+      out = spark.table("stream_sessions")
+        .select($"user_id", $"n_events", unix_timestamp($"start_ts"), unix_timestamp($"end_ts"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1L, 2L, 0L, H + 4 * H),
+        (1L, 1L, 10 * H, 14 * H)), out.toString)
+    } finally query.stop()
+  }
+
   test("maintainIndex auto-compacts: segment count stays bounded across many batches") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
