@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
       "dedup_exact" -> graft.sql.TvfMacros.dedupExact,
+      "dedup_drop_exact" -> graft.sql.TvfMacros.dedupDropExact,
       "dedup_near" -> graft.sql.TvfMacros.dedupNear,
       "dedup_drop" -> graft.sql.TvfMacros.dedupDrop,
       "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,

@@ -109,6 +109,9 @@ object TvfMacros {
   def dedupExact(args: Seq[Expression]): LogicalPlan =
     dedupBuild("dedup_exact", args, 3, 3, Dedup.exactDupGroups(_, _, _))
 
+  def dedupDropExact(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("dedup_drop_exact", args, 3, 3, Dedup.dropExactDuplicates(_, _, _))
+
   def dedupNear(args: Seq[Expression]): LogicalPlan =
     dedupBuild("dedup_near", args, 4, 4, (df, t, i) =>
       Dedup.nearDupPairs(df, t, i, dblLit(args(3), "dedup_near threshold")))

@@ -181,6 +181,11 @@ class PipelineOpsSpec extends SparkSuite {
     val kept = graft.text.Dedup.dropExactDuplicates(df, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 4L, 6L))
+    df.createOrReplaceTempView("dde_sql_t")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM dedup_drop_exact(TABLE(dde_sql_t), 'text', 'doc_id')")
+      .as[Long].collect().toSet
+    assert(viaSql == kept)
   }
 
   test("tokenFrequencyStats: corpus-relative counts, hand-checked") {
