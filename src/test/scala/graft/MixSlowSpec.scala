@@ -18,6 +18,27 @@ import graft.text.Mix
 class MixSlowSpec extends SparkSuite {
   import spark.implicits._
 
+  test("tokenFrequencyStats at 1M docs: closed-form corpus counts") {
+    // Every doc is "t<id%1000> common": token t<k> occurs exactly 1000
+    // times corpus-wide, "common" occurs 1,000,000 times — so every doc's
+    // stats are identical and known: n_tokens 2, freq_sum 1000 + 1M,
+    // min_freq 1000. Verified in aggregate (no per-row collect).
+    val docs = spark.range(1000000L).select(
+      col("id").as("doc_id"),
+      concat(lit("t"), (col("id") % 1000).cast("string"), lit(" common")).as("text"))
+    val agg = graft.text.TextFunctions
+      .tokenFrequencyStats(docs, "text", "doc_id")
+      .agg(count(lit(1)), countDistinct(col("freq_sum")),
+        min(col("freq_sum")), min(col("min_freq")), max(col("min_freq")),
+        min(col("n_tokens")), max(col("n_tokens")))
+      .collect().head
+    assert(agg.getLong(0) == 1000000L)
+    assert(agg.getLong(1) == 1L)
+    assert(agg.getLong(2) == 1001000L)
+    assert(agg.getLong(3) == 1000L && agg.getLong(4) == 1000L)
+    assert(agg.getLong(5) == 2L && agg.getLong(6) == 2L)
+  }
+
   private val Web = 450000L // docs 0 .. 449999
   private val TailSrc = 10  // s0..s9, 5k docs each
 
