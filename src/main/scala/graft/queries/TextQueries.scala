@@ -244,6 +244,19 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_source_rates" -> ((s, dir) => {
+      // Proportional mix: per-source deterministic sample rates. Rates are
+      // DYADIC (k/16) so rate × 2⁶⁰ is exact in both engines — the oracle
+      // compares against the integer threshold k × 2⁵⁶ directly, no float
+      // rounding to diverge on.
+      val d = Tables.load(s, dir, "documents")
+      val rates = d.select(col("source")).distinct()
+        .withColumn("rate",
+          (lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+            .cast("double") / 16.0)
+      graft.text.Mix.bySampleRates(d, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
     "doc_top_ngrams" -> ((s, dir) => {
       // Corpus-level vocabulary statistics: top-20 bigrams by occurrence.
       // chunk_tokens(text, 2, 1) is the bigram stream; one shuffle of
@@ -513,6 +526,11 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_source_rates" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               < (1 + CAST(substr(source, 4, 10) AS INT) % 4) * 72057594037927936
+         ORDER BY doc_id""",
     "doc_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),

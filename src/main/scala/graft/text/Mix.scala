@@ -98,4 +98,26 @@ object Mix {
       .where(col("cum_tokens") <= col("budget"))
       .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "budget")
   }
+
+  /**
+   * Proportional mix: sample each group at its own rate — the
+   * rate-specified sibling of [[byTokenBudget]] ("keep 10% of web, 100% of
+   * books"). Per-group [[TextFunctions.deterministicSample]]: a row is kept
+   * iff the first 60 bits of md5(key) fall under rate × 2⁶⁰, so membership
+   * is a pure function of (key, its group's rate) — reproducible across
+   * runs/engines/partitionings, stable under corpus growth, and consistent
+   * with the global sampler (a doc kept at rate r stays kept at any rate
+   * ≥ r). No shuffle at all: one broadcast join + a filter.
+   *
+   * @param rates (groupCol, rate) rows, rate ∈ [0, 1]; groups absent from
+   *              `rates` are dropped
+   */
+  def bySampleRates(df: DataFrame, keyCol: String, groupCol: String,
+      rates: DataFrame): DataFrame = {
+    val threshold = (col("rate") * lit((1L << 60).toDouble)).cast("long")
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(conv(substring(TextFunctions.md5Hex(df(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") < threshold)
+      .drop("rate")
+  }
 }

@@ -136,6 +136,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.count() == 20)
   }
 
+  test("bySampleRates: per-group rates, consistent with the global sampler") {
+    val rates = Seq(("s0", 1.0), ("s1", 0.0), ("s2", 0.5)).toDF("source", "rate")
+    val kept = Mix.bySampleRates(mixCorpus, "doc_id", "source", rates)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc.getOrElse("s0", Set.empty).size == 20) // rate 1.0 keeps all
+    assert(!bySrc.contains("s1"))                        // rate 0.0 drops all
+    // rate-0.5 membership == the GLOBAL deterministic sampler at 0.5
+    // restricted to that group (same hash, same threshold — the property
+    // that makes per-group rates composable with global splits)
+    val globalHalf = TF.deterministicSample(mixCorpus, "doc_id", 0.5)
+      .where($"source" === "s2").select("doc_id").as[Long].collect().toSet
+    assert(bySrc.getOrElse("s2", Set.empty) == globalHalf)
+  }
+
   // --- topNgrams -----------------------------------------------------------
 
   test("topNgrams counts sliding bigrams with a deterministic tiebreak") {
