@@ -153,6 +153,8 @@ object functions {
       cexpr(graft.text.TextFunctions.redactPii(col(es(0))))),
     "pii_stats" -> (es =>
       cexpr(graft.text.TextFunctions.piiStats(col(es(0))))),
+    "extract_domain" -> (es =>
+      cexpr(graft.text.TextFunctions.extractDomain(col(es(0))))),
     "json_get_long" -> (es => JsonGetLong(es(0), es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
       case _ => throw new IllegalArgumentException("json_get_long key must be a string literal")

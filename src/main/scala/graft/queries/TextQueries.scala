@@ -244,6 +244,29 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_url_domains" -> ((s, dir) => {
+      // Domain-level curation: extract the host from a (derived) URL,
+      // drop blocklisted domains, count the survivors per domain. URLs
+      // derive deterministically from doc_id — same device as the PII
+      // gate, since the fixture carries no URL column.
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id")
+      val withUrl = d.withColumn("url",
+        concat(lit("https://w"), (id % 7).cast("string"),
+          lit(".example"), (id % 3).cast("string"),
+          lit(".org/p/"), id.cast("string")))
+      val blocklist = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("w0.example0.org"),
+          org.apache.spark.sql.Row("w3.example1.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      TF.filterByDomainBlocklist(withUrl, "url", blocklist)
+        .withColumn("domain", TF.extractDomain(col("url")))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
     "doc_source_rates" -> ((s, dir) => {
       // Proportional mix: per-source deterministic sample rates. Rates are
       // DYADIC (k/16) so rate × 2⁶⁰ is exact in both engines — the oracle
@@ -526,6 +549,16 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_url_domains" ->
+      """WITH u AS (
+           SELECT lower(regexp_extract(
+             'https://w' || (doc_id % 7) || '.example' || (doc_id % 3)
+               || '.org/p/' || doc_id,
+             '^https?://([^/:?#]+)', 1)) AS domain
+           FROM documents)
+         SELECT domain, count(*) AS n_docs FROM u
+         WHERE domain NOT IN ('w0.example0.org', 'w3.example1.org')
+         GROUP BY domain ORDER BY domain""",
     "doc_source_rates" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)

@@ -211,6 +211,26 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Host component of an http(s) URL (regex restricted to the
+    * java.util.regex ∩ RE2 common subset, like the PII patterns). */
+  val UrlHostRe = "^https?://([^/:?#]+)"
+
+  /** Lowercased domain of an http(s) URL; empty string when the value is
+    * not an http(s) URL (both regex engines return '' on no-match for
+    * group extraction). The key for domain-level curation: blocklists,
+    * per-domain caps, provenance stats. */
+  def extractDomain(url: Column): Column =
+    lower(regexp_extract(url, UrlHostRe, 1))
+
+  /** Drop rows whose [[extractDomain]] appears in `blocklist` (a
+    * one-column `domain` DataFrame — dimension-sized, broadcast
+    * anti-join). The standard web-corpus blocklist filter. */
+  def filterByDomainBlocklist(df: org.apache.spark.sql.DataFrame,
+      urlCol: String, blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.join(broadcast(blocklist.select(org.apache.spark.sql.functions.col("domain"))),
+      extractDomain(df(urlCol)) === org.apache.spark.sql.functions.col("domain"),
+      "left_anti")
+
   /**
    * Corpus-relative token-frequency statistics per document: n_tokens plus
    * the sum and minimum of each token's CORPUS occurrence count — the

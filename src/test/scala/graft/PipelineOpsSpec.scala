@@ -151,6 +151,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(bySrc.getOrElse("s2", Set.empty) == globalHalf)
   }
 
+  test("extractDomain + blocklist filter") {
+    val df = Seq(
+      (1L, "https://News.Example.org/a?q=1"),
+      (2L, "http://blocked.net/x"),
+      (3L, "ftp://not-http.org/y"),
+      (4L, "https://sub.keep.io:8080/z")).toDF("id", "url")
+    val doms = df.select(TF.extractDomain($"url")).as[String].collect().toSeq
+    assert(doms == Seq("news.example.org", "blocked.net", "", "sub.keep.io"))
+    val bl = Seq("blocked.net").toDF("domain")
+    val kept = TF.filterByDomainBlocklist(df, "url", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    df.createOrReplaceTempView("url_sql_t")
+    assert(spark.sql("SELECT extract_domain(url) FROM url_sql_t WHERE id = 4")
+      .as[String].head() == "sub.keep.io")
+  }
+
   // --- topNgrams -----------------------------------------------------------
 
   test("topNgrams counts sliding bigrams with a deterministic tiebreak") {
