@@ -244,6 +244,18 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_stopword_filter" -> ((s, dir) => {
+      // Gopher-style stopword signal: distinct stopwords present per doc
+      // (set semantics), plus the filter's keep/drop verdict at >= 2. The
+      // word list leans on the fixture's vocabulary ('the'/'a'/'value'/
+      // 'data') so the count actually varies across docs.
+      val words = Seq("the", "a", "and", "value", "data")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.distinctWordsPresent(col("text"), words).cast("long").as("n_stop"))
+        .withColumn("keep", (col("n_stop") >= 2).cast("int"))
+        .orderBy("doc_id")
+    }),
     "doc_url_domains" -> ((s, dir) => {
       // Domain-level curation: extract the host from a (derived) URL,
       // drop blocklisted domains, count the survivors per domain. URLs
@@ -549,6 +561,14 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_stopword_filter" ->
+      """SELECT doc_id,
+           CAST(len(list_intersect(string_split(text, ' '),
+             ['the', 'a', 'and', 'value', 'data'])) AS BIGINT) AS n_stop,
+           CAST(CASE WHEN len(list_intersect(string_split(text, ' '),
+             ['the', 'a', 'and', 'value', 'data'])) >= 2
+             THEN 1 ELSE 0 END AS INT) AS keep
+         FROM documents ORDER BY doc_id""",
     "doc_url_domains" ->
       """WITH u AS (
            SELECT lower(regexp_extract(

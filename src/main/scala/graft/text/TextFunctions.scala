@@ -211,6 +211,26 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Gopher/MassiveText's stopword list — the "does this look like real
+    * prose" device: a quality filter requires ≥ `minDistinct` of these to
+    * appear in the doc. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Number of DISTINCT words from `words` present in the text
+    * (set semantics — `array_intersect` of the token array, codegen'd;
+    * the oracle spelling is `list_intersect`). */
+  def distinctWordsPresent(text: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens(text), lit(words.toArray)))
+
+  /** Gopher-style stopword filter: keep docs containing at least
+    * `minDistinct` distinct words from `words`. Stateless scan filter —
+    * no shuffle, embarrassingly parallel. */
+  def filterByStopwords(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minDistinct: Int = 2,
+      words: Seq[String] = GopherStopwords): org.apache.spark.sql.DataFrame =
+    df.where(distinctWordsPresent(df(textCol), words) >= minDistinct)
+
   /** Host component of an http(s) URL (regex restricted to the
     * java.util.regex ∩ RE2 common subset, like the PII patterns). */
   val UrlHostRe = "^https?://([^/:?#]+)"

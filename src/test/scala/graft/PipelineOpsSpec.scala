@@ -151,6 +151,19 @@ class PipelineOpsSpec extends SparkSuite {
     assert(bySrc.getOrElse("s2", Set.empty) == globalHalf)
   }
 
+  test("stopword filter: distinct-set semantics, Gopher default list") {
+    val df = Seq(
+      (1L, "the cat and the dog have fun"), // the, and, have -> 3 distinct
+      (2L, "the the the the"),              // 'the' once distinct -> 1
+      (3L, "no common words here")).toDF("doc_id", "text")
+    val n = df.select(TF.distinctWordsPresent($"text", TF.GopherStopwords))
+      .as[Int].collect().toSeq
+    assert(n == Seq(3, 1, 0))
+    val kept = TF.filterByStopwords(df, "text", minDistinct = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("extractDomain + blocklist filter") {
     val df = Seq(
       (1L, "https://News.Example.org/a?q=1"),
