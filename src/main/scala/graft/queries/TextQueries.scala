@@ -244,6 +244,18 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_split_assign" -> ((s, dir) => {
+      // Deterministic train/val/test assignment. DYADIC fractions
+      // (3/4, 1/8, 1/16) make every hash boundary an exact integer, so
+      // the oracle compares literal thresholds — no float rounding to
+      // diverge on (same device as doc_source_rates). The leftover 1/16
+      // is deliberately unlabeled (NULL) to pin that semantic too.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.assignSplit(col("doc_id"),
+            Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.0625)).as("split"))
+        .orderBy("doc_id")
+    }),
     "doc_stopword_filter" -> ((s, dir) => {
       // Gopher-style stopword signal: distinct stopwords present per doc
       // (set semantics), plus the filter's keep/drop verdict at >= 2. The
@@ -561,6 +573,17 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_split_assign" ->
+      """SELECT doc_id,
+           CASE
+             WHEN h < 864691128455135232 THEN 'train'
+             WHEN h < 1008806316530991104 THEN 'val'
+             WHEN h < 1080863910568919040 THEN 'test'
+             ELSE NULL END AS split
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+               FROM documents)
+         ORDER BY doc_id""",
     "doc_stopword_filter" ->
       """SELECT doc_id,
            CAST(len(list_intersect(string_split(text, ' '),

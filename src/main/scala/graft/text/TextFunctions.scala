@@ -278,6 +278,31 @@ object TextFunctions {
   }
 
   /**
+   * Deterministic split assignment: label each row 'train'/'val'/'test'
+   * (or any label set) by which hash-range its key falls in — the n-way
+   * generalization of [[deterministicSample]], and the same device, so
+   * the assignment is a pure function of the key: reproducible across
+   * runs/engines/partitionings, stable when the corpus grows, and
+   * consistent with [[deterministicSample]] (a fraction-f sample is
+   * exactly the union of the first splits totaling f). Fractions must sum
+   * to ≤ 1; keys hashing past the last boundary get NULL (callers
+   * filtering to labeled rows get an exact-fraction split).
+   *
+   * @param fractions (label, fraction) pairs in boundary order
+   */
+  def assignSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-12,
+      "fractions must be non-negative and sum to <= 1")
+    val h = conv(substring(md5Hex(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => (f * (1L << 60).toDouble).toLong)
+    fractions.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
+      case ((label, bound), otherwise) => when(h < bound, label).otherwise(otherwise)
+    }
+  }
+
+  /**
    * Quality statistics struct: token count, mean token length, alpha ratio,
    * punctuation ratio, stopword ratio — the usual cheap quality-scoring
    * features for corpus filtering. All arithmetic is exact-int-then-double

@@ -151,6 +151,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(bySrc.getOrElse("s2", Set.empty) == globalHalf)
   }
 
+  test("assignSplit: n-way deterministic, consistent with the sampler") {
+    val df = spark.range(2000).select($"id")
+    val splits = df.select($"id",
+      TF.assignSplit($"id", Seq("train" -> 0.5, "val" -> 0.25)).as("s"))
+      .as[(Long, Option[String])].collect()
+    val byLabel = splits.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // rough proportions (hash-uniform over 2000 keys)
+    assert(byLabel(Some("train")).size > 800 && byLabel(Some("train")).size < 1200)
+    assert(byLabel(Some("val")).size > 350 && byLabel(Some("val")).size < 650)
+    assert(byLabel(None).size > 350) // unlabeled remainder
+    // consistency: the 'train' split IS deterministicSample at 0.5
+    val half = TF.deterministicSample(df, "id", 0.5).as[Long].collect().toSet
+    assert(byLabel(Some("train")) == half)
+    // nesting: train ∪ val == the 0.75 sample
+    val threeQ = TF.deterministicSample(df, "id", 0.75).as[Long].collect().toSet
+    assert(byLabel(Some("train")) ++ byLabel(Some("val")) == threeQ)
+  }
+
   test("stopword filter: distinct-set semantics, Gopher default list") {
     val df = Seq(
       (1L, "the cat and the dog have fun"), // the, and, have -> 3 distinct
