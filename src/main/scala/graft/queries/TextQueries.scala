@@ -244,6 +244,25 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_domain_caps" -> ((s, dir) => {
+      // Per-domain doc-count caps (the C4-style dominance guard): domains
+      // derive from doc_id like doc_url_domains; each domain keeps at most
+      // 2 + digit%3 docs in deterministic hash order. cum_docs (the
+      // in-group rank) rides out so the oracle pins the fill order, not
+      // just membership.
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id")
+      val withDom = d
+        .withColumn("url", concat(lit("https://w"), (id % 7).cast("string"),
+          lit(".example"), (id % 3).cast("string"), lit(".org/p/"), id.cast("string")))
+        .withColumn("domain", TF.extractDomain(col("url")))
+      val caps = withDom.select(col("domain")).distinct()
+        .withColumn("budget",
+          (lit(2) + substring(col("domain"), 2, 1).cast("int") % 3).cast("long"))
+      graft.text.Mix.byCountBudget(withDom, "doc_id", "domain", caps)
+        .select(col("doc_id"), col("domain"), col("cum_docs"))
+        .orderBy("doc_id")
+    }),
     "doc_split_assign" -> ((s, dir) => {
       // Deterministic train/val/test assignment. DYADIC fractions
       // (3/4, 1/8, 1/16) make every hash boundary an exact integer, so
@@ -573,6 +592,21 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_domain_caps" ->
+      """WITH u AS (
+           SELECT doc_id, lower(regexp_extract(
+             'https://w' || (doc_id % 7) || '.example' || (doc_id % 3)
+               || '.org/p/' || doc_id,
+             '^https?://([^/:?#]+)', 1)) AS domain
+           FROM documents),
+         c AS (
+           SELECT doc_id, domain,
+             CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_docs
+           FROM u)
+         SELECT doc_id, domain, cum_docs FROM c
+         WHERE cum_docs <= 2 + CAST(substr(domain, 2, 1) AS INT) % 3
+         ORDER BY doc_id""",
     "doc_split_assign" ->
       """SELECT doc_id,
            CASE

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,14 +64,31 @@ object Mix {
    *         token count at this doc in fill order (≤ budget).
    */
   def byTokenBudget(df: DataFrame, keyCol: String, textCol: String,
-      groupCol: String, budgets: DataFrame, buckets: Int = 256): DataFrame = {
+      groupCol: String, budgets: DataFrame, buckets: Int = 256): DataFrame =
+    byWeightBudget(df, keyCol,
+      TextFunctions.tokenCount(df(textCol)).cast("long"),
+      groupCol, budgets, buckets, "cum_tokens")
+
+  /**
+   * Per-group DOC-COUNT caps — "at most N documents per domain", the
+   * C4/RefinedWeb-style dominance guard — as [[byTokenBudget]] with unit
+   * weights: same deterministic fill order, same skew-proof bucketed
+   * prefix sum, `cum_docs` is the doc's 1-based rank in its group.
+   */
+  def byCountBudget(df: DataFrame, keyCol: String, groupCol: String,
+      budgets: DataFrame, buckets: Int = 256): DataFrame =
+    byWeightBudget(df, keyCol, lit(1L), groupCol, budgets, buckets, "cum_docs")
+
+  private def byWeightBudget(df: DataFrame, keyCol: String, weight: Column,
+      groupCol: String, budgets: DataFrame, buckets: Int,
+      cumCol: String): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     // Hash prefix value in [0, 256): two hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
     val t = df
       .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
-      .withColumn("_mix_toks", TextFunctions.tokenCount(df(textCol)).cast("long"))
+      .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",
         (conv(substring(col("_mix_h"), 1, 2), 16, 10).cast("int") * buckets / 256)
           .cast("int"))
@@ -93,9 +110,9 @@ object Mix {
       .orderBy(col("_mix_h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.join(broadcast(offsets), Seq(groupCol, "_mix_b"))
-      .withColumn("cum_tokens", col("_mix_off") + sum(col("_mix_toks")).over(wIn))
+      .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))
       .join(broadcast(budgets), Seq(groupCol))
-      .where(col("cum_tokens") <= col("budget"))
+      .where(col(cumCol) <= col("budget"))
       .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "budget")
   }
 

@@ -128,6 +128,27 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("byCountBudget caps docs per group in deterministic order") {
+    val budgets = Seq(("s0", 5L), ("s1", 0L), ("s2", 100L)).toDF("source", "budget")
+    val kept = Mix.byCountBudget(mixCorpus, "doc_id", "source", budgets)
+      .select($"source", $"cum_docs").as[(String, Long)].collect()
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySrc("s0") == (1L to 5L))       // capped at 5, ranks contiguous
+    assert(!bySrc.contains("s1"))           // cap 0 drops the group
+    assert(bySrc("s2") == (1L to 20L))      // cap above group size keeps all
+    // the kept 5 are the FIRST 5 in md5 order — same prefix the window picks
+    mixCorpus.createOrReplaceTempView("mix_corpus_caps")
+    val expect = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+           FROM mix_corpus_caps WHERE source = 's0') WHERE rn <= 5""")
+      .as[Long].collect().toSet
+    val got = Mix.byCountBudget(mixCorpus, "doc_id", "source", budgets)
+      .where($"source" === "s0").select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("byTokenBudget drops groups missing from the budget table") {
     val budgets = Seq(("s0", 1000L)).toDF("source", "budget")
     val got = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
