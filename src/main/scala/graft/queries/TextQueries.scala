@@ -244,6 +244,19 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_chunk_dedup" -> ((s, dir) => {
+      // Chunk-level dedup (the line/paragraph-dedup analogue): 3-token
+      // non-overlapping windows, corpus-wide first occurrence wins, docs
+      // rebuilt from survivors. 3 tokens over the fixture's small
+      // vocabulary collide heavily across docs, so the rebuild genuinely
+      // rewrites most documents. md5 of the rebuilt text pins the exact
+      // reassembly (order + single-space join).
+      Dedup.dropRepeatedChunks(Tables.load(s, dir, "documents"),
+          "text", "doc_id", size = 3)
+        .select(col("doc_id"), col("n_chunks_kept"),
+          TF.md5Hex(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "doc_domain_caps" -> ((s, dir) => {
       // Per-domain doc-count caps (the C4-style dominance guard): domains
       // derive from doc_id like doc_url_domains; each domain keeps at most
@@ -592,6 +605,20 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id, unnest(range(0, len(w), 3)) AS st, w FROM w),
+         ch AS (SELECT doc_id, CAST(st // 3 AS BIGINT) AS chunk_no,
+                  array_to_string(w[st+1 : least(st+3, len(w))], ' ') AS chunk
+                FROM c),
+         f AS (SELECT doc_id, chunk_no, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                   ORDER BY doc_id, chunk_no) AS rn
+               FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+           md5(array_to_string(list(chunk ORDER BY chunk_no), ' ')) AS text_md5
+         FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "doc_domain_caps" ->
       """WITH u AS (
            SELECT doc_id, lower(regexp_extract(

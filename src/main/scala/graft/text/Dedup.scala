@@ -69,6 +69,39 @@ object Dedup {
       .drop("_dedup_rn")
   }
 
+  /**
+   * Chunk-level dedup — the line/paragraph-dedup step of C4/Dolma-style
+   * pipelines, at token-window granularity: split every doc into
+   * NON-overlapping `size`-token windows, keep only the corpus-wide FIRST
+   * occurrence (by id, then position) of each distinct window, and rebuild
+   * each doc's text from its surviving windows in order. Docs whose every
+   * window was seen earlier vanish from the output.
+   *
+   * One hash-partitioned window shuffle over (chunk-hash) — repeated
+   * boilerplate concentrates per hash partition, never all-pairs — plus
+   * the per-doc rebuild aggregate. Returns (idCol, textCol rebuilt,
+   * n_chunks_kept).
+   */
+  def dropRepeatedChunks(df: DataFrame, textCol: String, idCol: String,
+      size: Int): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    val chunks = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextFunctions.chunkTokens(col(textCol), size, size))
+          .as(Seq("_chunk_no", "_chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.md5Hex(col("_chunk")))
+      .orderBy(col(idCol), col("_chunk_no"))
+    chunks.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          sort_array(collect_list(struct(col("_chunk_no"), col("_chunk"))))
+            .getField("_chunk"), " ").as(textCol),
+        count(lit(1)).as("n_chunks_kept"))
+  }
+
   /** (id, sig) pairs — the shared first stage of the MinHash path. The
     * fused kernel never materializes shingle strings; only the 64×8-byte
     * signature flows into the band join (the property that matters when the

@@ -272,6 +272,18 @@ class PipelineOpsSpec extends SparkSuite {
     assert(viaSql == kept)
   }
 
+  test("dropRepeatedChunks: first occurrence wins, docs rebuilt in order") {
+    val df = Seq(
+      (1L, "a b c d"),      // chunks (size 2): "a b", "c d"
+      (2L, "a b x y"),      // "a b" repeated -> rebuilt "x y"
+      (3L, "c d a b")       // both repeated -> doc vanishes
+    ).toDF("doc_id", "text")
+    val got = graft.text.Dedup.dropRepeatedChunks(df, "text", "doc_id", size = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b c d", 2L), (2L, "x y", 1L)))
+  }
+
   test("tokenFrequencyStats: corpus-relative counts, hand-checked") {
     // corpus: "a a b" (doc 1), "a c" (doc 2) → counts: a=3, b=1, c=1
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

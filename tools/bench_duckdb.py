@@ -28,7 +28,8 @@ FAIR = [k for k in json.load(open(f"{DUMP}/oracle_sql.json"))
     # round-7 late gates: PII scrub, mix sampling, corpus ngram stats
     "doc_pii_redact", "doc_source_mix", "doc_top_ngrams", "doc_token_freq",
     "doc_pipeline_e2e", "doc_source_rates", "doc_url_domains",
-    "doc_stopword_filter", "doc_split_assign", "doc_domain_caps"]
+    "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
+    "doc_chunk_dedup"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
