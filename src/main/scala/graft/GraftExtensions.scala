@@ -54,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "top_ngrams" -> graft.sql.TvfMacros.topNgramsTvf,
       "token_freq" -> graft.sql.TvfMacros.tokenFreqTvf,
       "sample_by_budget" -> graft.sql.TvfMacros.sampleByBudgetTvf,
+      "sample_by_rates" -> graft.sql.TvfMacros.sampleByRatesTvf,
+      "cap_by_count" -> graft.sql.TvfMacros.capByCountTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,

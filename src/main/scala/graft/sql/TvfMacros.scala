@@ -195,6 +195,39 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** sample_by_rates(TABLE(corpus), TABLE(rates), 'key_col', 'group_col')
+    * — proportional per-group sampling; the rates table carries
+    * (group_col, rate) rows. See [[graft.text.Mix.bySampleRates]]. */
+  def sampleByRatesTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"sample_by_rates(corpus, rates, key_col, group_col) takes 4 " +
+        s"arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Mix.bySampleRates(
+      table(spark, args(0), "sample_by_rates corpus"),
+      str(args(2), "sample_by_rates key_col"),
+      str(args(3), "sample_by_rates group_col"),
+      table(spark, args(1), "sample_by_rates rates"))
+      .queryExecution.analyzed
+  }
+
+  /** cap_by_count(TABLE(corpus), TABLE(caps), 'key_col', 'group_col'
+    * [, buckets]) — per-group doc-count caps; the caps table carries
+    * (group_col, budget) rows. See [[graft.text.Mix.byCountBudget]]. */
+  def capByCountTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 5) throw new IllegalArgumentException(
+      s"cap_by_count(corpus, caps, key_col, group_col[, buckets]) takes 4 " +
+        s"or 5 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Mix.byCountBudget(
+      table(spark, args(0), "cap_by_count corpus"),
+      str(args(2), "cap_by_count key_col"),
+      str(args(3), "cap_by_count group_col"),
+      table(spark, args(1), "cap_by_count caps"),
+      if (args.length == 5) intLit(args(4), "cap_by_count buckets") else 256)
+      .queryExecution.analyzed
+  }
+
   /** Comma-separated key list → trimmed column names (see block comment). */
   private def keys(e: Expression, what: String): Seq[String] =
     str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq

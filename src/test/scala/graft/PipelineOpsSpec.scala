@@ -272,6 +272,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(viaSql == kept)
   }
 
+  test("SQL surface: sample_by_rates / cap_by_count") {
+    mixCorpus.createOrReplaceTempView("mix_tvf_t")
+    Seq(("s0", 1.0), ("s1", 0.0), ("s2", 0.5)).toDF("source", "rate")
+      .createOrReplaceTempView("mix_tvf_rates")
+    val rated = spark.sql(
+      """SELECT source, count(*) AS n
+         FROM sample_by_rates(TABLE(mix_tvf_t), TABLE(mix_tvf_rates),
+                              'doc_id', 'source')
+         GROUP BY source""").as[(String, Long)].collect().toMap
+    assert(rated("s0") == 20L && !rated.contains("s1"))
+
+    Seq(("s0", 5L), ("s1", 3L), ("s2", 100L)).toDF("source", "budget")
+      .createOrReplaceTempView("mix_tvf_caps")
+    val capped = spark.sql(
+      """SELECT source, count(*) AS n, max(cum_docs) AS mx
+         FROM cap_by_count(TABLE(mix_tvf_t), TABLE(mix_tvf_caps),
+                           'doc_id', 'source')
+         GROUP BY source""").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(capped("s0") == ((5L, 5L)))
+    assert(capped("s1") == ((3L, 3L)))
+    assert(capped("s2") == ((20L, 20L)))
+  }
+
   test("dropRepeatedChunks: first occurrence wins, docs rebuilt in order") {
     val df = Seq(
       (1L, "a b c d"),      // chunks (size 2): "a b", "c d"
