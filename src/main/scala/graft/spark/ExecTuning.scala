@@ -66,7 +66,10 @@ object ExecTuning {
   def withSizedAqe[T](df: DataFrame)(body: => T): T = {
     val spark = df.sparkSession
     val threshold = spark.conf.getOption(SmallQueryBytesKey)
-      .map(_.toLong).getOrElse(DefaultSmallQueryBytes)
+      .map(v => try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$SmallQueryBytesKey must be a number, got '$v'")
+      }).getOrElse(DefaultSmallQueryBytes)
     val small = threshold > 0 && {
       try inputBytes(df) < threshold
       catch { case _: Exception => false }
@@ -87,7 +90,10 @@ object ExecTuning {
       val shufKey = "spark.sql.shuffle.partitions"
       val prevShuf = spark.conf.get(shufKey, "200")
       val trim = spark.conf.getOption(SmallQueryShufflePartitionsKey)
-        .map(_.toInt).getOrElse(DefaultSmallQueryShufflePartitions)
+        .map(v => try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$SmallQueryShufflePartitionsKey must be a number, got '$v'")
+        }).getOrElse(DefaultSmallQueryShufflePartitions)
       spark.conf.set(aqeKey, "false")
       val prevShufN = scala.util.Try(prevShuf.toInt).getOrElse(Int.MaxValue)
       if (trim > 0 && trim < prevShufN) spark.conf.set(shufKey, trim.toString)

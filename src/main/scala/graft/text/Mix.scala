@@ -58,10 +58,15 @@ object Mix {
    *                 groups absent from `budgets` are dropped (inner join),
    *                 budget 0 drops the whole group. Dimension-sized:
    *                 broadcast.
-   * @param buckets  prefix-sum fan-out per group (≥1). 1 = the plain
-   *                 one-window-per-group spelling.
+   * @param buckets  prefix-sum fan-out per group (1 to 65536). 1 = the
+   *                 plain one-window-per-group spelling. The bucket id is
+   *                 a range split of the first 16 bits of md5(key), so
+   *                 65536 is the hard fan-out ceiling.
    * @return kept rows of `df` plus `cum_tokens` — the inclusive cumulative
-   *         token count at this doc in fill order (≤ budget).
+   *         token count at this doc in fill order (≤ budget). Output
+   *         contract: all input columns pass through unchanged (including
+   *         any existing `budget` column); the input must not already carry
+   *         the output column or a `_mix_`-prefixed temporary.
    */
   def byTokenBudget(df: DataFrame, keyCol: String, textCol: String,
       groupCol: String, budgets: DataFrame, buckets: Int = 256): DataFrame =
@@ -82,16 +87,32 @@ object Mix {
   private def byWeightBudget(df: DataFrame, keyCol: String, weight: Column,
       groupCol: String, budgets: DataFrame, buckets: Int,
       cumCol: String): DataFrame = {
-    require(buckets >= 1, "buckets must be >= 1")
-    // Hash prefix value in [0, 256): two hex chars of md5(key). Bucket =
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    // One row per group in `budgets`, or the inner join silently multiplies
+    // corpus rows. Budgets is dimension-sized by contract, so this eager
+    // probe is one tiny local job.
+    val dup = budgets.groupBy(col(groupCol)).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"budgets must have exactly one row per '$groupCol' " +
+        s"(duplicated: ${dup.headOption.map(_.get(0)).getOrElse("")})")
+    val bdg = budgets.select(col(groupCol),
+      col("budget").cast("long").as("_mix_budget"))
+    // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
     val t = df
       .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
       .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",
-        (conv(substring(col("_mix_h"), 1, 2), 16, 10).cast("int") * buckets / 256)
-          .cast("int"))
+        (conv(substring(col("_mix_h"), 1, 4), 16, 10).cast("long")
+          * buckets / 65536).cast("int"))
 
     // Per-(group, bucket) totals → exclusive prefix sum over the bucket grid.
     // The grid is |groups| × buckets rows — broadcastable by construction.
@@ -111,9 +132,9 @@ object Mix {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.join(broadcast(offsets), Seq(groupCol, "_mix_b"))
       .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))
-      .join(broadcast(budgets), Seq(groupCol))
-      .where(col(cumCol) <= col("budget"))
-      .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "budget")
+      .join(broadcast(bdg), Seq(groupCol))
+      .where(col(cumCol) <= col("_mix_budget"))
+      .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "_mix_budget")
   }
 
   /**
@@ -127,14 +148,25 @@ object Mix {
    * ≥ r). No shuffle at all: one broadcast join + a filter.
    *
    * @param rates (groupCol, rate) rows, rate ∈ [0, 1]; groups absent from
-   *              `rates` are dropped
+   *              `rates` are dropped. One row per group (eagerly checked —
+   *              duplicates would multiply corpus rows). All input columns
+   *              pass through unchanged, including any existing `rate`
+   *              column; `_mix_rate` is reserved.
    */
   def bySampleRates(df: DataFrame, keyCol: String, groupCol: String,
       rates: DataFrame): DataFrame = {
-    val threshold = (col("rate") * lit((1L << 60).toDouble)).cast("long")
-    df.join(broadcast(rates), Seq(groupCol))
+    require(!df.columns.contains("_mix_rate"),
+      "input column '_mix_rate' collides with a Mix temporary — rename it")
+    val dup = rates.groupBy(col(groupCol)).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"rates must have exactly one row per '$groupCol' " +
+        s"(duplicated: ${dup.headOption.map(_.get(0)).getOrElse("")})")
+    val rt = rates.select(col(groupCol), col("rate").cast("double").as("_mix_rate"))
+    val threshold = (col("_mix_rate") * lit((1L << 60).toDouble)).cast("long")
+    df.join(broadcast(rt), Seq(groupCol))
       .where(conv(substring(TextFunctions.md5Hex(df(keyCol).cast("string")), 1, 15), 16, 10)
         .cast("long") < threshold)
-      .drop("rate")
+      .drop("_mix_rate")
   }
 }

@@ -173,8 +173,10 @@ object TextFunctions {
     * text, so a doc can be scored without rewriting it). Same kernel. */
   def piiStats(text: Column): Column = col(graft.expressions.PiiStats(expr(text)))
 
-  /** The regexp_* builtin composition [[redactPii]] replaces — kept as the
-    * executable spec the kernel is property-tested against. */
+  /** The regexp_* builtin composition [[redactPii]] replaces — the
+    * executable spec, checked against the kernel THROUGH Spark in
+    * PipelineOpsSpec ("kernel matches the regexp_* Column spelling"), so
+    * the regexp codegen path is validated too, not just java.util.regex. */
   private[graft] def redactPiiRegex(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -182,7 +184,8 @@ object TextFunctions {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
-  /** Regex spelling of [[piiStats]] — the property-test spec. */
+  /** Regex spelling of [[piiStats]] — spec-checked the same way as
+    * [[redactPiiRegex]]. */
   private[graft] def piiStatsRegex(text: Column): Column = struct(
     regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
     regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),

@@ -193,4 +193,45 @@ class IvfSpec extends SparkSuite {
           ORDER BY q_id, rn""").as[(Long, Long, Int)].collect().toSet
     assert(viaSql == got)
   }
+
+  test("pq trainingSample is hash-selected, not encounter-order") {
+    import spark.implicits._
+    import graft.index.Pq
+    // A clustered layout: rows range-partitioned and sorted by the value
+    // the vectors encode, so encounter order is ascending — `.limit(n)`
+    // would return only the smallest slice. The hash-ordered sample must
+    // instead span the whole range.
+    val n = 10000
+    val df = (0 until n).map { i =>
+      (i.toLong, Array.fill(4)(i.toFloat / n))
+    }.toDF("id", "vec")
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+    val sample = Pq.trainingSample(df, "vec", 500)
+    assert(sample.length == 500)
+    val firsts = sample.map(_(0))
+    // Encounter-order would cap every sampled value at 500/10000 = 0.05.
+    assert(firsts.max > 0.5f, s"sample biased low: max=${firsts.max}")
+    assert(firsts.min < 0.5f, s"sample biased high: min=${firsts.min}")
+    // Uniform: each decile of the value range gets roughly 50 of 500.
+    val byDecile = firsts.groupBy(f => (f * 10).toInt.min(9)).view.mapValues(_.length)
+    assert((0 to 9).forall(d => byDecile.getOrElse(d, 0) > 20), byDecile.toMap.toString)
+    // Deterministic, and layout-independent: a different partitioning of
+    // the same rows yields the same sample.
+    val again = Pq.trainingSample(df.repartition(3), "vec", 500)
+    assert(sample.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("pq topKJoin rejects an over-contract query batch fast") {
+    import graft.index.Pq
+    val (out, _) = pqLayout
+    val big = spark.range(Pq.MaxQueryBatch + 1)
+      .select(col("id").as("q_id"),
+        array_repeat(col("id").cast("float"), 64).as("q_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.topKJoin(spark, out, "embedding", "vec_id", big, "q_id", "q_vec",
+        k = 5, nprobe = 2)
+    }
+    assert(e.getMessage.contains("bounded-batch contract"), e.getMessage)
+  }
 }

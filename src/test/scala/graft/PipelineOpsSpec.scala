@@ -73,6 +73,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("PII kernel matches the regexp_* Column spelling through Spark") {
+    // The java.util.regex fuzz above pins the kernel to the JVM regex
+    // semantics; this pins it to Spark's regexp_replace/regexp_count
+    // codegen path as well, over a deterministic adversarial batch.
+    val alphabet = "ab1@.-+_% 9é".toCharArray
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 400).map { _ =>
+      val n = rnd.nextInt(41)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq(
+      "mail a.b@c.de now", "+1-555-123-4567", "10.0.0.1", "x999.1.1.1y",
+      "a@b.co 1.2.3.4 +44-202-555-0000 b@c.io")
+    val df = strs.toDF("t")
+    val got = df.select(
+      TF.redactPii($"t").as("kr"), TF.redactPiiRegex($"t").as("rr"),
+      TF.piiStats($"t").as("ks"), TF.piiStatsRegex($"t").as("rs"))
+    val bad = got.where($"kr" =!= $"rr" || $"ks" =!= $"rs").collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   // --- Mix.byTokenBudget ---------------------------------------------------
 
   private def mixCorpus = {
@@ -147,6 +167,44 @@ class PipelineOpsSpec extends SparkSuite {
     val got = Mix.byCountBudget(mixCorpus, "doc_id", "source", budgets)
       .where($"source" === "s0").select("doc_id").as[Long].collect().toSet
     assert(got == expect)
+  }
+
+  test("byTokenBudget guards: >256 buckets real, dup budgets rejected, no column capture") {
+    val budgets = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
+    // buckets > 256 used to silently collapse to 256 (8-bit prefix); the
+    // 16-bit prefix makes 1024 a real fan-out, still equal to the 1-bucket
+    // spelling (bucketing is an order-preserving decomposition).
+    val wide = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets,
+      buckets = 1024).select("doc_id").as[Long].collect().toSet
+    assert(wide == oneWindowExpected(20L))
+    intercept[IllegalArgumentException] {
+      Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets,
+        buckets = 65537)
+    }
+    // Duplicate group rows in budgets would silently multiply corpus rows.
+    val dup = budgets.union(Seq(("s0", 5L)).toDF("source", "budget"))
+    val e = intercept[IllegalArgumentException] {
+      Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", dup)
+    }
+    assert(e.getMessage.contains("exactly one row"), e.getMessage)
+    // A corpus already carrying `budget` (or `rate`) passes through
+    // unchanged — the join temporaries are underscore-renamed.
+    val withBudget = mixCorpus.withColumn("budget", lit(999L))
+    val kept = Mix.byTokenBudget(withBudget, "doc_id", "text", "source", budgets)
+    assert(kept.columns.contains("budget"))
+    assert(kept.select("budget").distinct().as[Long].collect().toSeq == Seq(999L))
+    assert(kept.select("doc_id").as[Long].collect().toSet == oneWindowExpected(20L))
+    val withRate = mixCorpus.withColumn("rate", lit(0.25))
+    val rates = Seq(("s0", 1.0), ("s1", 1.0), ("s2", 1.0)).toDF("source", "rate")
+    val rkept = Mix.bySampleRates(withRate, "doc_id", "source", rates)
+    assert(rkept.count() == 60 &&
+      rkept.select("rate").distinct().as[Double].collect().toSeq == Seq(0.25))
+    // Reserved temporaries are rejected up front, not silently clobbered.
+    val clash = intercept[IllegalArgumentException] {
+      Mix.byTokenBudget(mixCorpus.withColumn("_mix_h", lit(1)),
+        "doc_id", "text", "source", budgets)
+    }
+    assert(clash.getMessage.contains("collide"), clash.getMessage)
   }
 
   test("byTokenBudget drops groups missing from the budget table") {
