@@ -72,6 +72,16 @@ object Bench {
     // one-time setup (index CREATE is a separate operation in the
     // reference's model too — queries measure search, not build).
     graft.queries.HnswQueries.ensureIndexes(spark, sfDir)
+    // The IVF layouts get the same treatment as the HNSW indexes: built
+    // (and their footers read once) BEFORE the measured loop. r7's driver
+    // bench showed the ivf_* gates 2-3x over r5 while local profiled runs
+    // sat at/below r5 with identical job/stage/task counts — the delta was
+    // the fresh container paying KMeans + full-layout writes inside the
+    // gates' first timed runs, which min-of-two only partly hides (the
+    // build's page-cache churn bleeds into run 2).
+    Seq(graft.queries.HnswQueries.ensureIvfLayout(spark, sfDir),
+        graft.queries.HnswQueries.ensureIvfPqLayout(spark, sfDir))
+      .foreach(p => spark.read.parquet(p).write.format("noop").mode("overwrite").save())
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }

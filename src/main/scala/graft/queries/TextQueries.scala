@@ -130,17 +130,29 @@ object TextQueries {
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
     "mm_decode_features" -> ((s, dir) => {
-      // rows-only: multimodal plumbing over real fixture bytes — text cast
-      // to an opaque binary payload, streamed through the (stub) codec per
-      // partition, frame-sampled; only meta + features leave the executor.
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // REAL multimodal decode, oracle-checked: deterministic two-color
+      // PNG/GIF assets (real javax.imageio encodes — see
+      // Multimodal.syntheticAssets for the closed forms) stream through the
+      // javax.imageio codec per partition; metadata and frame-0 channel
+      // sums recovered FROM THE DECODED RASTER must equal what the oracle
+      // predicts from doc_id alone. Channel sums are integers ≤ 255·48·48,
+      // exactly representable in the float features, so rounding
+      // mean·255·w·h recovers them bit-exactly.
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 400)
+      val payloads = graft.multimodal.Multimodal.syntheticAssets(ids, "doc_id")
       val decoded = graft.multimodal.Multimodal.decode(payloads, "payload", featureDim = 8)
-      graft.multimodal.Multimodal.sampleFrames(decoded, every = 4)
-        .select(col("doc_id"), col("frame_no"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
+      val px = col("meta.width").cast("double") * col("meta.height").cast("double") * lit(255.0)
+      graft.multimodal.Multimodal.sampleFrames(decoded, every = 2)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.n_frames").cast("long").as("n_frames"),
           col("meta.format").as("format"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          round(element_at(col("features"), 1).cast("double") * px).cast("long").as("sum_r"),
+          round(element_at(col("features"), 2).cast("double") * px).cast("long").as("sum_g"),
+          round(element_at(col("features"), 3).cast("double") * px).cast("long").as("sum_b"))
         .orderBy("doc_id", "frame_no")
     }),
     "doc_fingerprints" -> ((s, dir) => {
@@ -385,6 +397,30 @@ object TextQueries {
        WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach) ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    // The decode gate's oracle never touches the bytes: it predicts, from
+    // doc_id alone, exactly what a TRUE PNG/GIF decode of the fixture
+    // assets must recover (dims, frame count, format, frame-0 channel
+    // sums) — the closed forms documented at Multimodal.syntheticAssets.
+    // A fake decode cannot match: the sums depend on pixel positions
+    // (left/right split at width/2) surviving encode → decode.
+    "mm_decode_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             16 + (doc_id % 32) AS width,
+             16 + ((doc_id * 7) % 32) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CASE WHEN doc_id % 2 = 0 THEN 1
+                  ELSE 1 + ((doc_id // 2) % 4) END AS n_frames,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+             (doc_id * 37) % 256 AS red_l, (doc_id * 101) % 256 AS red_r,
+             (doc_id * 53) % 256 AS grn, (doc_id * 91) % 256 AS blu
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, f.frame_no, width, height, channels, n_frames, format,
+           (red_l * (width // 2) + red_r * (width - width // 2)) * height AS sum_r,
+           grn * width * height AS sum_g,
+           blu * width * height AS sum_b
+         FROM m, LATERAL unnest(range(0, n_frames, 2)) AS f(frame_no)
+         ORDER BY doc_id, f.frame_no""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,

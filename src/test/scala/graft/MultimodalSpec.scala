@@ -4,58 +4,90 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal binary-column plumbing: schema, decode batching, frame
-  * sampling, metadata resize. The codec itself is a documented stub. */
+/** Multimodal binary-column plumbing with the real javax.imageio codec:
+  * PNG/GIF decode, pixel-stat features, frame sampling, metadata resize. */
 class MultimodalSpec extends SparkSuite {
 
   import spark.implicits._
 
+  // Real encoded bytes: id 2 → PNG (even), id 3 → GIF with 1+(3/2)%4 = 2
+  // frames (odd), plus an undecodable payload and a NULL.
   private lazy val assets = Seq(
-    (1L, "a.img", Array[Byte](1, 2, 3, 4, 5, 6)),
-    (2L, "b.vid", Array[Byte](9, 8, 7, 6, 5, 4, 3)),
-    (3L, "c.img", null.asInstanceOf[Array[Byte]])
+    (2L, "a.png", Multimodal.fixturePayload(2L)),
+    (3L, "b.gif", Multimodal.fixturePayload(3L)),
+    (4L, "c.bin", Array[Byte](1, 2, 3, 4, 5, 6)),
+    (5L, "d.nul", null.asInstanceOf[Array[Byte]])
   ).toDF("asset_id", "uri", "payload").repartition(2)
 
-  test("decode adds typed meta + features, streams per partition") {
+  test("decode recovers true dims/format/frames from real PNG and GIF bytes") {
     val d = Multimodal.decode(assets, "payload", featureDim = 8)
     assert(d.schema.fieldNames.toSeq ==
       Seq("asset_id", "uri", "payload", "meta", "features"))
     val rows = d.orderBy("asset_id").collect()
-    val m1 = rows(0).getStruct(3)
-    assert(m1.getAs[Int]("width") >= 16 && m1.getAs[Int]("channels") >= 1)
-    assert(rows(0).getSeq[Float](4).length == 8)
-    // NULL payload -> NULL meta/features, row preserved
+    val png = rows(0).getStruct(3)
+    assert(png.getAs[Int]("width") == 16 + 2 % 32)
+    assert(png.getAs[Int]("height") == 16 + (2 * 7) % 32)
+    assert(png.getAs[Int]("channels") == 3)
+    assert(png.getAs[Int]("n_frames") == 1)
+    assert(png.getAs[String]("format") == "png")
+    val gif = rows(1).getStruct(3)
+    assert(gif.getAs[Int]("width") == 16 + 3 % 32)
+    assert(gif.getAs[Int]("n_frames") == 2)
+    assert(gif.getAs[String]("format") == "gif")
+    // undecodable and NULL payloads -> NULL meta/features, rows preserved
     assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
-    // deterministic: same payload, same decode
+    assert(rows(3).isNullAt(3) && rows(3).isNullAt(4))
+    // deterministic
     val again = Multimodal.decode(assets, "payload", featureDim = 8)
       .orderBy("asset_id").collect()
     assert(again(0).getSeq[Float](4) == rows(0).getSeq[Float](4))
   }
 
+  test("features are the true raster statistics") {
+    // id 2: w=18, h=30, split=9; red 74 left / 202 right; green 106, blue 182.
+    val id = 2L
+    val (w, h, split) = (18, 30, 9)
+    val (redL, redR, grn, blu) = ((id * 37 % 256).toInt, (id * 101 % 256).toInt,
+      (id * 53 % 256).toInt, (id * 91 % 256).toInt)
+    val f = Multimodal.decode(assets.where(col("asset_id") === 2L), "payload",
+      featureDim = 8).select("features").head().getSeq[Float](0)
+    val meanR = (redL * split + redR * (w - split)).toDouble / w / 255.0
+    assert(math.abs(f(0) - meanR) < 1e-6, s"meanR ${f(0)} vs $meanR")
+    assert(math.abs(f(1) - grn / 255.0) < 1e-6)
+    assert(math.abs(f(2) - blu / 255.0) < 1e-6)
+    // stdR of the two-value split; green/blue are constant -> std 0
+    val p = split.toDouble / w
+    val stdR = math.sqrt(p * (1 - p)) * math.abs(redR - redL) / 255.0
+    assert(math.abs(f(3) - stdR) < 1e-6, s"stdR ${f(3)} vs $stdR")
+    assert(f(4) == 0.0f && f(5) == 0.0f)
+    val _ = h
+  }
+
   test("sampleFrames explodes by frame count") {
-    val d = Multimodal.decode(assets.where(col("asset_id") =!= 3L), "payload")
+    val d = Multimodal.decode(
+      assets.where(col("asset_id") === 2L || col("asset_id") === 3L), "payload")
     val frames = Multimodal.sampleFrames(d).groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n"), max(col("frame_no")).as("last"))
       .orderBy("asset_id").collect()
-    frames.foreach { r =>
-      assert(r.getLong(1) >= 1)
-      assert(r.getInt(2) == r.getLong(1).toInt - 1) // frames 0..n-1, every=1
-    }
+    assert(frames.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // png 1, gif 2
+    frames.foreach(r => assert(r.getInt(2) == r.getLong(1).toInt - 1))
   }
 
   test("sampleFrames with stride keeps every n-th frame") {
-    val d = Multimodal.decode(assets.where(col("asset_id") === 2L), "payload")
-    val n = d.select(col("meta.n_frames")).collect().head.getInt(0)
+    // id 7 → GIF with 1 + (7/2) % 4 = 4 frames
+    val gif4 = Seq((7L, Multimodal.fixturePayload(7L))).toDF("asset_id", "payload")
+    val d = Multimodal.decode(gif4, "payload")
+    assert(d.select(col("meta.n_frames")).head().getInt(0) == 4)
     val sampled = Multimodal.sampleFrames(d, every = 2)
       .select("frame_no").collect().map(_.getInt(0)).sorted
-    assert(sampled.toSeq == (0 until n by 2).toSeq)
+    assert(sampled.toSeq == Seq(0, 2))
   }
 
   test("resizeMeta caps the longest side, preserves schema") {
     val d = Multimodal.resizeMeta(
-      Multimodal.decode(assets.where(col("asset_id") === 1L), "payload"), maxSide = 32)
+      Multimodal.decode(assets.where(col("asset_id") === 2L), "payload"), maxSide = 16)
     val m = d.select(col("meta.*")).collect().head
-    assert(math.max(m.getAs[Int]("width"), m.getAs[Int]("height")) <= 32)
+    assert(math.max(m.getAs[Int]("width"), m.getAs[Int]("height")) <= 16)
     // same field names/types (nullability widens through the struct rebuild)
     val st = d.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(st.fields.map(f => (f.name, f.dataType)).toSeq ==
