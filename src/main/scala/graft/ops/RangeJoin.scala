@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,5 +71,89 @@ object RangeJoin {
     p.join(iv, keyCols :+ "_bucket")
       .where(col("_ts_l").between(col("_s_l"), col("_e_l")))
       .drop("_bucket", "_ts_l", "_s_l", "_e_l")
+  }
+
+  /**
+   * Point-in-interval join for DISJOINT intervals — when no two intervals of
+   * the same key share any timestamp (endpoints included), each point has at
+   * most one containing interval: the latest-starting interval at or before
+   * it. That turns the range join into an as-of merge: union both sides,
+   * ONE window over the keys carries the last-seen interval forward, and an
+   * exact containment filter keeps matched points. Same output contract as
+   * [[pointInInterval]] (inner semantics, `rightPrefix`ed interval columns).
+   *
+   * 100 TB cost: one shuffle of |points| + |intervals| rows + the window
+   * sort — strictly less than the bucketized path's two join-side shuffles
+   * plus interval explode, and there is no width to tune. Session intervals
+   * (gap-based sessionization output) always qualify: a gap > 0 separates
+   * consecutive sessions of a key.
+   *
+   * Disjointness is the caller's contract and is NOT verified (verification
+   * would cost the window itself); overlapping intervals silently match
+   * points only to the latest-starting one. Use [[pointInInterval]] when
+   * intervals can overlap.
+   */
+  def pointInDisjointIntervals(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], pointTs: String, startCol: String, endCol: String,
+      rightPrefix: String = "iv_"): DataFrame = {
+    val pointCols = points.columns.toSeq
+    val rightCols = intervals.columns.toSeq.filterNot(keyCols.contains)
+    val collisions = rightCols.map(rightPrefix + _).toSet intersect pointCols.toSet
+    require(collisions.isEmpty,
+      s"prefixed interval column(s) ${collisions.mkString(", ")} collide with " +
+        s"point columns; pass a different rightPrefix")
+    val pk = keyCols.map(col)
+    def structTypeOf(df: DataFrame, cols: Seq[String]) =
+      org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
+
+    val pTagged = points.select(
+      pk ++ Seq(
+        EventTime.toLong(points, pointTs).as("_ts"), lit(0).as("_side"),
+        struct(pointCols.map(col): _*).as("_p"),
+        lit(null).cast(structTypeOf(intervals, rightCols)).as("_iv"),
+        lit(null).cast("long").as("_ive")): _*)
+    val ivTagged = intervals.select(
+      pk ++ Seq(
+        EventTime.toLong(intervals, startCol).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(structTypeOf(points, pointCols)).as("_p"),
+        struct(rightCols.map(col): _*).as("_iv"),
+        EventTime.toLong(intervals, endCol).as("_ive")): _*)
+
+    // Interval-before-point on equal ts (_side desc) so a point AT an
+    // interval's start matches it. `_ive` is non-null exactly where `_iv`
+    // is, so the two last(ignoreNulls) calls pick the same interval row.
+    val w = Window.partitionBy(pk: _*).orderBy(col("_ts").asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pTagged.unionByName(ivTagged)
+      .withColumn("_m", last(col("_iv"), ignoreNulls = true).over(w))
+      .withColumn("_me", last(col("_ive"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0 && col("_ts") <= col("_me"))
+      .select(
+        pointCols.map(c => col("_p").getField(c).as(c)) ++
+          rightCols.map(c => col("_m").getField(c).as(rightPrefix + c)): _*)
+  }
+
+  /**
+   * Measure a bucket width for [[pointInInterval]] from the intervals
+   * themselves: the `quantile` of interval length (one cheap aggregate job
+   * over the intervals plan — callers with an expensive upstream plan
+   * should cache it or pass an explicit width).
+   *
+   * Width ≈ typical length bounds the explode blowup at ~`ceil(len/w)+1` ≈
+   * 2 rows for the typical interval. The default quantile is 0.9, NOT the
+   * median: heavy-tailed workloads (gap sessionization emits a majority of
+   * single-event, zero-length sessions) have p50 = 0, and a tiny width
+   * explodes the tail intervals into thousands of buckets. The result is
+   * floored at 1 so degenerate all-zero-length inputs stay valid.
+   */
+  def suggestBucketWidth(intervals: DataFrame, startCol: String,
+      endCol: String, quantile: Double = 0.9): Long = {
+    require(quantile > 0 && quantile <= 1, s"quantile must be in (0,1], got $quantile")
+    val len: Column = EventTime.toLong(intervals, endCol) -
+      EventTime.toLong(intervals, startCol)
+    val q = intervals.select(
+        approx_percentile(len, lit(quantile), lit(10000)).cast("long"))
+      .head().getLong(0)
+    math.max(q, 1L)
   }
 }

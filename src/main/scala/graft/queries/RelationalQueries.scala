@@ -244,18 +244,18 @@ object RelationalQueries {
     }),
     "q16_range_join" -> ((s, dir) => {
       // Range join composed with sessionization: attribute every purchase
-      // to the (4 h-gap) session interval containing it. Bucketized
-      // equi-join (ops.RangeJoin) — never a nested loop; bucket width =
-      // the session gap. Sessions partition each user's events, so every
-      // purchase lands in exactly one session.
+      // to the (4 h-gap) session interval containing it. Sessions of a user
+      // are separated by gaps > 0, i.e. DISJOINT — so the merge path
+      // (ops.RangeJoin.pointInDisjointIntervals) applies: ONE window
+      // shuffle, no interval explode, no join-side shuffle pair. (The
+      // bucketized pointInInterval stays the general-overlap path.)
       val ev = eventsUs(s, dir)
       val sessions = graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts",
         maxGap = fourHoursUs)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      graft.ops.RangeJoin.pointInInterval(purchases, sessions,
-          Seq("user_id"), "ts", "start_ts", "end_ts",
-          bucketWidth = fourHoursUs)
+      graft.ops.RangeJoin.pointInDisjointIntervals(purchases, sessions,
+          Seq("user_id"), "ts", "start_ts", "end_ts")
         .select(col("event_id"), col("user_id"),
           col("iv_session_seq").as("session_seq"),
           col("iv_n_events").as("n_events"))
@@ -279,9 +279,10 @@ object RelationalQueries {
     "q19_range_tvf" -> ((s, dir) => {
       // Third of the event-TVF trio on the RAW timestamp-typed table:
       // sessionStats over raw ts yields TIMESTAMP-typed intervals
-      // (start_ts/end_ts), and the range_join TVF buckets/filters them
-      // through EventTime — point AND interval columns in the shipped
-      // type, width in the type's units (micros vs legacy nanos).
+      // (start_ts/end_ts), and the range_join TVF filters them through
+      // EventTime — point AND interval columns in the shipped type.
+      // bucket_width 0 = the disjoint-interval merge path (sessions of a
+      // user never overlap): one window shuffle, no interval explode.
       val ev = Tables.load(s, dir, "events")
       val gap = rawFourHours(ev)
       graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts", gap)
@@ -293,7 +294,7 @@ object RelationalQueries {
         s"""SELECT event_id, user_id, iv_session_seq AS session_seq,
                    iv_n_events AS n_events
             FROM range_join(TABLE(graft_q19_purchases), TABLE(graft_q19_sessions),
-                            'user_id', 'ts', 'start_ts', 'end_ts', ${gap}L)
+                            'user_id', 'ts', 'start_ts', 'end_ts', 0L)
             ORDER BY event_id""")
     }),
     "q18_asof_tvf" -> ((s, dir) => {

@@ -342,11 +342,20 @@ object TvfMacros {
     if (args.length != 7) throw new IllegalArgumentException(
       s"range_join(points, intervals, key, ts, start, end, bucket_width) takes 7 arguments, got ${args.length}")
     val spark = SparkSession.active
-    graft.ops.RangeJoin.pointInInterval(
-      table(spark, args(0), "range_join points"), table(spark, args(1), "range_join intervals"),
-      keys(args(2), "range_join key"), str(args(3), "range_join ts"),
-      str(args(4), "range_join start"), str(args(5), "range_join end"),
-      lngLit(args(6), "range_join bucket_width"))
+    val points = table(spark, args(0), "range_join points")
+    val intervals = table(spark, args(1), "range_join intervals")
+    val k = keys(args(2), "range_join key")
+    val (ts, s, e) = (str(args(3), "range_join ts"),
+      str(args(4), "range_join start"), str(args(5), "range_join end"))
+    // bucket_width 0 opts into the disjoint-interval merge path (one
+    // window shuffle, no explode) — the caller asserts per-key intervals
+    // never overlap (e.g. sessionization output). Any positive width uses
+    // the general bucketized join.
+    val width = lngLit(args(6), "range_join bucket_width")
+    (if (width == 0L)
+      graft.ops.RangeJoin.pointInDisjointIntervals(points, intervals, k, ts, s, e)
+    else
+      graft.ops.RangeJoin.pointInInterval(points, intervals, k, ts, s, e, width))
       .queryExecution.analyzed
   }
 }

@@ -59,4 +59,71 @@ class RangeJoinSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop"), plan)
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  // --- disjoint-interval merge path ---
+
+  private lazy val disjointIntervals = Seq(
+    ("a", 10L, 0L, 10L), ("a", 11L, 20L, 60L), ("a", 12L, 70L, 80L),
+    ("b", 13L, 6L, 9L))
+    .toDF("k", "iid", "s", "e")
+
+  test("disjoint path agrees with the bucketized join on disjoint intervals") {
+    // Randomized: per key, strictly separated intervals + scattered points.
+    val rnd = new scala.util.Random(42)
+    val ivRows = for (k <- Seq("x", "y", "z"); i <- 0 until 20) yield {
+      val s = i * 100L + rnd.nextInt(30)
+      (k, k.hashCode.toLong * 100 + i, s, s + rnd.nextInt(60)) // e < next s
+    }
+    val pRows = for (k <- Seq("x", "y", "z", "w"); i <- 0 until 200)
+      yield (k, k.hashCode.toLong * 1000 + i, rnd.nextInt(2200).toLong)
+    val iv = ivRows.toDF("k", "iid", "s", "e")
+    val ps = pRows.toDF("k", "pid", "ts")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iv_iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketized = collect(
+      RangeJoin.pointInInterval(ps, iv, Seq("k"), "ts", "s", "e", 50L))
+    val merged = collect(
+      RangeJoin.pointInDisjointIntervals(ps, iv, Seq("k"), "ts", "s", "e"))
+    assert(merged == bucketized)
+    assert(merged.nonEmpty)
+  }
+
+  test("disjoint path: inclusive bounds, point at interval start, misses between") {
+    val ps = Seq(("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 15L), ("a", 4L, 20L),
+      ("a", 5L, 60L), ("a", 6L, 65L), ("a", 7L, 99L), ("b", 8L, 5L))
+      .toDF("k", "pid", "ts")
+    val r = RangeJoin.pointInDisjointIntervals(ps, disjointIntervals,
+        Seq("k"), "ts", "s", "e")
+      .select("pid", "iv_iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // 3 (ts 15, between intervals), 6..7 (after), 8 (b before its interval) drop.
+    assert(r == Set((1L, 10L), (2L, 10L), (4L, 11L), (5L, 11L)))
+  }
+
+  test("disjoint path costs exactly one shuffle") {
+    val plan = RangeJoin.pointInDisjointIntervals(points, disjointIntervals,
+        Seq("k"), "ts", "s", "e")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("suggestBucketWidth survives a zero-length-majority (session-like) tail") {
+    // 80% zero-length intervals (single-event sessions): the median is 0 —
+    // a p50-derived width would explode the tail intervals into thousands
+    // of buckets. The p90 default keeps the blowup bounded.
+    val iv = ((0 until 800).map(i => ("k", i.toLong, i * 10000L, i * 10000L)) ++
+      (0 until 200).map(i => ("s", 1000L + i, i * 10000L, i * 10000L + 3600L)))
+      .toDF("k", "iid", "s", "e")
+    val w = RangeJoin.suggestBucketWidth(iv, "s", "e")
+    assert(w >= 1L)
+    // Blowup factor at the suggested width: average exploded rows per
+    // interval stays ~2 (the explicit check the gate design relies on).
+    val blowup = iv.selectExpr(s"avg((e div $w) - (s div $w) + 1) AS b")
+      .head().getDouble(0)
+    assert(blowup <= 3.0, s"width $w blowup $blowup")
+    // All-zero-length degenerate input still yields a valid width.
+    val z = Seq(("k", 1L, 5L, 5L)).toDF("k", "iid", "s", "e")
+    assert(RangeJoin.suggestBucketWidth(z, "s", "e") == 1L)
+  }
 }
