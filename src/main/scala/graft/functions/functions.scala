@@ -83,6 +83,13 @@ object functions {
       org.apache.spark.sql.catalyst.expressions.Literal(k), keepSmallest = false)
       .toAggregateExpression())
 
+  /** Exact COUNT(DISTINCT x) for an integral column as one ObjectHashAgg —
+    * no Expand row replication for multi-distinct GROUP BYs, no per-row
+    * boxing (primitive open-addressing set):
+    * see [[graft.aggregates.CountDistinctLong]]. */
+  def count_distinct_long(x: Column): Column =
+    col(graft.aggregates.CountDistinctLong(expr(x)).toAggregateExpression())
+
   /** Exact SUM of pre-scaled integer units ("cents") in a 128-bit two-long
     * accumulator → DECIMAL(38, scale). The scale-out-safe replacement for
     * `sum(decimal)` (per-row BigDecimal) and `sum(long)` (wraps at ~1e18):
@@ -176,6 +183,7 @@ object functions {
     "array_l2_normalize" -> (es => ArrayL2Normalize(es(0))),
     "array_quantize_i8" -> (es => ArrayQuantizeI8(es(0))),
     "array_dequantize_i8" -> (es => ArrayDequantizeI8(es(0), es(1))),
+    "count_distinct_long" -> (es => graft.aggregates.CountDistinctLong(es(0))),
     // 3-arg forms extend the built-ins (DuckDB-core k-arg semantics, O10);
     // 2-arg falls through to Spark's own MinBy/MaxBy.
     "min_by" -> (es =>

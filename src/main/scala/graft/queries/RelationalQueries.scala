@@ -340,18 +340,20 @@ object RelationalQueries {
       // carry only distinct pairs — the same volume Expand shuffles, without
       // manufacturing the 3N input. The 3-row branch results broadcast-join.
       val li = Tables.load(s, dir, "lineitem")
-      // r8: ONE scan, one shuffle. collect_set partial-aggregates map-side
-      // (ObjectHashAggregate: each task keeps per-group hash sets, the
-      // shuffle carries each task's DISTINCT keys only — the same volume
-      // the old two-branch dedup shuffled, minus the second lineitem scan
-      // and the branch join). Group count is 3, far under the object-agg
-      // sort fallback threshold; set sizes are |distinct keys|, bounded by
-      // the dimension sizes (200k parts / 10k supps at sf1), not by fact
-      // rows. collect_set skips nulls exactly like COUNT(DISTINCT x).
+      // r8: ONE scan, one shuffle (ObjectHashAggregate: each task keeps
+      // per-group distinct sets, the shuffle carries each task's DISTINCT
+      // keys only). The set is the count_distinct_long kernel — a primitive
+      // open-addressing long set — not collect_set: collect_set pays a
+      // boxed-Long allocation per probed row and materializes each group's
+      // full distinct set as an ArrayData just for size() to read its
+      // length. Group count is 3, far under the object-agg sort fallback
+      // threshold; set sizes are |distinct keys|, bounded by the dimension
+      // sizes (200k parts / 10k supps at sf1), not by fact rows. NULLs
+      // are skipped exactly like COUNT(DISTINCT x).
       li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
         .groupBy(col("l_returnflag"))
-        .agg(size(collect_set(col("l_partkey"))).cast("long").as("n_parts"),
-          size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"),
+        .agg(graft.functions.count_distinct_long(col("l_partkey")).as("n_parts"),
+          graft.functions.count_distinct_long(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
     }),

@@ -71,5 +71,14 @@ class EventOpsSlowSpec extends SparkSuite {
       (col("k") < 50 && col("iv_session_seq") =!= 1) ||
         (col("k") >= 50 && col("iv_session_seq") =!= 2)).count()
     assert(wrong == 0L)
+    // The disjoint-interval merge path (sessions never overlap) must
+    // attribute identically at this scale.
+    val merged = RangeJoin.pointInDisjointIntervals(
+      events.select(col("user_id"), col("k"), col("ts")), sessions,
+      Seq("user_id"), "ts", "start_ts", "end_ts")
+    assert(merged.count() == 1000000L)
+    assert(merged.where(
+      (col("k") < 50 && col("iv_session_seq") =!= 1) ||
+        (col("k") >= 50 && col("iv_session_seq") =!= 2)).count() == 0L)
   }
 }
