@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Cross-engine timing campaign over derived scales — the measurement
+protocol PERF_VS_DUCKDB.md documents, automated end to end:
+
+1. Poll tools/cpu_probe.py until the box is in a fast window (hypervisor
+   steal on this host swings identical code 2-3.5x; campaigns measured in
+   a slow window are discarded, not corrected).
+2. Per scale: N fresh-JVM Spark sessions over the fair-gate subset
+   (SPARK_GRAFT_ONLY), each already min-of-2 in-process; per-query MIN
+   across sessions is the steady-state estimator.
+3. DuckDB side: each gate's oracle SQL over the SAME parquet, 32 threads,
+   min of 2.
+4. Probes re-run between scales and at the end — a campaign whose closing
+   probe is slow is reported as tainted.
+
+Writes one JSON with everything (per-query, totals, marginals between
+consecutive scales, probe readings).
+
+Usage: python3 tools/campaign.py out.json label=dir [label=dir ...]
+  e.g. python3 tools/campaign.py /tmp/camp.json sf1=/tmp/graft_sf1 sf10=/tmp/graft_sf10
+Env: CAMPAIGN_SESSIONS (default 3), CAMPAIGN_SKIP_WAIT=1 (start even if
+slow — for smoke-testing the harness only), CAMPAIGN_DUMP (verify dump dir
+with oracle_sql.json, default /tmp/graft_verify).
+"""
+import json, os, re, subprocess, sys, time, pathlib
+
+import duckdb
+
+OUT = sys.argv[1]
+SCALES = [a.split("=", 1) for a in sys.argv[2:]]
+SESSIONS = int(os.environ.get("CAMPAIGN_SESSIONS", "3"))
+DUMP = os.environ.get("CAMPAIGN_DUMP", "/tmp/graft_verify")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ORACLE = json.load(open(f"{DUMP}/oracle_sql.json"))
+# Fair comparisons: same algorithm on both engines (mirrors bench_duckdb).
+FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
+    "doc_text_stats", "doc_exact_dedup", "doc_lang_quality",
+    "doc_quality_filter", "doc_det_sample",
+    "doc_repetition", "doc_chunks", "doc_decontam",
+    "doc_pii_redact", "doc_source_mix", "doc_top_ngrams", "doc_token_freq",
+    "doc_pipeline_e2e", "doc_source_rates", "doc_url_domains",
+    "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
+    "doc_chunk_dedup"])
+
+
+def probe():
+    out = subprocess.run(["python3", "tools/cpu_probe.py"], cwd="/root/repo",
+                         capture_output=True, text=True).stdout
+    m = re.search(r"single=([\d.]+)s par32=([\d.]+)s", out)
+    return (float(m.group(1)), float(m.group(2))) if m else (99.0, 99.0)
+
+
+def fast(p):
+    return p[0] < 0.80 and p[1] < 1.30
+
+
+def wait_fast(max_wait_s=7200):
+    t0 = time.time()
+    while True:
+        p = probe()
+        print(f"[probe] single={p[0]:.2f}s par32={p[1]:.2f}s", flush=True)
+        if fast(p) or os.environ.get("CAMPAIGN_SKIP_WAIT") == "1":
+            return p
+        if time.time() - t0 > max_wait_s:
+            print("[probe] no fast window within budget; proceeding TAINTED",
+                  flush=True)
+            return p
+        time.sleep(120)
+
+
+def spark_scale(sfdir):
+    per = {}
+    for i in range(SESSIONS):
+        out = f"/tmp/campaign_bench_{i}.json"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, BENCH_OUT=out,
+                   SPARK_GRAFT_ONLY=",".join(FAIR))
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd="/root/repo", env=env, capture_output=True,
+                           text=True)
+        try:
+            qs = json.load(open(out))["queries"]
+        except Exception:
+            print(r.stdout[-2000:], r.stderr[-1500:], flush=True)
+            raise
+        n = 0
+        for k, v in qs.items():
+            if isinstance(v, (int, float)):
+                per[k] = min(per.get(k, 9e9), v)
+                n += 1
+        print(f"[spark {sfdir}] session {i + 1}/{SESSIONS}: {n} queries",
+              flush=True)
+    return per
+
+
+def duck_scale(sfdir):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        p = pathlib.Path(sfdir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    per = {}
+    for name in FAIR:
+        if name not in ORACLE:
+            continue
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(ORACLE[name]).fetchall()
+            times.append(time.time() - t0)
+        per[name] = min(times)
+    con.close()
+    print(f"[duckdb {sfdir}] {len(per)} queries", flush=True)
+    return per
+
+
+result = {"sessions": SESSIONS, "fair_n": len(FAIR), "probes": {}, "scales": {}}
+result["probes"]["start"] = wait_fast()
+for label, sfdir in SCALES:
+    d = duck_scale(sfdir)
+    s = spark_scale(sfdir)
+    both = sorted(set(d) & set(s))
+    result["scales"][label] = {
+        "dir": sfdir, "duck": d, "spark": s,
+        "duck_total": sum(d[k] for k in both),
+        "spark_total": sum(s[k] for k in both),
+    }
+    result["probes"][f"after_{label}"] = probe()
+    print(f"[{label}] duck={result['scales'][label]['duck_total']:.2f}s "
+          f"spark={result['scales'][label]['spark_total']:.2f}s", flush=True)
+
+labels = [l for l, _ in SCALES]
+result["marginals"] = {}
+for a, b in zip(labels, labels[1:]):
+    sa, sb = result["scales"][a], result["scales"][b]
+    common = sorted(set(sa["duck"]) & set(sa["spark"]) &
+                    set(sb["duck"]) & set(sb["spark"]))
+    dd = sum(sb["duck"][k] for k in common) - sum(sa["duck"][k] for k in common)
+    ds = sum(sb["spark"][k] for k in common) - sum(sa["spark"][k] for k in common)
+    result["marginals"][f"{a}->{b}"] = {
+        "duck": dd, "spark": ds,
+        "ratio": (ds / dd) if dd > 0 else None}
+result["tainted"] = not all(fast(tuple(p)) for p in result["probes"].values())
+json.dump(result, open(OUT, "w"), indent=1)
+print(json.dumps({k: v for k, v in result.items() if k != "scales"}, indent=1))
+for a, b in zip(labels, labels[1:]):
+    m = result["marginals"][f"{a}->{b}"]
+    print(f"marginal {a}->{b}: duck={m['duck']:.2f}s spark={m['spark']:.2f}s "
+          f"ratio={m['ratio']:.2f}x" if m["ratio"] else "n/a")
