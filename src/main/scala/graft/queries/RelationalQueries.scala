@@ -89,7 +89,11 @@ object RelationalQueries {
       //    is bounded by the shuffle partition count, which AQE sizes at
       //    100×. A pre-aggregate of lineitem by orderkey below the join
       //    was also measured (1.0-1.7 s): the 1.5M-group hash table costs
-      //    more than the narrower shuffle saves at every tested scale.
+      //    more than the narrower shuffle saves at every tested scale —
+      //    re-measured at derived sf10 (local[32], fast window): pre-agg
+      //    4.44 s vs 3.5-4.2 s for this spelling, a wash-to-worse even
+      //    where the shuffle-volume argument is strongest (15M pre-agg
+      //    groups cost what the 60M->15M shuffle reduction saves).
       //  - CAUTION if revisiting broadcast here: with a 3-column pruned
       //    lineitem scan, the static planner's estimate of the FACT side
       //    slips under the broadcast threshold and it builds a hash of 6M
@@ -334,27 +338,40 @@ object RelationalQueries {
       // Multiple DISTINCT aggregates. NOT countDistinct(a), countDistinct(b)
       // in one agg: Spark plans that through Expand — every fact row is
       // TRIPLED (one copy per grouping set) before the partial aggregate,
-      // and the per-row hash work on 3N wide rows dominated the query. Three
-      // independent branches dedup map-side on 2 pruned columns each, so
-      // the scans stay columnar-cheap, nothing is tripled, and the shuffles
-      // carry only distinct pairs — the same volume Expand shuffles, without
-      // manufacturing the 3N input. The 3-row branch results broadcast-join.
+      // and the per-row hash work on 3N wide rows dominated the query.
+      //
+      // r8: per-task distinct sets via the count_distinct_long kernel (a
+      // primitive open-addressing long set — no collect_set boxing), with
+      // the pre-aggregate key SALTED by hash(value) % S. The unsalted
+      // single-scan spelling merged every map task's set on only |groups|=3
+      // reducers — at 10x scale each reducer single-threadedly rebuilt a
+      // ~20M-entry set and the query went SLOWER relative to DuckDB than at
+      // 1x (sf1 5.0x -> sf10 8.8x). Salting by the VALUE's own hash makes
+      // per-(group, salt) sets disjoint, so their sizes ADD exactly and the
+      // merge runs S*|groups|-way parallel; the second-stage sum touches
+      // 3*S rows. Each distinct column salts on its own value space, which
+      // forces one pruned 2-column branch per column (a shared salt would
+      // overcount the other column across buckets); row counts ride branch
+      // A. S*|groups| stays under the ObjectHashAggregate sort-fallback
+      // threshold (default 128 in-memory groups per task).
+      val S = 32
       val li = Tables.load(s, dir, "lineitem")
-      // r8: ONE scan, one shuffle (ObjectHashAggregate: each task keeps
-      // per-group distinct sets, the shuffle carries each task's DISTINCT
-      // keys only). The set is the count_distinct_long kernel — a primitive
-      // open-addressing long set — not collect_set: collect_set pays a
-      // boxed-Long allocation per probed row and materializes each group's
-      // full distinct set as an ArrayData just for size() to read its
-      // length. Group count is 3, far under the object-agg sort fallback
-      // threshold; set sizes are |distinct keys|, bounded by the dimension
-      // sizes (200k parts / 10k supps at sf1), not by fact rows. NULLs
-      // are skipped exactly like COUNT(DISTINCT x).
-      li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+      val parts = li.select(col("l_returnflag"), col("l_partkey"))
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_partkey")), lit(S.toLong)).as("_salt"))
+        .agg(graft.functions.count_distinct_long(col("l_partkey")).as("_p"),
+          count(lit(1)).as("_c"))
         .groupBy(col("l_returnflag"))
-        .agg(graft.functions.count_distinct_long(col("l_partkey")).as("n_parts"),
-          graft.functions.count_distinct_long(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("n_rows"))
+        .agg(sum(col("_p")).as("n_parts"), sum(col("_c")).as("n_rows"))
+      val supps = li.select(col("l_returnflag"), col("l_suppkey"))
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_suppkey")), lit(S.toLong)).as("_salt"))
+        .agg(graft.functions.count_distinct_long(col("l_suppkey")).as("_s"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("_s")).as("n_supps"))
+      parts.join(supps, "l_returnflag")
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          col("n_rows"))
         .orderBy("l_returnflag")
     }),
     "q6_events_agg" -> ((s, dir) => {

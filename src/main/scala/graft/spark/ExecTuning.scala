@@ -57,6 +57,23 @@ object ExecTuning {
     df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
 
+  /** Scan splits per core targeted for LARGE inputs (0 disables the
+    * raise). The session default `maxPartitionBytes` is sized for the
+    * small-SF floor (4 MB ≈ real parallelism on a 135 MB table); left
+    * alone at 10-100x the data it manufactures thousands of tiny scan
+    * tasks — measured at derived sf10 (local[32]): q2_join_agg 2010 tasks,
+    * q12_multi_distinct 2795, with the driver's ~0.5-1 ms/task dispatch
+    * and a maps×reducers shuffle-block blowup as pure overhead, and
+    * map-side partial aggregation deduping almost nothing because each
+    * 4 MB task sees too few rows. [[withSizedAqe]] raises the split size
+    * for this one execution to input/(cores × splitsPerCore), capped at
+    * 512 MB — the same "size the task to the data" policy a 100 TB
+    * cluster runs with (128 MB+ splits), derived per-query from the same
+    * static size estimate the AQE gate reads. Never lowers the conf. */
+  val ScanSplitsPerCoreKey = "spark.graft.scan.splitsPerCore"
+  val DefaultScanSplitsPerCore = 4
+  val MaxScanSplitBytes: Long = 512L << 20
+
   /**
    * Run `body` (typically an action on `df`) with AQE disabled when the
    * query's static input estimate is under the small-query threshold.
@@ -70,10 +87,9 @@ object ExecTuning {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"$SmallQueryBytesKey must be a number, got '$v'")
       }).getOrElse(DefaultSmallQueryBytes)
-    val small = threshold > 0 && {
-      try inputBytes(df) < threshold
-      catch { case _: Exception => false }
-    }
+    val bytes: Option[BigInt] =
+      try Some(inputBytes(df)) catch { case _: Exception => None }
+    val small = threshold > 0 && bytes.exists(_ < threshold)
     val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqeKey, "true")
     // Spark parses boolean confs case-insensitively ("TRUE" is valid) —
@@ -107,6 +123,27 @@ object ExecTuning {
         spark.conf.set(shufKey, prevShuf)
         spark.conf.set(wscKey, prevWsc)
       }
-    } else body
+    } else {
+      // Large input: size scan splits to the data (see ScanSplitsPerCoreKey).
+      val splitKey = "spark.sql.files.maxPartitionBytes"
+      val perCore = spark.conf.getOption(ScanSplitsPerCoreKey)
+        .map(v => try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$ScanSplitsPerCoreKey must be a number, got '$v'")
+        }).getOrElse(DefaultScanSplitsPerCore)
+      val prevSplit = spark.conf.get(splitKey,
+        (128L << 20).toString)
+      val prevSplitN = scala.util.Try(prevSplit.toLong).getOrElse(128L << 20)
+      val target = bytes match {
+        case Some(b) if perCore > 0 =>
+          val cores = math.max(1, spark.sparkContext.defaultParallelism)
+          (b / (cores.toLong * perCore)).min(BigInt(MaxScanSplitBytes)).toLong
+        case _ => 0L
+      }
+      if (target > prevSplitN) {
+        spark.conf.set(splitKey, target.toString)
+        try body finally spark.conf.set(splitKey, prevSplit)
+      } else body
+    }
   }
 }

@@ -68,6 +68,39 @@ class ExecTuningSpec extends SparkSuite {
     assert(adaptiveNow == prev)
   }
 
+  test("large-input query raises scan split bytes to input/(cores*perCore), restored") {
+    val df = Tables.load(spark, sf("0.001"), "nation").groupBy(col("n_name")).count()
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.get(splitKey)
+    // Force the large branch on the tiny fixture: threshold 1 byte means
+    // nothing is "small", and splitsPerCore=1 with a floor'd prev makes the
+    // computed target exceed it.
+    spark.conf.set(ExecTuning.SmallQueryBytesKey, "1")
+    spark.conf.set(splitKey, "1")
+    try {
+      val bytes = ExecTuning.inputBytes(df).toLong
+      val cores = math.max(1, spark.sparkContext.defaultParallelism)
+      spark.conf.set(ExecTuning.ScanSplitsPerCoreKey, "1")
+      var inside: String = null
+      ExecTuning.withSizedAqe(df) { inside = spark.conf.get(splitKey) }
+      assert(inside.toLong == bytes / cores, s"inside=$inside bytes=$bytes")
+      assert(spark.conf.get(splitKey) == "1")
+      // perCore=0 disables the raise
+      spark.conf.set(ExecTuning.ScanSplitsPerCoreKey, "0")
+      ExecTuning.withSizedAqe(df) { inside = spark.conf.get(splitKey) }
+      assert(inside == "1")
+      // never lowers: a session already running coarser splits is untouched
+      spark.conf.set(ExecTuning.ScanSplitsPerCoreKey, "1")
+      spark.conf.set(splitKey, (1L << 30).toString)
+      ExecTuning.withSizedAqe(df) { inside = spark.conf.get(splitKey) }
+      assert(inside == (1L << 30).toString)
+    } finally {
+      spark.conf.unset(ExecTuning.SmallQueryBytesKey)
+      spark.conf.unset(ExecTuning.ScanSplitsPerCoreKey)
+      spark.conf.set(splitKey, prevSplit)
+    }
+  }
+
   test("results identical with and without the policy") {
     val mk = () => Tables.load(spark, sf("0.001"), "customer")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
