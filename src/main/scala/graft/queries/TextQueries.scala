@@ -288,6 +288,18 @@ object TextQueries {
         .select(col("doc_id"), col("domain"), col("cum_docs"))
         .orderBy("doc_id")
     }),
+    "doc_pack_sequences" -> ((s, dir) => {
+      // Sequence packing: each doc's coordinates in the fixed-length
+      // training-sequence layout (concatenate in md5(doc_id) order, cut at
+      // L=128 whitespace tokens — small enough that fixture docs genuinely
+      // span boundaries, so n_seqs > 1 paths are exercised). The oracle is
+      // the textbook one-window global cumsum; the gate proves the
+      // bucketed decomposition AND the integer seq arithmetic exact.
+      graft.text.Mix.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
+        .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
+        .orderBy("doc_id")
+    }),
     "doc_split_assign" -> ((s, dir) => {
       // Deterministic train/val/test assignment. DYADIC fractions
       // (3/4, 1/8, 1/16) make every hash boundary an exact integer, so
@@ -670,6 +682,22 @@ object TextQueries {
          SELECT doc_id, domain, cum_docs FROM c
          WHERE cum_docs <= 2 + CAST(substr(domain, 2, 1) AS INT) % 3
          ORDER BY doc_id""",
+    "doc_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(sum(toks) OVER (ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id,
+           CAST((cum - toks) // 128 AS BIGINT) AS seq_id,
+           CAST((cum - toks) % 128 AS BIGINT) AS seq_off,
+           CAST(greatest(cum - 1, cum - toks) // 128
+                - (cum - toks) // 128 + 1 AS BIGINT) AS n_seqs
+         FROM c ORDER BY doc_id""",
     "doc_split_assign" ->
       """SELECT doc_id,
            CASE

@@ -195,6 +195,23 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** pack_sequences(TABLE(corpus), 'key_col', 'text_col', seq_len
+    * [, buckets]) — fixed-length training-sequence coordinates per doc;
+    * see [[graft.text.Mix.packSequences]]. */
+  def packSequencesTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 5) throw new IllegalArgumentException(
+      s"pack_sequences(corpus, key_col, text_col, seq_len[, buckets]) " +
+        s"takes 4 or 5 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Mix.packSequences(
+      table(spark, args(0), "pack_sequences corpus"),
+      str(args(1), "pack_sequences key_col"),
+      str(args(2), "pack_sequences text_col"),
+      intLit(args(3), "pack_sequences seq_len").toLong,
+      if (args.length == 5) intLit(args(4), "pack_sequences buckets") else 256)
+      .queryExecution.analyzed
+  }
+
   /** sample_by_rates(TABLE(corpus), TABLE(rates), 'key_col', 'group_col')
     * — proportional per-group sampling; the rates table carries
     * (group_col, rate) rows. See [[graft.text.Mix.bySampleRates]]. */

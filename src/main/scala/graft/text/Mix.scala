@@ -104,6 +104,23 @@ object Mix {
         s"(duplicated: ${dup.headOption.map(_.get(0)).getOrElse("")})")
     val bdg = budgets.select(col(groupCol),
       col("budget").cast("long").as("_mix_budget"))
+    withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol)
+      .join(broadcast(bdg), Seq(groupCol))
+      .where(col(cumCol) <= col("_mix_budget"))
+      .drop("_mix_toks", "_mix_budget")
+  }
+
+  /**
+   * The bucketed distributed prefix sum shared by the budget fills and
+   * [[packSequences]]: `df` plus `cumCol` — the INCLUSIVE cumulative
+   * `weight` in (md5(key), key) order within each value of `groupCols`
+   * (globally when empty) — and the `_mix_toks` weight column (callers
+   * drop it). See the class doc for why this beats one window per group.
+   */
+  private[graft] def withCumWeight(df: DataFrame, keyCol: String,
+      weight: Column, groupCols: Seq[String], buckets: Int,
+      cumCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
     // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
@@ -116,25 +133,77 @@ object Mix {
 
     // Per-(group, bucket) totals → exclusive prefix sum over the bucket grid.
     // The grid is |groups| × buckets rows — broadcastable by construction.
-    val grid = t.groupBy(col(groupCol), col("_mix_b"))
+    val grid = t.groupBy(gcols :+ col("_mix_b"): _*)
       .agg(sum(col("_mix_toks")).as("_mix_bt"))
-    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_mix_b"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("_mix_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = grid
       .withColumn("_mix_off", coalesce(sum(col("_mix_bt")).over(wOff), lit(0L)))
-      .select(col(groupCol), col("_mix_b"), col("_mix_off"))
+      .select(gcols :+ col("_mix_b") :+ col("_mix_off"): _*)
 
     // In-bucket inclusive cumsum + the bucket's offset = global cumsum in
     // (hash, key) order. Key tiebreak keeps the order total even under a
     // (vanishing) md5-prefix collision.
-    val wIn = Window.partitionBy(col(groupCol), col("_mix_b"))
+    val wIn = Window.partitionBy(gcols :+ col("_mix_b"): _*)
       .orderBy(col("_mix_h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(offsets), Seq(groupCol, "_mix_b"))
+    t.join(broadcast(offsets), groupCols :+ "_mix_b")
       .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))
-      .join(broadcast(bdg), Seq(groupCol))
-      .where(col(cumCol) <= col("_mix_budget"))
-      .drop("_mix_h", "_mix_toks", "_mix_b", "_mix_off", "_mix_budget")
+      .drop("_mix_h", "_mix_b", "_mix_off")
+  }
+
+  /**
+   * Sequence packing: the coordinates each document's tokens occupy when
+   * the corpus is concatenated in deterministic md5(key) order and cut
+   * into fixed-length training sequences — the standard "pack documents
+   * into 2048-token examples" step of an LLM data pipeline, minus the
+   * tokenizer (whitespace token counts are the currency, as everywhere in
+   * this module).
+   *
+   * Output: all input columns plus
+   *  - `seq_id`  — 0-based index of the sequence holding the doc's FIRST
+   *    token,
+   *  - `seq_off` — that token's offset within the sequence (0 ≤ off < L),
+   *  - `n_seqs`  — how many sequences the doc spans (≥ 1; a doc longer
+   *    than L crosses boundaries, exactly like real packing without
+   *    document masking).
+   *
+   * The assignment is a pure function of (key, text) — reproducible
+   * across runs, engines, and partitionings, like every Mix selection —
+   * and the layout is exactly the exclusive prefix sum of token counts,
+   * so writers can emit actual packed examples from (seq_id, seq_off)
+   * without re-scanning. Empty docs (0 tokens) get the position they'd
+   * occupy (n_seqs = 1, zero tokens contributed).
+   *
+   * Scale: one bucketed prefix sum ([[withCumWeight]]) — the same
+   * skew-proof shape as the budget fills; no global window, no driver
+   * state.
+   */
+  def packSequences(df: DataFrame, keyCol: String, textCol: String,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val out = Seq("seq_id", "seq_off", "n_seqs")
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || out.contains(c))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with packSequences " +
+        s"output/temporaries (${out.mkString(", ")}, '_mix_*') — rename them first")
+    // `div` (IntegralDivide) keeps the math exact on token-count longs —
+    // `/` detours through double and mis-assigns near sequence boundaries
+    // once cumulative counts are large enough that 1/L < ulp(cum/L).
+    withCumWeight(df, keyCol,
+        TextFunctions.tokenCount(df(textCol)).cast("long"),
+        Seq.empty, buckets, "_mix_cum")
+      .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
+      .withColumn("seq_id", expr(s"_mix_start div ${seqLen}L"))
+      .withColumn("seq_off", col("_mix_start") % seqLen)
+      // last token's sequence − first token's sequence + 1; empty docs span 1.
+      .withColumn("n_seqs",
+        expr(s"greatest(_mix_cum - 1L, _mix_start) div ${seqLen}L")
+          - col("seq_id") + lit(1L))
+      .drop("_mix_toks", "_mix_cum", "_mix_start")
   }
 
   /**

@@ -215,6 +215,75 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.count() == 20)
   }
 
+  test("packSequences: coordinates equal the one-window spelling, spans exact") {
+    // Docs of 1..9 tokens; L=7 forces frequent boundary crossings.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(1 + (i * 5) % 9)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pack_corpus")
+    val expected = spark.sql(
+      """WITH t AS (SELECT doc_id, size(split(text, ' ')) AS toks,
+                     md5(CAST(doc_id AS STRING)) AS h FROM pack_corpus),
+         c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         SELECT doc_id, (cum - toks) div 7 AS seq_id, (cum - toks) % 7 AS seq_off,
+                greatest(cum - 1, cum - toks) div 7 - (cum - toks) div 7 + 1 AS n_seqs
+         FROM c""")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    for (buckets <- Seq(1, 4, 256)) {
+      val got = Mix.packSequences(docs, "doc_id", "text", 7L, buckets = buckets)
+        .select($"doc_id", $"seq_id", $"seq_off", $"n_seqs")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"buckets=$buckets")
+    }
+    // Spans: total tokens and per-doc spans reconcile with L.
+    val rows = Mix.packSequences(docs, "doc_id", "text", 7L)
+      .select($"seq_off", size(split($"text", " ")).cast("long").as("toks"), $"n_seqs")
+      .collect()
+    rows.foreach { r =>
+      val (off, toks, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(off >= 0 && off < 7)
+      assert(n == (off + math.max(toks, 1) - 1) / 7 + 1, s"off=$off toks=$toks n=$n")
+    }
+  }
+
+  test("packSequences: empty docs occupy a position without consuming tokens") {
+    val docs = Seq((1L, ""), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Mix.packSequences(docs, "doc_id", "text", 2L)
+      .select($"doc_id", $"n_seqs").as[(Long, Long)].collect().toMap
+    // split("", " ") yields one empty token under both engines' token-count
+    // convention (len(string_split) — documented in the oracle contract),
+    // so "empty" docs weigh 1; all spans are positive either way.
+    assert(got.values.forall(_ >= 1))
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("packSequences guards: bad seqLen, reserved columns") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Mix.packSequences(docs, "doc_id", "text", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.packSequences(docs.withColumn("seq_id", lit(1)), "doc_id", "text", 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.packSequences(docs.withColumn("_mix_h", lit(1)), "doc_id", "text", 4L)
+    }
+  }
+
+  test("SQL surface: pack_sequences TVF") {
+    val docs = (1 to 10).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pack_tvf_corpus")
+    val viaTvf = spark.sql(
+      """SELECT doc_id, seq_id, seq_off, n_seqs
+         FROM pack_sequences(TABLE(pack_tvf_corpus), 'doc_id', 'text', 4)""")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaApi = Mix.packSequences(docs, "doc_id", "text", 4L)
+      .select($"doc_id", $"seq_id", $"seq_off", $"n_seqs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaTvf == viaApi && viaTvf.nonEmpty)
+  }
+
   test("bySampleRates: per-group rates, consistent with the global sampler") {
     val rates = Seq(("s0", 1.0), ("s1", 0.0), ("s2", 0.5)).toDF("source", "rate")
     val kept = Mix.bySampleRates(mixCorpus, "doc_id", "source", rates)
