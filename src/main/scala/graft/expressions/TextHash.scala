@@ -114,6 +114,41 @@ object TextHash {
     new GenericArrayData(mins)
   }
 
+  /**
+   * Lowercased host of an http(s) URL — the single-pass byte kernel for
+   * `lower(regexp_extract(url, "^https?://([^/:?#]+)", 1))`, value-
+   * identical by construction: a literal-prefix match ("http", optional
+   * 's', "://"), then the maximal non-empty run of chars outside
+   * {'/', ':', '?', '#'} (those stops are ASCII, so byte scanning is
+   * exact on UTF-8 — continuation bytes can never equal them). Returns
+   * "" on no match, like both engines' group extraction.
+   */
+  def urlHost(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    // literal "http"
+    if (n < 7 || s.getByte(0) != 'h' || s.getByte(1) != 't' ||
+      s.getByte(2) != 't' || s.getByte(3) != 'p') return UTF8String.EMPTY_UTF8
+    i = 4
+    if (i < n && s.getByte(i) == 's') i += 1
+    if (i + 3 > n || s.getByte(i) != ':' || s.getByte(i + 1) != '/' ||
+      s.getByte(i + 2) != '/') return UTF8String.EMPTY_UTF8
+    i += 3
+    val start = i
+    while (i < n && {
+      val b = s.getByte(i)
+      b != '/' && b != ':' && b != '?' && b != '#'
+    }) i += 1
+    if (i == start) return UTF8String.EMPTY_UTF8
+    // byte-range copy (UTF8String.substring takes CODE-POINT indices, and
+    // the host may follow multi-byte chars only in degenerate inputs — but
+    // never rely on byte==char here)
+    val out = new Array[Byte](i - start)
+    var j = 0
+    while (j < out.length) { out(j) = s.getByte(start + j); j += 1 }
+    UTF8String.fromBytes(out).toLowerCase
+  }
+
   /** [[wordShingles]] in ascending binary order — the shape
     * [[jaccardSimSorted]] consumes. Sorting INSIDE the kernel (vs a
     * sort_array column) guarantees exactly one sort per document no matter
@@ -618,6 +653,17 @@ case class Fingerprint64(child: Expression) extends UnaryExpression with Expects
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.rollingFingerprint($c)")
   override def prettyName: String = "fingerprint64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** url_host(url STRING) -> STRING — see [[TextHash.urlHost]]. */
+case class UrlHost(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextHash.urlHost(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.urlHost($c)")
+  override def prettyName: String = "url_host"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -84,6 +84,34 @@ object Mix {
       budgets: DataFrame, buckets: Int = 256): DataFrame =
     byWeightBudget(df, keyCol, lit(1L), groupCol, budgets, buckets, "cum_docs")
 
+  /** Hard cap on the dims-table collect in [[localDims]] — the
+    * "dimension-sized by contract" bound made explicit. */
+  private[graft] val MaxDimRows: Int = 1 << 21
+
+  /**
+   * Materialize a dims table (budgets/rates) ONCE as a local relation:
+   * one job instead of two (the old eager duplicate probe scanned the
+   * table, then the broadcast scanned it again — twice through a full
+   * corpus aggregation when the dims derive from the corpus, as
+   * "budget per observed source" pipelines do), duplicate-group
+   * validation driver-side with the same eager IllegalArgumentException,
+   * and the subsequent broadcast is free (no re-computation).
+   */
+  private def localDims(dims: DataFrame, groupCol: String, valCol: Column,
+      what: String): DataFrame = {
+    val proj = dims.select(col(groupCol), valCol)
+    val rows = proj.limit(MaxDimRows + 1).collect()
+    require(rows.length <= MaxDimRows,
+      s"$what must be dimension-sized (<= $MaxDimRows rows per the " +
+        s"broadcast contract); got more")
+    val dup = rows.groupBy(_.get(0)).collectFirst { case (g, rs) if rs.length > 1 => g }
+    require(dup.isEmpty,
+      s"$what must have exactly one row per '$groupCol' " +
+        s"(duplicated: ${dup.getOrElse("")})")
+    dims.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
+  }
+
   private def byWeightBudget(df: DataFrame, keyCol: String, weight: Column,
       groupCol: String, budgets: DataFrame, buckets: Int,
       cumCol: String): DataFrame = {
@@ -94,20 +122,55 @@ object Mix {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with Mix " +
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
-    // One row per group in `budgets`, or the inner join silently multiplies
-    // corpus rows. Budgets is dimension-sized by contract, so this eager
-    // probe is one tiny local job.
-    val dup = budgets.groupBy(col(groupCol)).count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"budgets must have exactly one row per '$groupCol' " +
-        s"(duplicated: ${dup.headOption.map(_.get(0)).getOrElse("")})")
-    val bdg = budgets.select(col(groupCol),
-      col("budget").cast("long").as("_mix_budget"))
-    withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol)
-      .join(broadcast(bdg), Seq(groupCol))
-      .where(col(cumCol) <= col("_mix_budget"))
-      .drop("_mix_toks", "_mix_budget")
+    val bdg = localDims(budgets, groupCol,
+      col("budget").cast("long").as("_mix_budget"), "budgets")
+    if (narrowCumsum(df)) {
+      // Large input: the prefix sum runs on a NARROW (key, group, weight)
+      // projection and only the kept keys join back to the full corpus.
+      // The width matters at scale: cumsum-ing the corpus directly
+      // shuffles every byte of every row (text included) through the
+      // window sort; this shape shuffles three narrow columns, and when
+      // the budgets keep a small fraction — the usual curation case — AQE
+      // turns the join-back into a broadcast and the corpus is never
+      // shuffled at all. Requires keyCol unique (already the API
+      // contract: "unique document key").
+      val narrow = df.select(col(keyCol), col(groupCol), weight.as("_mix_w"))
+      val kept = withCumWeight(narrow, keyCol, col("_mix_w"),
+          Seq(groupCol), buckets, cumCol)
+        .join(broadcast(bdg), Seq(groupCol))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col(keyCol), col(cumCol))
+      df.join(kept, Seq(keyCol))
+        .select(df.columns.map(col) :+ col(cumCol): _*)
+    } else {
+      // Small input: cumsum directly over the full rows — the join-back
+      // stage is pure floor when the whole corpus is a few MB.
+      withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol)
+        .join(broadcast(bdg), Seq(groupCol))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .drop("_mix_toks", "_mix_budget")
+    }
+  }
+
+  /** Byte threshold above which the budget fills and [[packSequences]]
+    * switch from the direct full-row cumsum to the narrow-projection +
+    * join-back plan (0 disables the narrow path). Same size-policy device
+    * as `ExecTuning.withSizedAqe`: the decision is a function of INPUT
+    * SIZE — at 100 TB the narrow branch always runs; on a few-MB corpus
+    * the extra join stage is pure scheduling floor. Both shapes are
+    * value-identical (spec-proven). */
+  private[graft] val NarrowInputBytesKey = "spark.graft.mix.narrowInputBytes"
+  private[graft] val DefaultNarrowInputBytes: Long = 64L << 20
+
+  private def narrowCumsum(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf.getOption(NarrowInputBytesKey)
+      .map(v => try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$NarrowInputBytesKey must be a number, got '$v'")
+      }).getOrElse(DefaultNarrowInputBytes)
+    // Unknown stats → narrow (the scale-safe default).
+    threshold > 0 && (try graft.spark.ExecTuning.inputBytes(df) >= threshold
+      catch { case _: Exception => true })
   }
 
   /**
@@ -193,9 +256,7 @@ object Mix {
     // `div` (IntegralDivide) keeps the math exact on token-count longs —
     // `/` detours through double and mis-assigns near sequence boundaries
     // once cumulative counts are large enough that 1/L < ulp(cum/L).
-    withCumWeight(df, keyCol,
-        TextFunctions.tokenCount(df(textCol)).cast("long"),
-        Seq.empty, buckets, "_mix_cum")
+    def coordsOf(cum: DataFrame): DataFrame = cum
       .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
       .withColumn("seq_id", expr(s"_mix_start div ${seqLen}L"))
       .withColumn("seq_off", col("_mix_start") % seqLen)
@@ -203,7 +264,22 @@ object Mix {
       .withColumn("n_seqs",
         expr(s"greatest(_mix_cum - 1L, _mix_start) div ${seqLen}L")
           - col("seq_id") + lit(1L))
-      .drop("_mix_toks", "_mix_cum", "_mix_start")
+    if (narrowCumsum(df)) {
+      // Narrow cumsum + join-back, like the budget fills: the window
+      // sorts (key, weight) pairs, not full text rows (see byWeightBudget).
+      val narrow = df.select(col(keyCol),
+        TextFunctions.tokenCount(df(textCol)).cast("long").as("_mix_w"))
+      val coords = coordsOf(withCumWeight(narrow, keyCol, col("_mix_w"),
+          Seq.empty, buckets, "_mix_cum"))
+        .select(col(keyCol), col("seq_id"), col("seq_off"), col("n_seqs"))
+      df.join(coords, Seq(keyCol))
+        .select(df.columns.map(col) ++ out.map(col): _*)
+    } else {
+      coordsOf(withCumWeight(df, keyCol,
+          TextFunctions.tokenCount(df(textCol)).cast("long"),
+          Seq.empty, buckets, "_mix_cum"))
+        .drop("_mix_toks", "_mix_cum", "_mix_start")
+    }
   }
 
   /**
@@ -226,12 +302,8 @@ object Mix {
       rates: DataFrame): DataFrame = {
     require(!df.columns.contains("_mix_rate"),
       "input column '_mix_rate' collides with a Mix temporary — rename it")
-    val dup = rates.groupBy(col(groupCol)).count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"rates must have exactly one row per '$groupCol' " +
-        s"(duplicated: ${dup.headOption.map(_.get(0)).getOrElse("")})")
-    val rt = rates.select(col(groupCol), col("rate").cast("double").as("_mix_rate"))
+    val rt = localDims(rates, groupCol,
+      col("rate").cast("double").as("_mix_rate"), "rates")
     val threshold = (col("_mix_rate") * lit((1L << 60).toDouble)).cast("long")
     df.join(broadcast(rt), Seq(groupCol))
       .where(conv(substring(TextFunctions.md5Hex(df(keyCol).cast("string")), 1, 15), 16, 10)

@@ -243,6 +243,11 @@ object TextFunctions {
     * group extraction). The key for domain-level curation: blocklists,
     * per-domain caps, provenance stats. */
   def extractDomain(url: Column): Column =
+    col(graft.expressions.UrlHost(expr(url)))
+
+  /** The regex spelling [[extractDomain]]'s byte kernel is property-tested
+    * against (same device as the PII kernel/regex pair). */
+  private[graft] def extractDomainRegex(url: Column): Column =
     lower(regexp_extract(url, UrlHostRe, 1))
 
   /** Drop rows whose [[extractDomain]] appears in `blocklist` (a

@@ -247,6 +247,22 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("narrow and wide cumsum shapes are value-identical (budget fill + packing)") {
+    val budgets = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
+    def run(): (Set[(Long, Long)], Set[(Long, Long, Long, Long)]) = (
+      Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
+        .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toSet,
+      Mix.packSequences(mixCorpus, "doc_id", "text", 7L)
+        .select($"doc_id", $"seq_id", $"seq_off", $"n_seqs")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    val key = Mix.NarrowInputBytesKey
+    spark.conf.set(key, "1") // everything is "large" → narrow + join-back
+    val narrow = try run() finally spark.conf.unset(key)
+    spark.conf.set(key, "0") // narrow path disabled → direct wide window
+    val wide = try run() finally spark.conf.unset(key)
+    assert(narrow == wide && narrow._1.nonEmpty && narrow._2.nonEmpty)
+  }
+
   test("packSequences: empty docs occupy a position without consuming tokens") {
     val docs = Seq((1L, ""), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
     val got = Mix.packSequences(docs, "doc_id", "text", 2L)
@@ -328,6 +344,27 @@ class PipelineOpsSpec extends SparkSuite {
     val kept = TF.filterByStopwords(df, "text", minDistinct = 2)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
+  }
+
+  test("urlHost kernel matches the regex spelling on adversarial strings") {
+    // Same device as the PII kernel: the regex is the SPEC, the byte
+    // kernel is property-tested against it through Spark's own
+    // regexp_extract + lower path (exercising codegen on both sides).
+    val rnd = new scala.util.Random(7)
+    val alphabet = "htps:/?#.abZ09-%é中 "
+    val cases = Seq("", "h", "http://", "https://", "http://a",
+      "https://A.B.c/x", "HTTP://x.y", "httpss://x", "http:/x",
+      "https://:80", "https://#f", "https://?q", "http:///x",
+      "http://éXample.ORG/p", "https://host", "httpx://y") ++
+      (1 to 3000).map(_ => (0 until rnd.nextInt(24))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = cases.toDF("u")
+      .select(TF.extractDomain($"u").as("k"), TF.extractDomainRegex($"u").as("r"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getString(0) == r.getString(1),
+        s"input '$c': kernel='${r.getString(0)}' regex='${r.getString(1)}'")
+    }
   }
 
   test("extractDomain + blocklist filter") {
