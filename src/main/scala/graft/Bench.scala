@@ -50,7 +50,8 @@ object Bench {
       // tiny tasks per exchange than parallelism-first, without the default
       // 64 MB advisory collapsing CPU-bound aggregations to one task ...
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "false"))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (envLong("SPARK_GRAFT_ADVISORY_MB", 4) << 20).toString)
       // ... make every dimension-side join a broadcast at bench scales
       // (where the small side is <= tens of MB), skipping shuffle stages
       .config("spark.sql.autoBroadcastJoinThreshold",

@@ -278,6 +278,15 @@ object TextFunctions {
     val tok = df.where(df(textCol).isNotNull)
       .select(df(idCol), explode(tokens(df(textCol))).as("tok"))
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // Measured NOTE (derived sf10, local[32]): a (doc, token) pre-aggregate
+    // below a shared exchange — explode once, ReuseExchange, join deduped
+    // pairs — was tried and is 1.7x SLOWER (2.7 s → 4.6 s): the pair
+    // shuffle moves ~50M rows where THIS spelling shuffles almost nothing
+    // (counts reduces map-side to per-task vocabulary, AQE broadcasts it,
+    // and the doc aggregate's partials reduce before its exchange). The
+    // double explode is two memory-speed scans; the "optimization" was a
+    // real shuffle. On a skew-free million-token vocabulary the join falls
+    // back to a token-keyed shuffle join and both spellings converge.
     tok.join(counts, "tok")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
