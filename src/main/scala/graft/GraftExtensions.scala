@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sample_by_rates" -> graft.sql.TvfMacros.sampleByRatesTvf,
       "cap_by_count" -> graft.sql.TvfMacros.capByCountTvf,
       "pack_sequences" -> graft.sql.TvfMacros.packSequencesTvf,
+      "emit_packed_sequences" -> graft.sql.TvfMacros.emitPackedSequencesTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,

@@ -300,6 +300,17 @@ object TextQueries {
         .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
         .orderBy("doc_id")
     }),
+    "doc_pack_emit" -> ((s, dir) => {
+      // The materialized side of packing: actual L=128-token sequences
+      // reassembled from the concatenated corpus (docs split across
+      // boundaries), pinned by md5 of each sequence's joined text. The
+      // oracle rebuilds the same stream with a global window + zipped
+      // unnest + ordered string_agg.
+      graft.text.Mix.emitPackedSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
+        .select(col("seq_id"), col("n_tokens"), md5(col("text")).as("text_md5"))
+        .orderBy("seq_id")
+    }),
     "doc_split_assign" -> ((s, dir) => {
       // Deterministic train/val/test assignment. DYADIC fractions
       // (3/4, 1/8, 1/16) make every hash boundary an exact integer, so
@@ -698,6 +709,24 @@ object TextQueries {
            CAST(greatest(cum - 1, cum - toks) // 128
                 - (cum - toks) // 128 + 1 AS BIGINT) AS n_seqs
          FROM c ORDER BY doc_id""",
+    "doc_pack_emit" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(sum(len(toks)) OVER (ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks) AS strt
+           FROM t),
+         u AS (
+           SELECT strt + i AS pos, tok
+           FROM (SELECT strt, unnest(toks) AS tok,
+                   unnest(range(len(toks))) AS i FROM c))
+         SELECT CAST(pos // 128 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5
+         FROM u GROUP BY 1 ORDER BY 1""",
     "doc_split_assign" ->
       """SELECT doc_id,
            CASE

@@ -212,6 +212,23 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** emit_packed_sequences(TABLE(corpus), 'key_col', 'text_col', seq_len
+    * [, buckets]) — the materialized packed sequences; see
+    * [[graft.text.Mix.emitPackedSequences]]. */
+  def emitPackedSequencesTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 5) throw new IllegalArgumentException(
+      s"emit_packed_sequences(corpus, key_col, text_col, seq_len[, buckets]) " +
+        s"takes 4 or 5 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Mix.emitPackedSequences(
+      table(spark, args(0), "emit_packed_sequences corpus"),
+      str(args(1), "emit_packed_sequences key_col"),
+      str(args(2), "emit_packed_sequences text_col"),
+      intLit(args(3), "emit_packed_sequences seq_len").toLong,
+      if (args.length == 5) intLit(args(4), "emit_packed_sequences buckets") else 256)
+      .queryExecution.analyzed
+  }
+
   /** sample_by_rates(TABLE(corpus), TABLE(rates), 'key_col', 'group_col')
     * — proportional per-group sampling; the rates table carries
     * (group_col, rate) rows. See [[graft.text.Mix.bySampleRates]]. */

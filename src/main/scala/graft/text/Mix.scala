@@ -283,6 +283,49 @@ object Mix {
   }
 
   /**
+   * Materialize the packed training sequences [[packSequences]] only
+   * assigns coordinates for: one output row per sequence, holding the
+   * L-token (last one possibly shorter) whitespace-joined slice of the
+   * corpus concatenated in deterministic md5(key) order. Documents
+   * crossing a boundary are split across sequences — real packing without
+   * document masking.
+   *
+   * Output: `seq_id` (0-based), `n_tokens` (= seqLen except the tail),
+   * `text` (the sequence's tokens joined by single spaces).
+   *
+   * Scale: the narrow cumsum of [[packSequences]] plus ONE token-keyed
+   * exchange — every token ships to its sequence exactly once, which is
+   * inherent to emitting sequences at all (the bytes must move), and each
+   * reduce group is bounded by seqLen tokens. No global window, no
+   * driver state.
+   */
+  def emitPackedSequences(df: DataFrame, keyCol: String, textCol: String,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val base = df.select(col(keyCol), df(textCol).as("_mix_text"))
+    val cum = withCumWeight(base, keyCol,
+        TextFunctions.tokenCount(col("_mix_text")).cast("long"),
+        Seq.empty, buckets, "_mix_cum")
+      .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
+    // Global token position = the doc's exclusive prefix + in-doc index;
+    // positions are unique, so the per-sequence sort is total and the
+    // reassembled text is deterministic.
+    val toks = cum
+      .select(col("_mix_start"),
+        posexplode(split(col("_mix_text"), " ")).as(Seq("_mix_i", "_mix_tok")))
+      .withColumn("_mix_pos", col("_mix_start") + col("_mix_i"))
+      .withColumn("seq_id", expr(s"_mix_pos div ${seqLen}L"))
+    toks.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_mix_pos"), col("_mix_tok")))),
+          x => x.getField("_mix_tok"))).as("text"))
+  }
+
+  /**
    * Proportional mix: sample each group at its own rate — the
    * rate-specified sibling of [[byTokenBudget]] ("keep 10% of web, 100% of
    * books"). Per-group [[TextFunctions.deterministicSample]]: a row is kept

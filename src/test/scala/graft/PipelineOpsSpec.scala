@@ -274,6 +274,52 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.keySet == Set(1L, 2L, 3L))
   }
 
+  test("emitPackedSequences: full sequences of L, docs split across boundaries") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (1 to (1 + (i * 5) % 9)).map(j => s"d${i}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val L = 7L
+    val seqs = Mix.emitPackedSequences(docs, "doc_id", "text", L)
+      .orderBy("seq_id")
+      .select($"seq_id", $"n_tokens", $"text")
+      .as[(Long, Long, String)].collect()
+    val total = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(seqs.map(_._2).sum == total)
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong)) // dense 0..n-1
+    seqs.dropRight(1).foreach { case (id, n, t) =>
+      assert(n == L && t.split(" ", -1).length == L, s"seq $id")
+    }
+    assert(seqs.last._2 <= L)
+    // The concatenated stream reassembles exactly: joining all sequences
+    // equals joining all docs in (md5(doc_id), doc_id) order.
+    val stream = seqs.map(_._3).mkString(" ")
+    val docOrder = docs
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .select($"text").as[String].collect().mkString(" ")
+    assert(stream == docOrder)
+    // Coordinates agree with packSequences: each doc's first token sits at
+    // (seq_id, seq_off) in the emitted layout.
+    val coords = Mix.packSequences(docs, "doc_id", "text", L)
+      .select($"doc_id", $"seq_id", $"seq_off").as[(Long, Long, Long)].collect()
+    val byId = seqs.map(s => s._1 -> s._3.split(" ", -1)).toMap
+    coords.foreach { case (doc, sid, off) =>
+      assert(byId(sid)(off.toInt) == s"d${doc}t1", s"doc $doc at ($sid,$off)")
+    }
+  }
+
+  test("SQL surface: emit_packed_sequences TVF matches the API") {
+    val docs = (1 to 12).map(i => (i.toLong, s"a$i b$i c$i")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("emit_tvf_corpus")
+    val viaTvf = spark.sql(
+      """SELECT seq_id, n_tokens, text
+         FROM emit_packed_sequences(TABLE(emit_tvf_corpus), 'doc_id', 'text', 5)""")
+      .as[(Long, Long, String)].collect().toSet
+    val viaApi = Mix.emitPackedSequences(docs, "doc_id", "text", 5L)
+      .select($"seq_id", $"n_tokens", $"text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaTvf == viaApi && viaTvf.nonEmpty)
+  }
+
   test("packSequences guards: bad seqLen, reserved columns") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
