@@ -92,9 +92,14 @@ object Bench {
       Seq(graft.queries.HnswQueries.ensureIvfLayout(spark, sfDir),
           graft.queries.HnswQueries.ensureIvfPqLayout(spark, sfDir))
         .foreach(p => spark.read.parquet(p).write.format("noop").mode("overwrite").save())
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    }
+    // Warm with the first query OF THE FILTERED SUBSET (sorted, so the
+    // choice is deterministic): the unfiltered map's hash-order head could
+    // land on an index gate and re-trigger the very builds subsetNeeds
+    // just skipped in a restricted session.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .find(q => only.forall(_.contains(q._1))).foreach { case (_, fn) =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     // min of two timed runs per query: the first touch pays page-cache and
     // one-time artifact costs (e.g. the IVF layout build), which measure the
     // disk, not the engine — r2's q2_join_agg "regression" was exactly this

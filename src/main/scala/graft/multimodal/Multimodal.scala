@@ -41,7 +41,11 @@ object Multimodal {
   object ImageIoCodec {
     /** Decode, or null if no installed reader recognizes the payload. */
     def decode(payload: Array[Byte], featureDim: Int): (Row, Array[Float]) = {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      // Memory-cache stream, NOT ImageIO.createImageInputStream: the
+      // default disk cache writes/deletes a temp file per payload on the
+      // executor — pure syscall churn when the bytes are already in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return null
@@ -84,7 +88,11 @@ object Multimodal {
           (Row(w, h, channels, nFrames, fmt), feats)
         } finally reader.dispose()
       } catch {
-        case _: java.io.IOException => null
+        // NonFatal, not just IOException: imageio readers throw runtime
+        // exceptions on payloads whose magic bytes they claim but whose
+        // body is corrupt (truncated GIF, dimension overflow in getRGB) —
+        // one bad asset must yield null, not kill the corpus job.
+        case scala.util.control.NonFatal(_) => null
       } finally if (iis != null) iis.close()
     }
   }
@@ -198,7 +206,8 @@ object Multimodal {
       ImageIO.write(img, "png", baos)
     } else {
       val frames = 1 + ((id / 2) % 4).toInt
-      val ios = ImageIO.createImageOutputStream(baos)
+      // Memory-cache stream (see decode): no per-payload temp file.
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)

@@ -151,9 +151,12 @@ object RangeJoin {
     require(quantile > 0 && quantile <= 1, s"quantile must be in (0,1], got $quantile")
     val len: Column = EventTime.toLong(intervals, endCol) -
       EventTime.toLong(intervals, startCol)
-    val q = intervals.select(
+    // approx_percentile returns NULL on zero rows (or all-null bounds) —
+    // land on the documented floor of 1 instead of unboxing an NPE.
+    val row = intervals.select(
         approx_percentile(len, lit(quantile), lit(10000)).cast("long"))
-      .head().getLong(0)
+      .head()
+    val q = if (row.isNullAt(0)) 1L else row.getLong(0)
     math.max(q, 1L)
   }
 }

@@ -57,6 +57,15 @@ object ExecTuning {
     df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
 
+  /** Session conf as Long, naming the offending key on a bad value — the
+    * one copy of the parse-with-context idiom every numeric knob uses. */
+  private[graft] def confLong(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: Long): Long =
+    spark.conf.getOption(key).map(v => try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a number, got '$v'")
+    }).getOrElse(default)
+
   /** Scan splits per core targeted for LARGE inputs (0 disables the
     * raise). The session default `maxPartitionBytes` is sized for the
     * small-SF floor (4 MB ≈ real parallelism on a 135 MB table); left
@@ -82,11 +91,7 @@ object ExecTuning {
    */
   def withSizedAqe[T](df: DataFrame)(body: => T): T = {
     val spark = df.sparkSession
-    val threshold = spark.conf.getOption(SmallQueryBytesKey)
-      .map(v => try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$SmallQueryBytesKey must be a number, got '$v'")
-      }).getOrElse(DefaultSmallQueryBytes)
+    val threshold = confLong(spark, SmallQueryBytesKey, DefaultSmallQueryBytes)
     val bytes: Option[BigInt] =
       try Some(inputBytes(df)) catch { case _: Exception => None }
     val small = threshold > 0 && bytes.exists(_ < threshold)
@@ -105,11 +110,8 @@ object ExecTuning {
       // exceeds the byte threshold and this branch never runs.
       val shufKey = "spark.sql.shuffle.partitions"
       val prevShuf = spark.conf.get(shufKey, "200")
-      val trim = spark.conf.getOption(SmallQueryShufflePartitionsKey)
-        .map(v => try v.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$SmallQueryShufflePartitionsKey must be a number, got '$v'")
-        }).getOrElse(DefaultSmallQueryShufflePartitions)
+      val trim = confLong(spark, SmallQueryShufflePartitionsKey,
+        DefaultSmallQueryShufflePartitions.toLong).toInt
       spark.conf.set(aqeKey, "false")
       val prevShufN = scala.util.Try(prevShuf.toInt).getOrElse(Int.MaxValue)
       if (trim > 0 && trim < prevShufN) spark.conf.set(shufKey, trim.toString)
@@ -126,11 +128,8 @@ object ExecTuning {
     } else {
       // Large input: size scan splits to the data (see ScanSplitsPerCoreKey).
       val splitKey = "spark.sql.files.maxPartitionBytes"
-      val perCore = spark.conf.getOption(ScanSplitsPerCoreKey)
-        .map(v => try v.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$ScanSplitsPerCoreKey must be a number, got '$v'")
-        }).getOrElse(DefaultScanSplitsPerCore)
+      val perCore = confLong(spark, ScanSplitsPerCoreKey,
+        DefaultScanSplitsPerCore.toLong).toInt
       val prevSplit = spark.conf.get(splitKey,
         (128L << 20).toString)
       val prevSplitN = scala.util.Try(prevSplit.toLong).getOrElse(128L << 20)

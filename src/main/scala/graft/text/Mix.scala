@@ -163,11 +163,8 @@ object Mix {
   private[graft] val DefaultNarrowInputBytes: Long = 64L << 20
 
   private def narrowCumsum(df: DataFrame): Boolean = {
-    val threshold = df.sparkSession.conf.getOption(NarrowInputBytesKey)
-      .map(v => try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$NarrowInputBytesKey must be a number, got '$v'")
-      }).getOrElse(DefaultNarrowInputBytes)
+    val threshold = graft.spark.ExecTuning.confLong(df.sparkSession,
+      NarrowInputBytesKey, DefaultNarrowInputBytes)
     // Unknown stats → narrow (the scale-safe default).
     threshold > 0 && (try graft.spark.ExecTuning.inputBytes(df) >= threshold
       catch { case _: Exception => true })

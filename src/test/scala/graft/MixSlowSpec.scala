@@ -78,4 +78,34 @@ class MixSlowSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(kept.view.mapValues(_._3).toMap == expected)
   }
+
+  test("packSequences + emitPackedSequences at 500k docs: closed form") {
+    // Every doc carries exactly 4 tokens and L = 1024 is a multiple of 4,
+    // so no doc ever crosses a boundary: total 2M tokens → 1954 sequences,
+    // 1953 of them full, tail = 2,000,000 − 1953×1024 = 128 tokens; every
+    // n_seqs is 1 and every seq_off is 0 mod 4. Verified in aggregate (no
+    // per-row collect). spark.range input has no file stats, so this also
+    // exercises the narrow+join-back default at width.
+    val n = 500000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("w x y z")).as("text"))
+    val coords = Mix.packSequences(docs, "doc_id", "text", 1024L)
+    val ca = coords.agg(count(lit(1)), max(col("seq_id")),
+        sum(col("n_seqs")), max(col("n_seqs")), max(col("seq_off") % 4))
+      .collect().head
+    assert(ca.getLong(0) == n)
+    assert(ca.getLong(1) == 1953L)
+    assert(ca.getLong(2) == n && ca.getLong(3) == 1L)
+    assert(ca.getLong(4) == 0L)
+    val seqs = Mix.emitPackedSequences(docs, "doc_id", "text", 1024L)
+    val sa = seqs.agg(count(lit(1)), sum(col("n_tokens")),
+        sum(when(col("n_tokens") === 1024L, 1L).otherwise(0L)),
+        min(col("n_tokens")))
+      .collect().head
+    assert(sa.getLong(0) == 1954L)
+    assert(sa.getLong(1) == 4L * n)
+    assert(sa.getLong(2) == 1953L)
+    assert(sa.getLong(3) == 128L)
+  }
 }

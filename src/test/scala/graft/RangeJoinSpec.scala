@@ -125,5 +125,8 @@ class RangeJoinSpec extends SparkSuite {
     // All-zero-length degenerate input still yields a valid width.
     val z = Seq(("k", 1L, 5L, 5L)).toDF("k", "iid", "s", "e")
     assert(RangeJoin.suggestBucketWidth(z, "s", "e") == 1L)
+    // ZERO rows (upstream filter matched nothing): approx_percentile is
+    // NULL — must land on the documented floor, not NPE.
+    assert(RangeJoin.suggestBucketWidth(z.where(lit(false)), "s", "e") == 1L)
   }
 }

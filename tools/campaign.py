@@ -42,7 +42,7 @@ FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
     "doc_pii_redact", "doc_source_mix", "doc_top_ngrams", "doc_token_freq",
     "doc_pipeline_e2e", "doc_source_rates", "doc_url_domains",
     "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
-    "doc_chunk_dedup"])
+    "doc_chunk_dedup", "doc_pack_sequences", "doc_pack_emit"])
 
 
 def probe():
@@ -73,13 +73,18 @@ def wait_fast(max_wait_s=7200):
 def spark_scale(sfdir):
     per = {}
     for i in range(SESSIONS):
-        out = f"/tmp/campaign_bench_{i}.json"
+        # Scale-unique path + fresh file per run: a stale file from a prior
+        # scale must never be silently re-read if this session's JVM dies.
+        out = f"/tmp/campaign_bench_{pathlib.Path(sfdir).name}_{i}.json"
+        pathlib.Path(out).unlink(missing_ok=True)
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, BENCH_OUT=out,
                    SPARK_GRAFT_ONLY=",".join(FAIR))
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            cwd="/root/repo", env=env, capture_output=True,
                            text=True)
         try:
+            if r.returncode != 0:
+                raise RuntimeError(f"Bench exited {r.returncode} for {sfdir}")
             qs = json.load(open(out))["queries"]
         except Exception:
             print(r.stdout[-2000:], r.stderr[-1500:], flush=True)
