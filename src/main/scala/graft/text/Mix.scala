@@ -145,7 +145,8 @@ object Mix {
     } else {
       // Small input: cumsum directly over the full rows — the join-back
       // stage is pure floor when the whole corpus is a few MB.
-      withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol)
+      withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
+          shareExchange = false)
         .join(broadcast(bdg), Seq(groupCol))
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
@@ -179,17 +180,28 @@ object Mix {
    */
   private[graft] def withCumWeight(df: DataFrame, keyCol: String,
       weight: Column, groupCols: Seq[String], buckets: Int,
-      cumCol: String): DataFrame = {
+      cumCol: String, shareExchange: Boolean = true): DataFrame = {
     val gcols = groupCols.map(col)
     // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
-    val t = df
+    val t0 = df
       .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
       .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",
         (conv(substring(col("_mix_h"), 1, 4), 16, 10).cast("long")
           * buckets / 65536).cast("int"))
+    // shareExchange: explicit hash repartition on (group, bucket) — the
+    // grid aggregate and the in-bucket window BOTH consume this one
+    // exchange (ReuseExchange — identical subplan by construction), the
+    // aggregate needs no further shuffle (co-partitioned) and the window
+    // only sorts. Without it each consumer re-plans its own exchange from
+    // the SCAN, so the corpus — and the weight expression, a tokenCount
+    // over every text byte — is scanned and computed twice. Callers pass
+    // false on SMALL inputs (the same size policy that picks the wide
+    // shape): there the double scan is a few MB and the extra
+    // full-row exchange is pure floor (~+0.2 s/query measured at sf0.1).
+    val t = if (shareExchange) t0.repartition(gcols :+ col("_mix_b"): _*) else t0
 
     // Per-(group, bucket) totals → exclusive prefix sum over the bucket grid.
     // The grid is |groups| × buckets rows — broadcastable by construction.
@@ -274,7 +286,7 @@ object Mix {
     } else {
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
-          Seq.empty, buckets, "_mix_cum"))
+          Seq.empty, buckets, "_mix_cum", shareExchange = false))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     }
   }
