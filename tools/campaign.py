@@ -102,34 +102,46 @@ def spark_scale(sfdir):
 def duck_scale(sfdir):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # Let DuckDB spill rather than OOM on memory-heavy shapes (the sf10
+    # packed-sequence string_agg) — the generous-to-DuckDB configuration.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = pathlib.Path(sfdir) / f"{t}.parquet"
         if p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     per = {}
+    errs = {}
     for name in FAIR:
         if name not in ORACLE:
             continue
         times = []
-        for _ in range(2):
-            t0 = time.time()
-            con.execute(ORACLE[name]).fetchall()
-            times.append(time.time() - t0)
-        per[name] = min(times)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(ORACLE[name]).fetchall()
+                times.append(time.time() - t0)
+            per[name] = min(times)
+        except Exception as e:
+            # Record and continue: a one-query DuckDB failure (e.g. OOM on
+            # the sf10 packed-sequence string_agg) must not kill the whole
+            # campaign. Totals/marginals only ever use duck∩spark queries,
+            # so an errored query simply drops out of both sides' sums.
+            errs[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[duckdb {sfdir}] {name} ERR {errs[name]}", flush=True)
     con.close()
-    print(f"[duckdb {sfdir}] {len(per)} queries", flush=True)
-    return per
+    print(f"[duckdb {sfdir}] {len(per)} queries, {len(errs)} errors", flush=True)
+    return per, errs
 
 
 result = {"sessions": SESSIONS, "fair_n": len(FAIR), "probes": {}, "scales": {}}
 result["probes"]["start"] = wait_fast()
 for label, sfdir in SCALES:
-    d = duck_scale(sfdir)
+    d, derrs = duck_scale(sfdir)
     s = spark_scale(sfdir)
     both = sorted(set(d) & set(s))
     result["scales"][label] = {
-        "dir": sfdir, "duck": d, "spark": s,
+        "dir": sfdir, "duck": d, "spark": s, "duck_errors": derrs,
         "duck_total": sum(d[k] for k in both),
         "spark_total": sum(s[k] for k in both),
     }
