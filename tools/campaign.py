@@ -99,7 +99,7 @@ def spark_scale(sfdir):
     return per
 
 
-def duck_scale(sfdir):
+def duck_conn(sfdir):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     # Let DuckDB spill rather than OOM on memory-heavy shapes (the sf10
@@ -110,11 +110,20 @@ def duck_scale(sfdir):
         if p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def duck_scale(sfdir):
     per = {}
     errs = {}
     for name in FAIR:
         if name not in ORACLE:
             continue
+        # Fresh connection per query: a memory-heavy query (the sf10
+        # packed-sequence string_agg) otherwise poisons the shared pool and
+        # cascades tiny-allocation OOMs into unrelated cheap queries.
+        # Warmth lives in the OS page cache, which connections share.
+        con = duck_conn(sfdir)
         times = []
         try:
             for _ in range(2):
@@ -123,13 +132,13 @@ def duck_scale(sfdir):
                 times.append(time.time() - t0)
             per[name] = min(times)
         except Exception as e:
-            # Record and continue: a one-query DuckDB failure (e.g. OOM on
-            # the sf10 packed-sequence string_agg) must not kill the whole
-            # campaign. Totals/marginals only ever use duck∩spark queries,
-            # so an errored query simply drops out of both sides' sums.
+            # Record and continue: a one-query DuckDB failure must not kill
+            # the campaign. Totals/marginals only ever use duck∩spark
+            # queries, so an errored query drops out of both sides' sums.
             errs[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[duckdb {sfdir}] {name} ERR {errs[name]}", flush=True)
-    con.close()
+        finally:
+            con.close()
     print(f"[duckdb {sfdir}] {len(per)} queries, {len(errs)} errors", flush=True)
     return per, errs
 
