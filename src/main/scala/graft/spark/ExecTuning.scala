@@ -52,7 +52,16 @@ object ExecTuning {
     * 100 TB the size gate never fires and codegen always runs. */
   val SmallQueryCodegenKey = "spark.graft.smallQueryCodegen"
 
-  /** Total static size estimate of the plan's leaves (bytes). */
+  /** Total static size estimate of the plan's leaves (bytes).
+    *
+    * Deliberately sums EVERY leaf, counting a twice-scanned file twice. A
+    * distinct-by-file variant was measured (round 8) and reverted: it
+    * read as the "purer" data-scale proxy, but re-scan count correlates
+    * with plan work (multi-pass dedup shapes that shingle-explode the
+    * corpus scan it repeatedly), and deduping flipped those past the
+    * small-query gate at derived sf10 — AQE off + trimmed shuffle width
+    * on an LSH verify turned 4 s gates into 45 s. Leaf-sum is the
+    * empirically safe under-approximation of "small". */
   def inputBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum

@@ -77,12 +77,73 @@ object Mix {
   /**
    * Per-group DOC-COUNT caps — "at most N documents per domain", the
    * C4/RefinedWeb-style dominance guard — as [[byTokenBudget]] with unit
-   * weights: same deterministic fill order, same skew-proof bucketed
-   * prefix sum, `cum_docs` is the doc's 1-based rank in its group.
+   * weights: same deterministic fill order, `cum_docs` is the doc's
+   * 1-based rank in its group.
+   *
+   * == The bounded-heap path ==
+   *
+   * Count caps are the one budget shape whose output size is known
+   * DRIVER-SIDE before any job runs: group g keeps at most budget(g)
+   * docs, and the budgets were just collected (dimension-sized by
+   * contract). When the largest cap is small — the realistic case: C4
+   * caps domains at hundreds of pages, not millions — the whole fill is
+   * a k-argument min_by per group ([[graft.aggregates.MinMaxByK]], the
+   * same bounded heap the ANN top-k rides): map-side partials ship at
+   * most K pairs per group per partition, so the shuffle carries
+   * O(groups × K) rows instead of the corpus, there is no window sort at
+   * all, and high-cardinality group keys (millions of domains) get their
+   * parallelism from the group hash for free. The cumsum path remains
+   * for large caps (`spark.graft.mix.heapCapMaxK`, default 1024; 0
+   * disables the heap path) — a heap of millions per group would ship
+   * full-corpus partials anyway.
+   *
+   * Both paths are value-identical: rank-in-(md5(key), key)-order ≤ cap
+   * (the oracle gate and the cross-path spec prove it).
    */
   def byCountBudget(df: DataFrame, keyCol: String, groupCol: String,
-      budgets: DataFrame, buckets: Int = 256): DataFrame =
-    byWeightBudget(df, keyCol, lit(1L), groupCol, budgets, buckets, "cum_docs")
+      budgets: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val cumCol = "cum_docs"
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    val (rows, bdg) = localDims(budgets, groupCol,
+      col("budget").cast("long").as("_mix_budget"), "budgets")
+    val kMax = if (rows.isEmpty) 0L
+      else rows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).max
+    val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
+      HeapCapMaxKKey, DefaultHeapCapMaxK)
+    if (kMax <= heapCap && heapCap > 0) {
+      // min_by_k(key, (md5(key), key), K) per group = the first K docs of
+      // the group in fill order; posexplode position + 1 is exactly the
+      // rank the cumsum path calls cum_docs.
+      val k = math.max(1L, kMax).toInt
+      val narrow = df.select(col(groupCol), col(keyCol),
+        TextFunctions.md5Hex(col(keyCol).cast("string")).as("_mix_h"))
+      val kept = narrow.groupBy(col(groupCol))
+        .agg(graft.functions.min_by_k(col(keyCol),
+          struct(col("_mix_h"), col(keyCol)), k).as("_mix_keys"))
+        .join(broadcast(bdg), Seq(groupCol))
+        .select(col("_mix_budget"),
+          posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
+        .withColumn(cumCol, col("_mix_p") + lit(1L))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col("_mix_k").as(keyCol), col(cumCol))
+      df.join(kept, Seq(keyCol))
+        .select(df.columns.map(col) :+ col(cumCol): _*)
+    } else {
+      byWeightBudget(df, keyCol, lit(1L), groupCol, budgets, buckets, cumCol)
+    }
+  }
+
+  /** Largest per-group count cap the [[byCountBudget]] bounded-heap path
+    * accepts (`spark.graft.mix.heapCapMaxK`); caps above it fall back to
+    * the bucketed cumsum. 0 disables the heap path (spec/A-B device). */
+  private[graft] val HeapCapMaxKKey = "spark.graft.mix.heapCapMaxK"
+  private[graft] val DefaultHeapCapMaxK: Long = 1024L
 
   /** Hard cap on the dims-table collect in [[localDims]] — the
     * "dimension-sized by contract" bound made explicit. */
@@ -95,10 +156,12 @@ object Mix {
    * corpus aggregation when the dims derive from the corpus, as
    * "budget per observed source" pipelines do), duplicate-group
    * validation driver-side with the same eager IllegalArgumentException,
-   * and the subsequent broadcast is free (no re-computation).
+   * and the subsequent broadcast is free (no re-computation). Returns the
+   * collected rows too — path decisions (e.g. the [[byCountBudget]] heap
+   * cutover, a function of the max budget) read them for free.
    */
   private def localDims(dims: DataFrame, groupCol: String, valCol: Column,
-      what: String): DataFrame = {
+      what: String): (Array[org.apache.spark.sql.Row], DataFrame) = {
     val proj = dims.select(col(groupCol), valCol)
     val rows = proj.limit(MaxDimRows + 1).collect()
     require(rows.length <= MaxDimRows,
@@ -108,8 +171,8 @@ object Mix {
     require(dup.isEmpty,
       s"$what must have exactly one row per '$groupCol' " +
         s"(duplicated: ${dup.getOrElse("")})")
-    dims.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), proj.schema)
+    (rows, dims.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema))
   }
 
   private def byWeightBudget(df: DataFrame, keyCol: String, weight: Column,
@@ -122,7 +185,7 @@ object Mix {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with Mix " +
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
-    val bdg = localDims(budgets, groupCol,
+    val (_, bdg) = localDims(budgets, groupCol,
       col("budget").cast("long").as("_mix_budget"), "budgets")
     if (narrowCumsum(df)) {
       // Large input: the prefix sum runs on a NARROW (key, group, weight)
@@ -133,11 +196,13 @@ object Mix {
       // the budgets keep a small fraction — the usual curation case — AQE
       // turns the join-back into a broadcast and the corpus is never
       // shuffled at all. Requires keyCol unique (already the API
-      // contract: "unique document key").
+      // contract: "unique document key"). pruneBudget drops whole
+      // buckets whose starting offset already exceeds the group's budget
+      // BEFORE the window sort — when budgets keep a small fraction, the
+      // sort sees a sliver of the exchange instead of all of it.
       val narrow = df.select(col(keyCol), col(groupCol), weight.as("_mix_w"))
       val kept = withCumWeight(narrow, keyCol, col("_mix_w"),
-          Seq(groupCol), buckets, cumCol)
-        .join(broadcast(bdg), Seq(groupCol))
+          Seq(groupCol), buckets, cumCol, pruneBudget = Some(bdg))
         .where(col(cumCol) <= col("_mix_budget"))
         .select(col(keyCol), col(cumCol))
       df.join(kept, Seq(keyCol))
@@ -180,7 +245,8 @@ object Mix {
    */
   private[graft] def withCumWeight(df: DataFrame, keyCol: String,
       weight: Column, groupCols: Seq[String], buckets: Int,
-      cumCol: String, shareExchange: Boolean = true): DataFrame = {
+      cumCol: String, shareExchange: Boolean = true,
+      pruneBudget: Option[DataFrame] = None): DataFrame = {
     val gcols = groupCols.map(col)
     // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
@@ -219,7 +285,21 @@ object Mix {
     val wIn = Window.partitionBy(gcols :+ col("_mix_b"): _*)
       .orderBy(col("_mix_h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(offsets), groupCols :+ "_mix_b")
+    val joined = t.join(broadcast(offsets), groupCols :+ "_mix_b")
+    // Budget prune, BELOW the window sort: every weight is >= 0 (token
+    // counts / unit docs — the caller's invariant), so cum >= _mix_off for
+    // the whole bucket; a bucket whose starting offset exceeds its group's
+    // budget cannot contain a kept row and never enters the sort. The
+    // filter sits between the exchange and the Sort, so with tiny budgets
+    // (domain caps, toy mixes) the sort input collapses from the corpus to
+    // the few buckets still under budget. `_mix_budget` rides out for the
+    // caller's cum <= budget filter (no second broadcast join).
+    val pruned = pruneBudget match {
+      case Some(bdg) => joined.join(broadcast(bdg), groupCols)
+        .where(col("_mix_off") <= col("_mix_budget"))
+      case None => joined
+    }
+    pruned
       .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))
       .drop("_mix_h", "_mix_b", "_mix_off")
   }
@@ -354,7 +434,7 @@ object Mix {
       rates: DataFrame): DataFrame = {
     require(!df.columns.contains("_mix_rate"),
       "input column '_mix_rate' collides with a Mix temporary — rename it")
-    val rt = localDims(rates, groupCol,
+    val (_, rt) = localDims(rates, groupCol,
       col("rate").cast("double").as("_mix_rate"), "rates")
     val threshold = (col("_mix_rate") * lit((1L << 60).toDouble)).cast("long")
     df.join(broadcast(rt), Seq(groupCol))

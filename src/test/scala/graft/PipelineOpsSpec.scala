@@ -263,6 +263,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(narrow == wide && narrow._1.nonEmpty && narrow._2.nonEmpty)
   }
 
+  test("byCountBudget heap and cumsum paths are value-identical") {
+    // Caps that cut mid-group, a cap-0 group, and a cap above group size —
+    // every branch of the rank-vs-budget filter, proven equal across the
+    // bounded-heap path (default: kMax=25 <= 1024) and the bucketed
+    // cumsum (heap path disabled via conf).
+    val budgets = Seq(("s0", 3L), ("s1", 0L), ("s2", 25L)).toDF("source", "budget")
+    def run(): Set[(Long, String, Long)] =
+      Mix.byCountBudget(mixCorpus, "doc_id", "source", budgets)
+        .select($"doc_id", $"source", $"cum_docs")
+        .as[(Long, String, Long)].collect().toSet
+    val heap = run()
+    spark.conf.set(Mix.HeapCapMaxKKey, "0") // heap path off → cumsum
+    val cumsum = try run() finally spark.conf.unset(Mix.HeapCapMaxKKey)
+    assert(heap == cumsum && heap.nonEmpty)
+    assert(heap.count(_._2 == "s0") == 3 && !heap.exists(_._2 == "s1"))
+    // pass-through contract holds on the heap path too
+    val cols = Mix.byCountBudget(mixCorpus, "doc_id", "source", budgets).columns
+    assert(cols.toSeq == mixCorpus.columns.toSeq :+ "cum_docs")
+  }
+
   test("packSequences: empty docs occupy a position without consuming tokens") {
     val docs = Seq((1L, ""), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
     val got = Mix.packSequences(docs, "doc_id", "text", 2L)
