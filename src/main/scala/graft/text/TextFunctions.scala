@@ -282,17 +282,38 @@ object TextFunctions {
     // below a shared exchange — explode once, ReuseExchange, join deduped
     // pairs — was tried and is 1.7x SLOWER (2.7 s → 4.6 s): the pair
     // shuffle moves ~50M rows where THIS spelling shuffles almost nothing
-    // (counts reduces map-side to per-task vocabulary, AQE broadcasts it,
-    // and the doc aggregate's partials reduce before its exchange). The
-    // double explode is two memory-speed scans; the "optimization" was a
-    // real shuffle. On a skew-free million-token vocabulary the join falls
-    // back to a token-keyed shuffle join and both spellings converge.
-    tok.join(counts, "tok")
+    // (counts reduces map-side to per-task vocabulary, and the doc
+    // aggregate's partials reduce before its exchange). The double explode
+    // is two memory-speed scans; the "optimization" was a real shuffle.
+    //
+    // The vocab join must be broadcast at STATIC planning to get that
+    // plan: left to AQE, the conversion happens only after the probe-side
+    // exchange — all token occurrences, 99 MB at derived sf10 — is already
+    // materialized, a 2.6 s write+read of data the broadcast plan never
+    // ships (and below a shuffle join the doc aggregate cannot partial-
+    // reduce, because cnt arrives only after the shuffle). Statically the
+    // optimizer knows counts is small only by OUR contract, so this is
+    // size-gated the usual ExecTuning way: corpus under the threshold ⟹
+    // vocabulary (≤ distinct tokens, Heaps-law sublinear) is broadcast-
+    // sized; a 100 TB corpus keeps the adaptive token-keyed shuffle join,
+    // where a billion-token web vocabulary could not broadcast.
+    val vocabThreshold = graft.spark.ExecTuning.confLong(df.sparkSession,
+      BroadcastVocabBytesKey, DefaultBroadcastVocabBytes)
+    val small = vocabThreshold > 0 &&
+      (try graft.spark.ExecTuning.inputBytes(df) <= vocabThreshold
+       catch { case _: Exception => false })
+    val countsSide = if (small) broadcast(counts) else counts
+    tok.join(countsSide, "tok")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         sum(c("cnt")).as("freq_sum"),
         min(c("cnt")).as("min_freq"))
   }
+
+  /** Corpus-size ceiling under which [[tokenFrequencyStats]] broadcast-
+    * hints the vocabulary join (0 disables the hint). */
+  private[graft] val BroadcastVocabBytesKey = "spark.graft.text.broadcastVocabBytes"
+  private[graft] val DefaultBroadcastVocabBytes: Long = 256L << 20
 
   /**
    * Deterministic split assignment: label each row 'train'/'val'/'test'
