@@ -209,10 +209,11 @@ object Mix {
         .select(df.columns.map(col) :+ col(cumCol): _*)
     } else {
       // Small input: cumsum directly over the full rows — the join-back
-      // stage is pure floor when the whole corpus is a few MB.
+      // stage is pure floor when the whole corpus is a few MB. The budget
+      // prune applies here too (it subsumes the budgets join): full rows
+      // make the window sort it skips proportionally MORE expensive.
       withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
-          shareExchange = false)
-        .join(broadcast(bdg), Seq(groupCol))
+          shareExchange = false, pruneBudget = Some(bdg))
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
     }
