@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.Locale
 
 import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -123,6 +124,85 @@ object Multimodal {
     }
   }
 
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** `javax.sound.sampled`-backed audio decode (WAV/AU/AIFF — whatever the
+    * JDK providers claim), 16-bit PCM payloads: metadata from the stream
+    * format, features from the actual decoded samples, all channels pooled
+    * ([mean, std, min, max, rms] normalized by 2¹⁵, zero-padded to
+    * `featureDim`). Same honest boundary as [[ImageIoCodec]]: payloads no
+    * provider claims, or whose PCM isn't 16-bit, decode to null. */
+  object WavCodec {
+    def decode(payload: Array[Byte], featureDim: Int): (Row, Array[Float]) = {
+      var ais: AudioInputStream = null
+      try {
+        ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val nFrames = ais.getFrameLength.toInt
+        val raw = ais.readAllBytes()
+        val n = (raw.length / 2) // total 16-bit samples across channels
+        if (n == 0) return null
+        var sum, sumSq = 0.0
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i + 1 < raw.length) {
+          // 16-bit PCM, byte order per the stream format.
+          val s: Int =
+            if (fmt.isBigEndian) (raw(i) << 8) | (raw(i + 1) & 0xff)
+            else (raw(i + 1) << 8) | (raw(i) & 0xff)
+          sum += s; sumSq += s.toDouble * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 2
+        }
+        val mean = sum / n
+        val std = math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+        val rms = math.sqrt(sumSq / n)
+        val sc = 32768.0
+        val full = Array(mean / sc, std / sc, mn / sc, mx / sc, rms / sc)
+        val feats = Array.tabulate(featureDim)(j =>
+          if (j < full.length) full(j).toFloat else 0.0f)
+        val name = AudioSystem.getAudioFileFormat(
+          new ByteArrayInputStream(payload)).getType.getExtension
+        (Row(fmt.getSampleRate.toInt, channels, nFrames,
+          fmt.getSampleSizeInBits, name), feats)
+      } catch {
+        case scala.util.control.NonFatal(_) => null
+      } finally if (ais != null) ais.close()
+    }
+  }
+
+  /** Audio counterpart of [[decode]]: binary payloads → `meta`
+    * ([[AudioMetaSchema]]) + `features`, per-partition streaming, nulls for
+    * undecodable payloads. */
+  def decodeAudio(df: DataFrame, payloadCol: String, featureDim: Int = 8): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("meta", AudioMetaSchema, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val decoded =
+          if (payload == null) null
+          else WavCodec.decode(payload, featureDim)
+        if (decoded == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else Row.fromSeq(r.toSeq ++ Seq(decoded._1, decoded._2))
+      }
+    }
+  }
+
   /** Explode a decoded asset into one row per sampled frame (`every`-th). */
   def sampleFrames(decoded: DataFrame, every: Int = 1): DataFrame =
     decoded.withColumn("frame_no",
@@ -172,6 +252,67 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ fixturePayload(id))
       }
     }
+  }
+
+  /**
+   * Synthetic-but-REAL audio assets: per id, a 16-bit PCM WAV written
+   * through the actual JDK encoder (`AudioSystem.write`). Every parameter
+   * is a closed form of the id, so an independent oracle can predict what
+   * a true decode must recover from the samples themselves:
+   *
+   *   sample_rate = 8000 + (id % 4) · 4000
+   *   channels    = 1 + (id % 2)
+   *   n_frames    = 256 + ((id · 13) % 512)
+   *   a           = (id · 37) % 256 − 128,  b = (id · 91) % 256 − 128
+   *   sample(frame i, channel c) = (a if i even else b) + c
+   *
+   * so with ha = ⌈n_frames/2⌉, hb = ⌊n_frames/2⌋ the pooled-sample sum is
+   * `channels·(ha·a + hb·b) + n_frames·channels·(channels−1)/2`, the min
+   * is `min(a,b)` and the max `max(a,b) + channels − 1`. |sum| < 2¹⁷ and
+   * features normalize by 2¹⁵, so `round(mean_feat · N · 32768)` recovers
+   * the sum bit-exactly through the float features (same device as the
+   * image fixture's channel sums).
+   */
+  def syntheticAudioAssets(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val idx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row.fromSeq(r.toSeq :+ audioFixturePayload(id))
+      }
+    }
+  }
+
+  /** One WAV asset's bytes (see [[syntheticAudioAssets]] closed forms). */
+  private[graft] def audioFixturePayload(id: Long): Array[Byte] = {
+    val sr = 8000 + (id % 4).toInt * 4000
+    val channels = 1 + (id % 2).toInt
+    val frames = 256 + ((id * 13) % 512).toInt
+    val a = ((id * 37) % 256).toInt - 128
+    val b = ((id * 91) % 256).toInt - 128
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    var o = 0
+    while (i < frames) {
+      val base = if (i % 2 == 0) a else b
+      var c = 0
+      while (c < channels) {
+        val s = base + c
+        pcm(o) = (s & 0xff).toByte          // little-endian 16-bit
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos) finally ais.close()
+    baos.toByteArray
   }
 
   /** One asset's bytes (see [[syntheticAssets]] for the closed forms). */

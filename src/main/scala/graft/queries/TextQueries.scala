@@ -155,6 +155,33 @@ object TextQueries {
           round(element_at(col("features"), 3).cast("double") * px).cast("long").as("sum_b"))
         .orderBy("doc_id", "frame_no")
     }),
+    "mm_audio_features" -> ((s, dir) => {
+      // REAL audio decode, oracle-checked: deterministic 16-bit PCM WAV
+      // assets (real javax.sound encodes — closed forms at
+      // Multimodal.syntheticAudioAssets) stream through the JDK codec per
+      // partition; stream metadata and pooled-sample sum/min/max recovered
+      // FROM THE DECODED SAMPLES must equal the oracle's predictions from
+      // doc_id alone. |sum| < 2^17 and features normalize by 2^15, so
+      // round(mean·N·32768) recovers the sum bit-exactly through floats.
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 400)
+      val payloads = graft.multimodal.Multimodal.syntheticAudioAssets(ids, "doc_id")
+      val decoded = graft.multimodal.Multimodal.decodeAudio(payloads, "payload", featureDim = 8)
+      val n = col("meta.n_frames").cast("double") * col("meta.channels").cast("double")
+      decoded.select(col("doc_id"),
+          col("meta.sample_rate").cast("long").as("sample_rate"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.bits").cast("long").as("bits"),
+          col("meta.format").as("format"),
+          round(element_at(col("features"), 1).cast("double") * n * lit(32768.0))
+            .cast("long").as("sample_sum"),
+          round(element_at(col("features"), 3).cast("double") * lit(32768.0))
+            .cast("long").as("sample_min"),
+          round(element_at(col("features"), 4).cast("double") * lit(32768.0))
+            .cast("long").as("sample_max"))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
@@ -444,6 +471,25 @@ object TextQueries {
            blu * width * height AS sum_b
          FROM m, LATERAL unnest(range(0, n_frames, 2)) AS f(frame_no)
          ORDER BY doc_id, f.frame_no""",
+    // Audio twin of mm_decode_features: sample_sum depends on every decoded
+    // PCM sample (alternating a/b per frame, +c per channel), so a fake
+    // decode cannot match the closed forms.
+    "mm_audio_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             8000 + (doc_id % 4) * 4000 AS sample_rate,
+             1 + (doc_id % 2) AS channels,
+             256 + ((doc_id * 13) % 512) AS n_frames,
+             (doc_id * 37) % 256 - 128 AS a,
+             (doc_id * 91) % 256 - 128 AS b
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, sample_rate, channels, n_frames,
+           CAST(16 AS BIGINT) AS bits, 'wav' AS format,
+           channels * (((n_frames + 1) // 2) * a + (n_frames // 2) * b)
+             + n_frames * channels * (channels - 1) // 2 AS sample_sum,
+           least(a, b) AS sample_min,
+           greatest(a, b) + channels - 1 AS sample_max
+         FROM m ORDER BY doc_id""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,

@@ -83,6 +83,39 @@ class MultimodalSpec extends SparkSuite {
     assert(sampled.toSeq == Seq(0, 2))
   }
 
+  test("decodeAudio recovers true WAV metadata and sample stats") {
+    // id 6 → mono 16kHz, id 9 → stereo; closed forms at syntheticAudioAssets
+    val d = Multimodal.decodeAudio(Seq(
+      (6L, Multimodal.audioFixturePayload(6L)),
+      (9L, Multimodal.audioFixturePayload(9L)),
+      (10L, Array[Byte](1, 2, 3, 4)),      // undecodable
+      (11L, Multimodal.fixturePayload(2L)) // a PNG is not audio
+    ).toDF("asset_id", "payload").repartition(2), "payload", featureDim = 8)
+    val rows = d.orderBy("asset_id").collect()
+    def check(r: org.apache.spark.sql.Row, id: Long): Unit = {
+      val m = r.getStruct(2)
+      val channels = 1 + (id % 2).toInt
+      val frames = 256 + ((id * 13) % 512).toInt
+      val a = ((id * 37) % 256).toInt - 128
+      val b = ((id * 91) % 256).toInt - 128
+      assert(m.getAs[Int]("sample_rate") == 8000 + (id % 4).toInt * 4000)
+      assert(m.getAs[Int]("channels") == channels)
+      assert(m.getAs[Int]("n_frames") == frames)
+      assert(m.getAs[Int]("bits") == 16 && m.getAs[String]("format") == "wav")
+      val f = r.getSeq[Float](3)
+      val n = frames.toLong * channels
+      val sum = channels.toLong * (((frames + 1) / 2) * a + (frames / 2) * b) +
+        frames.toLong * channels * (channels - 1) / 2
+      assert(math.round(f(0).toDouble * n * 32768.0) == sum, s"sum id=$id")
+      assert(math.round(f(2).toDouble * 32768.0) == math.min(a, b))
+      assert(math.round(f(3).toDouble * 32768.0) == math.max(a, b) + channels - 1)
+    }
+    check(rows(0), 6L)
+    check(rows(1), 9L)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    assert(rows(3).isNullAt(2) && rows(3).isNullAt(3))
+  }
+
   test("resizeMeta caps the longest side, preserves schema") {
     val d = Multimodal.resizeMeta(
       Multimodal.decode(assets.where(col("asset_id") === 2L), "payload"), maxSide = 16)
