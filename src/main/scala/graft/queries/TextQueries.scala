@@ -182,6 +182,26 @@ object TextQueries {
             .cast("long").as("sample_max"))
         .orderBy("doc_id")
     }),
+    "mm_video_meta" -> ((s, dir) => {
+      // ISO BMFF container-metadata parse (public ISO/IEC 14496-12 box
+      // layout): deterministic minimal MP4s with closed-form fields —
+      // mvhd v0/v1, tkhd v0/v1, free-box padding, an 0x0 audio track —
+      // parsed per partition; recovered metadata must equal the oracle's
+      // closed forms. Container parsing only: no JDK frame decoder exists
+      // (honesty note at Multimodal.Mp4Meta).
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 400)
+      val payloads = graft.multimodal.Multimodal.syntheticVideoAssets(ids, "doc_id")
+      graft.multimodal.Multimodal.parseVideoMeta(payloads, "payload")
+        .select(col("doc_id"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.timescale").cast("long").as("timescale"),
+          col("meta.n_tracks").cast("long").as("n_tracks"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.brand").as("brand"))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprints" -> ((s, dir) => {
       // rows-only: deterministic rolling-hash fingerprint + simhash + langid
       Tables.load(s, dir, "documents")
@@ -489,6 +509,20 @@ object TextQueries {
              + n_frames * channels * (channels - 1) // 2 AS sample_sum,
            least(a, b) AS sample_min,
            greatest(a, b) + channels - 1 AS sample_max
+         FROM m ORDER BY doc_id""",
+    // Video twin: closed-form ISO BMFF fields (see syntheticVideoAssets).
+    "mm_video_meta" ->
+      """WITH m AS (
+           SELECT doc_id,
+             600 + (doc_id % 5) * 100 AS timescale,
+             6000 + (doc_id * 17) % 9000 AS duration,
+             1 + (doc_id % 2) AS n_tracks,
+             320 + (doc_id % 64) * 2 AS width,
+             180 + ((doc_id * 3) % 64) * 2 AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, duration * 1000 // timescale AS duration_ms,
+           timescale, n_tracks, width, height, brand
          FROM m ORDER BY doc_id""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

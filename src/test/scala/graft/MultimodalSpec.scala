@@ -116,6 +116,34 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).isNullAt(2) && rows(3).isNullAt(3))
   }
 
+  test("parseVideoMeta recovers box-tree metadata from minimal MP4s") {
+    // id 12: v0 boxes, free-box padding (12%4=0? no — use 14: 14%4=2),
+    // id 15: mvhd v1 + tkhd v1 (15%3=0) + audio track; id 16: plain v0.
+    val d = Multimodal.parseVideoMeta(Seq(
+      (14L, Multimodal.videoFixturePayload(14L)),
+      (15L, Multimodal.videoFixturePayload(15L)),
+      (16L, Multimodal.videoFixturePayload(16L)),
+      (17L, Multimodal.fixturePayload(2L)),          // a PNG is not BMFF
+      (18L, null.asInstanceOf[Array[Byte]])
+    ).toDF("asset_id", "payload").repartition(2), "payload")
+    val rows = d.orderBy("asset_id").collect()
+    def check(r: org.apache.spark.sql.Row, id: Long): Unit = {
+      val m = r.getStruct(2)
+      val ts = 600 + (id % 5).toInt * 100
+      val dur = 6000L + (id * 17) % 9000
+      assert(m.getAs[Int]("timescale") == ts, s"ts id=$id")
+      assert(m.getAs[Long]("duration_ms") == dur * 1000L / ts)
+      assert(m.getAs[Int]("n_tracks") == 1 + (id % 2).toInt)
+      assert(m.getAs[Int]("width") == 320 + (id % 64).toInt * 2)
+      assert(m.getAs[Int]("height") == 180 + ((id * 3) % 64).toInt * 2)
+      assert(m.getAs[String]("brand") == (if (id % 2 == 0) "isom" else "mp42"))
+    }
+    check(rows(0), 14L) // free-box padding skipped by the walker
+    check(rows(1), 15L) // 64-bit mvhd + v1 tkhd + 0x0 audio track ignored
+    check(rows(2), 16L)
+    assert(rows(3).isNullAt(2) && rows(4).isNullAt(2))
+  }
+
   test("resizeMeta caps the longest side, preserves schema") {
     val d = Multimodal.resizeMeta(
       Multimodal.decode(assets.where(col("asset_id") === 2L), "payload"), maxSide = 16)
