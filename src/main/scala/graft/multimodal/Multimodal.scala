@@ -106,22 +106,43 @@ object Multimodal {
    * never leave the executor, only compact features/metadata shuffle.
    * Undecodable payloads yield null meta/features.
    */
-  def decode(df: DataFrame, payloadCol: String, featureDim: Int = 16): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("meta", MetaSchema, nullable = true),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
-    val idx = df.schema.fieldIndex(payloadCol)
+  def decode(df: DataFrame, payloadCol: String, featureDim: Int = 16): DataFrame =
+    appendDecoded(df, payloadCol, MetaSchema)(ImageIoCodec.decode(_, featureDim))
+
+  /** The shared per-partition scaffold: append `newFields` computed from
+    * each row by `fn`, streaming through the Row encoder (rows never
+    * accumulate; payload bytes never leave the executor). */
+  private def appendComputed(df: DataFrame, newFields: Seq[StructField])(
+      fn: Row => Seq[Any]): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ newFields)
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        val decoded =
-          if (payload == null) null
-          else ImageIoCodec.decode(payload, featureDim)
-        if (decoded == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
-        else Row.fromSeq(r.toSeq ++ Seq(decoded._1, decoded._2))
-      }
+    df.mapPartitions(rows => rows.map(r => Row.fromSeq(r.toSeq ++ fn(r))))
+  }
+
+  /** Codec entry-point scaffold: payload → (`meta`: metaSchema,
+    * `features`: float array), nulls for null/undecodable payloads. */
+  private def appendDecoded(df: DataFrame, payloadCol: String,
+      metaSchema: StructType)(
+      codec: Array[Byte] => (Row, Array[Float])): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    appendComputed(df, Seq(
+      StructField("meta", metaSchema, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = true))) { r =>
+      val payload = r.get(idx).asInstanceOf[Array[Byte]]
+      val decoded = if (payload == null) null else codec(payload)
+      if (decoded == null) Seq(null, null) else Seq(decoded._1, decoded._2)
     }
+  }
+
+  /** Fixture-generator scaffold: `payload` bytes as a closed form of the
+    * long id column. */
+  private def appendPayload(df: DataFrame, idCol: String)(
+      payloadFn: Long => Array[Byte]): DataFrame = {
+    val idx = df.schema.fieldIndex(idCol)
+    appendComputed(df,
+      Seq(StructField("payload", BinaryType, nullable = false)))(
+      r => Seq(payloadFn(r.getLong(idx))))
   }
 
   val AudioMetaSchema: StructType = StructType(Seq(
@@ -141,15 +162,23 @@ object Multimodal {
     def decode(payload: Array[Byte], featureDim: Int): (Row, Array[Float]) = {
       var ais: AudioInputStream = null
       try {
-        ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-        val fmt = ais.getFormat
+        // One header parse up front yields both the container type and the
+        // stream format, and rejects non-PCM-16 before opening the stream.
+        val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
         if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
           fmt.getSampleSizeInBits != 16) return null
         val channels = fmt.getChannels
         val frameBytes = fmt.getFrameSize
-        val nFrames = ais.getFrameLength.toInt
+        if (frameBytes <= 0) return null
+        ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
         val raw = ais.readAllBytes()
-        val n = (raw.length / 2) // total 16-bit samples across channels
+        // Frame count from the bytes actually read, not getFrameLength —
+        // some providers report NOT_SPECIFIED (-1) for unknown-length
+        // headers (e.g. AU with 0xffffffff data size), and -1 in the
+        // metadata would silently corrupt any n_frames × channels math.
+        val nFrames = raw.length / frameBytes
+        val n = raw.length / 2 // total 16-bit samples across channels
         if (n == 0) return null
         var sum, sumSq = 0.0
         var mn = Int.MaxValue
@@ -172,10 +201,8 @@ object Multimodal {
         val full = Array(mean / sc, std / sc, mn / sc, mx / sc, rms / sc)
         val feats = Array.tabulate(featureDim)(j =>
           if (j < full.length) full(j).toFloat else 0.0f)
-        val name = AudioSystem.getAudioFileFormat(
-          new ByteArrayInputStream(payload)).getType.getExtension
         (Row(fmt.getSampleRate.toInt, channels, nFrames,
-          fmt.getSampleSizeInBits, name), feats)
+          fmt.getSampleSizeInBits, aff.getType.getExtension), feats)
       } catch {
         case scala.util.control.NonFatal(_) => null
       } finally if (ais != null) ais.close()
@@ -185,23 +212,8 @@ object Multimodal {
   /** Audio counterpart of [[decode]]: binary payloads → `meta`
     * ([[AudioMetaSchema]]) + `features`, per-partition streaming, nulls for
     * undecodable payloads. */
-  def decodeAudio(df: DataFrame, payloadCol: String, featureDim: Int = 8): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("meta", AudioMetaSchema, nullable = true),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
-    val idx = df.schema.fieldIndex(payloadCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        val decoded =
-          if (payload == null) null
-          else WavCodec.decode(payload, featureDim)
-        if (decoded == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
-        else Row.fromSeq(r.toSeq ++ Seq(decoded._1, decoded._2))
-      }
-    }
-  }
+  def decodeAudio(df: DataFrame, payloadCol: String, featureDim: Int = 8): DataFrame =
+    appendDecoded(df, payloadCol, AudioMetaSchema)(WavCodec.decode(_, featureDim))
 
   val VideoMetaSchema: StructType = StructType(Seq(
     StructField("duration_ms", LongType, nullable = false),
@@ -256,7 +268,7 @@ object Multimodal {
     def parse(payload: Array[Byte]): Row = {
       try {
         if (payload.length < 12 || fourcc(payload, 4) != "ftyp") return null
-        var brand = fourcc(payload, 8)
+        val brand = fourcc(payload, 8)
         var timescale = 0
         var duration = 0L
         var nTracks = 0
@@ -311,16 +323,11 @@ object Multimodal {
     * streaming like [[decode]]/[[decodeAudio]]; no features column —
     * there is no JDK frame decoder, and a fake one would be dishonest. */
   def parseVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("meta", VideoMetaSchema, nullable = true))
     val idx = df.schema.fieldIndex(payloadCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        val meta = if (payload == null) null else Mp4Meta.parse(payload)
-        Row.fromSeq(r.toSeq :+ meta)
-      }
+    appendComputed(df,
+      Seq(StructField("meta", VideoMetaSchema, nullable = true))) { r =>
+      val payload = r.get(idx).asInstanceOf[Array[Byte]]
+      Seq(if (payload == null) null else Mp4Meta.parse(payload))
     }
   }
 
@@ -362,18 +369,8 @@ object Multimodal {
    * Both writers are bit-exact here: the image is palette-typed with its
    * two exact colors, which PNG and GIF preserve losslessly.
    */
-  def syntheticAssets(df: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("payload", BinaryType, nullable = false))
-    val idx = df.schema.fieldIndex(idCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row.fromSeq(r.toSeq :+ fixturePayload(id))
-      }
-    }
-  }
+  def syntheticAssets(df: DataFrame, idCol: String): DataFrame =
+    appendPayload(df, idCol)(fixturePayload)
 
   /**
    * Synthetic-but-REAL audio assets: per id, a 16-bit PCM WAV written
@@ -394,18 +391,8 @@ object Multimodal {
    * the sum bit-exactly through the float features (same device as the
    * image fixture's channel sums).
    */
-  def syntheticAudioAssets(df: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("payload", BinaryType, nullable = false))
-    val idx = df.schema.fieldIndex(idCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row.fromSeq(r.toSeq :+ audioFixturePayload(id))
-      }
-    }
-  }
+  def syntheticAudioAssets(df: DataFrame, idCol: String): DataFrame =
+    appendPayload(df, idCol)(audioFixturePayload)
 
   /**
    * Synthetic minimal-but-well-formed ISO BMFF assets with closed-form
@@ -421,18 +408,8 @@ object Multimodal {
    * ids, tkhd version 1 when id % 3 = 0, and a `free` box inserted before
    * `moov` when id % 4 = 2 (the walker must skip it).
    */
-  def syntheticVideoAssets(df: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("payload", BinaryType, nullable = false))
-    val idx = df.schema.fieldIndex(idCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row.fromSeq(r.toSeq :+ videoFixturePayload(id))
-      }
-    }
-  }
+  def syntheticVideoAssets(df: DataFrame, idCol: String): DataFrame =
+    appendPayload(df, idCol)(videoFixturePayload)
 
   /** One MP4 asset's bytes (see [[syntheticVideoAssets]] closed forms). */
   private[graft] def videoFixturePayload(id: Long): Array[Byte] = {

@@ -116,13 +116,18 @@ object Mix {
       else rows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).max
     val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
       HeapCapMaxKKey, DefaultHeapCapMaxK)
-    if (kMax <= heapCap && heapCap > 0) {
+    // kMax <= Int.MaxValue: a conf raised past 2^31 must fall back, not
+    // wrap the heap size through toInt.
+    if (heapCap > 0 && kMax <= heapCap && kMax <= Int.MaxValue) {
       // min_by_k(key, (md5(key), key), K) per group = the first K docs of
       // the group in fill order; posexplode position + 1 is exactly the
-      // rank the cumsum path calls cum_docs.
+      // rank the cumsum path calls cum_docs. Null keys are excluded here
+      // exactly as in the cumsum path (the fill order is a function of
+      // the key — a null key has no position in it).
       val k = math.max(1L, kMax).toInt
-      val narrow = df.select(col(groupCol), col(keyCol),
-        TextFunctions.md5Hex(col(keyCol).cast("string")).as("_mix_h"))
+      val narrow = df.where(col(keyCol).isNotNull)
+        .select(col(groupCol), col(keyCol),
+          TextFunctions.md5Hex(col(keyCol).cast("string")).as("_mix_h"))
       val kept = narrow.groupBy(col(groupCol))
         .agg(graft.functions.min_by_k(col(keyCol),
           struct(col("_mix_h"), col(keyCol)), k).as("_mix_keys"))
@@ -135,7 +140,10 @@ object Mix {
       df.join(kept, Seq(keyCol))
         .select(df.columns.map(col) :+ col(cumCol): _*)
     } else {
-      byWeightBudget(df, keyCol, lit(1L), groupCol, budgets, buckets, cumCol)
+      // Reuse the already-collected budgets — running localDims again
+      // would re-execute the budgets plan (a full corpus aggregation when
+      // budgets derive from the corpus).
+      byWeightBudgetWith(df, keyCol, lit(1L), groupCol, bdg, buckets, cumCol)
     }
   }
 
@@ -187,6 +195,14 @@ object Mix {
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
     val (_, bdg) = localDims(budgets, groupCol,
       col("budget").cast("long").as("_mix_budget"), "budgets")
+    byWeightBudgetWith(df, keyCol, weight, groupCol, bdg, buckets, cumCol)
+  }
+
+  /** [[byWeightBudget]] body over an already-localized budgets relation
+    * (callers that collected budgets themselves must not collect twice). */
+  private def byWeightBudgetWith(df: DataFrame, keyCol: String, weight: Column,
+      groupCol: String, bdg: DataFrame, buckets: Int,
+      cumCol: String): DataFrame = {
     if (narrowCumsum(df)) {
       // Large input: the prefix sum runs on a NARROW (key, group, weight)
       // projection and only the kept keys join back to the full corpus.
@@ -252,7 +268,12 @@ object Mix {
     // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
-    val t0 = df
+    // Null keys are excluded up front: the fill order is a function of the
+    // key, so a null key has no position in it — and without the filter a
+    // null hash would occupy its own sorts-first bucket, shifting every
+    // real row's cumulative value (and diverging from the heap path,
+    // whose min_by_k ignores null-keyed rows by arg_min semantics).
+    val t0 = df.where(col(keyCol).isNotNull)
       .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
       .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",

@@ -283,6 +283,34 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cols.toSeq == mixCorpus.columns.toSeq :+ "cum_docs")
   }
 
+  test("null keys are excluded from every fill path — no offset shift") {
+    // The fill order is a function of the key, so a null key has no
+    // position in it. Before the explicit filter, the cumsum path let the
+    // null-hash row occupy a sorts-first slot (shifting every real rank)
+    // while the heap path's min_by_k ignored it — divergent paths.
+    val withNull = mixCorpus.select($"doc_id".cast("long").as("doc_id"),
+        $"source", $"text")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "s0", "w w w"))
+        .toDF("doc_id", "source", "text").select($"doc_id".cast("long"),
+          $"source", $"text"))
+    val budgets = Seq(("s0", 3L), ("s1", 2L), ("s2", 25L)).toDF("source", "budget")
+    def counts(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Mix.byCountBudget(df, "doc_id", "source", budgets)
+        .select($"doc_id", $"cum_docs").as[(Long, Long)].collect().toSet
+    val clean = counts(mixCorpus)
+    assert(counts(withNull) == clean) // heap path: null row invisible
+    spark.conf.set(Mix.HeapCapMaxKKey, "0")
+    try assert(counts(withNull) == clean) // cumsum path: same
+    finally spark.conf.unset(Mix.HeapCapMaxKKey)
+    // token path too (wide + narrow shapes share withCumWeight's filter)
+    val tb = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
+    val tokClean = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", tb)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toSet
+    val tokNull = Mix.byTokenBudget(withNull, "doc_id", "text", "source", tb)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toSet
+    assert(tokNull == tokClean)
+  }
+
   test("packSequences: empty docs occupy a position without consuming tokens") {
     val docs = Seq((1L, ""), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
     val got = Mix.packSequences(docs, "doc_id", "text", 2L)
