@@ -1,0 +1,198 @@
+package graft.embedding
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic embedding clustering for corpus curation — the cluster
+ * stage of SemDeDup-style semantic dedup and cluster-balanced sampling
+ * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+ * through semantic deduplication"; the reference engine has no clustering
+ * surface — this is part of the LLM-pipeline layer, like Mix/Dedup).
+ *
+ * == Why integer Lloyd ==
+ *
+ * Float k-means is not reproducible across engines or partitionings: the
+ * centroid update is a distributed sum whose rounding depends on
+ * accumulation order, and a last-ulp difference can flip a near-tie
+ * assignment. Every selection operator in this library is a pure function
+ * of its inputs (the Mix/Dedup determinism contract), so the clustering
+ * is too: vectors are quantized to integers once (`round(x · 64)` clamped
+ * to [−127, 127] — ·64 is a power of two, exact in float and double, and
+ * `round` half-away-from-zero agrees across engines), distances are exact
+ * int64 sums, the centroid update divides exact integer sums with
+ * TRUNCATING division (Java `/`, DuckDB `//` — verified to agree on
+ * negatives), argmin ties break to the smallest cluster id, and empty
+ * clusters keep their previous centroid (the PqIndex convention). Every
+ * step is order-free integer math → byte-identical results everywhere,
+ * provable against a SQL oracle.
+ *
+ * == Scale shape ==
+ *
+ * Per iteration: one scan of the vectors (assignment is a per-row
+ * expression against broadcast literal centroids) + one partial-aggregated
+ * shuffle of k × dim per-partition sums — no row-level shuffle at all.
+ * Driver state is k × dim longs. Iterations are fixed (curation wants a
+ * budgeted pass, not convergence chasing). k is bounded by the literal
+ * broadcast (guarded at 65536, same ceiling as Mix buckets).
+ */
+object Cluster {
+
+  /** round-half-away-from-zero(x·scale) clamped to [−127, 127] — the
+    * quantization both engines compute identically (·scale with a
+    * power-of-two default is exact in double; DuckDB round() matches). */
+  private def quantizeValue(x: Double, scale: Int): Long = {
+    val r = math.rint(x * scale) match {
+      // rint is half-to-EVEN; engines round half AWAY — fix the halves.
+      case v if math.abs(x * scale - math.floor(x * scale)) == 0.5 =>
+        if (x > 0) math.floor(x * scale) + 1 else math.ceil(x * scale) - 1
+      case v => v
+    }
+    math.max(-127L, math.min(127L, r.toLong))
+  }
+
+  /** Eval-only quantizer: float vector → long vector (one tight loop per
+    * row; the HOF spelling — transform + round + clamp — paid interpreted
+    * lambda machinery per ELEMENT and was measured 3 orders slower). */
+  private[embedding] case class QuantizeVec(child: Expression, scale: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Long](vec.length)
+      var i = 0
+      while (i < vec.length) { out(i) = quantizeValue(vec(i), scale); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Eval-only fused quantize + nearest-centroid: float vector →
+    * struct(cluster, dist2), exact integer math, first-minimum tiebreak.
+    * Centroids ride in the expression (closure-serialized to executors —
+    * the broadcast), not as a k × dim literal tree. */
+  private[embedding] case class AssignCluster(child: Expression,
+      centroids: Array[Array[Long]], scale: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("dist2", LongType, nullable = false)))
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val q = new Array[Long](vec.length)
+      var i = 0
+      while (i < vec.length) { q(i) = quantizeValue(vec(i), scale); i += 1 }
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var d = 0L
+        var j = 0
+        val n = math.min(q.length, cent.length)
+        while (j < n) { val t = q(j) - cent(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c } // strict < : ties → smallest c
+        c += 1
+      }
+      InternalRow(best, bestD)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private def quantCol(vecCol: String, scale: Int): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(col(vecCol)), scale))
+
+  private def assignStruct(vecCol: String, cents: Array[Array[Long]],
+      scale: Int): Column =
+    Bridge.column(AssignCluster(Bridge.expression(col(vecCol)), cents, scale))
+
+  /**
+   * Deterministic integer-Lloyd k-means: `df` plus `cluster` (0-based) and
+   * `dist2` — the exact squared integer distance to the assigned centroid.
+   *
+   * Initial centroids are the quantized vectors of the `k` smallest ids
+   * (deterministic; if the input has fewer than `k` rows, k shrinks to
+   * the row count). Rows with NULL vectors are excluded (they have no
+   * position in any cluster). All vectors must share one dimension — the
+   * contract every vss_* operator already has.
+   */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 3, quantScale: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(quantScale >= 1, s"quantScale must be >= 1, got $quantScale")
+    val clash = df.columns.filter(c => c == "cluster" || c == "dist2" || c.startsWith("_km_"))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with kmeansAssign " +
+        "output ('cluster', 'dist2', '_km_*') — rename them first")
+    val base = df.where(col(vecCol).isNotNull)
+
+    // Deterministic init: the k smallest ids' quantized vectors.
+    val init: Array[Array[Long]] = base
+      .orderBy(col(idCol))
+      .select(quantCol(vecCol, quantScale).as("_km_q"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(init.nonEmpty, "kmeansAssign needs at least one non-null vector")
+    var cents = init
+
+    var it = 0
+    while (it < iters) {
+      // One pass: assignment + per-(cluster, dim) exact integer sums.
+      // posexplode keeps the shuffle k x dim x partitions (partial agg),
+      // never row-scaled.
+      val sums = base
+        .select(assignStruct(vecCol, cents, quantScale)("cluster").as("_km_c"),
+          posexplode(quantCol(vecCol, quantScale)).as(Seq("_km_d", "_km_v")))
+        .groupBy(col("_km_c"), col("_km_d"))
+        .agg(sum(col("_km_v")).as("_km_s"), count(lit(1)).as("_km_n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        // Truncating division — matches DuckDB's `//` on negatives too.
+        next(c)(d) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+
+    base
+      .withColumn("_km_a", assignStruct(vecCol, cents, quantScale))
+      .withColumn("cluster", col("_km_a.cluster"))
+      .withColumn("dist2", col("_km_a.dist2"))
+      .drop("_km_a")
+  }
+
+  /**
+   * Cluster-balanced deterministic sample — the selection stage of
+   * SemDeDup-style curation: cluster, then keep the first `perCluster`
+   * rows of each cluster in md5(id) order (the library-wide deterministic
+   * fill order). One bounded-heap aggregate per cluster
+   * ([[graft.aggregates.MinMaxByK]]): the shuffle carries
+   * O(k × perCluster) partials, never the corpus.
+   */
+  def clusterSample(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      perCluster: Int, iters: Int = 3, quantScale: Int = 64): DataFrame = {
+    require(perCluster >= 1 && perCluster <= (1 << 20),
+      s"perCluster must be in [1, ${1 << 20}], got $perCluster")
+    val assigned = kmeansAssign(df, vecCol, idCol, k, iters, quantScale)
+    val h = graft.text.TextFunctions.md5Hex(col(idCol).cast("string"))
+    val kept = assigned
+      .select(col("cluster"), col(idCol), h.as("_km_h"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.min_by_k(col(idCol),
+        struct(col("_km_h"), col(idCol)), perCluster).as("_km_ids"))
+      .select(explode(col("_km_ids")).as(idCol))
+    assigned.join(kept, Seq(idCol))
+      .select(df.columns.map(col) :+ col("cluster"): _*)
+  }
+}

@@ -54,6 +54,19 @@ object VectorFunctionQueries {
           round(array_inner_product(n, n), 4).as("unit"))
         .orderBy("vec_id")
     }),
+    "emb_kmeans" -> ((s, dir) => {
+      // Deterministic integer-Lloyd clustering (SemDeDup's cluster stage):
+      // quantize(round(x*64), clamp 127) -> k=8, 3 update steps, truncating
+      // integer centroid division, argmin ties to the smallest cluster.
+      // Every step is order-free integer math, so the oracle's unrolled
+      // SQL replay must match byte-for-byte (cluster AND exact dist2).
+      graft.embedding.Cluster.kmeansAssign(
+          Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 3)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2"))
+        .orderBy("vec_id")
+    }),
     "vss_quantize_i8" -> ((s, dir) => {
       // Codes proven byte-exact via md5 of the comma-joined list; the
       // dequantized reconstruction closes the loop through
@@ -106,6 +119,76 @@ object VectorFunctionQueries {
            round(list_inner_product(nu::DOUBLE[], v::DOUBLE[]), 4) AS d,
            round(list_inner_product(nu::DOUBLE[], nu::DOUBLE[]), 4) AS unit
          FROM nv ORDER BY vec_id""",
+    // Integer Lloyd unrolled: init = 8 smallest vec_ids, three
+    // assignment+update rounds, final assignment. All-integer (quantized
+    // vectors, exact sums, truncating `//`), so the replay is exact.
+    "emb_kmeans" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> greatest(-127, least(127,
+               CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                  v AS cent
+           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+         a1 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c0.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c0.cent[i]) * (q.v[i] - c0.cent[i]))) AS d2
+                 FROM q, c0)),
+         s1 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c1 AS (
+           SELECT c0.c, coalesce(u.cent, c0.cent) AS cent
+           FROM c0 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s1 GROUP BY c)
+             u USING (c)),
+         a2 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c1.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c1.cent[i]) * (q.v[i] - c1.cent[i]))) AS d2
+                 FROM q, c1)),
+         s2 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c2 AS (
+           SELECT c1.c, coalesce(u.cent, c1.cent) AS cent
+           FROM c1 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s2 GROUP BY c)
+             u USING (c)),
+         a3 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c2.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c2.cent[i]) * (q.v[i] - c2.cent[i]))) AS d2
+                 FROM q, c2)),
+         s3 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a3 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c3 AS (
+           SELECT c2.c, coalesce(u.cent, c2.cent) AS cent
+           FROM c2 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s3 GROUP BY c)
+             u USING (c)),
+         af AS (
+           SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, c3.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
+                 FROM q, c3))
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+         FROM af WHERE rn = 1 ORDER BY vec_id""",
     "vss_quantize_i8" ->
       """WITH q AS (
            SELECT vec_id, embedding AS v,

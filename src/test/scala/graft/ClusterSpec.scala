@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.embedding.Cluster
+
+/** Deterministic integer-Lloyd clustering + cluster-balanced sampling. */
+class ClusterSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // Two well-separated blobs on a 4-dim grid: ids 1-10 near (1,1,0,0),
+  // ids 11-20 near (-1,-1,0,0). Offsets are small enough that the blobs
+  // never overlap after x64 quantization.
+  private lazy val blobs = (1 to 20).map { i =>
+    val s = if (i <= 10) 1.0f else -1.0f
+    val eps = (i % 5) * 0.01f
+    (i.toLong, Array(s + eps, s - eps, eps, -eps))
+  }.toDF("vec_id", "embedding")
+
+  test("kmeansAssign separates well-separated blobs deterministically") {
+    val got = Cluster.kmeansAssign(blobs, "embedding", "vec_id", k = 2, iters = 3)
+      .select($"vec_id", $"cluster", $"dist2").as[(Long, Int, Long)].collect()
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet == Set((1L to 10L).toSet, (11L to 20L).toSet))
+    // pure function: identical on a rerun and under different partitioning
+    val again = Cluster.kmeansAssign(blobs.repartition(7), "embedding", "vec_id",
+      k = 2, iters = 3).select($"vec_id", $"cluster", $"dist2")
+      .as[(Long, Int, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // dist2 is the exact integer distance to the assigned centroid (>= 0)
+    assert(got.forall(_._3 >= 0L))
+  }
+
+  test("kmeansAssign: null vectors excluded, column clash rejected, k > n shrinks") {
+    val withNull = blobs.union(Seq((99L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val got = Cluster.kmeansAssign(withNull, "embedding", "vec_id", k = 2)
+    assert(got.count() == 20 && !got.select("vec_id").as[Long].collect().contains(99L))
+    intercept[IllegalArgumentException] {
+      Cluster.kmeansAssign(blobs.withColumn("cluster", lit(1)), "embedding",
+        "vec_id", k = 2)
+    }
+    // fewer rows than k: every row its own cluster seed, nothing lost
+    val tiny = Cluster.kmeansAssign(blobs.limit(3), "embedding", "vec_id", k = 8)
+    assert(tiny.count() == 3)
+  }
+
+  test("clusterSample keeps perCluster rows per cluster in md5(id) order") {
+    val kept = Cluster.clusterSample(blobs, "embedding", "vec_id", k = 2,
+      perCluster = 3).select($"vec_id").as[Long].collect().toSet
+    assert(kept.size == 6)
+    // the kept ids of each blob are its first 3 in md5-hash order — the
+    // same deterministic fill order as Mix/deterministicSample
+    val expect = (1 to 20).groupBy(_ <= 10).values.flatMap { ids =>
+      ids.sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).take(3)
+    }.map(_.toLong).toSet
+    assert(kept == expect)
+    // pass-through contract: input columns + cluster
+    val cols = Cluster.clusterSample(blobs, "embedding", "vec_id", 2, 3).columns
+    assert(cols.toSeq == Seq("vec_id", "embedding", "cluster"))
+  }
+}
