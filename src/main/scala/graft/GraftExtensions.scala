@@ -65,7 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,
       "lateral_topk" -> graft.sql.TvfMacros.lateralTopKTvf,
-      "ivfpq_topk" -> graft.sql.TvfMacros.ivfPqTopKTvf
+      "ivfpq_topk" -> graft.sql.TvfMacros.ivfPqTopKTvf,
+      // Deterministic embedding clustering (SemDeDup cluster stage).
+      "kmeans_assign" -> graft.sql.TvfMacros.kmeansAssignTvf,
+      "cluster_sample" -> graft.sql.TvfMacros.clusterSampleTvf
     ).foreach { case (name, builder) =>
       e.injectTableFunction((
         FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))

@@ -229,6 +229,42 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** kmeans_assign(TABLE(t), 'vec_col', 'id_col', k[, iters[, quant_scale]])
+    * — deterministic integer-Lloyd cluster assignment (+ `cluster`,
+    * `dist2`); see [[graft.embedding.Cluster.kmeansAssign]]. */
+  def kmeansAssignTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 6) throw new IllegalArgumentException(
+      s"kmeans_assign(t, vec_col, id_col, k[, iters[, quant_scale]]) takes " +
+        s"4 to 6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.embedding.Cluster.kmeansAssign(
+      table(spark, args(0), "kmeans_assign t"),
+      str(args(1), "kmeans_assign vec_col"),
+      str(args(2), "kmeans_assign id_col"),
+      intLit(args(3), "kmeans_assign k"),
+      if (args.length >= 5) intLit(args(4), "kmeans_assign iters") else 3,
+      if (args.length == 6) intLit(args(5), "kmeans_assign quant_scale") else 64)
+      .queryExecution.analyzed
+  }
+
+  /** cluster_sample(TABLE(t), 'vec_col', 'id_col', k, per_cluster
+    * [, iters]) — cluster-balanced deterministic sample (SemDeDup-style
+    * curation); see [[graft.embedding.Cluster.clusterSample]]. */
+  def clusterSampleTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 5 || args.length > 6) throw new IllegalArgumentException(
+      s"cluster_sample(t, vec_col, id_col, k, per_cluster[, iters]) takes " +
+        s"5 or 6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.embedding.Cluster.clusterSample(
+      table(spark, args(0), "cluster_sample t"),
+      str(args(1), "cluster_sample vec_col"),
+      str(args(2), "cluster_sample id_col"),
+      intLit(args(3), "cluster_sample k"),
+      intLit(args(4), "cluster_sample per_cluster"),
+      if (args.length == 6) intLit(args(5), "cluster_sample iters") else 3)
+      .queryExecution.analyzed
+  }
+
   /** sample_by_rates(TABLE(corpus), TABLE(rates), 'key_col', 'group_col')
     * — proportional per-group sampling; the rates table carries
     * (group_col, rate) rows. See [[graft.text.Mix.bySampleRates]]. */

@@ -47,6 +47,22 @@ class ClusterSpec extends SparkSuite {
     assert(tiny.count() == 3)
   }
 
+  test("SQL surface: kmeans_assign / cluster_sample TVFs") {
+    blobs.createOrReplaceTempView("blob_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, cluster, dist2 FROM kmeans_assign(TABLE(blob_vecs), " +
+        "'embedding', 'vec_id', 2)").as[(Long, Int, Long)].collect().toSet
+    val viaApi = Cluster.kmeansAssign(blobs, "embedding", "vec_id", k = 2)
+      .select($"vec_id", $"cluster", $"dist2").as[(Long, Int, Long)].collect().toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    val sampled = spark.sql(
+      "SELECT vec_id FROM cluster_sample(TABLE(blob_vecs), 'embedding', " +
+        "'vec_id', 2, 3)").as[Long].collect().toSet
+    val apiSampled = Cluster.clusterSample(blobs, "embedding", "vec_id", 2, 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sampled == apiSampled && sampled.size == 6)
+  }
+
   test("clusterSample keeps perCluster rows per cluster in md5(id) order") {
     val kept = Cluster.clusterSample(blobs, "embedding", "vec_id", k = 2,
       perCluster = 3).select($"vec_id").as[Long].collect().toSet
