@@ -113,13 +113,35 @@ object Dedup {
       .where(size(col("sig")) > 0)
 
   /** Distinct candidate pairs (id_a < id_b) whose signatures collide in at
-    * least one of `bands` bands of `k/bands` rows each. */
-  def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    * least one of `bands` bands of `k/bands` rows each.
+    *
+    * `maxBucketSize` (0 = unlimited, the default — gate semantics) is the
+    * hot-bucket escape hatch production near-dedup pipelines carry
+    * (BigCode's near-dedup and Dolma both cap or special-case oversized
+    * LSH buckets): a band bucket of B members emits B(B−1)/2 candidate
+    * pairs, so one degenerate bucket — boilerplate, templated spam, a
+    * corpus of replicas — can dominate the whole job quadratically.
+    * Capping SKIPS buckets larger than the bound (their members can still
+    * pair through their other `bands − 1` buckets), trading recall ONLY
+    * on items whose every shared band is oversized, for a hard
+    * per-bucket work bound. */
+  def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(maxBucketSize >= 0, "maxBucketSize must be >= 0 (0 = unlimited)")
     val r = k / bands
-    val banded = signatures.select(col("id"),
+    val banded0 = signatures.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as("band_key"))
+    val banded =
+      if (maxBucketSize == 0) banded0
+      else {
+        // One count window on the same band_key the join shuffles on —
+        // the exchange is shared, the filter runs before any pair exists.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+        banded0.withColumn("_bn", count(lit(1)).over(w))
+          .where(col("_bn") <= maxBucketSize).drop("_bn")
+      }
     banded.as("x").join(banded.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -134,24 +156,26 @@ object Dedup {
    */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 0): DataFrame = {
     // The signature set feeds both sides of the band self-join; the sides
     // canonicalize to one exchange (reuse), so the minhash stage runs once
     // without caching it.
     val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
-    verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
+    verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands,
+      maxBucketSize)
   }
 
   /** Band join + exact-Jaccard verification over prepared (id, sig) rows —
     * the shared tail of [[nearDupPairs]] and [[dropNearDuplicates]]. */
   private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
-      idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int): DataFrame = {
+      idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
     // The candidate subtree feeds both the id fetch and the outer verify
     // join below; everything stays lazy — AQE's stage cache reuses the
     // materialized band-join stages across the two consumers, and keeps
     // exact runtime sizes so the semi-join flips to broadcast when the
     // candidate set is small.
-    val cands = lshCandidatePairs(sigs, k, bands)
+    val cands = lshCandidatePairs(sigs, k, bands, maxBucketSize)
     val sets = candidateShingleSets(cands,
       df.select(col(idCol).cast("long").as("id"),
         wordShinglesSorted(col(textCol), shingleN).as("sh")))
@@ -327,7 +351,8 @@ object Dedup {
    */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxIterations: Int = 10): DataFrame = {
+      seed: Long = 42L, maxIterations: Int = 10,
+      maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // One pass over the text computes BOTH the exact-dup hash and the
     // minhash signature; a window over the hash then splits exact losers
@@ -355,7 +380,8 @@ object Dedup {
     // cluster minimum, so the kept set is unchanged.
     val sigs = marked.where(col("id") === col("_keep"))
       .where(size(col("sig")) > 0).select(col("id"), col("sig"))
-    val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands)
+    val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold,
+      shingleN, k, bands, maxBucketSize)
     val nearLosers = nearDupClusters(pairs, maxIterations)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))

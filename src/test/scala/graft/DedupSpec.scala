@@ -389,6 +389,37 @@ class DedupSpec extends SparkSuite {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("lshCandidatePairs maxBucketSize: oversized buckets skipped, others intact") {
+    // Hand-built signatures, k=4 / bands=2 (band = 2 sig slots): ids 1-5
+    // share one full signature (both band buckets size 5), ids 6-7 share
+    // another (buckets size 2), id 8 collides with 1-5 in band 0 ONLY
+    // (band-0 bucket size 6).
+    val s1 = Seq(10L, 11L, 20L, 21L)
+    val s2 = Seq(30L, 31L, 40L, 41L)
+    val s3 = Seq(10L, 11L, 50L, 51L) // band 0 = s1's, band 1 distinct
+    val sigs = ((1L to 5L).map((_, s1)) ++ Seq((6L, s2), (7L, s2), (8L, s3)))
+      .toDF("id", "sig")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.lshCandidatePairs(sigs, k = 4, bands = 2, maxBucketSize = cap)
+        .as[(Long, Long)].collect().toSet
+    val all = pairs(0)
+    assert(all == ((1L to 5L).combinations(2).map(c => (c(0), c(1))).toSet
+      ++ Set((6L, 7L)) ++ (1L to 5L).map((_, 8L)).toSet))
+    // cap 4: both s1 buckets (5) and the band-0 bucket (6) oversized ->
+    // only the size-2 bucket survives
+    assert(pairs(4) == Set((6L, 7L)))
+    // cap 6: the size-6 band-0 bucket passes, s1's band-1 bucket (5) too
+    assert(pairs(6) == all)
+    // nearDupPairs threads the cap end-to-end: a corpus of one repeated
+    // text (every band oversized) yields no pairs under the cap, all
+    // C(4,2) verified pairs without it
+    val rep = (1 to 4).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8,
+      maxBucketSize = 3).count() == 0)
+  }
+
   test("deterministicSample: reproducible, nested across fractions, near-rate") {
     import spark.implicits._
     val ids = spark.range(10000L).select(col("id").as("doc_id"))
