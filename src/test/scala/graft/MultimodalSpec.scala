@@ -144,6 +144,32 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).isNullAt(2) && rows(4).isNullAt(2))
   }
 
+  test("codecs never throw on corrupt payloads: truncations and random bytes") {
+    // Every prefix truncation of a real payload, plus seeded random junk —
+    // a corrupt asset must yield null (or a best-effort parse), never an
+    // exception that would kill a corpus job.
+    val realImg = Multimodal.fixturePayload(3L)
+    val realWav = Multimodal.audioFixturePayload(6L)
+    val realMp4 = Multimodal.videoFixturePayload(15L)
+    val rnd = new scala.util.Random(42)
+    val junk = (1 to 50).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+    }
+    val cases = junk ++
+      (0 until realImg.length by 7).map(realImg.take) ++
+      (0 until realWav.length by 97).map(realWav.take) ++
+      (0 until realMp4.length by 11).map(realMp4.take)
+    cases.foreach { payload =>
+      Multimodal.ImageIoCodec.decode(payload, 8) // null or value, no throw
+      Multimodal.WavCodec.decode(payload, 8)
+      Multimodal.Mp4Meta.parse(payload)
+    }
+    // and all three reject each other's intact formats cleanly
+    assert(Multimodal.WavCodec.decode(realImg, 8) == null)
+    assert(Multimodal.Mp4Meta.parse(realWav) == null)
+    assert(Multimodal.ImageIoCodec.decode(realMp4, 8) == null)
+  }
+
   test("resizeMeta caps the longest side, preserves schema") {
     val d = Multimodal.resizeMeta(
       Multimodal.decode(assets.where(col("asset_id") === 2L), "payload"), maxSide = 16)
