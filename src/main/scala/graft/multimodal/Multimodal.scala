@@ -467,12 +467,16 @@ object Multimodal {
   }
 
   /** One WAV asset's bytes (see [[syntheticAudioAssets]] closed forms). */
-  private[graft] def audioFixturePayload(id: Long): Array[Byte] = {
-    val sr = 8000 + (id % 4).toInt * 4000
-    val channels = 1 + (id % 2).toInt
-    val frames = 256 + ((id * 13) % 512).toInt
-    val a = ((id * 37) % 256).toInt - 128
-    val b = ((id * 91) % 256).toInt - 128
+  private[graft] def audioFixturePayload(id: Long): Array[Byte] =
+    buildWav(8000 + (id % 4).toInt * 4000, 1 + (id % 2).toInt,
+      256 + ((id * 13) % 512).toInt,
+      ((id * 37) % 256).toInt - 128, ((id * 91) % 256).toInt - 128)
+
+  /** Parameterized WAV writer behind [[audioFixturePayload]] — also the
+    * device the WavCodec property test drives with arbitrary
+    * (sr, channels, frames, a, b). Sample(i, c) = (a if i even else b) + c. */
+  private[graft] def buildWav(sr: Int, channels: Int, frames: Int,
+      a: Int, b: Int): Array[Byte] = {
     val pcm = new Array[Byte](frames * channels * 2)
     var i = 0
     var o = 0

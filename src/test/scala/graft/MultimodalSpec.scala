@@ -144,6 +144,65 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).isNullAt(2) && rows(4).isNullAt(2))
   }
 
+  test("Mp4Meta parses 64-bit largesize boxes (size32 == 1 + u64 size)") {
+    // Rewrap a fixture's moov as a largesize box: size32=1, type, u64 size
+    // covering the 16-byte header + original payload. The walker must read
+    // the 64-bit length and still find mvhd/tkhd at their offsets.
+    val orig = Multimodal.videoFixturePayload(16L)
+    // locate the moov box (ftyp is first; moov follows at its size)
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var off = 0
+    while (new String(orig, off + 4, 4, "US-ASCII") != "moov") off += u32(orig, off)
+    val moovPayload = orig.slice(off + 8, off + u32(orig, off))
+    val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+    bb.putInt(1) // size32 == 1 -> largesize follows the type
+    bb.put("moov".getBytes("US-ASCII"))
+    bb.putLong(16L + moovPayload.length)
+    bb.put(moovPayload)
+    val rewrapped = orig.take(off) ++ bb.array()
+    val m = Multimodal.Mp4Meta.parse(rewrapped)
+    // schemaless Row — positional: (duration_ms, timescale, n_tracks, w, h, brand)
+    assert(m != null)
+    assert(m.getInt(1) == 600 + (16 % 5) * 100)
+    assert(m.getInt(3) == 320 + (16 % 64) * 2)
+    assert(m.getInt(2) == 1)
+  }
+
+  test("WavCodec property: decode recovers the closed forms for arbitrary params") {
+    // Arbitrary (sr, channels, frames, a, b) through the real JDK encode →
+    // decode loop: metadata, pooled sum (through the float features, the
+    // same recovery the gate does), and exact min/max must match the
+    // closed forms — not just on the fixture's id-derived parameter grid.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      sr <- Gen.chooseNum(4000, 48000)
+      ch <- Gen.chooseNum(1, 2)
+      fr <- Gen.chooseNum(1, 2000)
+      a <- Gen.chooseNum(-128, 127)
+      b <- Gen.chooseNum(-128, 127)
+    } yield (sr, ch, fr, a, b)
+    val prop = Prop.forAll(gen) { case (sr, ch, fr, a, b) =>
+      val decoded = Multimodal.WavCodec.decode(
+        Multimodal.buildWav(sr, ch, fr, a, b), 8)
+      val (m, f) = (decoded._1, decoded._2)
+      val n = fr.toLong * ch
+      val sum = ch.toLong * (((fr + 1) / 2).toLong * a + (fr / 2).toLong * b) +
+        fr.toLong * ch * (ch - 1) / 2
+      // fr == 1 → only even frame indices exist, b never appears
+      val (lo, hi) = if (fr == 1) (a, a) else (math.min(a, b), math.max(a, b))
+      m.getInt(0) == sr && m.getInt(1) == ch && m.getInt(2) == fr &&
+        m.getInt(3) == 16 && m.getString(4) == "wav" &&
+        math.round(f(0).toDouble * n * 32768.0) == sum &&
+        math.round(f(2).toDouble * 32768.0) == lo &&
+        math.round(f(3).toDouble * 32768.0) == hi + ch - 1
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("codecs never throw on corrupt payloads: truncations and random bytes") {
     // Every prefix truncation of a real payload, plus seeded random junk —
     // a corrupt asset must yield null (or a best-effort parse), never an
