@@ -569,6 +569,61 @@ object TextHash {
    * token boundary offsets in one pass and emits zero-copy-adjacent
    * substrings, identical to `array_to_string(w[a:b], ' ')` in the oracle.
    */
+  /**
+   * Remove every token covered by a `size`-token window starting at any
+   * index in `starts` (ASCENDING longs — the caller sorts, like
+   * [[jaccardSimSorted]]'s contract): struct(text rebuilt from the kept
+   * tokens single-space-joined, n_removed). The span-removal half of
+   * exact substring dedup (Lee et al. 2021): the caller supplies the
+   * start positions of corpus-repeated windows; a token at index k is
+   * removed iff some start s satisfies s ≤ k < s + size. One sweep with
+   * a coverage-end watermark — O(tokens + starts) per document.
+   */
+  def dropCoveredTokens(s: UTF8String, starts: ArrayData, size: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var st = new Array[Int](16)
+    var nTokens = 0
+    var i = 0
+    var tokenStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTokens == st.length) st = java.util.Arrays.copyOf(st, nTokens * 2)
+        st(nTokens) = tokenStart
+        nTokens += 1
+        tokenStart = i + 1
+      }
+      i += 1
+    }
+    def tokenEnd(k: Int): Int =
+      if (k == nTokens - 1) bytes.length else st(k + 1) - 1
+    val ss = starts.toLongArray()
+    val kept = new Array[UTF8String](nTokens)
+    var nKept = 0
+    var removed = 0L
+    var p = 0
+    var covEnd = -1L
+    var k = 0
+    while (k < nTokens) {
+      while (p < ss.length && ss(p) <= k) {
+        val e = ss(p) + size
+        if (e > covEnd) covEnd = e
+        p += 1
+      }
+      if (k < covEnd) {
+        removed += 1
+      } else {
+        kept(nKept) = UTF8String.fromBytes(bytes, st(k), tokenEnd(k) - st(k))
+        nKept += 1
+      }
+      k += 1
+    }
+    val outText = UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, nKept).toIndexedSeq: _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](outText, removed))
+  }
+
   def chunkTokens(s: UTF8String, size: Int, stride: Int): ArrayData = {
     require(size > 0 && stride > 0, "chunk size and stride must be positive")
     val bytes = s.getBytes
@@ -742,6 +797,27 @@ case class Md5Hex(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Hex($c)")
   override def prettyName: String = "md5_hex"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** drop_covered_tokens(text, starts ARRAY<BIGINT> ascending, size) ->
+  * STRUCT<text: STRING, n_removed: BIGINT> — see
+  * [[TextHash.dropCoveredTokens]]. */
+case class DropCoveredTokens(left: Expression, right: Expression, size: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(size > 0, "window size must be positive")
+  override def inputTypes = Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.dropCoveredTokens(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[ArrayData], size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHash.dropCoveredTokens($a, $b, $size)")
+  override def prettyName: String = "drop_covered_tokens"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** chunk_tokens(text, size, stride) -> ARRAY<STRING> — see

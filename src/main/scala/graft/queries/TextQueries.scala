@@ -303,6 +303,19 @@ object TextQueries {
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "doc_substr_dedup" -> ((s, dir) => {
+      // EXACT substring dedup (Lee et al. 2021 ExactSubstr, window
+      // resolution): stride-1 5-token windows occurring >= 2x corpus-wide
+      // mark their covered tokens for removal in EVERY copy; docs rebuilt
+      // from the surviving tokens. Small window (fixture docs are 20-40
+      // tokens of a tiny vocabulary) so the rewrite is genuinely
+      // exercised; md5 pins the exact rebuilt text.
+      Dedup.dropRepeatedSubstrings(Tables.load(s, dir, "documents"),
+          "text", "doc_id", minTokens = 5)
+        .select(col("doc_id"), TF.md5Hex(col("text")).as("text_md5"),
+          col("n_tokens_removed"))
+        .orderBy("doc_id")
+    }),
     "doc_chunk_dedup" -> ((s, dir) => {
       // Chunk-level dedup (the line/paragraph-dedup analogue): 3-token
       // non-overlapping windows, corpus-wide first occurrence wins, docs
@@ -744,6 +757,27 @@ object TextQueries {
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_substr_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL),
+         g0 AS (SELECT doc_id, unnest(range(0, greatest(len(w) - 4, 0))) AS s, w
+                FROM w),
+         g AS (SELECT doc_id, s, array_to_string(w[s+1 : s+5], ' ') AS gram
+               FROM g0),
+         r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         rep AS (SELECT doc_id, s FROM g JOIN r USING (gram)),
+         t0 AS (SELECT doc_id, unnest(range(0, len(w))) AS j, w FROM w),
+         tok AS (SELECT doc_id, j, w[j+1] AS tok FROM t0),
+         keepj AS (SELECT t.doc_id, t.j, t.tok FROM tok t
+                   WHERE NOT EXISTS (SELECT 1 FROM rep
+                     WHERE rep.doc_id = t.doc_id
+                       AND rep.s <= t.j AND t.j < rep.s + 5)),
+         kept AS (SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS txt,
+                    count(*) AS nk
+                  FROM keepj GROUP BY doc_id)
+         SELECT w.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
+           CAST(len(w.w) - coalesce(k.nk, 0) AS BIGINT) AS n_tokens_removed
+         FROM w LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
     "doc_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),

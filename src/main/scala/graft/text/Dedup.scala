@@ -102,6 +102,63 @@ object Dedup {
         count(lit(1)).as("n_chunks_kept"))
   }
 
+  /**
+   * EXACT substring dedup at token resolution — the ExactSubstr step of
+   * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+   * Better"), re-expressed for a distributed engine: remove from every
+   * document every token covered by a `minTokens`-token window that
+   * occurs ≥ 2 times in the corpus (all copies are removed, as the paper
+   * recommends — train on text that appears once). Unlike
+   * [[dropRepeatedChunks]]'s aligned non-overlapping windows, windows
+   * here slide at STRIDE 1, so a repeated span is caught at any offset —
+   * the suffix-array semantics at window resolution, without the
+   * suffix array: a maximal repeated span of length ≥ minTokens is
+   * exactly a run of repeated stride-1 windows, and the union of their
+   * coverage is the span.
+   *
+   * Scale shape: one stride-1 window explode (rows ∝ corpus tokens; each
+   * window a zero-copy byte slice), a map-side-combined count per
+   * distinct window, an equi-join back to the window stream, one per-doc
+   * aggregate of repeated start positions, and a single-pass kernel
+   * ([[graft.expressions.TextHash.dropCoveredTokens]]) that rebuilds
+   * each text with a coverage-watermark sweep — no all-pairs stage, no
+   * driver state.
+   *
+   * Returns one row per non-NULL-text input row: (idCol, textCol
+   * rebuilt — possibly empty when the whole doc is repeated,
+   * n_tokens_removed).
+   */
+  def dropRepeatedSubstrings(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+    // Stride-1 windows; position = start token index. Tail windows
+    // shorter than minTokens never count (start + L <= n_tokens).
+    val grams = base.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("_ss_n"),
+        posexplode(TextFunctions.chunkTokens(col(textCol), minTokens, 1))
+          .as(Seq("_ss_start", "_ss_gram")))
+      .where(col("_ss_start") + minTokens <= col("_ss_n"))
+      .select(col(idCol), col("_ss_start"), col("_ss_gram"))
+    val repeated = grams.groupBy(col("_ss_gram"))
+      .agg(count(lit(1)).as("_ss_c"))
+      .where(col("_ss_c") >= 2)
+      .select(col("_ss_gram"))
+    val spans = grams.join(repeated, Seq("_ss_gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_ss_start").cast("long"))).as("_ss_starts"))
+    val rebuilt = Bridge.column(graft.expressions.DropCoveredTokens(
+      Bridge.expression(col(textCol)),
+      Bridge.expression(coalesce(col("_ss_starts"),
+        array().cast("array<bigint>"))),
+      minTokens))
+    base.join(spans, Seq(idCol), "left")
+      .withColumn("_ss_r", rebuilt)
+      .select(col(idCol), col("_ss_r.text").as(textCol),
+        col("_ss_r.n_removed").as("n_tokens_removed"))
+  }
+
   /** (id, sig) pairs — the shared first stage of the MinHash path. The
     * fused kernel never materializes shingle strings; only the 64×8-byte
     * signature flows into the band join (the property that matters when the

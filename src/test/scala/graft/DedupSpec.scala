@@ -389,6 +389,37 @@ class DedupSpec extends SparkSuite {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("dropRepeatedSubstrings: spans removed everywhere, overlaps merge") {
+    // 3-token windows. "a b c d" appears in docs 1 and 2 (offset 0 and 1):
+    // doc1 tokens a,b,c,d are covered by repeated windows (a b c), (b c d);
+    // doc2 likewise at offsets 1-4; doc3 shares no 3-window with anyone;
+    // doc4 is shorter than the window and passes through untouched.
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "z a b c d"),
+      (3L, "p q r s t"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSubstrings(docs, "text", "doc_id", minTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x", 4L),       // a,b,c,d removed (both windows repeat), x kept
+      (2L, "z", 4L),       // the other copy removed too (remove-all-copies)
+      (3L, "p q r s t", 0L),
+      (4L, "u v", 0L)))
+    // A doc that is entirely one repeated span rebuilds to the empty string
+    val twin = Seq((1L, "m n o"), (2L, "m n o")).toDF("doc_id", "text")
+    val t = Dedup.dropRepeatedSubstrings(twin, "text", "doc_id", minTokens = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(t == Seq((1L, "", 3L), (2L, "", 3L)))
+    // Repetition WITHIN one doc counts toward the >= 2 occurrences
+    val selfRep = Seq((1L, "a b c a b c"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    val sr = Dedup.dropRepeatedSubstrings(selfRep, "text", "doc_id", minTokens = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(sr.head == ((1L, "", 6L)))
+  }
+
   test("lshCandidatePairs maxBucketSize: oversized buckets skipped, others intact") {
     // Hand-built signatures, k=4 / bands=2 (band = 2 sig slots): ids 1-5
     // share one full signature (both band buckets size 5), ids 6-7 share
