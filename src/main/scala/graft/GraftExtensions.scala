@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup_drop_exact" -> graft.sql.TvfMacros.dedupDropExact,
       "dedup_near" -> graft.sql.TvfMacros.dedupNear,
       "dedup_drop" -> graft.sql.TvfMacros.dedupDrop,
+      "dedup_substr" -> graft.sql.TvfMacros.dedupSubstr,
       "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,
       "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
       "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,

@@ -120,6 +120,14 @@ object TvfMacros {
     dedupBuild("dedup_drop", args, 4, 4, (df, t, i) =>
       Dedup.dropNearDuplicates(df, t, i, dblLit(args(3), "dedup_drop threshold")))
 
+  /** dedup_substr(TABLE(t), 'text_col', 'id_col'[, min_tokens]) — exact
+    * substring dedup (Lee et al. 2021 ExactSubstr at window resolution);
+    * see [[graft.text.Dedup.dropRepeatedSubstrings]]. */
+  def dedupSubstr(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("dedup_substr", args, 3, 4, (df, t, i) =>
+      Dedup.dropRepeatedSubstrings(df, t, i,
+        if (args.length == 4) intLit(args(3), "dedup_substr min_tokens") else 50))
+
   def ngramJaccardJoin(args: Seq[Expression]): LogicalPlan =
     dedupBuild("ngram_jaccard_join", args, 4, 5, (df, t, i) =>
       Dedup.ngramJaccardPairs(df, t, i,

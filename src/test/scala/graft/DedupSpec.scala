@@ -418,6 +418,12 @@ class DedupSpec extends SparkSuite {
     val sr = Dedup.dropRepeatedSubstrings(selfRep, "text", "doc_id", minTokens = 3)
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(sr.head == ((1L, "", 6L)))
+    // SQL TVF surface mirrors the API
+    docs.createOrReplaceTempView("substr_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM dedup_substr(TABLE(substr_docs), 'text', 'doc_id', 3)")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(viaSql == got)
   }
 
   test("lshCandidatePairs maxBucketSize: oversized buckets skipped, others intact") {
