@@ -1,8 +1,7 @@
 package graft.embedding
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -60,9 +59,12 @@ object Cluster {
 
   /** Eval-only quantizer: float vector → long vector (one tight loop per
     * row; the HOF spelling — transform + round + clamp — paid interpreted
-    * lambda machinery per ELEMENT and was measured 3 orders slower). */
+    * lambda machinery per ELEMENT and was measured 3 orders slower).
+    * ExpectsInputTypes like every vector expression here: an
+    * ARRAY<DOUBLE> input must fail analysis, not reinterpret bytes. */
   private[embedding] case class QuantizeVec(child: Expression, scale: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val vec = v.asInstanceOf[ArrayData].toFloatArray()
@@ -75,15 +77,20 @@ object Cluster {
   }
 
   /** Eval-only fused quantize + nearest-centroid: float vector →
-    * struct(cluster, dist2), exact integer math, first-minimum tiebreak.
-    * Centroids ride in the expression (closure-serialized to executors —
-    * the broadcast), not as a k × dim literal tree. */
+    * struct(cluster, dist2, q) — q is the quantized vector, emitted so the
+    * iteration pass explodes it WITHOUT quantizing a second time (the
+    * Generate sits above the projection that evaluates this expression
+    * once per row). Exact integer math, first-minimum tiebreak. Centroids
+    * ride in the expression (closure-serialized to executors — the
+    * broadcast), not as a k × dim literal tree. */
   private[embedding] case class AssignCluster(child: Expression,
       centroids: Array[Array[Long]], scale: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = StructType(Seq(
       StructField("cluster", IntegerType, nullable = false),
-      StructField("dist2", LongType, nullable = false)))
+      StructField("dist2", LongType, nullable = false),
+      StructField("q", ArrayType(LongType, containsNull = false), nullable = false)))
     override def nullSafeEval(v: Any): Any = {
       val vec = v.asInstanceOf[ArrayData].toFloatArray()
       val q = new Array[Long](vec.length)
@@ -94,14 +101,18 @@ object Cluster {
       var c = 0
       while (c < centroids.length) {
         val cent = centroids(c)
+        // The one-dimension contract is enforced, not assumed: a silent
+        // min() here would turn a mixed-dim corpus into wrong clusters.
+        if (q.length != cent.length) throw new IllegalArgumentException(
+          s"kmeansAssign: vector dimension ${q.length} != centroid " +
+            s"dimension ${cent.length} — all vectors must share one dimension")
         var d = 0L
         var j = 0
-        val n = math.min(q.length, cent.length)
-        while (j < n) { val t = q(j) - cent(j); d += t * t; j += 1 }
+        while (j < q.length) { val t = q(j) - cent(j); d += t * t; j += 1 }
         if (d < bestD) { bestD = d; best = c } // strict < : ties → smallest c
         c += 1
       }
-      InternalRow(best, bestD)
+      InternalRow(best, bestD, new GenericArrayData(q))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -150,8 +161,9 @@ object Cluster {
       // posexplode keeps the shuffle k x dim x partitions (partial agg),
       // never row-scaled.
       val sums = base
-        .select(assignStruct(vecCol, cents, quantScale)("cluster").as("_km_c"),
-          posexplode(quantCol(vecCol, quantScale)).as(Seq("_km_d", "_km_v")))
+        .select(assignStruct(vecCol, cents, quantScale).as("_km_a"))
+        .select(col("_km_a.cluster").as("_km_c"),
+          posexplode(col("_km_a.q")).as(Seq("_km_d", "_km_v")))
         .groupBy(col("_km_c"), col("_km_d"))
         .agg(sum(col("_km_v")).as("_km_s"), count(lit(1)).as("_km_n"))
         .collect()

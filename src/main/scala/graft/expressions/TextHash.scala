@@ -579,22 +579,31 @@ object TextHash {
    * removed iff some start s satisfies s ≤ k < s + size. One sweep with
    * a coverage-end watermark — O(tokens + starts) per document.
    */
-  def dropCoveredTokens(s: UTF8String, starts: ArrayData, size: Int):
-      org.apache.spark.sql.catalyst.InternalRow = {
-    val bytes = s.getBytes
-    var st = new Array[Int](16)
+  /** Token-boundary scan shared by [[chunkTokens]] and
+    * [[dropCoveredTokens]]: (start byte offsets, token count) under the
+    * `split(text, ' ')` convention. Token k ends at starts(k+1) − 1 (the
+    * space) except the last, which ends at the byte length. */
+  private def tokenBoundaries(bytes: Array[Byte]): (Array[Int], Int) = {
+    var starts = new Array[Int](16)
     var nTokens = 0
     var i = 0
     var tokenStart = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
-        if (nTokens == st.length) st = java.util.Arrays.copyOf(st, nTokens * 2)
-        st(nTokens) = tokenStart
+        if (nTokens == starts.length) starts = java.util.Arrays.copyOf(starts, nTokens * 2)
+        starts(nTokens) = tokenStart
         nTokens += 1
         tokenStart = i + 1
       }
       i += 1
     }
+    (starts, nTokens)
+  }
+
+  def dropCoveredTokens(s: UTF8String, starts: ArrayData, size: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val (st, nTokens) = tokenBoundaries(bytes)
     def tokenEnd(k: Int): Int =
       if (k == nTokens - 1) bytes.length else st(k + 1) - 1
     val ss = starts.toLongArray()
@@ -627,21 +636,7 @@ object TextHash {
   def chunkTokens(s: UTF8String, size: Int, stride: Int): ArrayData = {
     require(size > 0 && stride > 0, "chunk size and stride must be positive")
     val bytes = s.getBytes
-    // boundaries(k) = byte offset where token k starts; token k ends at
-    // boundaries(k+1) - 1 (the space) except the last, which ends at EOS.
-    var starts = new Array[Int](16)
-    var nTokens = 0
-    var i = 0
-    var tokenStart = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        if (nTokens == starts.length) starts = java.util.Arrays.copyOf(starts, nTokens * 2)
-        starts(nTokens) = tokenStart
-        nTokens += 1
-        tokenStart = i + 1
-      }
-      i += 1
-    }
+    val (starts, nTokens) = tokenBoundaries(bytes)
     def tokenEnd(k: Int): Int =
       if (k == nTokens - 1) bytes.length else starts(k + 1) - 1
     val nChunks = 1 + (nTokens - 1) / stride

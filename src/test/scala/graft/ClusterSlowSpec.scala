@@ -6,12 +6,16 @@ import graft.embedding.Cluster
 
 /**
  * Scale-envelope test for [[graft.embedding.Cluster.kmeansAssign]]: 100k
- * 64-dim vectors planted on k=32 well-separated grid centers (center c at
- * coordinate 4·c in dims (c % 64) and ((c+1) % 64), zero elsewhere, plus a
- * ±0.05 per-row jitter that never crosses the quantized decision boundary).
- * The closed form: every vector must land on its planted center, cluster
- * populations are exactly n/k, and the assignment is identical under a
- * different partitioning — the determinism contract at 100k rows.
+ * 64-dim vectors planted on k=32 well-separated centers — group g puts
+ * ~1.0 in dims g and (g+1) % 64, zero elsewhere, with a ±0.05 per-row
+ * jitter that stays INSIDE the int8 quantization range (1.0·64 = 64 ± 3
+ * after rounding, nowhere near the ±127 clamp), so in-group vectors are
+ * genuinely distinct after quantization and the centroid averaging,
+ * truncating division and tiebreak all do real work. Groups use disjoint
+ * active dimensions, so recovery must still be exact: every vector lands
+ * on its planted center, populations are exactly n/k, and the assignment
+ * is identical under a different partitioning — the determinism contract
+ * at 100k rows.
  */
 class ClusterSlowSpec extends SparkSuite {
   import spark.implicits._
@@ -23,8 +27,8 @@ class ClusterSlowSpec extends SparkSuite {
     val vecs = spark.range(n).select(col("id").as("vec_id"),
       org.apache.spark.sql.functions.expr(
         s"""transform(sequence(0, ${dim - 1}), d ->
-              CAST(CASE WHEN d = CAST(id % $k AS INT) THEN 4.0 + (id % 11 - 5) * 0.01
-                        WHEN d = CAST((id % $k + 1) % $dim AS INT) THEN 4.0 - (id % 7 - 3) * 0.01
+              CAST(CASE WHEN d = CAST(id % $k AS INT) THEN 1.0 + (id % 11 - 5) * 0.01
+                        WHEN d = CAST((id % $k + 1) % $dim AS INT) THEN 1.0 - (id % 7 - 3) * 0.01
                         ELSE 0.0 END AS FLOAT))""").as("embedding"))
     val assigned = Cluster.kmeansAssign(vecs, "embedding", "vec_id", k = k,
       iters = 2)
