@@ -143,6 +143,24 @@ object Cluster {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with kmeansAssign " +
         "output ('cluster', 'dist2', '_km_*') — rename them first")
+    assignClusters(df,
+      fitCentroids(df, vecCol, idCol, k, iters, quantScale),
+      vecCol, quantScale)
+  }
+
+  /**
+   * The fit half of [[kmeansAssign]]: run the deterministic integer Lloyd
+   * and return the final centroids (k × dim longs — a model small enough
+   * to hold anywhere). Split out so the assignment can be applied where
+   * the iterative fit cannot run — a Structured Streaming query assigns
+   * clusters with [[assignClusters]] as a stateless per-row projection
+   * over centroids fitted on a batch corpus.
+   */
+  def fitCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 3, quantScale: Int = 64): Array[Array[Long]] = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(quantScale >= 1, s"quantScale must be >= 1, got $quantScale")
     val base = df.where(col(vecCol).isNotNull)
 
     // Deterministic init: the k smallest ids' quantized vectors.
@@ -152,7 +170,7 @@ object Cluster {
       .limit(k)
       .collect()
       .map(_.getSeq[Long](0).toArray)
-    require(init.nonEmpty, "kmeansAssign needs at least one non-null vector")
+    require(init.nonEmpty, "fitCentroids needs at least one non-null vector")
     var cents = init
 
     var it = 0
@@ -176,9 +194,21 @@ object Cluster {
       cents = next
       it += 1
     }
+    cents
+  }
 
-    base
-      .withColumn("_km_a", assignStruct(vecCol, cents, quantScale))
+  /** The apply half of [[kmeansAssign]]: `cluster` + `dist2` from given
+    * centroids — a stateless per-row projection (streaming-safe; NULL
+    * vectors are dropped, as in the fit). */
+  def assignClusters(df: DataFrame, centroids: Array[Array[Long]],
+      vecCol: String, quantScale: Int = 64): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    val clash = df.columns.filter(c => c == "cluster" || c == "dist2" || c.startsWith("_km_"))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with assignClusters " +
+        "output ('cluster', 'dist2', '_km_*') — rename them first")
+    df.where(col(vecCol).isNotNull)
+      .withColumn("_km_a", assignStruct(vecCol, centroids, quantScale))
       .withColumn("cluster", col("_km_a.cluster"))
       .withColumn("dist2", col("_km_a.dist2"))
       .drop("_km_a")

@@ -63,6 +63,35 @@ class ClusterSpec extends SparkSuite {
     assert(sampled == apiSampled && sampled.size == 6)
   }
 
+  test("fit on batch, assign on a stream: stateless streaming projection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // Fit once on the batch corpus; the model is k x dim longs.
+    val cents = Cluster.fitCentroids(blobs, "embedding", "vec_id", k = 2)
+    val batchAssign = Cluster.kmeansAssign(blobs, "embedding", "vec_id", k = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val mem = MemoryStream[(Long, Array[Float])]
+    val assigned = Cluster.assignClusters(
+      mem.toDF().toDF("vec_id", "embedding"), cents, "embedding")
+    val query = assigned.writeStream.format("memory").queryName("stream_clusters")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-km").toString)
+      .start()
+    try {
+      val rows = blobs.select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect()
+      mem.addData(rows.take(10): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(10): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("stream_clusters")
+        .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+      // per-row streaming assignment == the batch assignment, exactly
+      assert(streamed == batchAssign && streamed.size == 20)
+    } finally query.stop()
+  }
+
   test("clusterSample keeps perCluster rows per cluster in md5(id) order") {
     val kept = Cluster.clusterSample(blobs, "embedding", "vec_id", k = 2,
       perCluster = 3).select($"vec_id").as[Long].collect().toSet
