@@ -42,7 +42,9 @@ FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
     "doc_pii_redact", "doc_source_mix", "doc_top_ngrams", "doc_token_freq",
     "doc_pipeline_e2e", "doc_source_rates", "doc_url_domains",
     "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
-    "doc_chunk_dedup", "doc_pack_sequences", "doc_pack_emit"])
+    "doc_chunk_dedup", "doc_pack_sequences", "doc_pack_emit",
+    # round-8 late additions, same-algorithm on both engines:
+    "doc_substr_dedup", "emb_kmeans"])
 
 
 def probe():
