@@ -134,18 +134,24 @@ object Dedup {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol))
     // Stride-1 windows; position = start token index. Tail windows
-    // shorter than minTokens never count (start + L <= n_tokens).
+    // shorter than minTokens never count (start + L <= n_tokens). The
+    // window STRING collapses to its md5 before anything shuffles — at
+    // stride 1 the raw windows are ~minTokens x the corpus bytes, and
+    // shipping that through the count exchange would be the operator's
+    // scale killer (the same hash device dropRepeatedChunks uses for its
+    // window key). Counting by md5 is exact modulo 128-bit collisions.
     val grams = base.select(col(idCol),
         TextFunctions.tokenCount(col(textCol)).as("_ss_n"),
         posexplode(TextFunctions.chunkTokens(col(textCol), minTokens, 1))
           .as(Seq("_ss_start", "_ss_gram")))
       .where(col("_ss_start") + minTokens <= col("_ss_n"))
-      .select(col(idCol), col("_ss_start"), col("_ss_gram"))
-    val repeated = grams.groupBy(col("_ss_gram"))
+      .select(col(idCol), col("_ss_start"),
+        TextFunctions.md5Hex(col("_ss_gram")).as("_ss_h"))
+    val repeated = grams.groupBy(col("_ss_h"))
       .agg(count(lit(1)).as("_ss_c"))
       .where(col("_ss_c") >= 2)
-      .select(col("_ss_gram"))
-    val spans = grams.join(repeated, Seq("_ss_gram"))
+      .select(col("_ss_h"))
+    val spans = grams.join(repeated, Seq("_ss_h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_ss_start").cast("long"))).as("_ss_starts"))
     val rebuilt = Bridge.column(graft.expressions.DropCoveredTokens(
