@@ -63,6 +63,65 @@ class ClusterSpec extends SparkSuite {
     assert(sampled == apiSampled && sampled.size == 6)
   }
 
+  test("randomized cross-check vs an in-memory reference Lloyd (with ties)") {
+    // Plain-Scala reference of the same deterministic integer Lloyd; random
+    // datasets with DELIBERATE duplicate vectors stress the tiebreaks and
+    // the distributed partial aggregation in ways one fixture cannot.
+    def refKmeans(vecs: Seq[(Long, Array[Float])], k: Int, iters: Int,
+        scale: Int): Map[Long, (Int, Long)] = {
+      def quant(v: Array[Float]): Array[Long] = v.map { x =>
+        val d = x.toDouble * scale
+        val r = if (math.abs(d - math.floor(d)) == 0.5)
+          (if (x > 0) math.floor(d) + 1 else math.ceil(d) - 1)
+        else math.rint(d)
+        math.max(-127L, math.min(127L, r.toLong))
+      }
+      val q = vecs.sortBy(_._1).map { case (id, v) => (id, quant(v)) }
+      var cents = q.take(k).map(_._2.map(identity)).toArray
+      def assign(v: Array[Long]): (Int, Long) = {
+        var best = 0; var bestD = Long.MaxValue
+        for (c <- cents.indices) {
+          var d = 0L
+          for (j <- v.indices) { val t = v(j) - cents(c)(j); d += t * t }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        (best, bestD)
+      }
+      for (_ <- 0 until iters) {
+        val byC = q.groupBy { case (_, v) => assign(v)._1 }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          byC.get(c) match {
+            case Some(members) =>
+              Array.tabulate(old.length)(j =>
+                members.map(_._2(j)).sum / members.length)
+            case None => old
+          }
+        }
+      }
+      q.map { case (id, v) => id -> assign(v) }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(120)
+      val dim = 2 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(4)
+      val base = (1 to n).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)))
+      // duplicate ~25% of vectors under fresh ids: exact distance ties
+      val dups = base.filter(_._1 % 4 == 0)
+        .map { case (id, v) => (id + 100000L, v.clone()) }
+      val all = base ++ dups
+      val expected = refKmeans(all, k, iters = 3, scale = 64)
+      val got = Cluster.kmeansAssign(
+          all.toDF("vec_id", "embedding").repartition(1 + rnd.nextInt(7)),
+          "embedding", "vec_id", k = k, iters = 3)
+        .select($"vec_id", $"cluster", $"dist2")
+        .as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"trial $trial n=$n dim=$dim k=$k")
+    }
+  }
+
   test("fit on batch, assign on a stream: stateless streaming projection") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
