@@ -72,7 +72,10 @@ object Bench {
     // restricted campaigns (resolved before warmup so an index-free subset
     // skips the index builds — at derived 10x+ scales a 100x HNSW build
     // would dominate a session that never searches it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Trim + drop empties: 'a, b' must select b, not a phantom ' b' that
+    // silently vanishes from both the run and subsetNeeds' build decision.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def subsetNeeds(prefixes: String*): Boolean =
       only.forall(_.exists(n => prefixes.exists(n.startsWith)))
     // Warm the session (parquet footers, codegen, shuffle infra) and build

@@ -115,28 +115,41 @@ object Pq {
    * FIRST partitions in encounter order — on a clustered/sorted layout the
    * codebooks would fit a biased slice (round-7 verdict). Hash order is a
    * pseudo-random permutation of the corpus independent of file layout, so
-   * top-n-by-hash IS a uniform n-row sample (faiss trains on a random
-   * subset for the same reason); ties are between value-equal vectors and
-   * cannot change the fit. Physically a TakeOrderedAndProject: a bounded
-   * n-row heap per partition, one merge of the partials — no full sort,
-   * nothing corpus-sized collected.
+   * top-n-by-hash IS a uniform sample over DISTINCT VALUES (faiss trains
+   * on a random subset for the same reason). Physically a
+   * TakeOrderedAndProject: a bounded n-row heap per partition, one merge
+   * of the partials — no full sort, nothing corpus-sized collected.
    */
   private[graft] def trainingSample(df: DataFrame, vecCol: String,
-      sampleRows: Int): Array[Array[Float]] =
-    df.select(col(vecCol).cast("array<float>").as("_v"))
+      sampleRows: Int, idCol: Option[String] = None): Array[Array[Float]] = {
+    // Hash of the VALUE alone ranks all copies of a duplicated vector as
+    // one block — a heavily-duplicated vector whose hash lands low floods
+    // the whole sample (codebooks collapse toward it). With a row-unique
+    // id the hash salts per ROW, giving the proportional representation a
+    // true row sample has, still deterministic and layout-independent.
+    // Without one, value-hash order is the best layout-independent device
+    // available — callers with known heavy duplication should pass idCol.
+    val order = idCol match {
+      case Some(id) => xxhash64(col(id), col("_v"))
+      case None => xxhash64(col("_v"))
+    }
+    df.select(idCol.map(col).toSeq :+ col(vecCol).cast("array<float>").as("_v"): _*)
       .where(col("_v").isNotNull)
-      .orderBy(xxhash64(col("_v")))
+      .orderBy(order)
       .limit(sampleRows)
+      .select(col("_v"))
       .collect()
       .map(_.getSeq[Float](0).toArray)
+  }
 
   /**
    * Fit per-subspace codebooks on a driver-collected hash-uniform sample of
    * up to `sampleRows` vectors. `dim % m == 0` required (equal subspaces).
    */
   def train(df: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
-      sampleRows: Int = 50000, iters: Int = 15, seed: Long = 42L): Codebooks = {
-    val sample = trainingSample(df, vecCol, sampleRows)
+      sampleRows: Int = 50000, iters: Int = 15, seed: Long = 42L,
+      idCol: Option[String] = None): Codebooks = {
+    val sample = trainingSample(df, vecCol, sampleRows, idCol)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample(0).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
@@ -255,8 +268,8 @@ object Pq {
    */
   def buildIvfPq(df: DataFrame, vecCol: String, outPath: String, nCells: Int,
       m: Int, ksub: Int = 256, sampleFraction: Double = 1.0,
-      seed: Long = 42L): Codebooks = {
-    val cb = train(df, vecCol, m, ksub, seed = seed)
+      seed: Long = 42L, idCol: Option[String] = None): Codebooks = {
+    val cb = train(df, vecCol, m, ksub, seed = seed, idCol = idCol)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)

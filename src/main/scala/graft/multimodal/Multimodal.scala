@@ -37,6 +37,10 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
+  /** Decode-bomb ceiling for [[ImageIoCodec]]: payloads whose HEADER
+    * declares more pixels than this yield null without allocating. */
+  private[multimodal] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** `javax.imageio`-backed image decode: format sniffed from the bytes,
     * metadata from the reader, features from the frame-0 raster. */
   object ImageIoCodec {
@@ -55,6 +59,17 @@ object Multimodal {
           reader.setInput(iis, false, true)
           val fmt = reader.getFormatName.toLowerCase(Locale.ROOT)
           val nFrames = try reader.getNumImages(true) catch { case _: Exception => 1 }
+          // Decode-bomb guard BEFORE allocating the raster: a few-hundred-
+          // byte payload can declare 40000x40000 in its header, and the
+          // multi-GB allocation inside reader.read would surface as
+          // OutOfMemoryError — which NonFatal deliberately does not catch,
+          // so it would kill the task instead of yielding null. The header
+          // dims are cheap to read; 64M pixels (~256 MB ARGB) is far above
+          // any sane training asset.
+          val declaredW = reader.getWidth(0)
+          val declaredH = reader.getHeight(0)
+          if (declaredW <= 0 || declaredH <= 0 ||
+            declaredW.toLong * declaredH > MaxDecodePixels) return null
           val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight

@@ -112,12 +112,19 @@ object RangeJoin {
         struct(pointCols.map(col): _*).as("_p"),
         lit(null).cast(structTypeOf(intervals, rightCols)).as("_iv"),
         lit(null).cast("long").as("_ive")): _*)
-    val ivTagged = intervals.select(
-      pk ++ Seq(
-        EventTime.toLong(intervals, startCol).as("_ts"), lit(1).as("_side"),
-        lit(null).cast(structTypeOf(points, pointCols)).as("_p"),
-        struct(rightCols.map(col): _*).as("_iv"),
-        EventTime.toLong(intervals, endCol).as("_ive")): _*)
+    // NULL-endpoint intervals are dropped, matching [[pointInInterval]]
+    // (whose bucket sequence over a null start explodes to nothing):
+    // without the filter a null start sorts FIRST in the window and the
+    // interval matches from -infinity — the two documented-equivalent
+    // paths would return different rows on dirty data.
+    val ivTagged = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(
+        pk ++ Seq(
+          EventTime.toLong(intervals, startCol).as("_ts"), lit(1).as("_side"),
+          lit(null).cast(structTypeOf(points, pointCols)).as("_p"),
+          struct(rightCols.map(col): _*).as("_iv"),
+          EventTime.toLong(intervals, endCol).as("_ive")): _*)
 
     // Interval-before-point on equal ts (_side desc) so a point AT an
     // interval's start matches it. `_ive` is non-null exactly where `_iv`

@@ -141,7 +141,12 @@ object ExecTuning {
         DefaultScanSplitsPerCore.toLong).toInt
       val prevSplit = spark.conf.get(splitKey,
         (128L << 20).toString)
-      val prevSplitN = scala.util.Try(prevSplit.toLong).getOrElse(128L << 20)
+      // A byte-suffix spelling ('512m') doesn't parse as a plain long; the
+      // never-lower contract can't be checked against it, so the raise is
+      // skipped entirely (Long.MaxValue sentinel) rather than compared
+      // against a wrong 128 MB fallback that could silently LOWER the
+      // user's setting.
+      val prevSplitN = scala.util.Try(prevSplit.toLong).getOrElse(Long.MaxValue)
       val target = bytes match {
         case Some(b) if perCore > 0 =>
           val cores = math.max(1, spark.sparkContext.defaultParallelism)

@@ -222,6 +222,26 @@ class IvfSpec extends SparkSuite {
     assert(sample.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("trainingSample with idCol: a flooded duplicate vector stays proportional") {
+    import spark.implicits._
+    import graft.index.Pq
+    // 5000 copies of one vector + 1000 distinct rows. Value-hash order
+    // ranks the duplicate block as ONE unit: if its hash lands low, every
+    // sampled row is the same vector. Row-salted order (idCol) gives the
+    // duplicate ~5/6 of the sample — proportional, like a true row sample.
+    val dup = (0 until 5000).map(i => (i.toLong, Array(9f, 9f, 9f, 9f)))
+    val uniq = (0 until 1000).map(i => (100000L + i, Array.fill(4)(i / 1000f)))
+    val df = (dup ++ uniq).toSeq.toDF("id", "vec").repartition(7)
+    val salted = Pq.trainingSample(df, "vec", 600, idCol = Some("id"))
+    val nDup = salted.count(_.sameElements(Array(9f, 9f, 9f, 9f)))
+    // expectation 500 of 600; distinct values must be well represented
+    assert(nDup > 400 && nDup < 580, s"nDup=$nDup")
+    assert(salted.map(_.toSeq).distinct.length > 50)
+    // still deterministic and layout-independent
+    val again = Pq.trainingSample(df.repartition(3), "vec", 600, idCol = Some("id"))
+    assert(salted.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("pq topKJoin rejects an over-contract query batch fast") {
     import graft.index.Pq
     val (out, _) = pqLayout

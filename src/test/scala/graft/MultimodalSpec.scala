@@ -144,6 +144,23 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).isNullAt(2) && rows(4).isNullAt(2))
   }
 
+  test("decode-bomb guard: a giant declared dimension yields null, no allocation") {
+    // A real PNG header rewritten to declare 40000x40000 (IHDR width/height
+    // at bytes 16-23, CRC at 29-32 refreshed): reader.read would try a
+    // multi-GB raster and die with OutOfMemoryError, which NonFatal
+    // rightly does not catch — the guard must bail on the HEADER dims.
+    val orig = Multimodal.fixturePayload(2L)
+    val bomb = orig.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 40000); bb.putInt(20, 40000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type + IHDR payload
+    bb.putInt(29, crc.getValue.toInt)
+    assert(Multimodal.ImageIoCodec.decode(bomb, 8) == null)
+    // the unmodified payload still decodes
+    assert(Multimodal.ImageIoCodec.decode(orig, 8) != null)
+  }
+
   test("Mp4Meta parses 64-bit largesize boxes (size32 == 1 + u64 size)") {
     // Rewrap a fixture's moov as a largesize box: size32=1, type, u64 size
     // covering the 16-byte header + original payload. The walker must read

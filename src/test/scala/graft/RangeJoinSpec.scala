@@ -88,6 +88,28 @@ class RangeJoinSpec extends SparkSuite {
     assert(merged.nonEmpty)
   }
 
+  test("NULL-endpoint intervals are dropped by BOTH paths identically") {
+    // A null start used to sort first in the disjoint path's window and
+    // match from -infinity, while the bucketized path's sequence over a
+    // null start explodes to nothing — same input, different rows from
+    // documented-equivalent paths.
+    val iv = Seq(("a", 1L, Option.empty[Long], Option(100L)),
+      ("a", 2L, Option(200L), Option.empty[Long]),
+      ("a", 3L, Option(300L), Option(400L)))
+      .toDF("k", "iid", "s", "e")
+    val ps = Seq(("a", 10L, 50L), ("a", 11L, 250L), ("a", 12L, 350L))
+      .toDF("k", "pid", "ts")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iv_iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketized = collect(
+      RangeJoin.pointInInterval(ps, iv, Seq("k"), "ts", "s", "e", 50L))
+    val merged = collect(
+      RangeJoin.pointInDisjointIntervals(ps, iv, Seq("k"), "ts", "s", "e"))
+    assert(merged == bucketized)
+    assert(merged == Set((12L, 3L))) // only the fully-bounded interval matches
+  }
+
   test("disjoint path: inclusive bounds, point at interval start, misses between") {
     val ps = Seq(("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 15L), ("a", 4L, 20L),
       ("a", 5L, 60L), ("a", 6L, 65L), ("a", 7L, 99L), ("b", 8L, 5L))

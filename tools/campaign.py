@@ -176,5 +176,6 @@ json.dump(result, open(OUT, "w"), indent=1)
 print(json.dumps({k: v for k, v in result.items() if k != "scales"}, indent=1))
 for a, b in zip(labels, labels[1:]):
     m = result["marginals"][f"{a}->{b}"]
+    ratio = f"{m['ratio']:.2f}x" if m["ratio"] else "n/a"
     print(f"marginal {a}->{b}: duck={m['duck']:.2f}s spark={m['spark']:.2f}s "
-          f"ratio={m['ratio']:.2f}x" if m["ratio"] else "n/a")
+          f"ratio={ratio}")
