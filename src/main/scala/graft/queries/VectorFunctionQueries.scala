@@ -67,6 +67,18 @@ object VectorFunctionQueries {
           col("dist2"))
         .orderBy("vec_id")
     }),
+    "emb_cluster_sample" -> ((s, dir) => {
+      // The full SemDeDup selection end-to-end: integer-Lloyd clusters,
+      // then the first 20 ids of each cluster in md5(id) order (the
+      // library-wide deterministic fill order, via the min_by_k bounded
+      // heap). Oracle = the kmeans replay + row_number over the same
+      // (md5, id) order.
+      graft.embedding.Cluster.clusterSample(
+          Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 8, perCluster = 20, iters = 3)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }),
     "vss_quantize_i8" -> ((s, dir) => {
       // Codes proven byte-exact via md5 of the comma-joined list; the
       // dequantized reconstruction closes the loop through
@@ -119,6 +131,79 @@ object VectorFunctionQueries {
            round(list_inner_product(nu::DOUBLE[], v::DOUBLE[]), 4) AS d,
            round(list_inner_product(nu::DOUBLE[], nu::DOUBLE[]), 4) AS unit
          FROM nv ORDER BY vec_id""",
+    // SemDeDup selection end-to-end: the kmeans replay + row_number over
+    // the library-wide (md5(id), id) fill order, capped per cluster.
+    "emb_cluster_sample" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> greatest(-127, least(127,
+               CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                  v AS cent
+           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+         a1 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c0.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c0.cent[i]) * (q.v[i] - c0.cent[i]))) AS d2
+                 FROM q, c0)),
+         s1 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c1 AS (
+           SELECT c0.c, coalesce(u.cent, c0.cent) AS cent
+           FROM c0 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s1 GROUP BY c)
+             u USING (c)),
+         a2 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c1.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c1.cent[i]) * (q.v[i] - c1.cent[i]))) AS d2
+                 FROM q, c1)),
+         s2 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c2 AS (
+           SELECT c1.c, coalesce(u.cent, c1.cent) AS cent
+           FROM c1 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s2 GROUP BY c)
+             u USING (c)),
+         a3 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c2.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c2.cent[i]) * (q.v[i] - c2.cent[i]))) AS d2
+                 FROM q, c2)),
+         s3 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a3 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c3 AS (
+           SELECT c2.c, coalesce(u.cent, c2.cent) AS cent
+           FROM c2 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s3 GROUP BY c)
+             u USING (c)),
+         af AS (
+           SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, c3.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
+                 FROM q, c3)),
+         sel AS (SELECT vec_id, c FROM af WHERE rn = 1),
+         rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                FROM sel)
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster
+         FROM rk WHERE rk <= 20 ORDER BY vec_id""",
     // Integer Lloyd unrolled: init = 8 smallest vec_ids, three
     // assignment+update rounds, final assignment. All-integer (quantized
     // vectors, exact sums, truncating `//`), so the replay is exact.
