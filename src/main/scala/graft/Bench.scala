@@ -28,7 +28,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = envLong("SPARK_GRAFT_CPUS", 32).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,8 +40,8 @@ object Bench {
       // A/B knobs for the ExecTuning small-query policy (run/fork=true means
       // -D flags never reach this JVM; env is the override channel).
       .config(graft.spark.ExecTuning.SmallQueryShufflePartitionsKey,
-        sys.env.getOrElse("SPARK_GRAFT_SMALL_SHUFFLE",
-          graft.spark.ExecTuning.DefaultSmallQueryShufflePartitions.toString))
+        envLong("SPARK_GRAFT_SMALL_SHUFFLE",
+          graft.spark.ExecTuning.DefaultSmallQueryShufflePartitions.toLong).toString)
       .config(graft.spark.ExecTuning.SmallQueryCodegenKey,
         sys.env.getOrElse("SPARK_GRAFT_SMALL_CODEGEN", "true"))
       // Fixed-overhead trims (round-4 verdict: the ~0.2-0.4 s/query floor

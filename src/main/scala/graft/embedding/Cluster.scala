@@ -171,6 +171,15 @@ object Cluster {
       .collect()
       .map(_.getSeq[Long](0).toArray)
     require(init.nonEmpty, "fitCentroids needs at least one non-null vector")
+    // The per-iteration collect is k x dim (cluster, dim, sum, count) Rows
+    // — "driver state is k x dim longs" is only true if that product is
+    // actually bounded. 2^24 (16.7M cells ≈ a few hundred MB of boxed
+    // Rows transiently) is the ceiling: it admits 65536x256 or 16384x1024
+    // but refuses the 65536x1024 shape that would collect ~67M Rows per
+    // iteration and take the driver down.
+    require(k.toLong * init(0).length <= (1L << 24),
+      s"k x dim must be <= ${1L << 24} (driver holds k x dim centroid " +
+        s"sums per iteration); got $k x ${init(0).length}")
     var cents = init
 
     var it = 0

@@ -136,6 +136,24 @@ object ExecTuning {
       }
     } else {
       // Large input: size scan splits to the data (see ScanSplitsPerCoreKey).
+      //
+      // SCOPE: like the small-branch AQE/shuffle flips above, this mutates
+      // SESSION-GLOBAL runtime conf around `body` — a concurrent query on
+      // the same SparkSession observes the raised split size while `body`
+      // runs. Single-session callers only (the documented contract of this
+      // whole method); concurrent multi-query apps should clone sessions
+      // (`spark.newSession()` shares state but not conf) or disable via
+      // ScanSplitsPerCoreKey=0.
+      //
+      // The target deliberately derives from the LEAF-SUM inputBytes —
+      // a twice-scanned file counts twice, inflating splits for
+      // multi-pass plans. A distinct-leaf variant was considered for the
+      // split target alone (the AQE gate must keep leaf-sum — see
+      // inputBytes scaladoc): rejected for now because re-scan count
+      // correlates with plan work here too (each pass pays the task
+      // dispatch, so a plan scanning a file N times wants N x fewer tasks
+      // per pass just as much), and the cap at 512 MB bounds the damage
+      // of over-inflation.
       val splitKey = "spark.sql.files.maxPartitionBytes"
       val perCore = confLong(spark, ScanSplitsPerCoreKey,
         DefaultScanSplitsPerCore.toLong).toInt

@@ -190,25 +190,122 @@ object Dedup {
     * per-bucket work bound. */
   def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 0): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    require(maxBucketSize >= 0, "maxBucketSize must be >= 0 (0 = unlimited)")
-    val r = k / bands
-    val banded0 = signatures.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as("band_key"))
-    val banded =
-      if (maxBucketSize == 0) banded0
-      else {
-        // One count window on the same band_key the join shuffles on —
-        // the exchange is shared, the filter runs before any pair exists.
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-        banded0.withColumn("_bn", count(lit(1)).over(w))
-          .where(col("_bn") <= maxBucketSize).drop("_bn")
-      }
+    val banded = cappedBandKeys(signatures, k, bands, maxBucketSize)
     banded.as("x").join(banded.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
+
+  /** (id, band_key) rows of the banded signature frame — docs × bands
+    * narrow rows, the shared input of the pair self-join and the
+    * candidate-id derivation. */
+  private def bandKeys(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    signatures.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as("band_key"))
+  }
+
+  /** [[bandKeys]] with oversized buckets removed when `maxBucketSize > 0`
+    * (one count window on the same band_key the join shuffles on — the
+    * exchange is shared, the filter runs before any pair exists). */
+  private def cappedBandKeys(signatures: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 0, "maxBucketSize must be >= 0 (0 = unlimited)")
+    val banded0 = bandKeys(signatures, k, bands)
+    if (maxBucketSize == 0) banded0
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+      banded0.withColumn("_bn", count(lit(1)).over(w))
+        .where(col("_bn") <= maxBucketSize).drop("_bn")
+    }
+  }
+
+  /** Bucket size beyond which a warning is logged when the banded LSH
+    * frame executes (`spark.graft.dedup.hotBucketWarnBucketSize`, 0
+    * disables). A bucket of B members emits B(B−1)/2 candidate pairs,
+    * so one degenerate bucket — boilerplate, templated spam, replicas —
+    * degrades the whole job quadratically; `maxBucketSize` bounds it but
+    * defaults OFF for gate exactness, and without this warning a scale
+    * user discovers the knob only after the job hangs. */
+  private[graft] val HotBucketWarnSizeKey = "spark.graft.dedup.hotBucketWarnBucketSize"
+  private[graft] val DefaultHotBucketWarnSize: Long = 100000L
+
+  /** Sessions that already carry the hot-bucket QueryExecutionListener
+    * (weak keys: a retired session must not be pinned by the registry). */
+  private val hotBucketListenerSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
+  /** Name prefix of the observed-metrics rows the listener reads. */
+  private val HotBucketMetricPrefix = "graft_lsh_max_bucket"
+  private val hotBucketMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Register (once per session) a listener that logs a warning when an
+    * executed plan's observed max LSH bucket size exceeds the threshold.
+    * The metric rides the plan via `observe()` — ZERO extra jobs or
+    * shuffles; it materializes whenever the caller's own action runs. */
+  private def ensureHotBucketListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    hotBucketListenerSessions.synchronized {
+      if (!hotBucketListenerSessions.containsKey(spark)) {
+        val warnAt = graft.spark.ExecTuning.confLong(spark,
+          HotBucketWarnSizeKey, DefaultHotBucketWarnSize)
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith(HotBucketMetricPrefix) && !row.isNullAt(0)) {
+                  val maxB = row.getLong(0)
+                  if (warnAt > 0 && maxB > warnAt)
+                    org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                      s"LSH band bucket of $maxB members (> $warnAt): one " +
+                        s"bucket of B members emits B(B-1)/2 candidate " +
+                        s"pairs — set maxBucketSize on " +
+                        s"nearDupPairs/dropNearDuplicates to bound it " +
+                        s"(members still pair through their other bands)")
+                }
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+        hotBucketListenerSessions.put(spark, java.lang.Boolean.TRUE)
+      }
+    }
+
+  /** Ids appearing in at least one candidate pair, derived from BUCKET
+    * OCCUPANCY (any id in a post-cap bucket of >= 2 members pairs with
+    * every other member) rather than from the pair-join output. The
+    * distinction is the round-9 dedup-at-scale fix: the pair set's
+    * `distinct()` is the expensive reduce (290M → 27M rows at derived
+    * sf10), and AQE reuses EXCHANGES, not post-shuffle results — a
+    * second consumer of the distinct pairs re-runs the whole reduce
+    * (measured ~20 s of doc_dedup_kept's 46 s). This derivation reads
+    * the docs × bands banded frame (8M narrow rows at the same scale)
+    * over the SAME band_key exchange the pair join uses, so the pair
+    * subtree keeps exactly one consumer. The id set is EQUAL to the set
+    * of ids in the pair output (not merely a superset): every member of
+    * a >= 2 bucket forms a pair within that bucket, and the cap filter
+    * is applied before both derivations. */
+  private def lshCandidateIds(signatures: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val counted = bandKeys(signatures, k, bands)
+      .withColumn("_bn", count(lit(1)).over(w))
+    ensureHotBucketListener(signatures.sparkSession)
+    // Pre-cap max bucket size rides along as an observed metric (warned
+    // on by the listener above); the name carries a sequence number —
+    // CollectMetrics names must be unique within a query.
+    counted
+      .observe(s"$HotBucketMetricPrefix-${hotBucketMetricSeq.incrementAndGet()}",
+        max(col("_bn")).as("max_bucket"))
+      .where(if (maxBucketSize == 0) col("_bn") >= 2
+             else col("_bn") >= 2 && col("_bn") <= maxBucketSize)
+      .select(col("id")).distinct()
   }
 
   /**
@@ -239,9 +336,13 @@ object Dedup {
     // exact runtime sizes so the semi-join flips to broadcast when the
     // candidate set is small.
     val cands = lshCandidatePairs(sigs, k, bands, maxBucketSize)
-    val sets = candidateShingleSets(cands,
-      df.select(col(idCol).cast("long").as("id"),
-        wordShinglesSorted(col(textCol), shingleN).as("sh")))
+    // The shingle fetch restricts to candidate ids derived from bucket
+    // occupancy (lshCandidateIds), NOT from `cands` — giving the pair
+    // subtree a single consumer so its expensive distinct reduce runs
+    // once (see lshCandidateIds scaladoc for the measured cost).
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        wordShinglesSorted(col(textCol), shingleN).as("sh"))
+      .join(lshCandidateIds(sigs, k, bands, maxBucketSize), Seq("id"), "left_semi")
     verifyJaccard(cands, sets, threshold)
   }
 

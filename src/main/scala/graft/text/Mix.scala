@@ -175,7 +175,16 @@ object Mix {
     require(rows.length <= MaxDimRows,
       s"$what must be dimension-sized (<= $MaxDimRows rows per the " +
         s"broadcast contract); got more")
-    val dup = rows.groupBy(_.get(0)).collectFirst { case (g, rs) if rs.length > 1 => g }
+    // Normalize keys before grouping: a BinaryType groupCol collects as
+    // Array[Byte], whose JVM equality is by REFERENCE — grouping on it
+    // raw would let duplicated binary groups pass undetected and the
+    // downstream inner broadcast join silently multiply corpus rows.
+    def normKey(v: Any): Any = v match {
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case x => x
+    }
+    val dup = rows.groupBy(r => normKey(r.get(0)))
+      .collectFirst { case (_, rs) if rs.length > 1 => rs.head.get(0) }
     require(dup.isEmpty,
       s"$what must have exactly one row per '$groupCol' " +
         s"(duplicated: ${dup.getOrElse("")})")

@@ -311,9 +311,22 @@ object TextFunctions {
   }
 
   /** Corpus-size ceiling under which [[tokenFrequencyStats]] broadcast-
-    * hints the vocabulary join (0 disables the hint). */
+    * hints the vocabulary join (0 disables the hint).
+    *
+    * FAILURE MODE: the gate reads the plan's STATIC leaf estimate, which
+    * for parquet is compressed on-disk bytes — a corpus under the ceiling
+    * can still decompress to a vocabulary too large to broadcast
+    * (driver-materialized + shipped to every executor; Spark hard-fails
+    * broadcasts at 8 GB and degrades well before). The vocabulary is
+    * Heaps-law sublinear in corpus bytes, which is the contract that
+    * makes the hint safe, but the constant varies with tokenization —
+    * hence a conservative 64 MB default (a 64 MB compressed corpus's
+    * vocabulary is at most a few million tokens ≈ tens of MB broadcast)
+    * rather than the 256 MB the gate once used. Corpora over the ceiling
+    * keep the adaptive token-keyed shuffle join, which never ships the
+    * vocabulary anywhere. */
   private[graft] val BroadcastVocabBytesKey = "spark.graft.text.broadcastVocabBytes"
-  private[graft] val DefaultBroadcastVocabBytes: Long = 256L << 20
+  private[graft] val DefaultBroadcastVocabBytes: Long = 64L << 20
 
   /**
    * Deterministic split assignment: label each row 'train'/'val'/'test'
