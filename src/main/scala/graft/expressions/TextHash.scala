@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -346,6 +346,103 @@ object TextHash {
     if (aNull && bNull) inter += 1
     val union = da + db - inter + (if (aNull || bNull) 1L else 0L)
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Sorted-distinct 64-bit word-shingle hashes: the same fused
+    * tokenize → n-gram → hash pass as [[minHashText]] (identical shingle
+    * identity — the iterated mix64 of the window's token FNV hashes),
+    * stopping at the hash instead of folding k minima. The exact-Jaccard
+    * verify runs over THESE instead of shingle strings: per-doc payload
+    * drops ~3x (8 B/element vs ~20 B string + offset) and the per-pair
+    * merge compares longs instead of UTF-8 byte strings. Jaccard over
+    * hash sets equals Jaccard over the string sets absent a 64-bit
+    * collision inside one candidate pair's shingle union (≤ thousands of
+    * elements → P ≈ 1e-8 across tens of millions of pairs) — the same
+    * exposure class the MinHash/LSH candidate stage already accepts, via
+    * the same hash identity. */
+  def wordShingleHashesSorted(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var tokenHashes = new Array[Long](math.max(8, bytes.length / 5))
+    var nTokens = 0
+    var h = Fnv64Offset
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTokens == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+        }
+        tokenHashes(nTokens) = h
+        nTokens += 1
+        h = Fnv64Offset
+      } else {
+        h ^= (bytes(i) & 0xffL)
+        h *= Fnv64Prime
+      }
+      i += 1
+    }
+    if (nTokens < n) return new GenericArrayData(Array.empty[Long])
+    val m = nTokens - n + 1
+    val out = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var sh = 0L
+      var t = 0
+      while (t < n) { sh = mix64(sh ^ tokenHashes(w + t)); t += 1 }
+      out(w) = sh
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place unique (sets, matching wordShingles' distinct semantics)
+    var d = 1
+    i = 1
+    while (i < m) {
+      if (out(i) != out(d - 1)) { out(d) = out(i); d += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (d == m) out else java.util.Arrays.copyOf(out, d))
+  }
+
+  /** Jaccard similarity of two sorted-distinct long arrays — the
+    * [[jaccardSimSorted]] merge specialized to [[wordShingleHashesSorted]]
+    * output (no null elements, primitive compares). */
+  def jaccardSimSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb.toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** True iff the FIRST (smallest) value common to two sorted-distinct
+    * long arrays equals `v` — the LSH pair-uniqueness predicate: a
+    * candidate pair sharing several band-key values is emitted only from
+    * the bucket of its minimum shared value, so the band self-join
+    * produces each pair exactly once and the global `distinct()` over the
+    * full candidate multiset (the dominant shuffle of near-dedup at
+    * scale: 290M pre-distinct rows at derived sf10) disappears. Two-
+    * pointer merge, O(|a| + |b|) with bands-length arrays (16 by
+    * default). */
+  def firstSharedIs(a: ArrayData, b: ArrayData, v: Long): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) return x == v
+      if (x < y) i += 1 else j += 1
+    }
+    false
   }
 
   /** 64-bit SimHash over a token array (term-frequency weighted). */
@@ -750,6 +847,36 @@ case class WordShingles(child: Expression, n: Int, sorted: Boolean = false)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[TextHash.wordShingleHashesSorted]] as a codegen'd expression —
+  * sorted-distinct 64-bit shingle hashes, the compact verify-side
+  * payload. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle n must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.wordShingleHashesSorted(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.wordShingleHashesSorted($c, $n)")
+  override def prettyName: String = "word_shingle_hashes"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[TextHash.jaccardSimSortedLongs]] as a codegen'd expression. */
+case class JaccardSimSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardSimSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextHash.jaccardSimSortedLongs($a, $b)")
+  override def prettyName: String = "jaccard_sim_sorted_longs"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** jaccard_sim(a ARRAY<STRING>, b ARRAY<STRING>) -> DOUBLE — one-pass
   * set-semantics Jaccard (see [[TextHash.jaccardSim]]); replaces the
   * array_intersect/array_union composition in verify joins. */
@@ -840,6 +967,26 @@ object RepetitionStats {
 
 /** jaccard_sim over arrays the caller guarantees are `sort_array`-ordered —
   * see [[TextHash.jaccardSimSorted]]; the verify-join fast path. */
+/** [[TextHash.firstSharedIs]] as a codegen'd join predicate: true iff the
+  * minimum value common to the two sorted-distinct long arrays equals
+  * `pos`. See the helper's scaladoc for the pair-uniqueness role. */
+case class FirstSharedIs(left: Expression, right: Expression, pos: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = pos
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, v: Any): Any =
+    TextHash.firstSharedIs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, v) => s"graft.expressions.TextHash.firstSharedIs($a, $b, $v)")
+  override def prettyName: String = "first_shared_is"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(left = f, right = s, pos = t)
+}
+
 case class JaccardSimSorted(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))

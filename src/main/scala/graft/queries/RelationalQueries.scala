@@ -102,21 +102,32 @@ object RelationalQueries {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
+      // r9: the dim side's o⋈c is a BROADCAST of customer→nation (25x
+      // smaller than orders and |nations| wide per entry), not a shuffle
+      // join — orders flows scan→project→probe→SHJ-exchange with no
+      // exchange of its own. (The r8 CAUTION below was about broadcasting
+      // the 1.5M-row o⋈c⋈n PRODUCT; c⋈n alone is 10x smaller and its
+      // build is a narrow long→string map.)
       val dim = o.select(col("o_orderkey"), col("o_custkey"))
-        .join(c.select(col("c_custkey"), col("c_nationkey")),
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))
+            .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey"), col("n_name"))),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
-          col("c_nationkey") === col("n_nationkey"))
         .select(col("o_orderkey"), col("n_name"))
-      li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // price_cents × (100 − disc_cents) = the revenue term's unscaled
+      // value at scale 4, exactly the DECIMAL(38,4) product the oracle
+      // sums — but in long registers, and computed BEFORE the fact
+      // shuffle: it only reads lineitem columns, so folding it here
+      // shrinks the 60M-row exchange to (key, one long) and leaves no
+      // per-row arithmetic after the probe.
+      li.select(col("l_orderkey"),
+          (double_units(col("l_extendedprice"), 2) *
+            (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
         .join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(
-          // price_cents × (100 − disc_cents) = the revenue term's unscaled
-          // value at scale 4, exactly the DECIMAL(38,4) product the oracle
-          // sums — but the whole aggregation stays in long registers.
-          outD(sum128(double_units(col("l_extendedprice"), 2) *
-            (lit(100L) - double_units(col("l_discount"), 2)), 4)).as("revenue"),
+          outD(sum128(col("_rev"), 4)).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),

@@ -190,36 +190,71 @@ object Dedup {
     * per-bucket work bound. */
   def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 0): DataFrame = {
-    val banded = cappedBandKeys(signatures, k, bands, maxBucketSize)
-    banded.as("x").join(banded.as("y"),
-        col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    // Each side's rows carry the doc's full sorted-distinct band-key SET
+    // alongside the exploded bucket value, and the join emits a pair only
+    // from the bucket of the pair's MINIMUM shared value (FirstSharedIs):
+    // every candidate pair appears exactly once, so no `distinct()` runs.
+    // The round-8 spelling — (id, band_key) self-join, then distinct —
+    // materialized the full candidate MULTISET first (290M rows / 2.4 GB
+    // shuffled into a spilling reduce at derived sf10, 44 s of the
+    // measured 105 s total); the per-probe merge this trades it for is
+    // O(bands) longs on bucket-colliding rows only, inside codegen.
+    val keyed = explodedBandKeySets(signatures, k, bands, maxBucketSize)
+    pairJoin(keyed)
   }
 
-  /** (id, band_key) rows of the banded signature frame — docs × bands
-    * narrow rows, the shared input of the pair self-join and the
-    * candidate-id derivation. */
-  private def bandKeys(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** The unique-emission pair self-join over a prepared (id, ks, v)
+    * frame — the two sides canonicalize to ONE v-exchange. shuffle_hash
+    * (not sort-merge) because the ks-carrying rows are ~10x wider than a
+    * (id, key) row and sort-merge would pay two full sorts of them — a
+    * hash build of |rows|/partitions per task is bounded and sortless. */
+  private def pairJoin(keyed: DataFrame): DataFrame =
+    keyed.as("x").join(keyed.as("y").hint("shuffle_hash"),
+        col("x.v") === col("y.v") && col("x.id") < col("y.id") &&
+          Bridge.column(graft.expressions.FirstSharedIs(
+            Bridge.expression(col("x.ks")), Bridge.expression(col("y.ks")),
+            Bridge.expression(col("x.v")))))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+
+  /** (id, ks) rows: each doc's band keys as a SORTED-DISTINCT array —
+    * the shape [[graft.expressions.FirstSharedIs]] merges. Distinctness
+    * also makes bucket membership per (id, value) unique, so the pair
+    * join and the occupancy counts never see intra-doc duplicates. */
+  private def bandKeySets(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     signatures.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as("band_key"))
+      sort_array(array_distinct(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r)))))).as("ks"))
   }
 
-  /** [[bandKeys]] with oversized buckets removed when `maxBucketSize > 0`
-    * (one count window on the same band_key the join shuffles on — the
-    * exchange is shared, the filter runs before any pair exists). */
-  private def cappedBandKeys(signatures: DataFrame, k: Int, bands: Int,
+  /** [[bandKeySets]] exploded to one row per (id, ks, v ∈ ks), with
+    * oversized buckets removed when `maxBucketSize > 0`. Capping filters
+    * the exploded rows by bucket occupancy and REBUILDS each id's key set
+    * from its surviving values — the pair-uniqueness predicate must see
+    * only buckets both members actually survive in, or a pair whose
+    * minimum shared value lies in a skipped hot bucket would never be
+    * emitted from the surviving one.
+    *
+    * (Measured NOTE, derived sf10: hash-partitioning THIS frame on v so
+    * every candidate-stage consumer is co-partitioned was tried and is
+    * 6-9 s SLOWER per gate than exchanging the compact sigs frame —
+    * the explode×bands and the 10x-wider shuffle rows then run at
+    * scan-split parallelism on the exchange's map side.) */
+  private def explodedBandKeySets(signatures: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 0, "maxBucketSize must be >= 0 (0 = unlimited)")
-    val banded0 = bandKeys(signatures, k, bands)
-    if (maxBucketSize == 0) banded0
+    val base = bandKeySets(signatures, k, bands)
+    if (maxBucketSize == 0)
+      base.select(col("id"), col("ks"), explode(col("ks")).as("v"))
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-      banded0.withColumn("_bn", count(lit(1)).over(w))
-        .where(col("_bn") <= maxBucketSize).drop("_bn")
+      val kv = base.select(col("id"), explode(col("ks")).as("v"))
+      val surviving = kv.groupBy(col("v")).agg(count(lit(1)).as("_bn"))
+        .where(col("_bn") <= maxBucketSize).select(col("v"))
+      kv.join(surviving, Seq("v"), "left_semi")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("v"))).as("ks"))
+        .select(col("id"), col("ks"), explode(col("ks")).as("v"))
     }
   }
 
@@ -279,33 +314,34 @@ object Dedup {
 
   /** Ids appearing in at least one candidate pair, derived from BUCKET
     * OCCUPANCY (any id in a post-cap bucket of >= 2 members pairs with
-    * every other member) rather than from the pair-join output. The
-    * distinction is the round-9 dedup-at-scale fix: the pair set's
-    * `distinct()` is the expensive reduce (290M → 27M rows at derived
-    * sf10), and AQE reuses EXCHANGES, not post-shuffle results — a
-    * second consumer of the distinct pairs re-runs the whole reduce
-    * (measured ~20 s of doc_dedup_kept's 46 s). This derivation reads
-    * the docs × bands banded frame (8M narrow rows at the same scale)
-    * over the SAME band_key exchange the pair join uses, so the pair
-    * subtree keeps exactly one consumer. The id set is EQUAL to the set
-    * of ids in the pair output (not merely a superset): every member of
-    * a >= 2 bucket forms a pair within that bucket, and the cap filter
-    * is applied before both derivations. */
-  private def lshCandidateIds(signatures: DataFrame, k: Int, bands: Int,
-      maxBucketSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val counted = bandKeys(signatures, k, bands)
-      .withColumn("_bn", count(lit(1)).over(w))
-    ensureHotBucketListener(signatures.sparkSession)
-    // Pre-cap max bucket size rides along as an observed metric (warned
-    // on by the listener above); the name carries a sequence number —
+    * every other member) rather than from the pair-join output, so the
+    * pair subtree keeps exactly one consumer (a second consumer would
+    * re-run the whole pair join — AQE reuses EXCHANGES, not post-shuffle
+    * results). The id set is EQUAL to the set of ids in the pair output
+    * (not merely a superset): every member of a post-cap >= 2 bucket
+    * pairs with every other member, and the first-shared-value emission
+    * rule only moves WHICH bucket emits a pair among buckets both
+    * members survive in, never whether it is emitted.
+    *
+    * `keyed` is [[explodedBandKeySets]]'s output (post-cap, partitioned
+    * on v): the counts aggregate and the occupancy semi-join are both
+    * v-clustered, so neither adds an exchange, and the only shuffle here
+    * is the final distinct over candidate ids. The observed hot-bucket
+    * metric is post-cap — identical to pre-cap in the default cap=0
+    * configuration, which is exactly when the warning has a knob to
+    * point at. */
+  private def lshCandidateIds(keyed: DataFrame): DataFrame = {
+    val kv = keyed.select(col("id"), col("v"))
+    ensureHotBucketListener(keyed.sparkSession)
+    // Max bucket size rides along as an observed metric (warned on by
+    // the listener above); the name carries a sequence number —
     // CollectMetrics names must be unique within a query.
-    counted
+    val occupied = kv.groupBy(col("v")).agg(count(lit(1)).as("_bn"))
       .observe(s"$HotBucketMetricPrefix-${hotBucketMetricSeq.incrementAndGet()}",
         max(col("_bn")).as("max_bucket"))
-      .where(if (maxBucketSize == 0) col("_bn") >= 2
-             else col("_bn") >= 2 && col("_bn") <= maxBucketSize)
-      .select(col("id")).distinct()
+      .where(col("_bn") >= 2)
+      .select(col("v"))
+    kv.join(occupied, Seq("v"), "left_semi").select(col("id")).distinct()
   }
 
   /**
@@ -330,19 +366,33 @@ object Dedup {
   private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
       idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
-    // The candidate subtree feeds both the id fetch and the outer verify
-    // join below; everything stays lazy — AQE's stage cache reuses the
-    // materialized band-join stages across the two consumers, and keeps
-    // exact runtime sizes so the semi-join flips to broadcast when the
-    // candidate set is small.
-    val cands = lshCandidatePairs(sigs, k, bands, maxBucketSize)
+    // The signature frame feeds several subtrees (the pair join's two
+    // sides — one canonicalized exchange — plus the occupancy counts and
+    // the occupancy semi-join in lshCandidateIds). A bare map-only sigs
+    // frame would be RECOMPUTED per subtree (exchange reuse shares
+    // exchanges, not projections): at derived sf10 that was three 16 s
+    // minhash-the-corpus passes, each at scan-split parallelism (14
+    // tasks for the 58 MB documents file). One explicit hash exchange of
+    // the compact (id, 64-long sig) rows — ~260 MB at 500k docs — makes
+    // every consumer a full-width reader of the same shuffle output.
+    // Everything stays lazy — AQE's stage cache reuses the materialized
+    // stages across consumers, and keeps exact runtime sizes so the
+    // semi-join flips to broadcast when the candidate set is small.
+    val sigsX = sigs.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val keyed = explodedBandKeySets(sigsX, k, bands, maxBucketSize)
+    val cands = pairJoin(keyed)
     // The shingle fetch restricts to candidate ids derived from bucket
     // occupancy (lshCandidateIds), NOT from `cands` — giving the pair
-    // subtree a single consumer so its expensive distinct reduce runs
-    // once (see lshCandidateIds scaladoc for the measured cost).
+    // subtree a single consumer so the band join runs once (see
+    // lshCandidateIds scaladoc). HASHED shingle sets, not strings: the
+    // verify join replicates each doc's set per PAIR, so the ~3x payload
+    // reduction and the primitive merge cut the two dominant stages of
+    // near-dedup at scale (see wordShingleHashesSorted's exactness note).
     val sets = df.select(col(idCol).cast("long").as("id"),
-        wordShinglesSorted(col(textCol), shingleN).as("sh"))
-      .join(lshCandidateIds(sigs, k, bands, maxBucketSize), Seq("id"), "left_semi")
+        Bridge.column(graft.expressions.WordShingleHashes(
+          Bridge.expression(col(textCol)), shingleN)).as("sh"))
+      .join(lshCandidateIds(keyed), Seq("id"), "left_semi")
     verifyJaccard(cands, sets, threshold)
   }
 
@@ -367,7 +417,16 @@ object Dedup {
     cands.repartition(par, col("id_a"))
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sets.schema("sh").dataType match {
+        // Kernel dispatch on the payload type: LSH verify ships hashed
+        // sets (array<long>); the exact n-gram join ships the strings its
+        // prefix stages rank. Same merge, same semantics.
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) =>
+          Bridge.column(graft.expressions.JaccardSimSortedLongs(
+            Bridge.expression(col("sh_a")), Bridge.expression(col("sh_b"))))
+        case _ => jaccardSorted(col("sh_a"), col("sh_b"))
+      })
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       // Materialization barrier for DOWNSTREAM consumers: a caller's sort
@@ -400,9 +459,14 @@ object Dedup {
    * primitive-long tuples, ~32 B/edge with JVM headers — the 1M default is
    * ~32 MB of transient driver heap) a driver-side union-find answers in
    * one collect instead of one Spark job per graph-diameter round. Above
-   * the bound, iterative min-label propagation runs distributed: each round
-   * is two equi-joins over hash-distributed keys, rounds = component
-   * diameter (tiny for dedup graphs), with the decreasing label sum as a
+   * the bound, distributed SPANNING-FOREST rounds first shrink the edge
+   * set to its connectivity skeleton (per-partition union-find, ≤
+   * vertices−1 surviving edges per partition — dup clusters carry
+   * quadratically more), usually landing under the driver bound in 1–3
+   * rounds; if the graph is already near-forest and cannot shrink,
+   * iterative min-label propagation finishes distributed: each round is
+   * two equi-joins over hash-distributed keys, rounds ≈ log(diameter)
+   * via pointer jumping, with the decreasing label sum as a
    * one-aggregate convergence witness.
    */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
@@ -421,27 +485,51 @@ object Dedup {
       .limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
     if (probe.length <= driverEdgeThreshold) {
       raw.unpersist()
-      val edges = probe
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
-      }
-      // Min-root union keeps every root the component minimum.
-      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      import spark.implicits._
-      return rows.toDF("id", "cluster_id")
+      return driverUnionFind(spark, probe)
     }
-    val edges = raw.toDF("src", "dst")
-      .union(raw.toDF("dst", "src").select(col("src"), col("dst")))
+    // Spanning-forest reduction (the round-9 fix for output-proportional
+    // near-dedup DROP cost): connectivity — all the drop path needs — is
+    // preserved by any spanning subgraph, so each round runs a
+    // per-partition union-find and keeps only the edges that united two
+    // components (≤ vertices−1 per partition, vs edges ∝ Σ cluster²
+    // for pairwise-verified dup clusters). Rounds shrink the partition
+    // count with the edge count until the forest fits the driver bound
+    // (then one exact driver union-find finishes), or stop shrinking —
+    // a graph that is already near-forest (edges ≈ vertices >
+    // threshold) — and hand the REDUCED edge set to label propagation.
+    // Per-task state is a LongMap over the partition's vertices; with
+    // partitions sized to `forestTaskEdges` edges that is bounded
+    // executor memory at any corpus size.
+    var cur = raw.toDF("id_a", "id_b").as[(Long, Long)]
+    var toRelease: Option[DataFrame] = Some(raw)
+    var parts = spark.sparkContext.defaultParallelism
+    var stalled = false
+    var reducedCount = -1L
+    while (!stalled) {
+      // Hash on the left endpoint: avoids round-robin's determinism sort,
+      // and co-locating a vertex's edges improves the reduction ratio.
+      // Skew is bounded — a vertex appears on the left of at most
+      // (its cluster size) pairs, 16-byte rows.
+      // (column referenced positionally: round 1's frame names it id_a,
+      // later rounds' tuple frames _1)
+      val reduced = cur.repartition(parts, col(cur.columns.head))
+        .mapPartitions(spanningForest).persist()
+      reducedCount = reduced.count()
+      toRelease.foreach(_.unpersist())
+      toRelease = None
+      cur = reduced
+      if (reducedCount <= driverEdgeThreshold) {
+        val collected = reduced.collect() // bounded by driverEdgeThreshold
+        reduced.unpersist()
+        return driverUnionFind(spark, collected)
+      }
+      val nextParts = math.max(1L, (reducedCount + forestTaskEdges - 1) / forestTaskEdges)
+      if (nextParts >= parts) stalled = true // no further shrink possible
+      else parts = nextParts.toInt
+    }
+    val reducedDf = cur.toDF("id_a", "id_b")
+    val edges = reducedDf.toDF("src", "dst")
+      .union(reducedDf.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct().persist()
     // Labels are lineage-TRUNCATED each round (eager localCheckpoint, a
     // LogicalRDD leaf), not merely persisted: the pointer-jump below embeds
@@ -458,7 +546,7 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
     var prevSum = labelSum(labels) // materializes labels (and edges beneath)
-    raw.unpersist()
+    cur.unpersist() // the last forest round's persisted edges
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -497,6 +585,57 @@ object Dedup {
     // the SQL cache is left empty and the loop's lineage never replays.
     edges.unpersist()
     labels
+  }
+
+  /** Edges per spanning-forest task: sizes each round's partition count so
+    * per-task union-find state (a LongMap over the partition's vertices,
+    * ~40 B/entry) stays bounded regardless of total edge count. */
+  private val forestTaskEdges = 4000000L
+
+  /** Per-partition spanning forest: union-find over the partition's edges,
+    * emitting only edges that united two components. Output ≤
+    * min(edges, vertices−1) per partition with IDENTICAL connectivity —
+    * every vertex survives (a vertex's first edge always unites, pairs
+    * have no self-loops). */
+  private def spanningForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    it.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); out += ((a, b)) }
+    }
+    out.iterator
+  }
+
+  /** Driver-side union-find over a bounded edge array → (id, cluster_id)
+    * rows, cluster_id = component minimum (min-root union keeps every
+    * root the component minimum). */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toDF("id", "cluster_id")
   }
 
   /**
