@@ -348,6 +348,43 @@ object TextHash {
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Fused per-document token-frequency statistics against a hash-keyed
+    * vocabulary (sorted parallel arrays of token FNV-1a hash → corpus
+    * count): one pass over the UTF-8 bytes, no token strings, no explode
+    * rows, no join. Token identity is split-on-single-space INCLUDING
+    * empty segments — exactly `split(text, ' ')` / DuckDB
+    * `string_split`. The caller guarantees the vocabulary was built from
+    * the same corpus AND is collision-free on the 64-bit hash (checked
+    * at build time; collision ⟹ fall back to the join plan), so every
+    * lookup hits; a miss — only possible if a caller hands a foreign
+    * vocabulary — scores the token as df 1, a token's floor occurrence.
+    * Returns (n_tokens, freq_sum, min_freq). */
+  def tokenFreqStats(s: UTF8String, keys: Array[Long],
+      cnts: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var n = 0L
+    var sum = 0L
+    var mn = Long.MaxValue
+    var h = Fnv64Offset
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val idx = java.util.Arrays.binarySearch(keys, h)
+        val cnt = if (idx >= 0) cnts(idx) else 1L
+        n += 1
+        sum += cnt
+        if (cnt < mn) mn = cnt
+        h = Fnv64Offset
+      } else {
+        h ^= (bytes(i) & 0xffL)
+        h *= Fnv64Prime
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum, mn))
+  }
+
   /** Sorted-distinct 64-bit word-shingle hashes: the same fused
     * tokenize → n-gram → hash pass as [[minHashText]] (identical shingle
     * identity — the iterated mix64 of the window's token FNV hashes),
@@ -845,6 +882,44 @@ case class WordShingles(child: Expression, n: Int, sorted: Boolean = false)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.$fn($c, $n)")
   override def prettyName: String = "word_shingles"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[TextHash.tokenFreqStats]] as a codegen'd expression: per-document
+  * (n_tokens, freq_sum, min_freq) against a BROADCAST hash-keyed
+  * vocabulary — the zero-allocation plan for corpus-relative token
+  * scoring when the vocabulary is small by contract. The arrays ride a
+  * `Broadcast` (fetched once per executor, not shipped per task in the
+  * codegen references); `.value` is hoisted into generated-class init so
+  * the per-row path is one byte scan + binary searches. */
+case class TokenFreqLookup(child: Expression,
+    keys: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    cnts: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = TokenFreqLookup.schema
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenFreqStats(v.asInstanceOf[UTF8String], keys.value, cnts.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("tfKeysBc", keys,
+      "org.apache.spark.broadcast.Broadcast")
+    val cRef = ctx.addReferenceObj("tfCntsBc", cnts,
+      "org.apache.spark.broadcast.Broadcast")
+    val kArr = ctx.addMutableState("long[]", "tfKeys",
+      v => s"$v = (long[])$kRef.value();")
+    val cArr = ctx.addMutableState("long[]", "tfCnts",
+      v => s"$v = (long[])$cRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHash.tokenFreqStats($c, $kArr, $cArr)")
+  }
+  override def prettyName: String = "token_freq_lookup"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenFreqLookup {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("freq_sum", LongType, nullable = false),
+    StructField("min_freq", LongType, nullable = false)))
 }
 
 /** [[TextHash.wordShingleHashesSorted]] as a codegen'd expression —

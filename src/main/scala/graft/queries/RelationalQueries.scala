@@ -102,18 +102,17 @@ object RelationalQueries {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
-      // r9: the dim side's o⋈c is a BROADCAST of customer→nation (25x
-      // smaller than orders and |nations| wide per entry), not a shuffle
-      // join — orders flows scan→project→probe→SHJ-exchange with no
-      // exchange of its own. (The r8 CAUTION below was about broadcasting
-      // the 1.5M-row o⋈c⋈n PRODUCT; c⋈n alone is 10x smaller and its
-      // build is a narrow long→string map.)
+      // r9 A/B at sf10 (3 interleaved runs each): broadcasting a
+      // customer→nation map under orders (no o⋈c shuffle, but a 0.7 s
+      // SERIAL driver build of the 1.5M-entry hashed relation) ties this
+      // shuffle spelling within noise (3.74 vs 3.61 s min). Keep the
+      // shuffle: at warehouse scale customer outgrows any broadcast while
+      // per-partition SHJ builds stay bounded.
       val dim = o.select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))
-            .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
-              col("c_nationkey") === col("n_nationkey"))
-            .select(col("c_custkey"), col("n_name"))),
+        .join(c.select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
         .select(col("o_orderkey"), col("n_name"))
       // price_cents × (100 − disc_cents) = the revenue term's unscaled
       // value at scale 4, exactly the DECIMAL(38,4) product the oracle

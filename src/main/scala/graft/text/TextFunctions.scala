@@ -275,8 +275,14 @@ object TextFunctions {
   def tokenFrequencyStats(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
     val c = org.apache.spark.sql.functions.col(_)
-    val tok = df.where(df(textCol).isNotNull)
-      .select(df(idCol), explode(tokens(df(textCol))).as("tok"))
+    val vocabThreshold = graft.spark.ExecTuning.confLong(df.sparkSession,
+      BroadcastVocabBytesKey, DefaultBroadcastVocabBytes)
+    val small = vocabThreshold > 0 &&
+      (try graft.spark.ExecTuning.inputBytes(df) <= vocabThreshold
+       catch { case _: Exception => false })
+    val base = df.where(df(textCol).isNotNull)
+      .select(df(idCol), df(textCol).as("_tfs_text"))
+    val tok = base.select(c(idCol), explode(tokens(c("_tfs_text"))).as("tok"))
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // Measured NOTE (derived sf10, local[32]): a (doc, token) pre-aggregate
     // below a shared exchange — explode once, ReuseExchange, join deduped
@@ -297,11 +303,57 @@ object TextFunctions {
     // vocabulary (≤ distinct tokens, Heaps-law sublinear) is broadcast-
     // sized; a 100 TB corpus keeps the adaptive token-keyed shuffle join,
     // where a billion-token web vocabulary could not broadcast.
-    val vocabThreshold = graft.spark.ExecTuning.confLong(df.sparkSession,
-      BroadcastVocabBytesKey, DefaultBroadcastVocabBytes)
-    val small = vocabThreshold > 0 &&
-      (try graft.spark.ExecTuning.inputBytes(df) <= vocabThreshold
-       catch { case _: Exception => false })
+    // Under the small gate, go further than a broadcast JOIN: collect the
+    // vocabulary once (bounded by VocabRowCap; the limit answers "does it
+    // fit?" and "give me the rows" in one job — the ngramJaccardPairs
+    // device), key it by token FNV-1a hash into sorted parallel long
+    // arrays, and score every document in ONE fused kernel pass
+    // (TokenFreqLookup): no exploded (doc, token) rows, no string probe,
+    // no per-doc aggregate — the probe stage was measured ALLOCATION-
+    // bound at derived sf10 (2.4 s at 14- and at 32-wide alike). Hash
+    // keying is exact by CONSTRUCTION, not by luck: the build detects any
+    // 64-bit collision between distinct vocabulary tokens (adjacent equal
+    // hashes after the sort — counts rows are distinct tokens) and falls
+    // back to the string-keyed broadcast-join plan, which also serves
+    // over-cap vocabularies. On the fallback paths counts re-aggregates
+    // lazily — one extra map-side-combined pass, the price of deciding
+    // adaptively.
+    if (small) {
+      val vocabRows = counts.limit(VocabRowCap + 1).collect()
+      if (vocabRows.length <= VocabRowCap) {
+        val n = vocabRows.length
+        val pairs = new Array[Array[Long]](n)
+        var i = 0
+        while (i < n) {
+          val tokS = vocabRows(i).getString(0)
+          pairs(i) = Array(graft.expressions.TextHash.fnv1a64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(tokS)),
+            vocabRows(i).getLong(1))
+          i += 1
+        }
+        java.util.Arrays.sort(pairs, java.util.Comparator.comparingLong(
+          (p: Array[Long]) => p(0)))
+        var collided = false
+        i = 1
+        while (i < n && !collided) {
+          if (pairs(i)(0) == pairs(i - 1)(0)) collided = true
+          i += 1
+        }
+        if (!collided) {
+          val ks = new Array[Long](n)
+          val cs = new Array[Long](n)
+          i = 0
+          while (i < n) { ks(i) = pairs(i)(0); cs(i) = pairs(i)(1); i += 1 }
+          val sc = df.sparkSession.sparkContext
+          val stats = col(graft.expressions.TokenFreqLookup(
+            expr(c("_tfs_text")), sc.broadcast(ks), sc.broadcast(cs)))
+          return base.select(c(idCol), stats.as("_tfs"))
+            .select(c(idCol), c("_tfs.n_tokens").as("n_tokens"),
+              c("_tfs.freq_sum").as("freq_sum"),
+              c("_tfs.min_freq").as("min_freq"))
+        }
+      }
+    }
     val countsSide = if (small) broadcast(counts) else counts
     tok.join(countsSide, "tok")
       .groupBy(idCol)
@@ -309,6 +361,12 @@ object TextFunctions {
         sum(c("cnt")).as("freq_sum"),
         min(c("cnt")).as("min_freq"))
   }
+
+  /** Vocabulary row bound for the fused-kernel path: above it the
+    * driver-side collect + per-executor broadcast would outgrow the
+    * "small by contract" reasoning, so the broadcast-join plan serves
+    * instead. 4M rows ≈ 64 MB of hash/count longs broadcast. */
+  private[graft] val VocabRowCap = 4000000
 
   /** Corpus-size ceiling under which [[tokenFrequencyStats]] broadcast-
     * hints the vocabulary join (0 disables the hint).

@@ -581,6 +581,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(viaSql == got)
   }
 
+  test("tokenFrequencyStats fused-kernel and shuffle-join paths agree") {
+    // The small-corpus plan scores docs in one fused pass against a
+    // collected hash-keyed vocabulary; BroadcastVocabBytesKey=0 forces
+    // the adaptive token-keyed join plan. Same rows either way —
+    // including empty-segment tokens (split on ' ' keeps empties).
+    val df = Seq((1L, "a  a b"), (2L, ""), (3L, "a c")).toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Long, Long)] =
+      TF.tokenFrequencyStats(df, "text", "doc_id").orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val fused = run()
+    spark.conf.set("spark.graft.text.broadcastVocabBytes", "0")
+    val joined = try run()
+    finally spark.conf.unset("spark.graft.text.broadcastVocabBytes")
+    assert(fused == joined)
+    // tokens of doc 1: "a","","a","b" → counts: a=3, ""=2, b=1, c=1
+    // (doc 2 is the empty string = one "" token)
+    assert(fused == Seq((1L, 4L, 9L, 1L), (2L, 1L, 2L, 2L), (3L, 2L, 4L, 1L)))
+  }
+
   test("topNgrams trigram windows drop short tails") {
     val df = Seq("p q r s").toDF("text") // trigrams: "p q r", "q r s"
     val got = TF.topNgrams(df, "text", n = 3, k = 10)
