@@ -348,6 +348,38 @@ object TextHash {
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Sorted-distinct LSH band keys of a MinHash signature: band b's key
+    * mixes b with the band's r = |sig|/bands signature rows (splitmix64
+    * chaining — equal slices ⟹ equal keys, distinct slices collide at
+    * 2^-64 like any 64-bit hash; WHICH hash is immaterial to LSH because
+    * band agreement is decided by the signature rows, the key only names
+    * the bucket). One pass, no per-row array/lambda machinery — the
+    * sort_array(array_distinct(transform(sequence(...), slice/xxhash64)))
+    * spelling this replaces ran as interpreted higher-order functions,
+    * measured 3-5 s PER CONSUMER over 500k docs at derived sf10. */
+  def bandKeySets(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    if (n == 0 || n % bands != 0) return new GenericArrayData(Array.empty[Long])
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(b.toLong ^ 0x9e3779b97f4a7c15L)
+      var i = 0
+      while (i < r) { h = mix64(h ^ sig.getLong(b * r + i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    java.util.Arrays.sort(out)
+    var d = 1
+    var i = 1
+    while (i < bands) {
+      if (out(i) != out(d - 1)) { out(d) = out(i); d += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (d == bands) out else java.util.Arrays.copyOf(out, d))
+  }
+
   /** Fused per-document token-frequency statistics against a hash-keyed
     * vocabulary (sorted parallel arrays of token FNV-1a hash → corpus
     * count): one pass over the UTF-8 bytes, no token strings, no explode
@@ -881,6 +913,20 @@ case class WordShingles(child: Expression, n: Int, sorted: Boolean = false)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.$fn($c, $n)")
   override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[TextHash.bandKeySets]] as a codegen'd expression. */
+case class BandKeySets(child: Expression, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands > 0, "bands must be positive")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.bandKeySets(v.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.bandKeySets($c, $bands)")
+  override def prettyName: String = "band_key_sets"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

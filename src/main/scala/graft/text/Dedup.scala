@@ -219,13 +219,15 @@ object Dedup {
   /** (id, ks) rows: each doc's band keys as a SORTED-DISTINCT array —
     * the shape [[graft.expressions.FirstSharedIs]] merges. Distinctness
     * also makes bucket membership per (id, value) unique, so the pair
-    * join and the occupancy counts never see intra-doc duplicates. */
+    * join and the occupancy counts never see intra-doc duplicates.
+    * Computed by the [[graft.expressions.BandKeySets]] kernel — see its
+    * scaladoc for why the hash choice cannot affect the LSH candidate
+    * set and what the HOF spelling it replaced cost. */
   private def bandKeySets(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     signatures.select(col("id"),
-      sort_array(array_distinct(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(r) + lit(1), lit(r)))))).as("ks"))
+      Bridge.column(graft.expressions.BandKeySets(
+        Bridge.expression(col("sig")), bands)).as("ks"))
   }
 
   /** [[bandKeySets]] exploded to one row per (id, ks, v ∈ ks), with
@@ -409,11 +411,20 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val par = cands.sparkSession.sparkContext.defaultParallelism
-    // `sets.sh` is pre-SORTED by the shingle kernel itself (wordShingles-
-    // Sorted) — sorting inside the kernel guarantees one sort per DOCUMENT
-    // wherever the optimizer evaluates the projection; a sort_array column
-    // here proved fragile (it migrated into AQE-coalesced single-task
+    // `sets.sh` is pre-SORTED by the shingle kernel itself — sorting
+    // inside the kernel guarantees one sort per DOCUMENT wherever the
+    // optimizer evaluates the projection; a sort_array column here
+    // proved fragile (it migrated into AQE-coalesced single-task
     // stages and, in some plans, above the pair join).
+    //
+    // Measured NOTE (derived sf10): broadcasting the per-doc sets and
+    // probing them from the pair stream — killing the two wide exchanges
+    // that replicate each array per PAIR (5.4 GB at this scale) — was
+    // tried under a 128 MB corpus gate and OOM'd the bench heap: a
+    // hundreds-of-MB hashed relation pinned per executor plus 32 probe
+    // tasks is exactly the unbounded-memory shape this per-pair shuffle
+    // avoids, whose working set per task stays ~|partition| arrays no
+    // matter the corpus. The shuffle spelling stays on all paths.
     cands.repartition(par, col("id_a"))
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -502,7 +513,13 @@ object Dedup {
     // executor memory at any corpus size.
     var cur = raw.toDF("id_a", "id_b").as[(Long, Long)]
     var toRelease: Option[DataFrame] = Some(raw)
-    var parts = spark.sparkContext.defaultParallelism
+    // Size round 1 from the actual edge count (one cheap scan of the
+    // already-persisted blocks): starting at core count instead made
+    // round 1's forests vertex-bound per partition (32 × ~|V| edges out
+    // at derived sf10), costing an extra round to converge.
+    val rawCount = raw.count()
+    var parts = math.max(1L,
+      (rawCount + forestTaskEdges - 1) / forestTaskEdges).toInt
     var stalled = false
     var reducedCount = -1L
     while (!stalled) {
@@ -518,8 +535,17 @@ object Dedup {
       toRelease.foreach(_.unpersist())
       toRelease = None
       cur = reduced
-      if (reducedCount <= driverEdgeThreshold) {
-        val collected = reduced.collect() // bounded by driverEdgeThreshold
+      // A forest that fits ONE reduction task fits the driver (same
+      // union-find, same memory): collecting at forestTaskEdges saves a
+      // whole single-task Spark round plus its count job. The floor only
+      // applies when the caller allows driver collection at all —
+      // driverEdgeThreshold = 0 keeps the fully distributed path (the
+      // posture for drivers that must never hold the edge skeleton).
+      val collectBound =
+        if (driverEdgeThreshold == 0) 0L
+        else math.max(driverEdgeThreshold, forestTaskEdges)
+      if (reducedCount <= collectBound) {
+        val collected = reduced.collect() // bounded by collectBound
         reduced.unpersist()
         return driverUnionFind(spark, collected)
       }
