@@ -380,8 +380,17 @@ object Dedup {
     // Everything stays lazy — AQE's stage cache reuses the materialized
     // stages across consumers, and keeps exact runtime sizes so the
     // semi-join flips to broadcast when the candidate set is small.
-    val sigsX = sigs.repartition(
-      df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // Below SigsExchangeMinBytes the exchange costs more than the
+    // per-subtree recompute it dedupes (a few-MB corpus minhashes in
+    // milliseconds) — measured +0.4-0.6 s per gate on the sf0.1 floor.
+    val sigsMin = graft.spark.ExecTuning.confLong(df.sparkSession,
+      SigsExchangeMinBytesKey, DefaultSigsExchangeMinBytes)
+    val sigsSmall = sigsMin > 0 &&
+      (try graft.spark.ExecTuning.inputBytes(df) < sigsMin
+       catch { case _: Exception => false })
+    val sigsX = if (sigsSmall) sigs
+      else sigs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("id"))
     val keyed = explodedBandKeySets(sigsX, k, bands, maxBucketSize)
     val cands = pairJoin(keyed)
     // The shingle fetch restricts to candidate ids derived from bucket
@@ -447,6 +456,14 @@ object Dedup {
       // exchange carries only the verified pairs (three narrow columns).
       .repartition(par)
   }
+
+  /** Corpus-size floor under which [[verifiedPairs]] skips the explicit
+    * signature exchange (0 disables the skip — always exchange). Above
+    * it, one (id, sig) shuffle saves each candidate-stage subtree a full
+    * minhash-the-corpus recompute; below it the recompute is cheaper
+    * than the exchange's scheduling. */
+  private[graft] val SigsExchangeMinBytesKey = "spark.graft.dedup.sigsExchangeMinBytes"
+  private[graft] val DefaultSigsExchangeMinBytes: Long = 16L << 20
 
   /** Payload fetch for verification: restrict `sh` (any (id, payload)
     * frame) to the ids appearing in candidate pairs via semi-join, so
@@ -757,10 +774,17 @@ object Dedup {
     val denom = 100000L
     def ceilDiv(x: Column, n: Long, d: Long): Column =
       floor((x * n + (d - 1)) / d).cast("long")
-    // Sorted shingle kernel: the verify tail merges pre-sorted arrays; the
-    // prefix stages don't care about element order (they re-rank by df).
+    // Sorted HASHED shingle kernel (64-bit gram identities): the verify
+    // tail merges pre-sorted long arrays; the prefix stages re-rank by
+    // df, and prefix filtering is exact under any fixed total gram order
+    // — (df, hash) included. Hashing is what lets a 60x corpus run: the
+    // string spelling's posting lists, prefix rows and per-pair verify
+    // arrays held UTF8Strings and OOM'd the 4.6 GB bench heap at derived
+    // sf10. Jaccard over hash sets equals the string-set value absent an
+    // in-pair 64-bit collision (see wordShingleHashesSorted).
     val sh = df.select(col(idCol).cast("long").as("id"),
-        wordShinglesSorted(col(textCol), shingleN).as("sh"))
+        Bridge.column(graft.expressions.WordShingleHashes(
+          Bridge.expression(col(textCol)), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
     // Global document frequencies of REPEATED grams only: a gram absent
     // from this set has df = 1 exactly (every gram occurs at least once),
@@ -781,15 +805,23 @@ object Dedup {
       // map, entirely array-side: the prefix derivation costs zero
       // shuffles and no join (vs posting ⋈ df ⋈ window, which cost two
       // shuffles and a per-doc sort in round 5).
-      val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-        math.max(16, hotRows.length * 2))
-      hotRows.foreach { r =>
-        map.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-          java.lang.Long.valueOf(r.getLong(1)))
+      val nHot = hotRows.length
+      val hotPairs = new Array[Array[Long]](nHot)
+      var i = 0
+      while (i < nHot) {
+        hotPairs(i) = Array(hotRows(i).getLong(0), hotRows(i).getLong(1))
+        i += 1
       }
-      val bc = spark.sparkContext.broadcast(map)
-      val pre = Bridge.column(graft.expressions.PrefixByDf(
-        Bridge.expression(col("sh")), bc, num, denom))
+      java.util.Arrays.sort(hotPairs,
+        java.util.Comparator.comparingLong((p: Array[Long]) => p(0)))
+      val ks = new Array[Long](nHot)
+      val ds = new Array[Long](nHot)
+      i = 0
+      while (i < nHot) { ks(i) = hotPairs(i)(0); ds(i) = hotPairs(i)(1); i += 1 }
+      val pre = Bridge.column(graft.expressions.PrefixByDfLongs(
+        Bridge.expression(col("sh")),
+        spark.sparkContext.broadcast(ks), spark.sparkContext.broadcast(ds),
+        num, denom))
       sh.select(col("id"), size(col("sh")).cast("long").as("sz"), explode(pre).as("p"))
         .select(col("id"), col("sz"), col("p.g").as("g"), col("p.rn").cast("long").as("rn"))
     } else {
