@@ -60,6 +60,45 @@ class DedupSpec extends SparkSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("pair-uniqueness and band-key kernels: edge cases") {
+    import graft.expressions.TextHash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    // firstSharedIs: min shared value decides the emitting bucket
+    assert(TextHash.firstSharedIs(arr(1L, 5L, 9L), arr(2L, 5L, 9L), 5L))
+    assert(!TextHash.firstSharedIs(arr(1L, 5L, 9L), arr(2L, 5L, 9L), 9L))
+    assert(!TextHash.firstSharedIs(arr(1L, 3L), arr(2L, 4L), 1L)) // no overlap
+    assert(!TextHash.firstSharedIs(arr(), arr(1L), 1L)) // empty side
+    // bandKeySets: sorted-distinct, equal slices ⟹ equal keys, band
+    // identity matters (same rows in a different band ⟹ different key)
+    val ks = TextHash.bandKeySets(arr(10L, 11L, 20L, 21L), 2)
+    assert(ks.numElements() == 2 &&
+      ks.getLong(0) < ks.getLong(1)) // sorted
+    val ks2 = TextHash.bandKeySets(arr(10L, 11L, 20L, 21L), 2)
+    assert(ks.toLongArray.toSeq == ks2.toLongArray.toSeq) // deterministic
+    val swapped = TextHash.bandKeySets(arr(20L, 21L, 10L, 11L), 2)
+    assert(ks.toLongArray.toSet.intersect(swapped.toLongArray.toSet).isEmpty)
+    assert(TextHash.bandKeySets(arr(), 2).numElements() == 0) // empty sig
+    assert(TextHash.bandKeySets(arr(1L, 2L, 3L), 2).numElements() == 0) // k % bands != 0
+    // jaccardSimSortedLongs: exact set semantics over sorted longs
+    assert(TextHash.jaccardSimSortedLongs(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 0.5)
+    assert(TextHash.jaccardSimSortedLongs(arr(), arr()) == 0.0)
+    assert(TextHash.jaccardSimSortedLongs(arr(7L), arr(7L)) == 1.0)
+    // wordShingleHashesSorted: same shingle identity as minHashText's
+    // window fold; set size matches the string kernel's distinct count
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = UTF8String.fromString("a b c a b c d")
+    val hs = TextHash.wordShingleHashesSorted(t, 3)
+    val ss = TextHash.wordShinglesSorted(t, 3)
+    assert(hs.numElements() == ss.numElements()) // distinct 3-gram count
+    var i = 1
+    while (i < hs.numElements()) {
+      assert(hs.getLong(i - 1) < hs.getLong(i)); i += 1 // sorted distinct
+    }
+    assert(TextHash.wordShingleHashesSorted(UTF8String.fromString("a b"), 3)
+      .numElements() == 0) // fewer tokens than n
+  }
+
   test("minhash signature is deterministic and jaccard-correlated") {
     val sigs = Dedup.minHashSignatures(docs, "text", "doc_id").select("id", "sig")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
