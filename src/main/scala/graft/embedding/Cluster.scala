@@ -163,6 +163,23 @@ object Cluster {
     require(quantScale >= 1, s"quantScale must be >= 1, got $quantScale")
     val base = df.where(col(vecCol).isNotNull)
 
+    // The k x dim ceiling must be checked BEFORE any k-row collect — the
+    // init collect below materializes k x dim boxed longs on the driver,
+    // i.e. exactly the allocation the guard exists to refuse. Probe ONE
+    // row for the dimension first.
+    val dimProbe = base.select(size(col(vecCol)).as("_km_dim")).limit(1).collect()
+    require(dimProbe.nonEmpty, "fitCentroids needs at least one non-null vector")
+    val dim = dimProbe.head.getInt(0).toLong
+    // The per-iteration collect is k x dim (cluster, dim, sum, count) Rows
+    // — "driver state is k x dim longs" is only true if that product is
+    // actually bounded. 2^24 (16.7M cells ≈ a few hundred MB of boxed
+    // Rows transiently) is the ceiling: it admits 65536x256 or 16384x1024
+    // but refuses the 65536x1024 shape that would collect ~67M Rows per
+    // iteration and take the driver down.
+    require(k * dim <= (1L << 24),
+      s"k x dim must be <= ${1L << 24} (driver holds k x dim centroid " +
+        s"sums per iteration); got $k x $dim")
+
     // Deterministic init: the k smallest ids' quantized vectors.
     val init: Array[Array[Long]] = base
       .orderBy(col(idCol))
@@ -171,15 +188,6 @@ object Cluster {
       .collect()
       .map(_.getSeq[Long](0).toArray)
     require(init.nonEmpty, "fitCentroids needs at least one non-null vector")
-    // The per-iteration collect is k x dim (cluster, dim, sum, count) Rows
-    // — "driver state is k x dim longs" is only true if that product is
-    // actually bounded. 2^24 (16.7M cells ≈ a few hundred MB of boxed
-    // Rows transiently) is the ceiling: it admits 65536x256 or 16384x1024
-    // but refuses the 65536x1024 shape that would collect ~67M Rows per
-    // iteration and take the driver down.
-    require(k.toLong * init(0).length <= (1L << 24),
-      s"k x dim must be <= ${1L << 24} (driver holds k x dim centroid " +
-        s"sums per iteration); got $k x ${init(0).length}")
     var cents = init
 
     var it = 0

@@ -287,8 +287,6 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession): Unit =
     hotBucketListenerSessions.synchronized {
       if (!hotBucketListenerSessions.containsKey(spark)) {
-        val warnAt = graft.spark.ExecTuning.confLong(spark,
-          HotBucketWarnSizeKey, DefaultHotBucketWarnSize)
         spark.listenerManager.register(
           new org.apache.spark.sql.util.QueryExecutionListener {
             override def onSuccess(funcName: String,
@@ -296,6 +294,11 @@ object Dedup {
                 durationNs: Long): Unit =
               qe.observedMetrics.foreach { case (name, row) =>
                 if (name.startsWith(HotBucketMetricPrefix) && !row.isNullAt(0)) {
+                  // Re-read per event: the listener registers once per
+                  // session, but the threshold is runtime conf the user
+                  // may change between queries.
+                  val warnAt = graft.spark.ExecTuning.confLong(spark,
+                    HotBucketWarnSizeKey, DefaultHotBucketWarnSize)
                   val maxB = row.getLong(0)
                   if (warnAt > 0 && maxB > warnAt)
                     org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
@@ -325,10 +328,12 @@ object Dedup {
     * rule only moves WHICH bucket emits a pair among buckets both
     * members survive in, never whether it is emitted.
     *
-    * `keyed` is [[explodedBandKeySets]]'s output (post-cap, partitioned
-    * on v): the counts aggregate and the occupancy semi-join are both
-    * v-clustered, so neither adds an exchange, and the only shuffle here
-    * is the final distinct over candidate ids. The observed hot-bucket
+    * `keyed` is [[explodedBandKeySets]]'s output (post-cap). It is NOT
+    * v-partitioned (a v-exchange of the wide exploded frame was tried
+    * and measured slower — see explodedBandKeySets), so the counts
+    * aggregate and the semi-join each plan their own narrow (id, v) /
+    * (v, count) exchanges over the shared upstream sigs exchange, plus
+    * the final distinct over candidate ids. The observed hot-bucket
     * metric is post-cap — identical to pre-cap in the default cap=0
     * configuration, which is exactly when the warning has a knob to
     * point at. */
@@ -550,19 +555,10 @@ object Dedup {
         .mapPartitions(spanningForest).persist()
       reducedCount = reduced.count()
       toRelease.foreach(_.unpersist())
-      toRelease = None
+      toRelease = Some(reduced.toDF()) // released after the NEXT round counts
       cur = reduced
-      // A forest that fits ONE reduction task fits the driver (same
-      // union-find, same memory): collecting at forestTaskEdges saves a
-      // whole single-task Spark round plus its count job. The floor only
-      // applies when the caller allows driver collection at all —
-      // driverEdgeThreshold = 0 keeps the fully distributed path (the
-      // posture for drivers that must never hold the edge skeleton).
-      val collectBound =
-        if (driverEdgeThreshold == 0) 0L
-        else math.max(driverEdgeThreshold, forestTaskEdges)
-      if (reducedCount <= collectBound) {
-        val collected = reduced.collect() // bounded by collectBound
+      if (reducedCount <= driverEdgeThreshold) {
+        val collected = reduced.collect() // bounded by driverEdgeThreshold
         reduced.unpersist()
         return driverUnionFind(spark, collected)
       }
@@ -635,6 +631,20 @@ object Dedup {
     * ~40 B/entry) stays bounded regardless of total edge count. */
   private val forestTaskEdges = 4000000L
 
+  /** Path-compressed find over a LongMap parent forest — the ONE copy of
+    * the union-find core both [[spanningForest]] and [[driverUnionFind]]
+    * run (their results are asserted interchangeable; one implementation
+    * keeps them so). Min-root union at the call sites keeps every root
+    * the component minimum. */
+  private def findRoot(parent: scala.collection.mutable.LongMap[Long],
+      x: Long): Long = {
+    var r = x
+    while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+    var c = x // path compression
+    while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+    r
+  }
+
   /** Per-partition spanning forest: union-find over the partition's edges,
     * emitting only edges that united two components. Output ≤
     * min(edges, vertices−1) per partition with IDENTICAL connectivity —
@@ -642,41 +652,26 @@ object Dedup {
     * have no self-loops). */
   private def spanningForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     it.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val ra = find(a); val rb = find(b)
+      val ra = findRoot(parent, a); val rb = findRoot(parent, b)
       if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); out += ((a, b)) }
     }
     out.iterator
   }
 
   /** Driver-side union-find over a bounded edge array → (id, cluster_id)
-    * rows, cluster_id = component minimum (min-root union keeps every
-    * root the component minimum). */
+    * rows, cluster_id = component minimum. */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
       edges: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
     edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
+      val ra = findRoot(parent, a); val rb = findRoot(parent, b)
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
     }
-    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    val rows = parent.keys.toSeq.sorted.map(id => (id, findRoot(parent, id)))
     import spark.implicits._
     rows.toDF("id", "cluster_id")
   }
