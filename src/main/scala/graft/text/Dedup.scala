@@ -540,8 +540,9 @@ object Dedup {
     // round 1's forests vertex-bound per partition (32 × ~|V| edges out
     // at derived sf10), costing an extra round to converge.
     val rawCount = raw.count()
+    val taskEdges = forestTaskEdges(spark)
     var parts = math.max(1L,
-      (rawCount + forestTaskEdges - 1) / forestTaskEdges).toInt
+      (rawCount + taskEdges - 1) / taskEdges).toInt
     var stalled = false
     var reducedCount = -1L
     while (!stalled) {
@@ -562,7 +563,7 @@ object Dedup {
         reduced.unpersist()
         return driverUnionFind(spark, collected)
       }
-      val nextParts = math.max(1L, (reducedCount + forestTaskEdges - 1) / forestTaskEdges)
+      val nextParts = math.max(1L, (reducedCount + taskEdges - 1) / taskEdges)
       if (nextParts >= parts) stalled = true // no further shrink possible
       else parts = nextParts.toInt
     }
@@ -628,8 +629,15 @@ object Dedup {
 
   /** Edges per spanning-forest task: sizes each round's partition count so
     * per-task union-find state (a LongMap over the partition's vertices,
-    * ~40 B/entry) stays bounded regardless of total edge count. */
-  private val forestTaskEdges = 4000000L
+    * ~40 B/entry) stays bounded regardless of total edge count.
+    * Conf-keyed (`spark.graft.dedup.forestTaskEdges`) so constrained
+    * executors can lower it — and so the multi-round path is testable
+    * without million-edge fixtures. */
+  private[graft] val ForestTaskEdgesKey = "spark.graft.dedup.forestTaskEdges"
+  private[graft] val DefaultForestTaskEdges = 4000000L
+  private def forestTaskEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    math.max(1L, graft.spark.ExecTuning.confLong(spark,
+      ForestTaskEdgesKey, DefaultForestTaskEdges))
 
   /** Path-compressed find over a LongMap parent forest — the ONE copy of
     * the union-find core both [[spanningForest]] and [[driverUnionFind]]

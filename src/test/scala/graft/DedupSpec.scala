@@ -60,6 +60,31 @@ class DedupSpec extends SparkSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("spanning-forest reduction: multi-round path matches driver union-find") {
+    // 100 dense 30-vertex cliques (43.5k edges). forestTaskEdges=25000
+    // forces parts=2 in round 1 (each task's forest ≈ the full 2.9k-edge
+    // skeleton → ~5.8k total > threshold), then parts=1 in round 2
+    // (≤ 2.9k ≤ threshold → driver collect): exercises BOTH the
+    // multi-round loop (incl. the per-round unpersist choreography) and
+    // the collect tail. Expected clusters are closed-form: min id per
+    // clique.
+    val edges = (for {
+      c <- 0 until 100
+      i <- 0 until 30
+      j <- i + 1 until 30
+    } yield (c * 1000L + i, c * 1000L + j)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.dedup.forestTaskEdges", "25000")
+    try {
+      val got = Dedup.nearDupClusters(edges, driverEdgeThreshold = 3000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 3000)
+      assert((0 until 100).forall(c =>
+        (0 until 30).forall(i => got(c * 1000L + i) == c * 1000L)))
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "forest rounds left persisted state behind")
+    } finally spark.conf.unset("spark.graft.dedup.forestTaskEdges")
+  }
+
   test("pair-uniqueness and band-key kernels: edge cases") {
     import graft.expressions.TextHash
     import org.apache.spark.sql.catalyst.util.GenericArrayData
