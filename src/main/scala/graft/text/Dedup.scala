@@ -365,14 +365,14 @@ object Dedup {
     // without caching it.
     val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
     verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands,
-      maxBucketSize)
+      maxBucketSize, sigsBehindExchange = false)
   }
 
   /** Band join + exact-Jaccard verification over prepared (id, sig) rows —
     * the shared tail of [[nearDupPairs]] and [[dropNearDuplicates]]. */
   private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
       idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0, sigsBehindExchange: Boolean = false): DataFrame = {
     // The signature frame feeds several subtrees (the pair join's two
     // sides — one canonicalized exchange — plus the occupancy counts and
     // the occupancy semi-join in lshCandidateIds). A bare map-only sigs
@@ -385,12 +385,19 @@ object Dedup {
     // Everything stays lazy — AQE's stage cache reuses the materialized
     // stages across consumers, and keeps exact runtime sizes so the
     // semi-join flips to broadcast when the candidate set is small.
-    // Below SigsExchangeMinBytes the exchange costs more than the
-    // per-subtree recompute it dedupes (a few-MB corpus minhashes in
-    // milliseconds) — measured +0.4-0.6 s per gate on the sf0.1 floor.
+    // Map-only sigs (nearDupPairs): ALWAYS exchange — each of the 3+
+    // candidate-stage subtrees otherwise re-minhashes the corpus from
+    // the scan, and even at the sf0.1 floor the exchange wins (1.36 vs
+    // 1.48 s measured). Sigs already behind a caller's exchange
+    // (dropNearDuplicates' exact-dup window): exchange only above
+    // SigsExchangeMinBytes — below it the extra hop costs more than the
+    // cheap post-exchange re-projection it dedupes (measured +0.6 s on
+    // the floor), while at 10x+ scale the pruning-split window subtrees
+    // stop canonicalizing to one exchange and the explicit one wins
+    // (kept 38.8 -> 32.8 s at derived sf10).
     val sigsMin = graft.spark.ExecTuning.confLong(df.sparkSession,
       SigsExchangeMinBytesKey, DefaultSigsExchangeMinBytes)
-    val sigsSmall = sigsMin > 0 &&
+    val sigsSmall = sigsBehindExchange && sigsMin > 0 &&
       (try graft.spark.ExecTuning.inputBytes(df) < sigsMin
        catch { case _: Exception => false })
     val sigsX = if (sigsSmall) sigs
@@ -730,7 +737,7 @@ object Dedup {
     val sigs = marked.where(col("id") === col("_keep"))
       .where(size(col("sig")) > 0).select(col("id"), col("sig"))
     val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold,
-      shingleN, k, bands, maxBucketSize)
+      shingleN, k, bands, maxBucketSize, sigsBehindExchange = true)
     val nearLosers = nearDupClusters(pairs, maxIterations)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))
