@@ -60,6 +60,21 @@ class DedupSpec extends SparkSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("sigs-exchange policy settings never change the kept set") {
+    // The exchange is pure plan shape: kept sets must be identical with
+    // the signature exchange forced ON (min=0) and forced OFF (huge min).
+    def kept(): Set[Long] =
+      Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.dedup.sigsExchangeMinBytes", "0")
+    val alwaysOn = try kept()
+    finally spark.conf.unset("spark.graft.dedup.sigsExchangeMinBytes")
+    spark.conf.set("spark.graft.dedup.sigsExchangeMinBytes", s"${Long.MaxValue}")
+    val alwaysOff = try kept()
+    finally spark.conf.unset("spark.graft.dedup.sigsExchangeMinBytes")
+    assert(alwaysOn == alwaysOff && alwaysOn == Set(1L, 3L, 5L, 6L))
+  }
+
   test("spanning-forest reduction: multi-round path matches driver union-find") {
     // 100 dense 30-vertex cliques (43.5k edges). forestTaskEdges=25000
     // forces parts=2 in round 1 (each task's forest ≈ the full 2.9k-edge
