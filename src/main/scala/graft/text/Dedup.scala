@@ -279,6 +279,15 @@ object Dedup {
   private val HotBucketMetricPrefix = "graft_lsh_max_bucket"
   private val hotBucketMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Max LSH band-bucket size the listener last observed (−1 before any
+    * near-dedup query ran). The programmatic face of the warning — a
+    * pipeline can poll it after a run to decide whether to re-run with a
+    * `maxBucketSize` cap — and what the spec asserts (the log line
+    * itself is not capturable portably). Updated asynchronously on query
+    * completion. */
+  private[graft] val lastObservedMaxBucket =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Register (once per session) a listener that logs a warning when an
     * executed plan's observed max LSH bucket size exceeds the threshold.
     * The metric rides the plan via `observe()` — ZERO extra jobs or
@@ -300,6 +309,7 @@ object Dedup {
                   val warnAt = graft.spark.ExecTuning.confLong(spark,
                     HotBucketWarnSizeKey, DefaultHotBucketWarnSize)
                   val maxB = row.getLong(0)
+                  lastObservedMaxBucket.set(maxB)
                   if (warnAt > 0 && maxB > warnAt)
                     org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
                       s"LSH band bucket of $maxB members (> $warnAt): one " +

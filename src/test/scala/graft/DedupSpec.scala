@@ -60,6 +60,22 @@ class DedupSpec extends SparkSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("hot-bucket observation rides the near-dup query (warning plumbing)") {
+    // Four identical texts collide in every band: each band bucket has 4
+    // members, so the observed max bucket must reach 4. The metric rides
+    // the caller's own action via observe() and lands in the session
+    // listener asynchronously — poll briefly.
+    val rep = (1 to 4).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.lastObservedMaxBucket.set(-1L)
+    assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    val deadline = System.nanoTime() + 10000000000L
+    while (Dedup.lastObservedMaxBucket.get() < 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Dedup.lastObservedMaxBucket.get() == 4L,
+      s"observed max bucket ${Dedup.lastObservedMaxBucket.get()}, expected 4")
+  }
+
   test("sigs-exchange policy settings never change the kept set") {
     // The exchange is pure plan shape: kept sets must be identical with
     // the signature exchange forced ON (min=0) and forced OFF (huge min).
