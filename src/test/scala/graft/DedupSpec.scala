@@ -60,6 +60,34 @@ class DedupSpec extends SparkSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("lshCandidatePairs equals brute-force shared-band-key reference, no duplicates") {
+    // Random signatures over a SMALL value alphabet force plenty of
+    // band-key collisions; the reference recomputes each doc's band-key
+    // SET with the same kernel and takes every i<j pair with a non-empty
+    // intersection. The join must produce exactly that set, exactly once
+    // per pair (unique emission — no distinct() runs downstream).
+    val rnd = new scala.util.Random(7)
+    val k = 8; val bands = 4
+    val sigsLocal = (1L to 60L).map(id =>
+      id -> Seq.fill(k)(rnd.nextInt(3).toLong))
+    val expected = (for {
+      (ia, sa) <- sigsLocal; (ib, sb) <- sigsLocal if ia < ib
+      ksA = graft.expressions.TextHash.bandKeySets(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(sa.toArray), bands)
+        .toLongArray.toSet
+      ksB = graft.expressions.TextHash.bandKeySets(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(sb.toArray), bands)
+        .toLongArray.toSet
+      if ksA.intersect(ksB).nonEmpty
+    } yield (ia, ib)).toSet
+    val got = Dedup.lshCandidatePairs(
+        sigsLocal.toDF("id", "sig"), k = k, bands = bands)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.distinct.size == got.size, "a pair was emitted twice")
+    assert(got.toSet == expected)
+    assert(expected.size > 100, s"fixture too sparse (${expected.size} pairs)")
+  }
+
   test("hot-bucket observation rides the near-dup query (warning plumbing)") {
     // Four identical texts collide in every band: each band bucket has 4
     // members, so the observed max bucket must reach 4. The metric rides
