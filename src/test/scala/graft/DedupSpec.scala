@@ -86,6 +86,28 @@ class DedupSpec extends SparkSuite {
     assert(got.distinct.size == got.size, "a pair was emitted twice")
     assert(got.toSet == expected)
     assert(expected.size > 100, s"fixture too sparse (${expected.size} pairs)")
+    // Capped path (the surviving-key-set rebuild): reference = pairs
+    // sharing at least one bucket whose occupancy is within the cap.
+    val keySets = sigsLocal.map { case (id, s) =>
+      id -> graft.expressions.TextHash.bandKeySets(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(s.toArray), bands)
+        .toLongArray.toSet
+    }.toMap
+    val occupancy = keySets.values.flatten.groupBy(identity).map {
+      case (v, vs) => v -> keySets.count(_._2.contains(v))
+    }
+    for (cap <- Seq(3, 8, 20)) {
+      val surviving = occupancy.filter(_._2 <= cap).keySet
+      val expC = (for {
+        (ia, _) <- sigsLocal; (ib, _) <- sigsLocal if ia < ib
+        if keySets(ia).intersect(keySets(ib)).exists(surviving)
+      } yield (ia, ib)).toSet
+      val gotC = Dedup.lshCandidatePairs(
+          sigsLocal.toDF("id", "sig"), k = k, bands = bands, maxBucketSize = cap)
+        .as[(Long, Long)].collect().toSeq
+      assert(gotC.distinct.size == gotC.size, s"cap=$cap emitted a pair twice")
+      assert(gotC.toSet == expC, s"cap=$cap candidate set mismatch")
+    }
   }
 
   test("hot-bucket observation rides the near-dup query (warning plumbing)") {
