@@ -166,7 +166,12 @@ object Cluster {
     // The k x dim ceiling must be checked BEFORE any k-row collect — the
     // init collect below materializes k x dim boxed longs on the driver,
     // i.e. exactly the allocation the guard exists to refuse. Probe ONE
-    // row for the dimension first.
+    // row for the dimension first. k-means REQUIRES uniform vector
+    // dimensionality (centroid arithmetic is undefined otherwise), so any
+    // row's size IS the dimension; the init collect below re-validates
+    // that assumption on the k rows it materializes — a heterogeneous
+    // input fails loud there instead of making this probe's verdict
+    // depend on which row limit(1) happened to return.
     val dimProbe = base.select(size(col(vecCol)).as("_km_dim")).limit(1).collect()
     require(dimProbe.nonEmpty, "fitCentroids needs at least one non-null vector")
     val dim = dimProbe.head.getInt(0).toLong
@@ -188,6 +193,14 @@ object Cluster {
       .collect()
       .map(_.getSeq[Long](0).toArray)
     require(init.nonEmpty, "fitCentroids needs at least one non-null vector")
+    // Uniform-dimensionality check over the rows already in hand: catches
+    // heterogeneous inputs deterministically (the one-row guard probe
+    // above would otherwise pass or fail by scan order).
+    init.find(_.length != dim).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"fitCentroids requires uniform vector dimensionality: probed " +
+          s"dim=$dim but an init vector has ${bad.length} elements")
+    }
     var cents = init
 
     var it = 0

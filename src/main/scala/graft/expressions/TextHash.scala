@@ -359,7 +359,14 @@ object TextHash {
     * measured 3-5 s PER CONSUMER over 500k docs at derived sf10. */
   def bandKeySets(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
-    if (n == 0 || n % bands != 0) return new GenericArrayData(Array.empty[Long])
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    // Fail LOUD on an indivisible signature: the DataFrame-level require
+    // only validates the caller-PASSED k, so a sig column whose actual
+    // length differs would otherwise silently drop its docs from LSH
+    // candidacy (an empty key set joins nothing).
+    if (n % bands != 0) throw new IllegalArgumentException(
+      s"minhash signature length $n is not divisible by bands=$bands — " +
+        "the signature column does not match the k this call was given")
     val r = n / bands
     val out = new Array[Long](bands)
     var b = 0

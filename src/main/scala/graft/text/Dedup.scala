@@ -284,9 +284,40 @@ object Dedup {
     * pipeline can poll it after a run to decide whether to re-run with a
     * `maxBucketSize` cap — and what the spec asserts (the log line
     * itself is not capturable portably). Updated asynchronously on query
-    * completion. */
+    * completion. LAST-WRITER-WINS across queries: with concurrent
+    * near-dedup queries in flight this holds whichever finished last —
+    * poll [[observedMaxBucketSnapshot]] (keyed by the per-query metric
+    * name) to attribute observations under concurrency. */
   private[graft] val lastObservedMaxBucket =
     new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Bound on [[observedMaxBuckets]] (oldest evicted beyond it). */
+  private val MaxObservedBuckets = 64
+
+  /** Per-query observations, keyed by the unique observed-metric name
+    * (`graft_lsh_max_bucket-<seq>`, monotone seq): the concurrency-safe
+    * face of [[lastObservedMaxBucket]] — interleaved near-dedup queries
+    * each keep their own entry instead of overwriting one global.
+    * Insertion-ordered and bounded (LRU by insertion), so a long-lived
+    * session never accumulates unbounded entries. */
+  private val observedMaxBuckets =
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > MaxObservedBuckets
+    }
+
+  /** Snapshot of the per-query hot-bucket observations, insertion-ordered
+    * (oldest first; the numeric suffix of the key is the query's launch
+    * sequence). A pipeline polling after ITS query under concurrent
+    * near-dedup traffic diffs snapshots instead of trusting the racy
+    * last-writer-wins scalar. */
+  private[graft] def observedMaxBucketSnapshot: Seq[(String, Long)] =
+    observedMaxBuckets.synchronized {
+      import scala.jdk.CollectionConverters._
+      observedMaxBuckets.entrySet().asScala
+        .map(e => (e.getKey, e.getValue.longValue())).toSeq
+    }
 
   /** Register (once per session) a listener that logs a warning when an
     * executed plan's observed max LSH bucket size exceeds the threshold.
@@ -310,6 +341,9 @@ object Dedup {
                     HotBucketWarnSizeKey, DefaultHotBucketWarnSize)
                   val maxB = row.getLong(0)
                   lastObservedMaxBucket.set(maxB)
+                  observedMaxBuckets.synchronized {
+                    observedMaxBuckets.put(name, java.lang.Long.valueOf(maxB))
+                  }
                   if (warnAt > 0 && maxB > warnAt)
                     org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
                       s"LSH band bucket of $maxB members (> $warnAt): one " +

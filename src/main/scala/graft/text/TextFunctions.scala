@@ -271,6 +271,16 @@ object TextFunctions {
    * per-doc reduce is the only doc-keyed exchange. Integer outputs keep the
    * oracle comparison exact (a log-prob sum would be float-order-dependent
    * across engines).
+   *
+   * Input determinism: the fused small-corpus path collects the vocabulary
+   * in one job and scores documents in a later scan of the SAME plan. A
+   * `df` with non-deterministic lineage (rand(), a changing external
+   * table) can present tokens in the scoring scan that the collected
+   * vocabulary never saw; the kernel scores those as count 1 (exact for
+   * any token a deterministic plan would have counted once) rather than
+   * detecting the drift. Pass a deterministic plan, or persist/checkpoint
+   * the input first — the standing requirement of every two-pass operator
+   * in this module.
    */
   def tokenFrequencyStats(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {

@@ -110,6 +110,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("band key sets fail loud when the sig length is not divisible by bands") {
+    // The DataFrame-level require only sees the caller-passed k; a sig
+    // COLUMN whose actual length differs must fail at the kernel, not
+    // silently drop the doc from LSH candidacy with an empty key set.
+    val bad = Seq((1L, (1 to 10).map(_.toLong)), (2L, (1 to 10).map(_.toLong)))
+      .toDF("id", "sig")
+    val ex = intercept[Exception] {
+      Dedup.lshCandidatePairs(bad, k = 16, bands = 16).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("not divisible by bands")),
+      s"expected the kernel's divisibility error, got: $ex")
+  }
+
   test("hot-bucket observation rides the near-dup query (warning plumbing)") {
     // Four identical texts collide in every band: each band bucket has 4
     // members, so the observed max bucket must reach 4. The metric rides
@@ -117,13 +133,21 @@ class DedupSpec extends SparkSuite {
     // listener asynchronously — poll briefly.
     val rep = (1 to 4).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
+    // Diff the per-query snapshot rather than the last-writer-wins scalar:
+    // a concurrent suite's near-dup query can overwrite the scalar between
+    // our query's completion and the poll.
+    val before = Dedup.observedMaxBucketSnapshot.map(_._1).toSet
     Dedup.lastObservedMaxBucket.set(-1L)
     assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
     val deadline = System.nanoTime() + 10000000000L
-    while (Dedup.lastObservedMaxBucket.get() < 0 && System.nanoTime() < deadline)
+    def fresh(): Seq[(String, Long)] =
+      Dedup.observedMaxBucketSnapshot.filterNot(e => before.contains(e._1))
+    while (fresh().isEmpty && System.nanoTime() < deadline)
       Thread.sleep(50)
-    assert(Dedup.lastObservedMaxBucket.get() == 4L,
-      s"observed max bucket ${Dedup.lastObservedMaxBucket.get()}, expected 4")
+    assert(fresh().exists(_._2 == 4L),
+      s"observed max buckets ${fresh()}, expected an entry of 4")
+    assert(Dedup.lastObservedMaxBucket.get() >= 0,
+      "last-observed scalar never updated")
   }
 
   test("sigs-exchange policy settings never change the kept set") {
@@ -185,7 +209,11 @@ class DedupSpec extends SparkSuite {
     val swapped = TextHash.bandKeySets(arr(20L, 21L, 10L, 11L), 2)
     assert(ks.toLongArray.toSet.intersect(swapped.toLongArray.toSet).isEmpty)
     assert(TextHash.bandKeySets(arr(), 2).numElements() == 0) // empty sig
-    assert(TextHash.bandKeySets(arr(1L, 2L, 3L), 2).numElements() == 0) // k % bands != 0
+    // indivisible sig length fails LOUD (was: silent empty set = the doc
+    // silently dropped from LSH candidacy)
+    assert(intercept[IllegalArgumentException] {
+      TextHash.bandKeySets(arr(1L, 2L, 3L), 2)
+    }.getMessage.contains("not divisible by bands"))
     // jaccardSimSortedLongs: exact set semantics over sorted longs
     assert(TextHash.jaccardSimSortedLongs(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 0.5)
     assert(TextHash.jaccardSimSortedLongs(arr(), arr()) == 0.0)

@@ -13,12 +13,25 @@ import org.apache.spark.sql.SparkSession
  *
  *   sbt 'Test/runMain graft.tools.StageProf doc_source_mix /tmp/graft_sf10'
  *
+ * Extra `key=value` args become session conf (A/B knobs without edits):
+ *
+ *   ... StageProf doc_pack_sequences /tmp/graft_sf10 spark.graft.mix.narrowInputBytes=1
+ *
  * Test scope on purpose: a measurement harness, not product surface.
  */
 object StageProf {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val confs = args.drop(2).toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"conf arg must be key=value, got: $kv")
+      (kv.take(i), kv.drop(i + 1))
+    }
+    // Mirror Bench's session configuration exactly — a profile under
+    // different broadcast/split/advisory settings decomposes a DIFFERENT
+    // plan than the one the bench times (round-10 lesson: q9's probe
+    // stayed shuffle-joined here while the bench broadcast it).
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stageprof")
@@ -27,7 +40,13 @@ object StageProf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .getOrCreate()
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val stages = TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
