@@ -50,6 +50,21 @@ final class TopKBuffer(val k: Int, val keepSmallest: Boolean,
     while (it.hasNext) { val p = it.next(); insert(p._1, p._2) }
   }
 
+  /** Would a pair with this order be rejected regardless of its value?
+    * True iff the heap is full and the order alone loses STRICTLY to the
+    * worst kept pair's order — an order-tie falls to the value tiebreak,
+    * so ties return false. Callers use this to skip evaluating/copying
+    * the VALUE expression for rows that cannot enter the heap: in the
+    * brute-force vss macros the value is a struct carrying the full
+    * right-side row (embedding included), and at sf10 ~99.9% of candidate
+    * pairs lose on the score alone — materializing their structs was the
+    * macro family's dominant cost (round 10). */
+  def rejectsByOrder(o: Any): Boolean = {
+    if (heap.size() < k) return false
+    val c = ord.compare(o, heap.peek()._1)
+    if (keepSmallest) c > 0 else c < 0
+  }
+
   /** Values best-first: ascending order for min_by, descending for max_by. */
   def sortedValues: Array[Any] = {
     val arr = heap.toArray.map(_.asInstanceOf[(Any, Any)])
@@ -126,7 +141,11 @@ case class MinMaxByK(
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val o = second.eval(input)
-    if (o != null) {
+    // Order-first rejection: when the order alone cannot beat the worst
+    // kept pair, the value expression is never evaluated or copied (see
+    // TopKBuffer.rejectsByOrder). Semantics unchanged — such a row could
+    // never enter the heap; NULL-value rows are still ignored as before.
+    if (o != null && !buf.rejectsByOrder(o)) {
       val v = first.eval(input)
       if (v != null) {
         buf.insert(InternalRow.copyValue(o), InternalRow.copyValue(v))

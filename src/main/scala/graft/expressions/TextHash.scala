@@ -733,6 +733,29 @@ object TextHash {
   }
 
   /**
+   * MD5 digest as TWO SIGNED-ORDER-FLIPPED longs: h1 = bytes 0–7
+   * big-endian, h2 = bytes 8–15, each XOR'd with Long.MinValue so that
+   * SIGNED (h1, h2) tuple order equals unsigned 128-bit digest order —
+   * which equals the lowercase-hex string's lexicographic order. The
+   * md5-order devices (Mix fill order, deterministic sampling order) can
+   * therefore shuffle and sort 16 bytes of primitive longs instead of a
+   * 32-char string, with the IDENTICAL total order the oracles pin
+   * (hex-lex = byte-lex = unsigned numeric = flipped-signed numeric).
+   */
+  def md5Longs(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = md5Digest.get()
+    d.reset()
+    val out = d.digest(s.getBytes)
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (out(i) & 0xffL); i += 1 }
+    while (i < 16) { h2 = (h2 << 8) | (out(i) & 0xffL); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h1 ^ Long.MinValue, h2 ^ Long.MinValue))
+  }
+
+  /**
    * Token-window chunking — the sequence-segmentation step of a training
    * pipeline: split a document into windows of `size` tokens starting
    * every `stride` tokens (stride < size ⇒ overlapping windows; the last
@@ -1046,6 +1069,24 @@ case class Md5Hex(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Hex($c)")
   override def prettyName: String = "md5_hex"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** md5_longs(text) -> STRUCT<h1: BIGINT, h2: BIGINT> — the digest as two
+  * signed-order-flipped longs whose (h1, h2) order equals the hex string's
+  * lexicographic order; see [[TextHash.md5Longs]]. The md5-order devices
+  * shuffle/sort these 16 bytes instead of the 32-char hex. */
+case class Md5Longs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextHash.md5Longs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Longs($c)")
+  override def prettyName: String = "md5_longs"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

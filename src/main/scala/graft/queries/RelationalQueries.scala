@@ -159,8 +159,17 @@ object RelationalQueries {
       // at 100 TB AQE decides from the measured size.)
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      // Explicit range partitioning for the final sort: the output is
+      // |customer| narrow rows (~7.5 MB at sf10), so AQE's byte-based
+      // coalescing collapses a bare orderBy's range exchange to 2 tasks
+      // and serializes a CPU-bound 1.5M-row sort (measured 346 ms → ~60 ms
+      // at pinned width; same device as verifyJaccard's re-spread — byte
+      // planning cannot see per-ROW cost).
+      val par = s.sparkContext.defaultParallelism
       c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey")).orderBy("c_custkey")
+        .select(col("c_custkey"))
+        .repartitionByRange(par, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
     }),
     "q7_ship_volume" -> ((s, dir) => {
       // q7-style: revenue by supplier nation × ship year with a date-range
@@ -197,8 +206,16 @@ object RelationalQueries {
       // q5_exists, dedup the probe side to distinct custkeys after the
       // pushed-down price filter — anti joins ignore duplicates too.
       val c = Tables.load(s, dir, "customer")
+      // Pin the distinct's reduce width: its map output is ~30 MB of
+      // narrow keys, which AQE's 4 MB advisory coalesces to 8 tasks for a
+      // hash-dedup of 5.7M rows (measured 346 ms → ~120 ms at full width).
+      // The explicit co-partitioning exchange replaces the distinct's own,
+      // so the plan still has exactly one probe-side shuffle; AQE then
+      // broadcasts the deduped keys into the anti join as before.
+      val par = s.sparkContext.defaultParallelism
       val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 300000)
-        .select(col("o_custkey")).distinct()
+        .select(col("o_custkey"))
+        .repartition(par, col("o_custkey")).distinct()
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
     }),

@@ -125,12 +125,15 @@ object Mix {
       // exactly as in the cumsum path (the fill order is a function of
       // the key — a null key has no position in it).
       val k = math.max(1L, kMax).toInt
+      // Same md5-longs order device as the cumsum path (withCumWeight):
+      // struct (h1, h2, key) order == struct (hex, key) order.
+      val hp = TextFunctions.md5Longs(col(keyCol).cast("string"))
       val narrow = df.where(col(keyCol).isNotNull)
         .select(col(groupCol), col(keyCol),
-          TextFunctions.md5Hex(col(keyCol).cast("string")).as("_mix_h"))
+          hp.getField("h1").as("_mix_h1"), hp.getField("h2").as("_mix_h2"))
       val kept = narrow.groupBy(col(groupCol))
         .agg(graft.functions.min_by_k(col(keyCol),
-          struct(col("_mix_h"), col(keyCol)), k).as("_mix_keys"))
+          struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
         .join(broadcast(bdg), Seq(groupCol))
         .select(col("_mix_budget"),
           posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
@@ -274,7 +277,13 @@ object Mix {
       cumCol: String, shareExchange: Boolean = true,
       pruneBudget: Option[DataFrame] = None): DataFrame = {
     val gcols = groupCols.map(col)
-    // Hash prefix value in [0, 65536): four hex chars of md5(key). Bucket =
+    // The md5 order rides as TWO signed-order-flipped longs (md5Longs):
+    // (h1, h2) tuple order IS the hex string's lexicographic order, so the
+    // shuffle and the window sort move/compare 16 bytes of primitives
+    // instead of a 32-char string — same oracle-pinned total order, ~40%
+    // narrower exchange rows and primitive sort keys (round 10).
+    // Hash prefix value in [0, 65536): the digest's first 16 bits
+    // ((h1 un-flipped) >>> 48, = the first four hex chars). Bucket =
     // order-preserving range split of that space (NOT modulo — bucket order
     // must concatenate to global hash order for the offsets to compose).
     // Null keys are excluded up front: the fill order is a function of the
@@ -282,11 +291,13 @@ object Mix {
     // null hash would occupy its own sorts-first bucket, shifting every
     // real row's cumulative value (and diverging from the heap path,
     // whose min_by_k ignores null-keyed rows by arg_min semantics).
+    val hp = TextFunctions.md5Longs(df(keyCol).cast("string"))
     val t0 = df.where(col(keyCol).isNotNull)
-      .withColumn("_mix_h", TextFunctions.md5Hex(df(keyCol).cast("string")))
+      .withColumn("_mix_h1", hp.getField("h1"))
+      .withColumn("_mix_h2", hp.getField("h2"))
       .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",
-        (conv(substring(col("_mix_h"), 1, 4), 16, 10).cast("long")
+        (shiftrightunsigned(col("_mix_h1").bitwiseXOR(lit(Long.MinValue)), 48)
           * buckets / 65536).cast("int"))
     // shareExchange: explicit hash repartition on (group, bucket) — the
     // grid aggregate and the in-bucket window BOTH consume this one
@@ -314,7 +325,7 @@ object Mix {
     // (hash, key) order. Key tiebreak keeps the order total even under a
     // (vanishing) md5-prefix collision.
     val wIn = Window.partitionBy(gcols :+ col("_mix_b"): _*)
-      .orderBy(col("_mix_h"), col(keyCol))
+      .orderBy(col("_mix_h1"), col("_mix_h2"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = t.join(broadcast(offsets), groupCols :+ "_mix_b")
     // Budget prune, BELOW the window sort: every weight is >= 0 (token
@@ -332,7 +343,7 @@ object Mix {
     }
     pruned
       .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))
-      .drop("_mix_h", "_mix_b", "_mix_off")
+      .drop("_mix_h1", "_mix_h2", "_mix_b", "_mix_off")
   }
 
   /**

@@ -80,6 +80,12 @@ object TextFunctions {
     * MessageDigest.getInstance) — the dedup/sampling content hash. */
   def md5Hex(text: Column): Column = col(graft.expressions.Md5Hex(expr(text)))
 
+  /** MD5 as struct(h1, h2) of signed-order-flipped longs: (h1, h2) order ==
+    * the hex string's lexicographic order, in 16 primitive bytes — the
+    * shuffle/sort-friendly spelling of the md5-order devices
+    * ([[graft.expressions.Md5Longs]]). */
+  def md5Longs(text: Column): Column = col(graft.expressions.Md5Longs(expr(text)))
+
   /** Repetition signals (Gopher-style): struct(n_tokens, n_distinct,
     * n_bigrams, top_bigram) — see [[graft.expressions.RepetitionStats]]. */
   def repetitionStats(text: Column): Column =

@@ -117,6 +117,25 @@ class PipelineOpsSpec extends SparkSuite {
       .as[Long].collect().toSet
   }
 
+  test("md5Longs (h1, h2) order equals md5Hex lexicographic order, prefix exact") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.TextHash
+    val rnd = new scala.util.Random(11)
+    val strs = ((1 to 400).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString) :+ "").distinct
+    def hex(s: String) = TextHash.md5Hex(UTF8String.fromString(s)).toString
+    def longs(s: String) = {
+      val r = TextHash.md5Longs(UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(strs.sortBy(hex) == strs.sortBy(longs))
+    // 16-bit bucket prefix: (h1 un-flipped) >>> 48 == first four hex chars
+    strs.foreach { s =>
+      val h1raw = longs(s)._1 ^ Long.MinValue
+      assert((h1raw >>> 48) == java.lang.Long.parseLong(hex(s).take(4), 16), s)
+    }
+  }
+
   test("byTokenBudget matches the one-window spelling at every bucket width") {
     val budgets = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
     val expected = oneWindowExpected(20L)
