@@ -439,12 +439,33 @@ object Dedup {
     // the floor), while at 10x+ scale the pruning-split window subtrees
     // stop canonicalizing to one exchange and the explicit one wins
     // (kept 38.8 -> 32.8 s at derived sf10).
+    // Candidate-semi size gate (round 10): below CandidateSemiMinBytes the
+    // per-doc sets relation is SMALL — the verify joins broadcast it
+    // statically (parquet size stats drive autoBroadcastJoinThreshold) —
+    // so the occupancy-derived semi-filter only shrinks a broadcast it
+    // cannot meaningfully shrink, at the cost of a second exploded-keys
+    // pass, an occupancy aggregate, a semi join and a distinct (~5 s of
+    // the derived-sf10 kept gate). Above the gate the sets relation
+    // shuffles per PAIR and the semi is what keeps that exchange
+    // proportional to collisions instead of corpus size — the 100 TB
+    // plan, unchanged. Skipping the semi also leaves the pair join as the
+    // signature frame's ONLY consumer (its two sides canonicalize to one
+    // exchange), so the explicit sigs exchange below is skipped with it —
+    // an exchange with one reader is a pure extra hop. NOTE: the
+    // hot-bucket observation rides the occupancy aggregate, so below the
+    // gate no bucket metric is observed (the warning exists for corpora
+    // large enough to hang — exactly the above-gate regime).
+    val semiMin = graft.spark.ExecTuning.confLong(df.sparkSession,
+      CandidateSemiMinBytesKey, DefaultCandidateSemiMinBytes)
+    val semiSkipped = semiMin > 0 &&
+      (try graft.spark.ExecTuning.inputBytes(df) < semiMin
+       catch { case _: Exception => false })
     val sigsMin = graft.spark.ExecTuning.confLong(df.sparkSession,
       SigsExchangeMinBytesKey, DefaultSigsExchangeMinBytes)
     val sigsSmall = sigsBehindExchange && sigsMin > 0 &&
       (try graft.spark.ExecTuning.inputBytes(df) < sigsMin
        catch { case _: Exception => false })
-    val sigsX = if (sigsSmall) sigs
+    val sigsX = if (sigsSmall || semiSkipped) sigs
       else sigs.repartition(
         df.sparkSession.sparkContext.defaultParallelism, col("id"))
     val keyed = explodedBandKeySets(sigsX, k, bands, maxBucketSize)
@@ -456,12 +477,22 @@ object Dedup {
     // verify join replicates each doc's set per PAIR, so the ~3x payload
     // reduction and the primitive merge cut the two dominant stages of
     // near-dedup at scale (see wordShingleHashesSorted's exactness note).
-    val sets = df.select(col(idCol).cast("long").as("id"),
+    val allSets = df.select(col(idCol).cast("long").as("id"),
         Bridge.column(graft.expressions.WordShingleHashes(
           Bridge.expression(col(textCol)), shingleN)).as("sh"))
-      .join(lshCandidateIds(keyed), Seq("id"), "left_semi")
+    val sets = if (semiSkipped) allSets
+      else allSets.join(lshCandidateIds(keyed), Seq("id"), "left_semi")
     verifyJaccard(cands, sets, threshold)
   }
+
+  /** Corpus-size floor under which [[verifiedPairs]] skips the
+    * occupancy-derived candidate-id semi-filter on the shingle-set fetch
+    * (and with it the then-single-consumer sigs exchange). 0 disables the
+    * skip — always filter. See the in-line decision note in
+    * [[verifiedPairs]]; the hot-bucket observation only rides the
+    * filtered path. */
+  private[graft] val CandidateSemiMinBytesKey = "spark.graft.dedup.candidateSemiMinBytes"
+  private[graft] val DefaultCandidateSemiMinBytes: Long = 64L << 20
 
   /** Shared exact-Jaccard verification tail: candidate pairs × per-doc
     * shingle sets → (id_a, id_b, jaccard >= threshold).
@@ -540,9 +571,13 @@ object Dedup {
    * Hybrid execution: the verified near-dup edge set is orders of magnitude
    * smaller than the corpus (it holds duplicate PAIRS only, post-LSH,
    * post-verify), so when it fits `driverEdgeThreshold` (collected as
-   * primitive-long tuples, ~32 B/edge with JVM headers — the 1M default is
-   * ~32 MB of transient driver heap) a driver-side union-find answers in
-   * one collect instead of one Spark job per graph-diameter round. Above
+   * primitive-long tuples, ~32 B/edge with JVM headers — the 6M default is
+   * ~192 MB of transient driver heap) a driver-side union-find answers in
+   * one collect instead of one Spark job per graph-diameter round. The
+   * driver union-find runs ~10M edges/s where a 1-task distributed round
+   * runs ~1M (deserialization + LongMap), so collecting a few-M-edge
+   * forest beats one more round (round 10: the r9 1M default forced a
+   * 3.5 s single-task round over 3.3M edges the driver resolves in ~0.4 s). Above
    * the bound, distributed SPANNING-FOREST rounds first shrink the edge
    * set to its connectivity skeleton (per-partition union-find, ≤
    * vertices−1 surviving edges per partition — dup clusters carry
@@ -554,20 +589,23 @@ object Dedup {
    * one-aggregate convergence witness.
    */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
-      driverEdgeThreshold: Long = 1000000L): DataFrame = {
+      driverEdgeThreshold: Long = 6000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Persist before probing: the pairs pipeline (LSH band join + verify)
     // is the expensive part, and the over-threshold path would otherwise
     // recompute it from scratch for the distributed loop.
     val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
-    // One job answers both "does it fit?" and "give me the edges": the
-    // limit returns threshold+1 rows only when the set is too big. The
-    // tuple encoder collects specialized primitive-long pairs, not Row
+    // Count first (materializes the persisted pairs — the expensive verify
+    // pipeline runs exactly once), collect only when the set fits: the r9
+    // limit-probe collected threshold+1 edges just to learn "too big",
+    // which at the raised 6M default would drag ~192 MB to the driver on
+    // every over-threshold corpus. The count job reads cached blocks.
+    // The tuple encoder collects specialized primitive-long pairs, not Row
     // objects, so the heap cost is the ~32 B/edge the threshold assumes.
     import spark.implicits._
-    val probe = raw.toDF("id_a", "id_b").as[(Long, Long)]
-      .limit((driverEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
-    if (probe.length <= driverEdgeThreshold) {
+    val edgeCount = raw.count()
+    if (edgeCount <= driverEdgeThreshold) {
+      val probe = raw.toDF("id_a", "id_b").as[(Long, Long)].collect()
       raw.unpersist()
       return driverUnionFind(spark, probe)
     }
@@ -586,14 +624,34 @@ object Dedup {
     // executor memory at any corpus size.
     var cur = raw.toDF("id_a", "id_b").as[(Long, Long)]
     var toRelease: Option[DataFrame] = Some(raw)
-    // Size round 1 from the actual edge count (one cheap scan of the
-    // already-persisted blocks): starting at core count instead made
-    // round 1's forests vertex-bound per partition (32 × ~|V| edges out
-    // at derived sf10), costing an extra round to converge.
-    val rawCount = raw.count()
+    // Size rounds from the actual edge count (one cheap scan of the
+    // already-persisted blocks). Two terms per round (round 10):
+    //  - memory floor: at most `taskEdges` edges per task bounds the
+    //    per-task union-find state at any corpus size;
+    //  - parallelism floor: per-task union-find runs ~1M edges/s, so a
+    //    round sized by memory alone can serialize (4 tasks × 3.7M edges
+    //    = 3.5 s of the r9 kept gate at derived sf10); tasks get at least
+    //    taskEdges/4 edges (boundary-dominated below that) up to core
+    //    count, and the partition count at most HALVES per round so the
+    //    forests still shrink geometrically toward the driver bound
+    //    (output ≤ partitions × (vertices − 1)).
+    val rawCount = edgeCount
     val taskEdges = forestTaskEdges(spark)
-    var parts = math.max(1L,
-      (rawCount + taskEdges - 1) / taskEdges).toInt
+    val minTaskEdges = math.max(1L, taskEdges / 4)
+    val corePar = spark.sparkContext.defaultParallelism.toLong
+    def sizeParts(count: Long, prev: Long): Int = {
+      val memory = (count + taskEdges - 1) / taskEdges
+      val parallel = math.min(corePar, (count + minTaskEdges - 1) / minTaskEdges)
+      math.max(1L, math.max(memory, math.min(parallel, prev / 2))).toInt
+    }
+    var parts = sizeParts(rawCount, Long.MaxValue)
+    // Round 1 can run on the persisted pairs' EXISTING partitioning when
+    // each partition already fits the task bound and the count is at most
+    // core parallelism: skips a full repartition exchange of the largest
+    // round's edges (the verify tail re-spread the pairs already).
+    val rawParts = raw.rdd.getNumPartitions
+    var reuseExisting = rawParts >= parts && rawParts <= math.max(parts.toLong, corePar) &&
+      rawCount / math.max(1, rawParts) <= taskEdges
     var stalled = false
     var reducedCount = -1L
     while (!stalled) {
@@ -603,8 +661,11 @@ object Dedup {
       // (its cluster size) pairs, 16-byte rows.
       // (column referenced positionally: round 1's frame names it id_a,
       // later rounds' tuple frames _1)
-      val reduced = cur.repartition(parts, col(cur.columns.head))
-        .mapPartitions(spanningForest).persist()
+      val spread = if (reuseExisting) cur
+        else cur.repartition(parts, col(cur.columns.head))
+      if (reuseExisting) parts = rawParts // shrink cap starts from reality
+      reuseExisting = false
+      val reduced = spread.mapPartitions(spanningForest).persist()
       reducedCount = reduced.count()
       toRelease.foreach(_.unpersist())
       toRelease = Some(reduced.toDF()) // released after the NEXT round counts
@@ -614,9 +675,9 @@ object Dedup {
         reduced.unpersist()
         return driverUnionFind(spark, collected)
       }
-      val nextParts = math.max(1L, (reducedCount + taskEdges - 1) / taskEdges)
+      val nextParts = sizeParts(reducedCount, parts.toLong)
       if (nextParts >= parts) stalled = true // no further shrink possible
-      else parts = nextParts.toInt
+      else parts = nextParts
     }
     val reducedDf = cur.toDF("id_a", "id_b")
     val edges = reducedDf.toDF("src", "dst")
@@ -754,34 +815,43 @@ object Dedup {
       seed: Long = 42L, maxIterations: Int = 10,
       maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // One pass over the text computes BOTH the exact-dup hash and the
-    // minhash signature; a window over the hash then splits exact losers
-    // from representatives without touching the text again. Only
-    // (id, hash, k×8-byte sig) rows go through the one shuffle — document
-    // text never shuffles.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
-    // Not cached: the exact-loser and representative subtrees below share
-    // this window's exchange (canonicalized reuse), and the hash + minhash
-    // kernels are cheap to re-run per consumer.
+    // Keeper ids (smallest id per identical-text group) from ONE narrow
+    // aggregate: min(id) partial-combines map-side and only
+    // (16-byte md5-longs hash, id) rows shuffle. The r9 spelling ran a
+    // window over the hash with the minhash signature ALONGSIDE — 276 MB
+    // of (id, hash, 64-long sig) rows through the window exchange at
+    // derived sf10, and losers' signatures computed then thrown away —
+    // where this aggregate ships ~20 MB and loser signatures never exist
+    // (round-10; the semi join below computes minhash post-join).
     // NULL-text rows never enter the dedup logic (md5(NULL) would pool
     // them into one bogus "exact-dup" group); absent from both loser sets,
     // they all survive the final anti-join untouched.
-    val marked = df.where(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        TextFunctions.md5Hex(col(textCol)).as("_h"),
-        minhashText(col(textCol), shingleN, k, seed).as("sig"))
-      .withColumn("_keep", min(col("id")).over(w))
-    val exactLosers = marked.where(col("id") =!= col("_keep")).select(col("id"))
+    val keepers = df.where(col(textCol).isNotNull)
+      .select(TextFunctions.md5Longs(col(textCol)).as("_h"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("_h")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val exactLosers = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"))
+      .join(keepers, Seq("id"), "left_anti")
     // LSH over exact-dup representatives only: byte-identical documents all
     // collide in every band, so a document repeated k times would add
     // O(k²) pairs to its buckets — the one skew mode banded LSH can't
     // bound. Collapsing to the min-id keeper first caps it at one row per
     // distinct text; connectivity through the keeper preserves every
-    // cluster minimum, so the kept set is unchanged.
-    val sigs = marked.where(col("id") === col("_keep"))
-      .where(size(col("sig")) > 0).select(col("id"), col("sig"))
+    // cluster minimum, so the kept set is unchanged. AQE broadcasts the
+    // keeper id set when its runtime size is small and shuffles when it
+    // is not — the right call at 100 TB.
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("_t"))
+      .join(keepers, Seq("id"), "left_semi")
+      .select(col("id"), minhashText(col("_t"), shingleN, k, seed).as("sig"))
+      .where(size(col("sig")) > 0)
+    // sigsBehindExchange = false: the keeper semi join is map-side under a
+    // broadcast, so re-deriving sigs re-runs minhash — the explicit
+    // exchange always pays for itself across the 3+ candidate-stage
+    // consumers (the map-only-sigs policy).
     val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold,
-      shingleN, k, bands, maxBucketSize, sigsBehindExchange = true)
+      shingleN, k, bands, maxBucketSize, sigsBehindExchange = false)
     val nearLosers = nearDupClusters(pairs, maxIterations)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))

@@ -240,11 +240,32 @@ object Mix {
       // stage is pure floor when the whole corpus is a few MB. The budget
       // prune applies here too (it subsumes the budgets join): full rows
       // make the window sort it skips proportionally MORE expensive.
+      // shareExchange is decided by upstream SHAPE (nontrivialUpstream):
+      // the grid aggregate and the window map each re-derive `df`, which
+      // re-reads cheaply when df is a bare pruned scan but re-executes
+      // real work when a pipeline feeds a join/window/aggregate in
+      // (doc_pipeline_e2e re-ran quality + decontamination + the exact-dup
+      // window once PER consumer, ~1 s each at sf10).
       withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
-          shareExchange = false, pruneBudget = Some(bdg))
+          shareExchange = nontrivialUpstream(df), pruneBudget = Some(bdg))
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
     }
+  }
+
+  /** Does re-deriving `df` re-execute real work? A bare (projected,
+    * filtered) scan re-reads its pruned columns cheaply; any join, window,
+    * aggregate, or generate in the optimized plan means each additional
+    * consumer re-runs that stage-work. Drives the wide-path shareExchange
+    * decision: one explicit exchange amortizes an expensive upstream
+    * across the prefix sum's two consumers, but costs more than a cheap
+    * re-scan on plain inputs (measured both ways at sf10, round 9/10). */
+  private def nontrivialUpstream(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
+    try df.queryExecution.optimizedPlan.exists {
+      case _: l.Join | _: l.Aggregate | _: l.Window | _: l.Generate => true
+      case _ => false
+    } catch { case _: Exception => false }
   }
 
   /** Byte threshold above which the budget fills and [[packSequences]]
@@ -408,7 +429,8 @@ object Mix {
     } else {
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
-          Seq.empty, buckets, "_mix_cum", shareExchange = false))
+          Seq.empty, buckets, "_mix_cum",
+          shareExchange = nontrivialUpstream(df)))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     }
   }

@@ -138,7 +138,11 @@ class DedupSpec extends SparkSuite {
     // our query's completion and the poll.
     val before = Dedup.observedMaxBucketSnapshot.map(_._1).toSet
     Dedup.lastObservedMaxBucket.set(-1L)
-    assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    // The observation rides the occupancy aggregate of the candidate-id
+    // semi path, which the size gate skips on small corpora — force it.
+    spark.conf.set("spark.graft.dedup.candidateSemiMinBytes", "0")
+    try assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    finally spark.conf.unset("spark.graft.dedup.candidateSemiMinBytes")
     val deadline = System.nanoTime() + 10000000000L
     def fresh(): Seq[(String, Long)] =
       Dedup.observedMaxBucketSnapshot.filterNot(e => before.contains(e._1))
@@ -163,6 +167,24 @@ class DedupSpec extends SparkSuite {
     val alwaysOff = try kept()
     finally spark.conf.unset("spark.graft.dedup.sigsExchangeMinBytes")
     assert(alwaysOn == alwaysOff && alwaysOn == Set(1L, 3L, 5L, 6L))
+  }
+
+  test("candidate-semi policy settings never change pairs or the kept set") {
+    // The occupancy semi-filter is pure plan shape (it shrinks the verify
+    // fetch, never the candidate pairs): results must be identical with
+    // the filter forced ON (min=0) and forced OFF (huge min).
+    def run(): (Set[(Long, Long)], Set[Long]) = (
+      Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet,
+      Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    spark.conf.set("spark.graft.dedup.candidateSemiMinBytes", "0")
+    val filtered = try run()
+    finally spark.conf.unset("spark.graft.dedup.candidateSemiMinBytes")
+    spark.conf.set("spark.graft.dedup.candidateSemiMinBytes", s"${Long.MaxValue}")
+    val unfiltered = try run()
+    finally spark.conf.unset("spark.graft.dedup.candidateSemiMinBytes")
+    assert(filtered == unfiltered && filtered._2 == Set(1L, 3L, 5L, 6L))
   }
 
   test("spanning-forest reduction: multi-round path matches driver union-find") {
