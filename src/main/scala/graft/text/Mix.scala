@@ -215,7 +215,20 @@ object Mix {
   private def byWeightBudgetWith(df: DataFrame, keyCol: String, weight: Column,
       groupCol: String, bdg: DataFrame, buckets: Int,
       cumCol: String): DataFrame = {
-    if (narrowCumsum(df)) {
+    // Expensive upstream (joins/windows/aggregates feeding in — a composed
+    // pipeline): the narrow+join-back shape re-EXECUTES that upstream on
+    // the join-back side (and column pruning keeps its subtree from
+    // canonicalizing with the cumsum side's — doc_pipeline_e2e ran the
+    // quality+decontam+exact-dedup chain three times). Shuffling the
+    // pipeline's output rows ONCE through a shared wide exchange beats
+    // re-running the pipeline at every scale, so upstream shape decides
+    // before input size does.
+    if (nontrivialUpstream(df)) {
+      withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
+          shareExchange = true, pruneBudget = Some(bdg))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .drop("_mix_toks", "_mix_budget")
+    } else if (narrowCumsum(df)) {
       // Large input: the prefix sum runs on a NARROW (key, group, weight)
       // projection and only the kept keys join back to the full corpus.
       // The width matters at scale: cumsum-ing the corpus directly
@@ -236,18 +249,15 @@ object Mix {
       df.join(kept, Seq(keyCol))
         .select(df.columns.map(col) :+ col(cumCol): _*)
     } else {
-      // Small input: cumsum directly over the full rows — the join-back
-      // stage is pure floor when the whole corpus is a few MB. The budget
-      // prune applies here too (it subsumes the budgets join): full rows
-      // make the window sort it skips proportionally MORE expensive.
-      // shareExchange is decided by upstream SHAPE (nontrivialUpstream):
-      // the grid aggregate and the window map each re-derive `df`, which
-      // re-reads cheaply when df is a bare pruned scan but re-executes
-      // real work when a pipeline feeds a join/window/aggregate in
-      // (doc_pipeline_e2e re-ran quality + decontamination + the exact-dup
-      // window once PER consumer, ~1 s each at sf10).
+      // Small trivial input: cumsum directly over the full rows, no
+      // exchange — the grid aggregate and the window map each re-derive a
+      // bare pruned scan, which re-reads cheaply, and both the join-back
+      // stage and an explicit exchange are pure floor when the whole
+      // corpus is a few MB. The budget prune applies here too (it
+      // subsumes the budgets join): full rows make the window sort it
+      // skips proportionally MORE expensive.
       withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
-          shareExchange = nontrivialUpstream(df), pruneBudget = Some(bdg))
+          shareExchange = false, pruneBudget = Some(bdg))
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
     }
@@ -416,7 +426,14 @@ object Mix {
       .withColumn("n_seqs",
         expr(s"greatest(_mix_cum - 1L, _mix_start) div ${seqLen}L")
           - col("seq_id") + lit(1L))
-    if (narrowCumsum(df)) {
+    if (nontrivialUpstream(df)) {
+      // Expensive upstream: wide + shared exchange — the narrow shape's
+      // join-back re-executes the upstream pipeline (see byWeightBudgetWith).
+      coordsOf(withCumWeight(df, keyCol,
+          TextFunctions.tokenCount(df(textCol)).cast("long"),
+          Seq.empty, buckets, "_mix_cum", shareExchange = true))
+        .drop("_mix_toks", "_mix_cum", "_mix_start")
+    } else if (narrowCumsum(df)) {
       // Narrow cumsum + join-back, like the budget fills: the window
       // sorts (key, weight) pairs, not full text rows (see byWeightBudget).
       val narrow = df.select(col(keyCol),
@@ -429,8 +446,7 @@ object Mix {
     } else {
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
-          Seq.empty, buckets, "_mix_cum",
-          shareExchange = nontrivialUpstream(df)))
+          Seq.empty, buckets, "_mix_cum", shareExchange = false))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     }
   }
