@@ -595,19 +595,27 @@ object Dedup {
     // is the expensive part, and the over-threshold path would otherwise
     // recompute it from scratch for the distributed loop.
     val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
-    // Count first (materializes the persisted pairs — the expensive verify
-    // pipeline runs exactly once), collect only when the set fits: the r9
-    // limit-probe collected threshold+1 edges just to learn "too big",
-    // which at the raised 6M default would drag ~192 MB to the driver on
-    // every over-threshold corpus. The count job reads cached blocks.
-    // The tuple encoder collects specialized primitive-long pairs, not Row
-    // objects, so the heap cost is the ~32 B/edge the threshold assumes.
+    // Two-tier probe. Tier 1: one job answers both "does it fit?" and
+    // "give me the edges" for SMALL pair sets (the floor case) via a
+    // bounded limit-collect. Tier 2: count, then collect only when the
+    // set fits the driver threshold — collecting threshold+1 edges just
+    // to learn "too big" would drag ~192 MB to the driver at the 6M
+    // default on every over-threshold corpus. The tuple encoder collects
+    // specialized primitive-long pairs, not Row objects, so the heap cost
+    // is the ~32 B/edge the threshold assumes.
     import spark.implicits._
-    val edgeCount = raw.count()
-    if (edgeCount <= driverEdgeThreshold) {
-      val probe = raw.toDF("id_a", "id_b").as[(Long, Long)].collect()
+    val smallCap = math.min(65536L, driverEdgeThreshold).toInt
+    val probe = raw.toDF("id_a", "id_b").as[(Long, Long)]
+      .limit(smallCap + 1).collect()
+    if (probe.length <= smallCap) {
       raw.unpersist()
       return driverUnionFind(spark, probe)
+    }
+    val edgeCount = raw.count()
+    if (edgeCount <= driverEdgeThreshold) {
+      val all = raw.toDF("id_a", "id_b").as[(Long, Long)].collect()
+      raw.unpersist()
+      return driverUnionFind(spark, all)
     }
     // Spanning-forest reduction (the round-9 fix for output-proportional
     // near-dedup DROP cost): connectivity — all the drop path needs — is
