@@ -46,7 +46,12 @@ object BucketSpike {
 
     // One-time bucketed write (idempotent across runs).
     if (!spark.catalog.tableExists("lineitem_b")) {
+      // Repartition by the bucket key first: without it every map task
+      // writes a file per bucket (326 tasks x 32 buckets = 10k tiny files
+      // on the first attempt — the scan-side cost swamped the exchange
+      // saving). One file per bucket is the layout a warehouse maintains.
       spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(buckets, col("l_orderkey"))
         .write.bucketBy(buckets, "l_orderkey")
         .mode("overwrite").format("parquet").saveAsTable("lineitem_b")
       println(s"[spike] wrote lineitem_b ($buckets buckets) under $wh")
