@@ -416,7 +416,8 @@ object Dedup {
     * the shared tail of [[nearDupPairs]] and [[dropNearDuplicates]]. */
   private def verifiedPairs(df: DataFrame, sigs: DataFrame, textCol: String,
       idCol: String, threshold: Double, shingleN: Int, k: Int, bands: Int,
-      maxBucketSize: Int = 0, sigsBehindExchange: Boolean = false): DataFrame = {
+      maxBucketSize: Int = 0, sigsBehindExchange: Boolean = false,
+      sortBarrier: Boolean = true): DataFrame = {
     // The signature frame feeds several subtrees (the pair join's two
     // sides — one canonicalized exchange — plus the occupancy counts and
     // the occupancy semi-join in lshCandidateIds). A bare map-only sigs
@@ -482,7 +483,7 @@ object Dedup {
           Bridge.expression(col(textCol)), shingleN)).as("sh"))
     val sets = if (semiSkipped) allSets
       else allSets.join(lshCandidateIds(keyed), Seq("id"), "left_semi")
-    verifyJaccard(cands, sets, threshold)
+    verifyJaccard(cands, sets, threshold, sortBarrier)
   }
 
   /** Corpus-size floor under which [[verifiedPairs]] skips the
@@ -505,7 +506,7 @@ object Dedup {
     * onto one task, serializing the entire verification CPU — the cost here
     * is per-ROW compute, which byte-based planning cannot see. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sortBarrier: Boolean = true): DataFrame = {
     val par = cands.sparkSession.sparkContext.defaultParallelism
     // `sets.sh` is pre-SORTED by the shingle kernel itself — sorting
     // inside the kernel guarantees one sort per DOCUMENT wherever the
@@ -521,7 +522,7 @@ object Dedup {
     // tasks is exactly the unbounded-memory shape this per-pair shuffle
     // avoids, whose working set per task stays ~|partition| arrays no
     // matter the corpus. The shuffle spelling stays on all paths.
-    cands.repartition(par, col("id_a"))
+    val verified = cands.repartition(par, col("id_a"))
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", sets.schema("sh").dataType match {
@@ -536,12 +537,15 @@ object Dedup {
       })
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      // Materialization barrier for DOWNSTREAM consumers: a caller's sort
-      // (every gate ends in ORDER BY) samples its child for range
-      // partitioning, and without a shuffle boundary here that sampling job
-      // re-executes the whole verify — doubling the kernel work. The
-      // exchange carries only the verified pairs (three narrow columns).
-      .repartition(par)
+    // Materialization barrier for DOWNSTREAM consumers: a caller's sort
+    // (the pairs gates end in ORDER BY) samples its child for range
+    // partitioning, and without a shuffle boundary here that sampling job
+    // re-executes the whole verify — doubling the kernel work. The
+    // exchange carries only the verified pairs (three narrow columns).
+    // Callers whose next step is a PERSIST (the drop path's connected
+    // components) pass sortBarrier = false: there the exchange's 290 MB
+    // write+read at derived sf10 bought nothing (round 10).
+    if (sortBarrier) verified.repartition(par) else verified
   }
 
   /** Corpus-size floor under which [[verifiedPairs]] skips the explicit
@@ -571,8 +575,8 @@ object Dedup {
    * Hybrid execution: the verified near-dup edge set is orders of magnitude
    * smaller than the corpus (it holds duplicate PAIRS only, post-LSH,
    * post-verify), so when it fits `driverEdgeThreshold` (collected as
-   * primitive-long tuples, ~32 B/edge with JVM headers — the 6M default is
-   * ~192 MB of transient driver heap) a driver-side union-find answers in
+   * primitive-long tuples, ~32 B/edge with JVM headers — the 8M default is
+   * ~256 MB of transient driver heap) a driver-side union-find answers in
    * one collect instead of one Spark job per graph-diameter round. The
    * driver union-find runs ~10M edges/s where a 1-task distributed round
    * runs ~1M (deserialization + LongMap), so collecting a few-M-edge
@@ -589,7 +593,7 @@ object Dedup {
    * one-aggregate convergence witness.
    */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
-      driverEdgeThreshold: Long = 6000000L): DataFrame = {
+      driverEdgeThreshold: Long = 8000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Persist before probing: the pairs pipeline (LSH band join + verify)
     // is the expensive part, and the over-threshold path would otherwise
@@ -599,7 +603,7 @@ object Dedup {
     // "give me the edges" for SMALL pair sets (the floor case) via a
     // bounded limit-collect. Tier 2: count, then collect only when the
     // set fits the driver threshold — collecting threshold+1 edges just
-    // to learn "too big" would drag ~192 MB to the driver at the 6M
+    // to learn "too big" would drag ~256 MB to the driver at the 8M
     // default on every over-threshold corpus. The tuple encoder collects
     // specialized primitive-long pairs, not Row objects, so the heap cost
     // is the ~32 B/edge the threshold assumes.
@@ -858,8 +862,11 @@ object Dedup {
     // broadcast, so re-deriving sigs re-runs minhash — the explicit
     // exchange always pays for itself across the 3+ candidate-stage
     // consumers (the map-only-sigs policy).
+    // sortBarrier = false: the pairs feed nearDupClusters' persist, not a
+    // sort — the barrier exchange would be a pure extra hop.
     val pairs = verifiedPairs(df, sigs, textCol, idCol, threshold,
-      shingleN, k, bands, maxBucketSize, sigsBehindExchange = false)
+      shingleN, k, bands, maxBucketSize, sigsBehindExchange = false,
+      sortBarrier = false)
     val nearLosers = nearDupClusters(pairs, maxIterations)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id"))
