@@ -167,11 +167,15 @@ object Cluster {
     // init collect below materializes k x dim boxed longs on the driver,
     // i.e. exactly the allocation the guard exists to refuse. Probe ONE
     // row for the dimension first. k-means REQUIRES uniform vector
-    // dimensionality (centroid arithmetic is undefined otherwise), so any
-    // row's size IS the dimension; the init collect below re-validates
-    // that assumption on the k rows it materializes — a heterogeneous
-    // input fails loud there instead of making this probe's verdict
-    // depend on which row limit(1) happened to return.
+    // dimensionality (centroid arithmetic is undefined otherwise), so on
+    // VALID input any row's size IS the dimension; the init collect below
+    // re-validates that assumption on the k rows it materializes, so a
+    // heterogeneous input fails loud post-collect. The guard is therefore
+    // best-effort against invalid input: a corpus whose probed row is
+    // low-dim while the k smallest ids are huge can still oversize the
+    // collect before the check fires — the exact pre-collect check would
+    // cost a full agg(max(size)) scan per fit, which uniform-dim (the
+    // operator's contract) does not justify.
     val dimProbe = base.select(size(col(vecCol)).as("_km_dim")).limit(1).collect()
     require(dimProbe.nonEmpty, "fitCentroids needs at least one non-null vector")
     val dim = dimProbe.head.getInt(0).toLong

@@ -452,10 +452,16 @@ object Dedup {
     // plan, unchanged. Skipping the semi also leaves the pair join as the
     // signature frame's ONLY consumer (its two sides canonicalize to one
     // exchange), so the explicit sigs exchange below is skipped with it —
-    // an exchange with one reader is a pure extra hop. NOTE: the
+    // an exchange with one reader is a pure extra hop. CAVEAT: the
     // hot-bucket observation rides the occupancy aggregate, so below the
-    // gate no bucket metric is observed (the warning exists for corpora
-    // large enough to hang — exactly the above-gate regime).
+    // gate no bucket metric is observed and lastObservedMaxBucket stays
+    // at its prior value — "not observed", never "no hot buckets".
+    // Bucket blowup is member-count-driven, not byte-driven (500k
+    // one-line replicas fit in 50 MB and still emit 1.25e11 candidate
+    // pairs), so a small-corpus pipeline that needs the diagnostic sets
+    // candidateSemiMinBytes=0; the protection that works BEFORE a job
+    // finishes is maxBucketSize either way (a hung query never reaches
+    // the completion listener that logs the warning).
     val semiMin = graft.spark.ExecTuning.confLong(df.sparkSession,
       CandidateSemiMinBytesKey, DefaultCandidateSemiMinBytes)
     val semiSkipped = semiMin > 0 &&
@@ -466,7 +472,12 @@ object Dedup {
     val sigsSmall = sigsBehindExchange && sigsMin > 0 &&
       (try graft.spark.ExecTuning.inputBytes(df) < sigsMin
        catch { case _: Exception => false })
-    val sigsX = if (sigsSmall || semiSkipped) sigs
+    // The semi-skip only removes the sigs exchange when the pair join is
+    // genuinely the signature frame's ONLY consumer: a maxBucketSize cap
+    // rebuilds key sets through occupancy counts + a semi join, giving
+    // sigs several non-canonicalizing consumers again (each would
+    // re-minhash the corpus from the scan).
+    val sigsX = if (sigsSmall || (semiSkipped && maxBucketSize == 0)) sigs
       else sigs.repartition(
         df.sparkSession.sparkContext.defaultParallelism, col("id"))
     val keyed = explodedBandKeySets(sigsX, k, bands, maxBucketSize)
@@ -660,10 +671,14 @@ object Dedup {
     // Round 1 can run on the persisted pairs' EXISTING partitioning when
     // each partition already fits the task bound and the count is at most
     // core parallelism: skips a full repartition exchange of the largest
-    // round's edges (the verify tail re-spread the pairs already).
+    // round's edges. Only the MEAN per-partition count is known without
+    // an extra job, so the bound is applied with 4x headroom — hash or
+    // round-robin pair partitionings skew far less than that, and a
+    // pathological layout still only reaches taskEdges, the same ceiling
+    // the repartition path enforces exactly.
     val rawParts = raw.rdd.getNumPartitions
     var reuseExisting = rawParts >= parts && rawParts <= math.max(parts.toLong, corePar) &&
-      rawCount / math.max(1, rawParts) <= taskEdges
+      rawCount / math.max(1, rawParts) <= taskEdges / 4
     var stalled = false
     var reducedCount = -1L
     while (!stalled) {
@@ -851,13 +866,18 @@ object Dedup {
     // O(k²) pairs to its buckets — the one skew mode banded LSH can't
     // bound. Collapsing to the min-id keeper first caps it at one row per
     // distinct text; connectivity through the keeper preserves every
-    // cluster minimum, so the kept set is unchanged. AQE broadcasts the
-    // keeper id set when its runtime size is small and shuffles when it
-    // is not — the right call at 100 TB.
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("_t"))
-      .join(keepers, Seq("id"), "left_semi")
-      .select(col("id"), minhashText(col("_t"), shingleN, k, seed).as("sig"))
+    // cluster minimum, so the kept set is unchanged. minhash runs BELOW
+    // the semi join: when keepers outgrow a broadcast (warehouse scale —
+    // keeper count ≈ distinct-text count) AQE plans a shuffle semi whose
+    // probe side is then (id, fixed 512 B sig), never the text itself —
+    // the "document text never shuffles" invariant. The price is loser
+    // signatures computed and discarded (one kernel pass over duplicate
+    // text; the alternative — semi first, minhash after — would shuffle
+    // every byte of text in the shuffle-semi regime).
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+        minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .where(size(col("sig")) > 0)
+      .join(keepers, Seq("id"), "left_semi")
     // sigsBehindExchange = false: the keeper semi join is map-side under a
     // broadcast, so re-deriving sigs re-runs minhash — the explicit
     // exchange always pays for itself across the 3+ candidate-stage

@@ -264,17 +264,28 @@ object Mix {
   }
 
   /** Does re-deriving `df` re-execute real work? A bare (projected,
-    * filtered) scan re-reads its pruned columns cheaply; any join, window,
-    * aggregate, or generate in the optimized plan means each additional
-    * consumer re-runs that stage-work. Drives the wide-path shareExchange
-    * decision: one explicit exchange amortizes an expensive upstream
-    * across the prefix sum's two consumers, but costs more than a cheap
-    * re-scan on plain inputs (measured both ways at sf10, round 9/10). */
+    * filtered) scan re-reads its pruned columns cheaply, and a join whose
+    * one side is broadcast-sized by stats re-runs as a map-side probe —
+    * but a window, an aggregate, or a join BOTH of whose sides are big
+    * re-executes exchanges per consumer. Drives the shape decision in
+    * [[byWeightBudgetWith]]/[[packSequences]]: one shared wide exchange
+    * (the pipeline's output rows shuffled once) amortizes an expensive
+    * upstream across the prefix sum's consumers, while cheap-to-re-run
+    * inputs keep the size-based narrow/wide choice — a 100 TB corpus with
+    * a tiny dim-table broadcast join in its lineage must NOT be forced
+    * through a full-row window sort (round-10 review). */
   private def nontrivialUpstream(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{logical => l}
-    try df.queryExecution.optimizedPlan.exists {
-      case _: l.Join | _: l.Aggregate | _: l.Window | _: l.Generate => true
-      case _ => false
+    try {
+      val bcast = graft.spark.ExecTuning.confLong(df.sparkSession,
+        "spark.sql.autoBroadcastJoinThreshold", 10L << 20)
+      df.queryExecution.optimizedPlan.exists {
+        case j: l.Join =>
+          val smaller = j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
+          bcast <= 0 || smaller > bcast
+        case _: l.Aggregate | _: l.Window => true
+        case _ => false
+      }
     } catch { case _: Exception => false }
   }
 

@@ -44,8 +44,10 @@ object BucketSpike {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // One-time bucketed write (idempotent across runs).
-    if (!spark.catalog.tableExists("lineitem_b")) {
+    // One-time bucketed write, keyed by (dir, buckets) so a rerun with
+    // different arguments can never silently reuse a stale table.
+    val tbl = s"lineitem_b_${buckets}_${java.lang.Integer.toHexString(dir.hashCode)}"
+    if (!spark.catalog.tableExists(tbl)) {
       // Repartition by the bucket key first: without it every map task
       // writes a file per bucket (326 tasks x 32 buckets = 10k tiny files
       // on the first attempt — the scan-side cost swamped the exchange
@@ -53,8 +55,8 @@ object BucketSpike {
       spark.read.parquet(s"$dir/lineitem.parquet")
         .repartition(buckets, col("l_orderkey"))
         .write.bucketBy(buckets, "l_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable("lineitem_b")
-      println(s"[spike] wrote lineitem_b ($buckets buckets) under $wh")
+        .mode("overwrite").format("parquet").saveAsTable(tbl)
+      println(s"[spike] wrote $tbl ($buckets buckets) under $wh")
     }
 
     import graft.functions.{double_units, sum128}
@@ -90,12 +92,12 @@ object BucketSpike {
 
     // Warm both paths, then interleave measured rounds.
     time("warm-flat", q2(spark.read.parquet(s"$dir/lineitem.parquet")))
-    time("warm-bkt", q2(spark.table("lineitem_b")))
+    time("warm-bkt", q2(spark.table(tbl)))
     val flat = (1 to rounds).map(_ => time("flat", q2(spark.read.parquet(s"$dir/lineitem.parquet"))))
-    val bkt = (1 to rounds).map(_ => time("bucketed", q2(spark.table("lineitem_b"))))
+    val bkt = (1 to rounds).map(_ => time("bucketed", q2(spark.table(tbl))))
     println(f"[spike] MIN flat=${flat.min}%.3f s bucketed=${bkt.min}%.3f s buckets=$buckets")
     println("[spike] bucketed plan:")
-    q2(spark.table("lineitem_b")).explain("formatted")
+    q2(spark.table(tbl)).explain("formatted")
     spark.stop()
   }
 }
