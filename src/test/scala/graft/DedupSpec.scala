@@ -169,6 +169,21 @@ class DedupSpec extends SparkSuite {
     assert(alwaysOn == alwaysOff && alwaysOn == Set(1L, 3L, 5L, 6L))
   }
 
+  test("kept set survives the shuffle-semi keeper regime (broadcast disabled)") {
+    // At warehouse scale the keeper id set outgrows any broadcast and the
+    // keeper semi join runs as a shuffle join whose probe side carries
+    // (id, sig) — never text (round-10 review). Forcing that regime here
+    // must not change the result.
+    def kept(): Set[Long] =
+      Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffled = try kept()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    assert(shuffled == Set(1L, 3L, 5L, 6L))
+  }
+
   test("candidate-semi policy settings never change pairs or the kept set") {
     // The occupancy semi-filter is pure plan shape (it shrinks the verify
     // fetch, never the candidate pairs): results must be identical with
