@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -498,29 +498,6 @@ object TextHash {
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
-  /** True iff the FIRST (smallest) value common to two sorted-distinct
-    * long arrays equals `v` — the LSH pair-uniqueness predicate: a
-    * candidate pair sharing several band-key values is emitted only from
-    * the bucket of its minimum shared value, so the band self-join
-    * produces each pair exactly once and the global `distinct()` over the
-    * full candidate multiset (the dominant shuffle of near-dedup at
-    * scale: 290M pre-distinct rows at derived sf10) disappears. Two-
-    * pointer merge, O(|a| + |b|) with bands-length arrays (16 by
-    * default). */
-  def firstSharedIs(a: ArrayData, b: ArrayData, v: Long): Boolean = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    var i = 0
-    var j = 0
-    while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) return x == v
-      if (x < y) i += 1 else j += 1
-    }
-    false
-  }
-
   /** 64-bit SimHash over a token array (term-frequency weighted). */
   def simHash64(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
@@ -730,6 +707,49 @@ object TextHash {
       i += 1
     }
     UTF8String.fromBytes(hex)
+  }
+
+  /** Sorted-distinct keys → one struct per key: (v, pre = the keys
+    * strictly below v). The LSH band explode emits these so each bucket
+    * row carries only the PREFIX the unique-emission check needs: a pair
+    * colliding at bucket v is emitted iff the two sides share no key
+    * BELOW v (⟺ v is the minimum shared key — the FirstSharedIs
+    * criterion restated over prefixes). Total longs carried per doc fall
+    * from bands² (the full set on every exploded row) to
+    * bands(bands−1)/2 — the band-join exchange is the near-dup
+    * pipeline's largest, so the prefix spelling roughly halves it
+    * (round 10). */
+  def sortedPrefixes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val pre = new Array[Long](i)
+      var j = 0
+      while (j < i) { pre(j) = arr.getLong(j); j += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr.getLong(i), new GenericArrayData(pre)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** True iff two SORTED long arrays share no element (one merge pass,
+    * exits on the first match) — the prefix form of the unique-emission
+    * predicate: see [[sortedPrefixes]]. */
+  def noSharedSortedLongs(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var x = 0
+    var y = 0
+    while (x < na && y < nb) {
+      val va = a.getLong(x)
+      val vb = b.getLong(y)
+      if (va == vb) return false
+      else if (va < vb) x += 1
+      else y += 1
+    }
+    true
   }
 
   /**
@@ -1134,28 +1154,44 @@ object RepetitionStats {
     StructField("top_bigram", LongType, nullable = false)))
 }
 
-/** jaccard_sim over arrays the caller guarantees are `sort_array`-ordered —
-  * see [[TextHash.jaccardSimSorted]]; the verify-join fast path. */
-/** [[TextHash.firstSharedIs]] as a codegen'd join predicate: true iff the
-  * minimum value common to the two sorted-distinct long arrays equals
-  * `pos`. See the helper's scaladoc for the pair-uniqueness role. */
-case class FirstSharedIs(left: Expression, right: Expression, pos: Expression)
-    extends TernaryExpression with ExpectsInputTypes {
-  override def first: Expression = left
-  override def second: Expression = right
-  override def third: Expression = pos
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType)
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(a: Any, b: Any, v: Any): Any =
-    TextHash.firstSharedIs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      v.asInstanceOf[Long])
+/** [[TextHash.sortedPrefixes]] as an expression: sorted-distinct keys →
+  * ARRAY<STRUCT<v: BIGINT, pre: ARRAY<BIGINT>>> — the band explode's
+  * prefix-carrying shape (each bucket row ships only the keys below its
+  * own value; see the kernel scaladoc for the exchange-size argument). */
+case class SortedPrefixes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("pre", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.sortedPrefixes(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, v) => s"graft.expressions.TextHash.firstSharedIs($a, $b, $v)")
-  override def prettyName: String = "first_shared_is"
-  override protected def withNewChildrenInternal(f: Expression, s: Expression,
-      t: Expression): Expression = copy(left = f, right = s, pos = t)
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.sortedPrefixes($c)")
+  override def prettyName: String = "sorted_prefixes"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[TextHash.noSharedSortedLongs]] as a codegen'd join predicate: true
+  * iff two sorted long arrays are disjoint — with [[SortedPrefixes]] this
+  * is the unique-emission check (no shared key below the shared bucket
+  * ⟺ the bucket is the pair's minimum shared key). */
+case class NoSharedSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.noSharedSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextHash.noSharedSortedLongs($a, $b)")
+  override def prettyName: String = "no_shared_sorted"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** jaccard_sim over arrays the caller guarantees are `sort_array`-ordered —
+  * see [[TextHash.jaccardSimSorted]]; the verify-join fast path. */
 case class JaccardSimSorted(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))

@@ -190,34 +190,39 @@ object Dedup {
     * per-bucket work bound. */
   def lshCandidatePairs(signatures: DataFrame, k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 0): DataFrame = {
-    // Each side's rows carry the doc's full sorted-distinct band-key SET
-    // alongside the exploded bucket value, and the join emits a pair only
-    // from the bucket of the pair's MINIMUM shared value (FirstSharedIs):
-    // every candidate pair appears exactly once, so no `distinct()` runs.
-    // The round-8 spelling — (id, band_key) self-join, then distinct —
-    // materialized the full candidate MULTISET first (290M rows / 2.4 GB
-    // shuffled into a spilling reduce at derived sf10, 44 s of the
-    // measured 105 s total); the per-probe merge this trades it for is
-    // O(bands) longs on bucket-colliding rows only, inside codegen.
+    // Each side's rows carry the keys STRICTLY BELOW the exploded bucket
+    // value (SortedPrefixes), and the join emits a pair only when the two
+    // prefixes are disjoint — equivalent to emitting from the bucket of
+    // the pair's MINIMUM shared value (the r9 FirstSharedIs criterion,
+    // restated over prefixes): every candidate pair appears exactly once,
+    // so no `distinct()` runs. The prefix spelling (round 10) carries
+    // bands(bands−1)/2 longs per doc through the band-join exchange where
+    // the full-set spelling carried bands² — the pipeline's largest
+    // shuffle, roughly halved. The round-8 spelling — (id, band_key)
+    // self-join, then distinct — materialized the full candidate MULTISET
+    // first (290M rows / 2.4 GB shuffled into a spilling reduce at
+    // derived sf10, 44 s of the measured 105 s total); the per-probe
+    // merge this trades it for is O(bands) longs on bucket-colliding
+    // rows only, inside codegen.
     val keyed = explodedBandKeySets(signatures, k, bands, maxBucketSize)
     pairJoin(keyed)
   }
 
-  /** The unique-emission pair self-join over a prepared (id, ks, v)
+  /** The unique-emission pair self-join over a prepared (id, pre, v)
     * frame — the two sides canonicalize to ONE v-exchange. shuffle_hash
-    * (not sort-merge) because the ks-carrying rows are ~10x wider than a
-    * (id, key) row and sort-merge would pay two full sorts of them — a
-    * hash build of |rows|/partitions per task is bounded and sortless. */
+    * (not sort-merge) because the prefix-carrying rows are several times
+    * wider than a (id, key) row and sort-merge would pay two full sorts
+    * of them — a hash build of |rows|/partitions per task is bounded and
+    * sortless. */
   private def pairJoin(keyed: DataFrame): DataFrame =
     keyed.as("x").join(keyed.as("y").hint("shuffle_hash"),
         col("x.v") === col("y.v") && col("x.id") < col("y.id") &&
-          Bridge.column(graft.expressions.FirstSharedIs(
-            Bridge.expression(col("x.ks")), Bridge.expression(col("y.ks")),
-            Bridge.expression(col("x.v")))))
+          Bridge.column(graft.expressions.NoSharedSortedLongs(
+            Bridge.expression(col("x.pre")), Bridge.expression(col("y.pre")))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
 
   /** (id, ks) rows: each doc's band keys as a SORTED-DISTINCT array —
-    * the shape [[graft.expressions.FirstSharedIs]] merges. Distinctness
+    * the shape [[graft.expressions.SortedPrefixes]] slices. Distinctness
     * also makes bucket membership per (id, value) unique, so the pair
     * join and the occupancy counts never see intra-doc duplicates.
     * Computed by the [[graft.expressions.BandKeySets]] kernel — see its
@@ -230,9 +235,11 @@ object Dedup {
         Bridge.expression(col("sig")), bands)).as("ks"))
   }
 
-  /** [[bandKeySets]] exploded to one row per (id, ks, v ∈ ks), with
-    * oversized buckets removed when `maxBucketSize > 0`. Capping filters
-    * the exploded rows by bucket occupancy and REBUILDS each id's key set
+  /** [[bandKeySets]] exploded to one row per (id, pre, v ∈ ks) where
+    * `pre` holds the keys strictly below v ([[graft.expressions.SortedPrefixes]]
+    * — the unique-emission predicate's minimal payload), with oversized
+    * buckets removed when `maxBucketSize > 0`. Capping filters the
+    * exploded rows by bucket occupancy and REBUILDS each id's prefixes
     * from its surviving values — the pair-uniqueness predicate must see
     * only buckets both members actually survive in, or a pair whose
     * minimum shared value lies in a skipped hot bucket would never be
@@ -247,16 +254,18 @@ object Dedup {
       maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 0, "maxBucketSize must be >= 0 (0 = unlimited)")
     val base = bandKeySets(signatures, k, bands)
-    if (maxBucketSize == 0)
-      base.select(col("id"), col("ks"), explode(col("ks")).as("v"))
+    def prefixed(src: DataFrame): DataFrame = src
+      .select(col("id"), explode(Bridge.column(graft.expressions.SortedPrefixes(
+        Bridge.expression(col("ks"))))).as("kv"))
+      .select(col("id"), col("kv.pre").as("pre"), col("kv.v").as("v"))
+    if (maxBucketSize == 0) prefixed(base)
     else {
       val kv = base.select(col("id"), explode(col("ks")).as("v"))
       val surviving = kv.groupBy(col("v")).agg(count(lit(1)).as("_bn"))
         .where(col("_bn") <= maxBucketSize).select(col("v"))
-      kv.join(surviving, Seq("v"), "left_semi")
+      prefixed(kv.join(surviving, Seq("v"), "left_semi")
         .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("v"))).as("ks"))
-        .select(col("id"), col("ks"), explode(col("ks")).as("v"))
+        .agg(sort_array(collect_list(col("v"))).as("ks")))
     }
   }
 

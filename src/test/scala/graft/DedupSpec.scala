@@ -231,11 +231,20 @@ class DedupSpec extends SparkSuite {
     import graft.expressions.TextHash
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def arr(xs: Long*) = new GenericArrayData(xs.toArray)
-    // firstSharedIs: min shared value decides the emitting bucket
-    assert(TextHash.firstSharedIs(arr(1L, 5L, 9L), arr(2L, 5L, 9L), 5L))
-    assert(!TextHash.firstSharedIs(arr(1L, 5L, 9L), arr(2L, 5L, 9L), 9L))
-    assert(!TextHash.firstSharedIs(arr(1L, 3L), arr(2L, 4L), 1L)) // no overlap
-    assert(!TextHash.firstSharedIs(arr(), arr(1L), 1L)) // empty side
+    // sortedPrefixes + noSharedSortedLongs: the prefix form of the
+    // unique-emission rule — a pair colliding at v is emitted iff the
+    // prefixes below v are disjoint (⟺ v is the minimum shared key).
+    val ps = TextHash.sortedPrefixes(arr(1L, 5L, 9L))
+    assert(ps.numElements() == 3)
+    val row1 = ps.getStruct(1, 2)
+    assert(row1.getLong(0) == 5L &&
+      row1.getArray(1).toLongArray.toSeq == Seq(1L)) // prefix below 5
+    assert(TextHash.sortedPrefixes(arr()).numElements() == 0)
+    // shared-at-5 pair: prefixes below 5 are {1} vs {2} — disjoint (emit);
+    // below 9 they are {1,5} vs {2,5} — share 5 (suppress)
+    assert(TextHash.noSharedSortedLongs(arr(1L), arr(2L)))
+    assert(!TextHash.noSharedSortedLongs(arr(1L, 5L), arr(2L, 5L)))
+    assert(TextHash.noSharedSortedLongs(arr(), arr(1L))) // empty side
     // bandKeySets: sorted-distinct, equal slices ⟹ equal keys, band
     // identity matters (same rows in a different band ⟹ different key)
     val ks = TextHash.bandKeySets(arr(10L, 11L, 20L, 21L), 2)
