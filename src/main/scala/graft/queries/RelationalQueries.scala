@@ -173,21 +173,38 @@ object RelationalQueries {
     }),
     "q7_ship_volume" -> ((s, dir) => {
       // q7-style: revenue by supplier nation × ship year with a date-range
-      // filter that reaches the parquet scan (predicate pushdown) and
-      // broadcast dims over the fact table.
+      // filter and broadcast dims over the fact table. Two per-row trims
+      // (r11 StageProf: the 60M-row scan stage is 70% of the gate):
+      // year(ts) IN (1995,1996) is spelled as the equivalent half-open
+      // timestamp range (session tz is UTC, so calendar years are exact
+      // micros ranges) — two long compares instead of a per-row calendar
+      // conversion, and the range reaches the parquet scan as a pushed
+      // filter (year(col) never pushes); year() itself then runs only on
+      // the ~2/7 of rows that survive, once, in the group key.
       val li = Tables.load(s, dir, "lineitem")
-        .where(year(col("l_shipdate")).isin(1995, 1996))
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      // The pre-agg probe carries only (s_suppkey → s_nationkey): the fact
+      // rows group on an all-int key (nationkey, year) and the 25-row
+      // nation name join runs over the ~50 aggregated rows, not 17M fact
+      // rows. ship_year is a single midpoint compare — the filter already
+      // bounds the domain to [1995, 1997), so "which calendar year" needs
+      // no per-row calendar conversion at all.
       val sup = Tables.load(s, dir, "supplier")
-      val n = Tables.load(s, dir, "nation")
+        .select(col("s_suppkey"), col("s_nationkey"))
       li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
+        .groupBy(col("s_nationkey"),
+          when(col("l_shipdate") < lit("1996-01-01").cast("timestamp"), 1995)
+            .otherwise(1996).as("ship_year"))
         .agg(
           // Same long-register revenue term as q2: cents × (100 − cents)
           // is the DECIMAL(38,4) product's unscaled value at scale 4.
           outD(sum128(double_units(col("l_extendedprice"), 2) *
             (lit(100L) - double_units(col("l_discount"), 2)), 4)).as("volume"),
           count(lit(1)).as("n_rows"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("ship_year"), col("volume"), col("n_rows"))
         .orderBy("n_name", "ship_year")
     }),
     "q8_corr_subquery" -> ((s, dir) => {

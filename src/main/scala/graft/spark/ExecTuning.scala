@@ -87,9 +87,19 @@ object ExecTuning {
     * for this one execution to input/(cores × splitsPerCore), capped at
     * 512 MB — the same "size the task to the data" policy a 100 TB
     * cluster runs with (128 MB+ splits), derived per-query from the same
-    * static size estimate the AQE gate reads. Never lowers the conf. */
+    * static size estimate the AQE gate reads. Never lowers the conf.
+    *
+    * Default 2 (r11; was 4): in-session ABBA A/Bs at derived sf10 put the
+    * per-task overhead of a broadcast-hash-join scan stage at ~3-4 ms
+    * (vs ~1 ms join-free) — q7's 60M-row fact stage ran 1643 ms at 327
+    * tasks and 403 ms at 32 in one session — and 2 splits/core beat 4 on
+    * every ≥1 s gate tried (q2 4.45→4.13, q7 1.51→1.11, q12 3.97→3.17,
+    * doc_substr_dedup 6.16→6.01 min-of-3; doc_pack_emit tie). 1 was
+    * better still for q7 alone but lost on q12 and leaves no slack for a
+    * stolen-core straggler, so 2 is the default and the conf stays the
+    * escape hatch. */
   val ScanSplitsPerCoreKey = "spark.graft.scan.splitsPerCore"
-  val DefaultScanSplitsPerCore = 4
+  val DefaultScanSplitsPerCore = 2
   val MaxScanSplitBytes: Long = 512L << 20
 
   /**
