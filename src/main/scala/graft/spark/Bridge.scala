@@ -3,7 +3,7 @@
 // .ExpressionUtils) — the standard pattern for Spark extension libraries.
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
@@ -22,4 +22,38 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-root `df` as a [[org.apache.spark.sql.execution.LogicalRDD]] over
+    * its own executed UnsafeRow RDD — the share-one-exchange device the
+    * optimizer cannot provide (round-10 finding: column pruning splits a
+    * "shared" explicit repartition into per-consumer exchanges, each
+    * re-executing the whole upstream).
+    *
+    * Two properties do the work:
+    *  1. every consumer's plan scans the SAME RDD instance, so its shuffle
+    *     dependency is registered once and the DAGScheduler skips the map
+    *     stage (= the entire upstream) in every job after the first — true
+    *     compute-once sharing with no persist()/cache() left behind
+    *     (shuffle files are cleaned with the RDD, same as any exchange);
+    *  2. the LogicalRDD leaf is opaque to the optimizer, so consumers that
+    *     prune columns read fewer columns from the shuffle OUTPUT instead
+    *     of re-planning a narrower shuffle INPUT.
+    *
+    * `fromDataset` preserves the executed plan's output partitioning and
+    * ordering (exprId-rewritten), so a consumer clustered on the same keys
+    * plans no further exchange. Cost: none beyond the exchange the caller
+    * already planned — toRdd builds the RDD without converting rows.
+    *
+    * CAVEAT (scope): under AQE, building the RDD materializes the plan's
+    * query stages EAGERLY — the returned frame's upstream runs at
+    * construction time, outside any conf scope the caller wraps around the
+    * later action (e.g. `ExecTuning.withSizedAqe`'s split-size raise).
+    * Callers on that path accept session-default scan splits for the
+    * barriered subtree. */
+  def rddBarrier(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
+    ofRows(df.sparkSession, plan)
+  }
 }

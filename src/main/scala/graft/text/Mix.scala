@@ -127,10 +127,17 @@ object Mix {
       val k = math.max(1L, kMax).toInt
       // Same md5-longs order device as the cumsum path (withCumWeight):
       // struct (h1, h2, key) order == struct (hex, key) order.
-      val hp = TextFunctions.md5Longs(col(keyCol).cast("string"))
+      // The struct is projected ONCE and the fields extracted from the
+      // named column: two direct hp.getField projections would evaluate
+      // the digest twice whenever codegen subexpression elimination
+      // doesn't fire (guaranteed in interpreted/fallback paths), and
+      // CollapseProject refuses to inline a duplicated non-cheap
+      // expression, so the two-step spelling keeps one evaluation.
       val narrow = df.where(col(keyCol).isNotNull)
+        .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
         .select(col(groupCol), col(keyCol),
-          hp.getField("h1").as("_mix_h1"), hp.getField("h2").as("_mix_h2"))
+          col("_mix_hp").getField("h1").as("_mix_h1"),
+          col("_mix_hp").getField("h2").as("_mix_h2"))
       val kept = narrow.groupBy(col(groupCol))
         .agg(graft.functions.min_by_k(col(keyCol),
           struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
@@ -225,7 +232,7 @@ object Mix {
     // before input size does.
     if (nontrivialUpstream(df)) {
       withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
-          shareExchange = true, pruneBudget = Some(bdg))
+          shareExchange = true, pruneBudget = Some(bdg), barrier = true)
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
     } else if (narrowCumsum(df)) {
@@ -277,17 +284,30 @@ object Mix {
   private def nontrivialUpstream(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{logical => l}
     try {
-      val bcast = graft.spark.ExecTuning.confLong(df.sparkSession,
+      // When broadcast joins are DISABLED (threshold <= 0) this test still
+      // asks "is the small side dim-sized?" against the 10 MB default: a
+      // session that turns broadcasting off must not reclassify a 100 TB
+      // corpus's one tiny dim join as expensive and force the full-row
+      // wide window sort (r10 advice). The re-run cost being estimated is
+      // a shuffle-join probe then — more than a broadcast probe, but still
+      // nothing like re-running a real multi-exchange upstream.
+      val conf = graft.spark.ExecTuning.confLong(df.sparkSession,
         "spark.sql.autoBroadcastJoinThreshold", 10L << 20)
+      val bcast = if (conf <= 0) 10L << 20 else conf
       df.queryExecution.optimizedPlan.exists {
         case j: l.Join =>
-          val smaller = j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
-          bcast <= 0 || smaller > bcast
+          j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes) > bcast
         case _: l.Aggregate | _: l.Window => true
         case _ => false
       }
     } catch { case _: Exception => false }
   }
+
+  /** 0 disables the [[withCumWeight]] RDD barrier (A/B + escape hatch):
+    * the shared-exchange path then falls back to the plain explicit
+    * repartition, whose consumers column pruning splits back into
+    * per-consumer exchanges (the r10 behavior). */
+  private[graft] val RddBarrierKey = "spark.graft.mix.rddBarrier"
 
   /** Byte threshold above which the budget fills and [[packSequences]]
     * switch from the direct full-row cumsum to the narrow-projection +
@@ -317,7 +337,8 @@ object Mix {
   private[graft] def withCumWeight(df: DataFrame, keyCol: String,
       weight: Column, groupCols: Seq[String], buckets: Int,
       cumCol: String, shareExchange: Boolean = true,
-      pruneBudget: Option[DataFrame] = None): DataFrame = {
+      pruneBudget: Option[DataFrame] = None,
+      barrier: Boolean = false): DataFrame = {
     val gcols = groupCols.map(col)
     // The md5 order rides as TWO signed-order-flipped longs (md5Longs):
     // (h1, h2) tuple order IS the hex string's lexicographic order, so the
@@ -333,25 +354,38 @@ object Mix {
     // null hash would occupy its own sorts-first bucket, shifting every
     // real row's cumulative value (and diverging from the heap path,
     // whose min_by_k ignores null-keyed rows by arg_min semantics).
-    val hp = TextFunctions.md5Longs(df(keyCol).cast("string"))
+    // Struct projected once, fields split in a second projection — see
+    // the byCountBudget note (CollapseProject keeps the digest single).
     val t0 = df.where(col(keyCol).isNotNull)
-      .withColumn("_mix_h1", hp.getField("h1"))
-      .withColumn("_mix_h2", hp.getField("h2"))
+      .withColumn("_mix_hp", TextFunctions.md5Longs(df(keyCol).cast("string")))
+      .withColumn("_mix_h1", col("_mix_hp").getField("h1"))
+      .withColumn("_mix_h2", col("_mix_hp").getField("h2"))
+      .drop("_mix_hp")
       .withColumn("_mix_toks", weight)
       .withColumn("_mix_b",
         (shiftrightunsigned(col("_mix_h1").bitwiseXOR(lit(Long.MinValue)), 48)
           * buckets / 65536).cast("int"))
-    // shareExchange: explicit hash repartition on (group, bucket) — the
-    // grid aggregate and the in-bucket window BOTH consume this one
-    // exchange (ReuseExchange — identical subplan by construction), the
-    // aggregate needs no further shuffle (co-partitioned) and the window
-    // only sorts. Without it each consumer re-plans its own exchange from
-    // the SCAN, so the corpus — and the weight expression, a tokenCount
-    // over every text byte — is scanned and computed twice. Callers pass
-    // false on SMALL inputs (the same size policy that picks the wide
-    // shape): there the double scan is a few MB and the extra
-    // full-row exchange is pure floor (~+0.2 s/query measured at sf0.1).
-    val t = if (shareExchange) t0.repartition(gcols :+ col("_mix_b"): _*) else t0
+    // shareExchange: explicit hash repartition on (group, bucket), then
+    // re-rooted as an RDD barrier (Bridge.rddBarrier) so the grid
+    // aggregate and the in-bucket window consume ONE materialized
+    // exchange. ReuseExchange alone cannot deliver this: column pruning
+    // narrows the grid's subtree below the repartition, the two exchanges
+    // stop canonicalizing, and the upstream — the scan, the weight
+    // expression (a tokenCount over every text byte), or a whole composed
+    // pipeline on the nontrivialUpstream path — re-executes per consumer
+    // (the r10 open exchange-identity problem). With the barrier the
+    // DAGScheduler reuses the map stage across the consumers' jobs, so
+    // the upstream runs exactly once. Callers pass false on SMALL inputs
+    // (the same size policy that picks the wide shape): there the double
+    // scan is a few MB and the extra full-row exchange is pure floor
+    // (~+0.2 s/query measured at sf0.1).
+    val useBarrier = shareExchange && barrier &&
+      graft.spark.ExecTuning.confLong(df.sparkSession, RddBarrierKey, 1L) != 0L
+    val t = if (useBarrier)
+      org.apache.spark.sql.graftbridge.Bridge.rddBarrier(
+        t0.repartition(gcols :+ col("_mix_b"): _*))
+    else if (shareExchange) t0.repartition(gcols :+ col("_mix_b"): _*)
+    else t0
 
     // Per-(group, bucket) totals → exclusive prefix sum over the bucket grid.
     // The grid is |groups| × buckets rows — broadcastable by construction.
@@ -442,7 +476,8 @@ object Mix {
       // join-back re-executes the upstream pipeline (see byWeightBudgetWith).
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
-          Seq.empty, buckets, "_mix_cum", shareExchange = true))
+          Seq.empty, buckets, "_mix_cum", shareExchange = true,
+          barrier = true))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     } else if (narrowCumsum(df)) {
       // Narrow cumsum + join-back, like the budget fills: the window

@@ -36,8 +36,12 @@ object AbConf {
     def once(): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      graft.spark.ExecTuning.withSizedAqe(fn(spark, dir)) {
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      // Construct ONCE and reuse, exactly like Bench — a second fn() call
+      // would re-run any construction-eager work (e.g. Mix's RDD barrier
+      // under AQE) and double-charge it.
+      val df = fn(spark, dir)
+      graft.spark.ExecTuning.withSizedAqe(df) {
+        df.write.format("noop").mode("overwrite").save()
       }
       (System.nanoTime() - t0) / 1e9
     }
