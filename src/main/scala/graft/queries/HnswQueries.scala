@@ -104,11 +104,21 @@ object HnswQueries {
     }),
     "hnsw_index_info" -> ((s, dir) => {
       val (l2, _) = ensureIndexes(s, dir)
-      // O14: scalar projection of pragma_hnsw_index_info (rows-only check)
+      // O14, self-checking (r11; was rows-only): the engine-independent
+      // fields compare against DuckDB-computed table facts (metric string,
+      // dimensions = the embedding length, count = live rows), and the
+      // engine-specific ones collapse to invariants the oracle states as
+      // `true` (levels/segments >= 1 on a non-empty index; the gate index
+      // never sees a delete). index_name is session-derived (dir hash) so
+      // it stays out of the comparison.
       Hnsw.indexInfo(s)
         .where(col("index_name") === l2)
-        .select(col("index_name"), col("metric"), col("dimensions"),
-          col("count"), col("levels"), col("segment_count"))
+        .select(col("metric"),
+          col("dimensions").cast("long").as("dimensions"),
+          col("count"),
+          (col("levels") >= 1).as("levels_ok"),
+          (col("segment_count") >= 1).as("segments_ok"),
+          (col("deleted_count") === 0L).as("no_deletes"))
     }),
     "hnsw_filtered_topn" -> ((s, dir) => {
       ensureIndexes(s, dir)
@@ -246,10 +256,21 @@ object HnswQueries {
       Seq(hit.toDouble / total >= 0.9).toDF("recall_ok")
     }),
     "hnsw_topn_ann" -> ((s, dir) => {
-      // Bench entry: default-ef ANN top-k through the raw search surface
-      // (approximate → rows-only check, like the reference's closeness tests).
+      // ANN top-k through the raw search surface, self-checking (r11; was
+      // rows-only): the index's top-10 must be a subset of the exact
+      // brute-force top-20 AND have exactly 10 rows — tie-robust (distance
+      // ties reorder freely inside the top-20 envelope) and
+      // scale-independent, so the oracle is a plain SELECT true. The
+      // containment is evaluated in-plan (min over array_contains = AND);
+      // an empty or short result surfaces as null/false ≠ true.
       val (l2, _) = ensureIndexes(s, dir)
-      Hnsw.topK(s, l2, QueryVec, 10).withColumnRenamed("vec_id", "id")
+      val ann = Hnsw.topK(s, l2, QueryVec, 10).select(col("vec_id"))
+      val truth = Tables.load(s, dir, "embeddings")
+        .agg(min_by_k(col("vec_id"),
+          array_distance(col("embedding"), lit_vector(QueryVec)), 20).as("_ids"))
+      ann.crossJoin(truth)
+        .agg((min(array_contains(col("_ids"), col("vec_id"))) &&
+          count(lit(1)) === 10).as("ok"))
     }),
     "hnsw_recall_lateral" -> ((s, dir) => {
       // O6-path graph-quality gate at DEFAULT beam width — the lateral-join
@@ -426,7 +447,17 @@ object HnswQueries {
     "ivf_pq_recall" ->
       // PQ quality gate: a codebook/encode/ADC regression flips the Spark
       // side to false and fails the hash match.
-      "SELECT true AS recall_ok"
-    // hnsw_index_info / hnsw_topn_ann: no oracle (introspection / approximate)
+      "SELECT true AS recall_ok",
+    "hnsw_topn_ann" ->
+      // Spark side emits `top-10 ⊆ exact top-20 AND |result| = 10`.
+      "SELECT true AS ok",
+    "hnsw_index_info" ->
+      // Engine-independent fields recomputed by DuckDB from the table;
+      // engine-specific ones asserted as invariants on the Spark side.
+      """SELECT 'l2sq' AS metric,
+           CAST(max(len(embedding)) AS BIGINT) AS dimensions,
+           CAST(count(*) AS BIGINT) AS count,
+           true AS levels_ok, true AS segments_ok, true AS no_deletes
+         FROM embeddings"""
   )
 }
