@@ -296,7 +296,17 @@ object Dedup {
     * completion. LAST-WRITER-WINS across queries: with concurrent
     * near-dedup queries in flight this holds whichever finished last —
     * poll [[observedMaxBucketSnapshot]] (keyed by the per-query metric
-    * name) to attribute observations under concurrency. */
+    * name) to attribute observations under concurrency.
+    *
+    * NOT OBSERVED ≠ NO HOT BUCKETS: the metric rides the occupancy
+    * aggregate, which the candidate-semi size gate SKIPS on corpora under
+    * `CandidateSemiMinBytesKey` — a query that takes the skip path leaves
+    * this scalar at whatever the PREVIOUS query observed (stale). A
+    * small-corpus pipeline must therefore diff
+    * [[observedMaxBucketSnapshot]] (no new entry appears for a skipped
+    * query) rather than read this scalar, or set
+    * `candidateSemiMinBytes=0` to force the observation. Pinned by
+    * DedupSpec ("hot-bucket observation is skipped..."). */
   private[graft] val lastObservedMaxBucket =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
@@ -680,14 +690,24 @@ object Dedup {
     // Round 1 can run on the persisted pairs' EXISTING partitioning when
     // each partition already fits the task bound and the count is at most
     // core parallelism: skips a full repartition exchange of the largest
-    // round's edges. Only the MEAN per-partition count is known without
-    // an extra job, so the bound is applied with 4x headroom — hash or
-    // round-robin pair partitionings skew far less than that, and a
-    // pathological layout still only reaches taskEdges, the same ceiling
-    // the repartition path enforces exactly.
+    // round's edges. The mean per-partition count is only a cheap
+    // short-circuit — the upstream layout is hash-on-id_a, so one hot
+    // vertex (a large dup cluster) can concentrate far more than the mean
+    // in a single partition (r10 advice: up to the whole corpus's edges
+    // in the worst case, NOT taskEdges). When the mean passes, the ACTUAL
+    // per-partition maximum is verified with one narrow count job over
+    // the already-persisted blocks (no shuffle, no row conversion): reuse
+    // only if it meets the same taskEdges ceiling the repartition path
+    // enforces exactly. The probe costs a cached-scan count; the reuse it
+    // guards skips a full exchange of the largest round's edges.
     val rawParts = raw.rdd.getNumPartitions
     var reuseExisting = rawParts >= parts && rawParts <= math.max(parts.toLong, corePar) &&
-      rawCount / math.max(1, rawParts) <= taskEdges / 4
+      rawCount / math.max(1, rawParts) <= taskEdges / 4 && {
+        val maxPart = raw.queryExecution.toRdd
+          .mapPartitions(it => Iterator.single(it.size.toLong))
+          .fold(0L)(math.max)
+        maxPart <= taskEdges
+      }
     var stalled = false
     var reducedCount = -1L
     while (!stalled) {

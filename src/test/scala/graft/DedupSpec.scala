@@ -154,6 +154,38 @@ class DedupSpec extends SparkSuite {
       "last-observed scalar never updated")
   }
 
+  test("hot-bucket observation is skipped below the candidate-semi gate (stale scalar pinned)") {
+    // The occupancy aggregate carries the bucket metric, and the size gate
+    // skips that aggregate on small corpora — so a skipped query must add
+    // NO snapshot entry and leave lastObservedMaxBucket untouched ("not
+    // observed", never "no hot buckets"; see the scalar's scaladoc). The
+    // assertion rides the ordered listener bus: a second, FORCED query's
+    // entry arriving proves any would-be entry from the earlier skipped
+    // query (which completed first) would already be visible.
+    val rep = (1 to 4).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val before = Dedup.observedMaxBucketSnapshot.map(_._1).toSet
+    Dedup.lastObservedMaxBucket.set(-7L) // sentinel no observation writes
+    spark.conf.set("spark.graft.dedup.candidateSemiMinBytes", s"${Long.MaxValue}")
+    try assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    finally spark.conf.unset("spark.graft.dedup.candidateSemiMinBytes")
+    // Escape hatch: candidateSemiMinBytes=0 forces the observation back.
+    spark.conf.set("spark.graft.dedup.candidateSemiMinBytes", "0")
+    try assert(Dedup.nearDupPairs(rep, "text", "doc_id", 0.8).count() == 6)
+    finally spark.conf.unset("spark.graft.dedup.candidateSemiMinBytes")
+    val deadline = System.nanoTime() + 10000000000L
+    def fresh(): Seq[(String, Long)] =
+      Dedup.observedMaxBucketSnapshot.filterNot(e => before.contains(e._1))
+    while (fresh().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(fresh().map(_._2) == Seq(4L),
+      s"expected exactly the forced query's entry (4), got ${fresh()} — " +
+        "a skipped query must not observe")
+    // The only writer is the listener, and it wrote exactly once (above),
+    // so the scalar held the stale sentinel until the forced observation.
+    assert(Dedup.lastObservedMaxBucket.get() == 4L)
+  }
+
   test("sigs-exchange policy settings never change the kept set") {
     // The exchange is pure plan shape: kept sets must be identical with
     // the signature exchange forced ON (min=0) and forced OFF (huge min).
