@@ -13,9 +13,17 @@ import graft.functions.{array_cosine_similarity, array_distance, array_inner_pro
  * Scale design: the cross product is aggregated per left row with the
  * bounded-heap [[graft.aggregates.MinMaxByK]] aggregate, so map-side partial
  * aggregation ships at most k candidates per (left row, partition) — no
- * global sort, no full-window shuffle. Catalyst/AQE picks broadcast
- * nested-loop automatically when one side is small; callers can hint with
- * `broadcast(right)`.
+ * global sort, no full-window shuffle. The LEFT (query) side is broadcast
+ * explicitly: the corpus side then streams with full scan parallelism and
+ * every task folds its rows into per-query bounded heaps. Left to its own
+ * stats Spark built the CORPUS side (without CBO a pushed-down filter
+ * doesn't shrink the query side's estimate, and both sides of a
+ * self-join estimate equal), which serialized all pair evaluation onto
+ * the handful of tasks holding query rows — r11, vss_join_sql 752 ms →
+ * 40 ms for the same 3×200k cross at sf10. Contract (matching the
+ * reference macro, which materializes the left table per chunk —
+ * hnsw_index_macros.cpp:9-74): the query side must be broadcast-sized;
+ * the indexed lateral path is the big-outer surface.
  */
 object Vss {
 
@@ -50,9 +58,9 @@ object Vss {
     val m = metricOf(metric)
     leftKey match {
       case Some(kc) =>
-        val scored = left
+        val scored = broadcast(left
           .select(struct(col("*")).as("left_tbl"))
-          .withColumn("_lid", col("left_tbl").getField(kc))
+          .withColumn("_lid", col("left_tbl").getField(kc)))
           .crossJoin(right.select(struct(col("*")).as("right_tbl")))
           .withColumn("_score", m.score(col("left_tbl").getField(leftCol), col("right_tbl").getField(rightCol)))
         scored
@@ -68,7 +76,7 @@ object Vss {
         // re-expanded afterwards — deterministic AND strictly less work.
         val lefts = left.select(struct(col("*")).as("left_tbl"))
           .groupBy(col("left_tbl")).agg(count(lit(1)).as("_n"))
-        val scored = lefts
+        val scored = broadcast(lefts)
           .crossJoin(right.select(struct(col("*")).as("right_tbl")))
           .withColumn("_score", m.score(col("left_tbl").getField(leftCol), col("right_tbl").getField(rightCol)))
         scored
@@ -185,7 +193,7 @@ object Vss {
       metricName: String): DataFrame = {
     val outerCols = outerNN.columns.toSeq
     val innerCols = innerNN.columns.toSeq
-    val scored = outerNN.select(struct(outerCols.map(col): _*).as("_o"))
+    val scored = broadcast(outerNN.select(struct(outerCols.map(col): _*).as("_o")))
       .crossJoin(innerNN.select(struct(innerCols.map(col): _*).as("_i")))
       .withColumn("dist",
         lateralDist(col("_o").getField(outerCol), col("_i").getField(innerCol), metricName))
@@ -239,9 +247,9 @@ object Vss {
     val leftCols = left.columns
     val agged = leftKey match {
       case Some(kc) =>
-        left
+        broadcast(left
           .select(struct(col("*")).as("_left"))
-          .withColumn("_lid", col("_left").getField(kc))
+          .withColumn("_lid", col("_left").getField(kc)))
           .crossJoin(right.select(struct(col("*")).as("row")))
           .withColumn("score", m.score(col("_left").getField(leftCol), col("row").getField(rightCol)))
           .groupBy(col("_lid"))
@@ -251,8 +259,8 @@ object Vss {
       case None =>
         // Deterministic without a key: group by the left row VALUE and
         // re-expand duplicates, as in [[vssJoin]].
-        left.select(struct(col("*")).as("_left"))
-          .groupBy(col("_left")).agg(count(lit(1)).as("_n"))
+        broadcast(left.select(struct(col("*")).as("_left"))
+          .groupBy(col("_left")).agg(count(lit(1)).as("_n")))
           .crossJoin(right.select(struct(col("*")).as("row")))
           .withColumn("score", m.score(col("_left").getField(leftCol), col("row").getField(rightCol)))
           .groupBy(col("_left"), col("_n"))
