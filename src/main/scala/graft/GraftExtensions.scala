@@ -21,6 +21,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // Distance-operator spellings <-> / <=> / <#> (hnsw_index.cpp:663-669):
+    // marker functions for the parser pre-pass + the resolution rule that
+    // recovers the operator from the marker spelling / reinterprets
+    // float-vector null-safe equality as cosine distance.
+    graft.sql.DistanceOperators.markerBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+    e.injectResolutionRule(s => new graft.sql.DistanceOperators.DistanceOperatorResolution(s))
     // HNSW optimizer rules + planner strategy (SURVEY §2 O2/O3/O7).
     e.injectOptimizerRule(_ => graft.rules.CosineDistanceRewrite)
     e.injectOptimizerRule(s => new graft.rules.TopNToIndexScan(s))

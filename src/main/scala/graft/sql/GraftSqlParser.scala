@@ -31,7 +31,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val t = sqlText.trim.stripSuffix(";").trim
+    val t = DistanceOperators.rewrite(sqlText).trim.stripSuffix(";").trim
     t match {
       case CreateIndexRe(orReplace, name, table, column, withOpts) =>
         val opts = parseOptions(Option(withOpts))
@@ -46,12 +46,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         CompactHnswIndexCommand(name)
       case InfoRe() =>
         HnswIndexInfoCommand()
-      case _ => delegate.parsePlan(sqlText)
+      case _ => delegate.parsePlan(DistanceOperators.rewrite(sqlText))
     }
   }
 
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
-  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(DistanceOperators.rewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(DistanceOperators.rewrite(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
