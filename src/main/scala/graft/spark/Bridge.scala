@@ -44,16 +44,20 @@ object Bridge {
     * plans no further exchange. Cost: none beyond the exchange the caller
     * already planned — toRdd builds the RDD without converting rows.
     *
-    * CAVEAT (scope): under AQE, building the RDD materializes the plan's
-    * query stages EAGERLY — the returned frame's upstream runs at
-    * construction time, outside any conf scope the caller wraps around the
-    * later action (e.g. `ExecTuning.withSizedAqe`'s split-size raise).
-    * Callers on that path accept session-default scan splits for the
-    * barriered subtree. */
+    * Eagerness: under AQE, building the RDD materializes the plan's query
+    * stages at construction time. The materialization therefore runs
+    * inside its own `ExecTuning.withSizedAqe` scope here — the same
+    * split-size policy the caller's later action would have applied (the
+    * r11 first cut ran the eager stages at the session-default 4 MB
+    * splits, outside any caller conf scope, which cost the narrow paths
+    * more than the recompute they saved). Without AQE the RDD executes
+    * lazily at action time like any plan. */
   def rddBarrier(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    val plan = org.apache.spark.sql.execution.LogicalRDD
-      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
+    val plan = graft.spark.ExecTuning.withSizedAqe(df) {
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
+    }
     ofRows(df.sparkSession, plan)
   }
 }

@@ -232,7 +232,7 @@ object Mix {
     // before input size does.
     if (nontrivialUpstream(df)) {
       withCumWeight(df, keyCol, weight, Seq(groupCol), buckets, cumCol,
-          shareExchange = true, pruneBudget = Some(bdg), barrier = true)
+          shareExchange = true, pruneBudget = Some(bdg))
         .where(col(cumCol) <= col("_mix_budget"))
         .drop("_mix_toks", "_mix_budget")
     } else if (narrowCumsum(df)) {
@@ -337,8 +337,7 @@ object Mix {
   private[graft] def withCumWeight(df: DataFrame, keyCol: String,
       weight: Column, groupCols: Seq[String], buckets: Int,
       cumCol: String, shareExchange: Boolean = true,
-      pruneBudget: Option[DataFrame] = None,
-      barrier: Boolean = false): DataFrame = {
+      pruneBudget: Option[DataFrame] = None): DataFrame = {
     val gcols = groupCols.map(col)
     // The md5 order rides as TWO signed-order-flipped longs (md5Longs):
     // (h1, h2) tuple order IS the hex string's lexicographic order, so the
@@ -375,11 +374,15 @@ object Mix {
     // pipeline on the nontrivialUpstream path — re-executes per consumer
     // (the r10 open exchange-identity problem). With the barrier the
     // DAGScheduler reuses the map stage across the consumers' jobs, so
-    // the upstream runs exactly once. Callers pass false on SMALL inputs
-    // (the same size policy that picks the wide shape): there the double
-    // scan is a few MB and the extra full-row exchange is pure floor
-    // (~+0.2 s/query measured at sf0.1).
-    val useBarrier = shareExchange && barrier &&
+    // the upstream runs exactly once — both on the wide path (composed
+    // pipeline derived once: e2e 6.1→4.3 s at sf10) and the narrow path
+    // (one scan+tokenCount map pass instead of two; tied at sf10 once
+    // rddBarrier ran its eager stages under the sized-split scope,
+    // strictly fewer corpus passes at scale). Callers pass
+    // shareExchange=false on SMALL inputs (the same size policy that
+    // picks the wide shape): there the double scan is a few MB and the
+    // extra full-row exchange is pure floor (~+0.2 s/query at sf0.1).
+    val useBarrier = shareExchange &&
       graft.spark.ExecTuning.confLong(df.sparkSession, RddBarrierKey, 1L) != 0L
     val t = if (useBarrier)
       org.apache.spark.sql.graftbridge.Bridge.rddBarrier(
@@ -476,8 +479,7 @@ object Mix {
       // join-back re-executes the upstream pipeline (see byWeightBudgetWith).
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
-          Seq.empty, buckets, "_mix_cum", shareExchange = true,
-          barrier = true))
+          Seq.empty, buckets, "_mix_cum", shareExchange = true))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     } else if (narrowCumsum(df)) {
       // Narrow cumsum + join-back, like the budget fills: the window
