@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * EXISTS / NOT EXISTS equi-joins with an exact containered-bitmap fast
+ * path.
+ *
+ * The textbook distributed plan — dedup the probe side's keys, then
+ * semi/anti join — shuffles every surviving key: q5's decomposition at
+ * derived sf10 was a 68 MB exchange of 13M partially-deduped longs (the
+ * map-side distinct removes only the in-partition repeats), 1.0 s of the
+ * 1.9 s gate. When the KEPT side's keys occupy few 64Ki-key CONTAINERS —
+ * dense surrogate keys (one container run) or block-allocated / sharded
+ * id spaces (the derived fixtures: 1.5M keys over a 9.9e9 span, 121
+ * occupied containers) — the probe side's whole key set folds into an
+ * exact [[graft.aggregates.KeyBitmapAgg]] bitmap whose per-task partial
+ * is containers × 8 KiB REGARDLESS of row count, and the join collapses
+ * to a broadcast byte array + one codegen'd bit test per kept-side row.
+ *
+ * Domain discovery costs two narrow jobs over the KEPT side — the side
+ * the query returns anyway, and the smaller one in the EXISTS shape:
+ * a container COUNT (the cheap gate), then, under the cap, the collect
+ * of the occupied container highs (≤ maxBitmapBits/2¹⁶ longs). Probe
+ * keys in absent containers are skipped by the aggregate: they cannot
+ * match. Above the cap — truly scattered keys — the plan falls back to
+ * the distinct + semi/anti join shape. Both paths are value-identical
+ * (spec: random keys + nulls + out-of-domain probes, both paths).
+ *
+ * NULL semantics match SQL EXISTS exactly on both paths: a null kept-side
+ * key never matches (dropped by `exists`, kept by `notExists`); null
+ * probe-side keys are ignored.
+ */
+object SemiJoins {
+
+  /** Hard cap on the bitmap size in BITS (bits = occupied containers ×
+    * 2¹⁶). The default 2²⁸ = a 32 MB broadcast-sized bitmap = 4096
+    * containers. Above it the distinct + semi join fallback runs.
+    * 0 disables the bitmap path entirely (A/B + escape hatch). */
+  val MaxBitmapBitsKey = "spark.graft.semijoin.maxBitmapBits"
+  val DefaultMaxBitmapBits: Long = 1L << 28
+
+  /** Rows of `left` with at least one `right` row where
+    * `left(leftKey) = right(rightKey)` (EXISTS). */
+  def exists(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame =
+    join(left, leftKey, right, rightKey, anti = false)
+
+  /** Rows of `left` with NO `right` row where
+    * `left(leftKey) = right(rightKey)` (NOT EXISTS). */
+  def notExists(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame =
+    join(left, leftKey, right, rightKey, anti = true)
+
+  private def join(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, anti: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    val maxBits = graft.spark.ExecTuning.confLong(spark,
+      MaxBitmapBitsKey, DefaultMaxBitmapBits)
+    val maxContainers = (maxBits >>> 16).min(Int.MaxValue.toLong).toInt
+    val lk = col(leftKey).cast("long")
+    val containers: Option[IndexedSeq[Long]] =
+      if (maxContainers <= 0) None
+      else {
+        // ONE bounded job discovers the domain: distinct container highs
+        // with a limit of cap+1 — at most cap+1 longs ever reach the
+        // driver, and an over-limit result (cap+1 rows back) means
+        // "scattered keys, fall back" without needing the exact count.
+        // Column-pruned to the key; cheap next to the probe-side exchange
+        // it can replace.
+        val rows = left.where(lk.isNotNull)
+          .select(shiftright(lk, 16).as("_sj_c")).distinct()
+          .limit(maxContainers + 1).collect()
+        if (rows.isEmpty || rows.length > maxContainers) None
+        else Some(rows.map(_.getLong(0)).sorted.toIndexedSeq)
+      }
+    containers match {
+      case Some(cs) =>
+        // Third narrow job: fold the probe side into the bitmap and bring
+        // the (containers × 8 KiB) bytes to the driver — the probe filter
+        // then carries them as a task-binary reference object instead of
+        // reading (= copying) a binary COLUMN per row (see
+        // BitmapContains' scaladoc for the 20 s lesson).
+        val bmBytes = right
+          .select(col(rightKey).cast("long").as("_sj_k"))
+          // Pushed range bounds: probes outside the outermost containers
+          // can't match and never leave the scan.
+          .where(col("_sj_k") >= (cs.head << 16) &&
+            col("_sj_k") <= ((cs.last << 16) | 0xFFFFL))
+          .agg(Bridge.column(graft.aggregates.KeyBitmapAgg(
+            Bridge.composedExpression(col("_sj_k")), cs)
+            .toAggregateExpression()).as("_sj_bm"))
+          .head().getAs[Array[Byte]]("_sj_bm")
+        val contains = coalesce(
+          Bridge.column(graft.aggregates.BitmapContains(
+            Bridge.composedExpression(lk), bmBytes, cs)),
+          lit(false))
+        left.where(if (anti) !contains else contains)
+      case None =>
+        // Distinct + semi/anti: the general-domain shape (the deduped
+        // keys still broadcast when small — AQE's call, exactly as
+        // before the bitmap path existed).
+        val keys = right.select(col(rightKey)).distinct()
+        left.join(keys, col(leftKey) === col(rightKey),
+          if (anti) "left_anti" else "left_semi")
+    }
+  }
+}

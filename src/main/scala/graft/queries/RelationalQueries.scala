@@ -150,15 +150,17 @@ object RelationalQueries {
         .orderBy("c_nationkey", "rnk")
     }),
     "q5_exists" -> ((s, dir) => {
-      // Customers with at least one order (left-semi join). Semi joins
-      // ignore probe-side duplicates, so dedup orders to its distinct
-      // custkeys first: the partial aggregate collapses map-side and the
-      // shuffle carries ≤|customer| keys instead of every order row — and
-      // the deduped side is small enough for AQE to flip the join to
-      // broadcast, leaving customer un-shuffled. (No forced broadcast:
-      // at 100 TB AQE decides from the measured size.)
+      // Customers with at least one order (EXISTS). The r10 plan deduped
+      // orders to distinct custkeys then semi-joined — the distinct's
+      // map-side partial removed only in-partition repeats, so its
+      // exchange still carried 13M of the 15M keys (68 MB, 1.0 s of the
+      // 1.9 s gate at sf10). r11: SemiJoins.exists — the customer key
+      // domain is compact, so the whole orders key set folds into an
+      // exact ~190 KB bitmap per task (broadcast + one codegen bit test
+      // per customer row); sparse/unbounded domains fall back to the old
+      // shape inside the operator.
       val c = Tables.load(s, dir, "customer")
-      val o = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      val o = Tables.load(s, dir, "orders")
       // Explicit range partitioning for the final sort: the output is
       // |customer| narrow rows (~7.5 MB at sf10), so AQE's byte-based
       // coalescing collapses a bare orderBy's range exchange to 2 tasks
@@ -166,7 +168,7 @@ object RelationalQueries {
       // at pinned width; same device as verifyJaccard's re-spread — byte
       // planning cannot see per-ROW cost).
       val par = s.sparkContext.defaultParallelism
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      graft.ops.SemiJoins.exists(c, "c_custkey", o, "o_custkey")
         .select(col("c_custkey"))
         .repartitionByRange(par, col("c_custkey"))
         .sortWithinPartitions("c_custkey")
@@ -219,21 +221,16 @@ object RelationalQueries {
            ORDER BY p_partkey""")
     }),
     "q9_no_orders" -> ((s, dir) => {
-      // Anti join: customers with no high-value (>300k) orders. Like
-      // q5_exists, dedup the probe side to distinct custkeys after the
-      // pushed-down price filter — anti joins ignore duplicates too.
+      // Anti join: customers with no high-value (>300k) orders — NOT
+      // EXISTS via the same bitmap device as q5_exists (r11): the
+      // filtered orders keys fold into a domain-bitmap whose partials are
+      // ~190 KB/task instead of the r10 distinct's 30 MB key exchange
+      // (that plan's floor write-up called the exchange a
+      // distributed-engine constant; the bitmap removes it). The
+      // o_totalprice filter stays pushed down.
       val c = Tables.load(s, dir, "customer")
-      // Pin the distinct's reduce width: its map output is ~30 MB of
-      // narrow keys, which AQE's 4 MB advisory coalesces to 8 tasks for a
-      // hash-dedup of 5.7M rows (measured 346 ms → ~120 ms at full width).
-      // The explicit co-partitioning exchange replaces the distinct's own,
-      // so the plan still has exactly one probe-side shuffle; AQE then
-      // broadcasts the deduped keys into the anti join as before.
-      val par = s.sparkContext.defaultParallelism
       val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 300000)
-        .select(col("o_custkey"))
-        .repartition(par, col("o_custkey")).distinct()
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      graft.ops.SemiJoins.notExists(c, "c_custkey", o, "o_custkey")
         .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
     }),
     "q10_events_hourly" -> ((s, dir) => {

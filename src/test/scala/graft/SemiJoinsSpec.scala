@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SemiJoins
+
+/** Bitmap EXISTS / NOT EXISTS vs Spark's own semi/anti joins: both paths
+  * must be value-identical on every key shape. */
+class SemiJoinsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Kept side: keys 10..59 plus nulls and a duplicate; probe side: dense
+  // hits, repeats, out-of-domain keys (below lo, above hi), and nulls.
+  private def leftDf = ((10L to 59L).map(k => (Some(k), s"l$k")) ++
+    Seq((None: Option[Long], "lnull1"), (None, "lnull2"), (Some(25L), "ldup")))
+    .toDF("k", "tag")
+  private def rightDf = (Seq(12L, 12L, 25L, 40L, 59L, 5L, 999L, -3L)
+    .map(Some(_)) ++ Seq(None: Option[Long]))
+    .toDF("rk")
+
+  private def tags(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("tag").collect().map(_.getString(0)).sorted.toSeq
+
+  private def sparkSemi(anti: Boolean): Seq[String] =
+    tags(leftDf.join(rightDf, col("k") === col("rk"),
+      if (anti) "left_anti" else "left_semi"))
+
+  test("bitmap path matches Spark semi/anti joins (nulls, dups, out-of-domain)") {
+    assert(tags(SemiJoins.exists(leftDf, "k", rightDf, "rk")) == sparkSemi(false))
+    assert(tags(SemiJoins.notExists(leftDf, "k", rightDf, "rk")) == sparkSemi(true))
+    // Sanity on the shape itself: 12/25/40/59 hit (25 twice via the dup row).
+    assert(tags(SemiJoins.exists(leftDf, "k", rightDf, "rk")) ==
+      Seq("l12", "l25", "l40", "l59", "ldup"))
+  }
+
+  test("fallback path (bitmap disabled) is identical") {
+    spark.conf.set(SemiJoins.MaxBitmapBitsKey, "0")
+    try {
+      assert(tags(SemiJoins.exists(leftDf, "k", rightDf, "rk")) == sparkSemi(false))
+      assert(tags(SemiJoins.notExists(leftDf, "k", rightDf, "rk")) == sparkSemi(true))
+    } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
+  }
+
+  test("scattered keys take the bitmap path via containers; cap overflow falls back") {
+    // Two keys 2^40 apart = two occupied 64Ki containers — the containered
+    // bitmap handles what a flat span bitmap never could.
+    val sparseLeft = Seq((Some(1L), "a"), (Some(1L << 40), "b"), (None: Option[Long], "c"))
+      .toDF("k", "tag")
+    val probe = Seq(1L, 99L).map(Some(_)).toDF("rk")
+    assert(tags(SemiJoins.exists(sparseLeft, "k", probe, "rk")) == Seq("a"))
+    assert(tags(SemiJoins.notExists(sparseLeft, "k", probe, "rk")) == Seq("b", "c"))
+    // Cap = one container < the two occupied: the fallback must produce
+    // the identical result.
+    spark.conf.set(SemiJoins.MaxBitmapBitsKey, "65536")
+    try {
+      assert(tags(SemiJoins.exists(sparseLeft, "k", probe, "rk")) == Seq("a"))
+      assert(tags(SemiJoins.notExists(sparseLeft, "k", probe, "rk")) == Seq("b", "c"))
+    } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
+  }
+
+  test("negative keys (arithmetic container shift on both sides)") {
+    val l = Seq((Some(-70000L), "n1"), (Some(-1L), "n2"), (Some(3L), "p"))
+      .toDF("k", "tag")
+    val r = Seq(-70000L, -1L, 5L).map(Some(_)).toDF("rk")
+    assert(tags(SemiJoins.exists(l, "k", r, "rk")) == Seq("n1", "n2"))
+    assert(tags(SemiJoins.notExists(l, "k", r, "rk")) == Seq("p"))
+  }
+
+  test("degenerate kept sides: empty and all-null keys") {
+    val empty = Seq.empty[(Option[Long], String)].toDF("k", "tag")
+    assert(SemiJoins.exists(empty, "k", rightDf, "rk").count() == 0)
+    assert(SemiJoins.notExists(empty, "k", rightDf, "rk").count() == 0)
+    val allNull = Seq((None: Option[Long], "x"), (None, "y")).toDF("k", "tag")
+    assert(SemiJoins.exists(allNull, "k", rightDf, "rk").count() == 0)
+    assert(tags(SemiJoins.notExists(allNull, "k", rightDf, "rk")) == Seq("x", "y"))
+  }
+
+  test("empty probe side: exists drops everything, notExists keeps everything") {
+    val noProbe = Seq.empty[Option[Long]].toDF("rk")
+    assert(SemiJoins.exists(leftDf, "k", noProbe, "rk").count() == 0)
+    assert(SemiJoins.notExists(leftDf, "k", noProbe, "rk").count() == leftDf.count())
+  }
+
+  test("randomized equivalence across both paths") {
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 500).map(_ => (Some(rnd.nextInt(200).toLong - 100), "t"))
+      .zipWithIndex.map { case ((k, _), i) => (k, s"t$i") }.toDF("k", "tag")
+    val r = (1 to 800).map(_ => Some(rnd.nextInt(400).toLong - 200)).toDF("rk")
+    val viaBitmap = tags(SemiJoins.exists(l, "k", r, "rk"))
+    val viaSpark = tags(l.join(r, col("k") === col("rk"), "left_semi"))
+    assert(viaBitmap == viaSpark)
+    val antiBitmap = tags(SemiJoins.notExists(l, "k", r, "rk"))
+    val antiSpark = tags(l.join(r, col("k") === col("rk"), "left_anti"))
+    assert(antiBitmap == antiSpark)
+  }
+}
