@@ -72,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "emit_packed_sequences" -> graft.sql.TvfMacros.emitPackedSequencesTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
+      "exists_join" -> graft.sql.TvfMacros.existsJoin,
+      "not_exists_join" -> graft.sql.TvfMacros.notExistsJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.

@@ -350,6 +350,29 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** `exists_join(TABLE(l), TABLE(r), 'lk', 'rk')` /
+    * `not_exists_join(…)` — [[graft.ops.SemiJoins]]' containered-bitmap
+    * EXISTS / NOT EXISTS surface. */
+  def existsJoin(args: Seq[Expression]): LogicalPlan =
+    semiTvf(args, anti = false, "exists_join")
+
+  def notExistsJoin(args: Seq[Expression]): LogicalPlan =
+    semiTvf(args, anti = true, "not_exists_join")
+
+  private def semiTvf(args: Seq[Expression], anti: Boolean,
+      name: String): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"$name(left, right, left_key, right_key) takes 4 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val l = table(spark, args(0), s"$name left")
+    val r = table(spark, args(1), s"$name right")
+    val lk = str(args(2), s"$name left_key")
+    val rk = str(args(3), s"$name right_key")
+    (if (anti) graft.ops.SemiJoins.notExists(l, lk, r, rk)
+     else graft.ops.SemiJoins.exists(l, lk, r, rk))
+      .queryExecution.analyzed
+  }
+
   def sessionizeTvf(args: Seq[Expression]): LogicalPlan = {
     if (args.length != 4) throw new IllegalArgumentException(
       s"sessionize(table, key, ts, max_gap) takes 4 arguments, got ${args.length}")

@@ -81,6 +81,20 @@ class SemiJoinsSpec extends SparkSuite {
     assert(SemiJoins.notExists(leftDf, "k", noProbe, "rk").count() == leftDf.count())
   }
 
+  test("exists_join / not_exists_join SQL TVF surface") {
+    leftDf.createOrReplaceTempView("sj_tvf_l")
+    rightDf.createOrReplaceTempView("sj_tvf_r")
+    val ex = spark.sql(
+      "SELECT tag FROM exists_join(TABLE(sj_tvf_l), TABLE(sj_tvf_r), 'k', 'rk') ORDER BY tag")
+      .collect().map(_.getString(0)).toSeq
+    assert(ex == Seq("l12", "l25", "l40", "l59", "ldup"))
+    val nex = spark.sql(
+      """SELECT count(*) AS n
+         FROM not_exists_join(TABLE(sj_tvf_l), TABLE(sj_tvf_r), 'k', 'rk')""")
+      .collect().head.getLong(0)
+    assert(nex == leftDf.count() - 5)
+  }
+
   test("randomized equivalence across both paths") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 500).map(_ => (Some(rnd.nextInt(200).toLong - 100), "t"))
