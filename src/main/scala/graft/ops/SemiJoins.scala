@@ -79,21 +79,50 @@ object SemiJoins {
       }
     containers match {
       case Some(cs) =>
-        // Third narrow job: fold the probe side into the bitmap and bring
-        // the (containers × 8 KiB) bytes to the driver — the probe filter
+        // Second job: fold the probe side into the bitmap and bring the
+        // (containers × 8 KiB) bytes to the driver — the probe filter
         // then carries them as a task-binary reference object instead of
         // reading (= copying) a binary COLUMN per row (see
-        // BitmapContains' scaladoc for the 20 s lesson).
-        val bmBytes = right
-          .select(col(rightKey).cast("long").as("_sj_k"))
+        // BitmapContains' scaladoc for the 20 s lesson). The reduce fans
+        // out when it must: a bare global agg funnels every map task's
+        // full-size partial through ONE reducer — fine for the tens of
+        // local tasks (estimated partial volume under 256 MB keeps the
+        // single-group shape and a one-bitmap collect), but a
+        // million-task 100 TB scan would push ~a terabyte through it, so
+        // larger scans group partials by partition-id mod ≤ 32 and the
+        // driver ORs the handful of resulting bitmaps (bounded fan-in at
+        // any task count; OR is associative). Unknown stats → fan out.
+        val scanned = right.select(col(rightKey).cast("long").as("_sj_k"))
           // Pushed range bounds: probes outside the outermost containers
           // can't match and never leave the scan.
           .where(col("_sj_k") >= (cs.head << 16) &&
             col("_sj_k") <= ((cs.last << 16) | 0xFFFFL))
+        val bmSize = cs.length.toLong << 13 // containers × 8 KiB
+        val groups: Int = {
+          // The session spells this conf with a byte suffix ('…728b') —
+          // parse via Spark's byte-string reader, not a bare toLong.
+          val split = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+            .flatMap(v => scala.util.Try(
+              org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+            .getOrElse(128L << 20).max(1L)
+          val estTasks =
+            try (graft.spark.ExecTuning.inputBytes(right) / split).toLong.max(1L)
+            catch { case _: Exception => Long.MaxValue >> 20 }
+          val fanInBytes = estTasks.min(1L << 40) * bmSize
+          if (fanInBytes <= (256L << 20)) 1 else 32
+        }
+        val partials = scanned
+          .groupBy((spark_partition_id() % groups).as("_sj_g"))
           .agg(Bridge.column(graft.aggregates.KeyBitmapAgg(
             Bridge.composedExpression(col("_sj_k")), cs)
             .toAggregateExpression()).as("_sj_bm"))
-          .head().getAs[Array[Byte]]("_sj_bm")
+          .select(col("_sj_bm")).collect()
+        val bmBytes = new Array[Byte](bmSize.toInt)
+        partials.foreach { row =>
+          val p = row.getAs[Array[Byte]](0)
+          var i = 0
+          while (i < bmBytes.length) { bmBytes(i) = (bmBytes(i) | p(i)).toByte; i += 1 }
+        }
         val contains = coalesce(
           Bridge.column(graft.aggregates.BitmapContains(
             Bridge.composedExpression(lk), bmBytes, cs)),
