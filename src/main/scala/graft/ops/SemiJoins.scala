@@ -21,14 +21,14 @@ import org.apache.spark.sql.graftbridge.Bridge
  * is containers × 8 KiB REGARDLESS of row count, and the join collapses
  * to a broadcast byte array + one codegen'd bit test per kept-side row.
  *
- * Domain discovery costs two narrow jobs over the KEPT side — the side
- * the query returns anyway, and the smaller one in the EXISTS shape:
- * a container COUNT (the cheap gate), then, under the cap, the collect
- * of the occupied container highs (≤ maxBitmapBits/2¹⁶ longs). Probe
- * keys in absent containers are skipped by the aggregate: they cannot
- * match. Above the cap — truly scattered keys — the plan falls back to
- * the distinct + semi/anti join shape. Both paths are value-identical
- * (spec: random keys + nulls + out-of-domain probes, both paths).
+ * Domain discovery costs ONE bounded job over the KEPT side — the side
+ * the query returns anyway, and the smaller one in the EXISTS shape: the
+ * distinct container highs with a cap+1 limit (≤ maxBitmapBits/2¹⁶ + 1
+ * longs ever reach the driver). Probe keys in absent containers are
+ * skipped by the aggregate: they cannot match. Above the cap — truly
+ * scattered keys — the plan falls back to the distinct + semi/anti join
+ * shape. Both paths are value-identical (spec: random keys + nulls +
+ * out-of-domain probes, both paths).
  *
  * NULL semantics match SQL EXISTS exactly on both paths: a null kept-side
  * key never matches (dropped by `exists`, kept by `notExists`); null
@@ -71,9 +71,13 @@ object SemiJoins {
         // "scattered keys, fall back" without needing the exact count.
         // Column-pruned to the key; cheap next to the probe-side exchange
         // it can replace.
-        val rows = left.where(lk.isNotNull)
+        val probe = left.where(lk.isNotNull)
           .select(shiftright(lk, 16).as("_sj_c")).distinct()
-          .limit(maxContainers + 1).collect()
+          .limit(maxContainers + 1)
+        // Construction-time job: run it under the same sized-split policy
+        // the caller's later action would apply (the rddBarrier lesson —
+        // eager work escapes the action-scoped conf wrap otherwise).
+        val rows = graft.spark.ExecTuning.withSizedAqe(probe)(probe.collect())
         if (rows.isEmpty || rows.length > maxContainers) None
         else Some(rows.map(_.getLong(0)).sorted.toIndexedSeq)
       }
@@ -111,12 +115,14 @@ object SemiJoins {
           val fanInBytes = estTasks.min(1L << 40) * bmSize
           if (fanInBytes <= (256L << 20)) 1 else 32
         }
-        val partials = scanned
+        val partialsDf = scanned
           .groupBy((spark_partition_id() % groups).as("_sj_g"))
           .agg(Bridge.column(graft.aggregates.KeyBitmapAgg(
             Bridge.composedExpression(col("_sj_k")), cs)
             .toAggregateExpression()).as("_sj_bm"))
-          .select(col("_sj_bm")).collect()
+          .select(col("_sj_bm"))
+        val partials =
+          graft.spark.ExecTuning.withSizedAqe(partialsDf)(partialsDf.collect())
         val bmBytes = new Array[Byte](bmSize.toInt)
         partials.foreach { row =>
           val p = row.getAs[Array[Byte]](0)
