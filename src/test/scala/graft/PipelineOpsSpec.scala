@@ -188,6 +188,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("md5 digest evaluates once per row in the heap path's plan (r11 advice)") {
+    // The two-step struct projection keeps CollapseProject from inlining
+    // the digest into both field extractions; the optimized plan must
+    // carry exactly one md5Longs per corpus row. (An inlined duplicate
+    // shows up as two occurrences — the guaranteed double evaluation in
+    // interpreted/fallback paths the r10 advice flagged.)
+    val budgets = Seq(("s0", 5L), ("s1", 3L), ("s2", 4L)).toDF("source", "budget")
+    // Parquet-backed corpus: over a LocalRelation the optimizer evaluates
+    // the projection chain eagerly (ConvertToLocalRelation) and no
+    // expression survives to count.
+    val dir = java.nio.file.Files.createTempDirectory("mix-md5-plan").toFile
+    mixCorpus.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val corpus = spark.read.parquet(dir.getAbsolutePath)
+    val plan = Mix.byCountBudget(corpus, "doc_id", "source", budgets)
+      .queryExecution.optimizedPlan
+    var n = 0
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case _: graft.expressions.Md5Longs => n += 1
+      case _ =>
+    }))
+    assert(n == 1, s"expected exactly one md5Longs in the plan, found $n:\n$plan")
+  }
+
   test("byTokenBudget guards: >256 buckets real, dup budgets rejected, no column capture") {
     val budgets = Seq(("s0", 20L), ("s1", 20L), ("s2", 20L)).toDF("source", "budget")
     // buckets > 256 used to silently collapse to 256 (8-bit prefix); the
