@@ -60,7 +60,10 @@ object SemiJoins {
     val spark = left.sparkSession
     val maxBits = graft.spark.ExecTuning.confLong(spark,
       MaxBitmapBitsKey, DefaultMaxBitmapBits)
-    val maxContainers = (maxBits >>> 16).min(Int.MaxValue.toLong).toInt
+    // Hard ceiling of 2^15 containers (a 256 MB bitmap) regardless of how
+    // far the conf is raised: containers.length << 16 must stay an Int and
+    // the driver-held byte array sane.
+    val maxContainers = (maxBits >>> 16).min(1L << 15).toInt
     val lk = col(leftKey).cast("long")
     val containers: Option[IndexedSeq[Long]] =
       if (maxContainers <= 0) None

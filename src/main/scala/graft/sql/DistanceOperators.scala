@@ -95,8 +95,8 @@ object DistanceOperators {
           if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { out.append("*/"); i += 2; quote = 0 }
           else { out.append(c); i += 1 }
         case q => // inside a quote; a doubled quote re-enters immediately, same effect
-          if (c == q) quote = 0
-          out.append(c); i += 1
+          if (c == '\\' && i + 1 < n) { out.append(c).append(sql.charAt(i + 1)); i += 2 }
+          else { if (c == q) quote = 0; out.append(c); i += 1 }
       }
     }
     out.toString

@@ -55,6 +55,10 @@ class DistanceOperatorSpec extends SparkSuite {
     assert(DistanceOperators.rewrite("SELECT 1 -- a <-> b\n, x") ==
       "SELECT 1 -- a <-> b\n, x")
     assert(DistanceOperators.rewrite("SELECT /* <#> */ 2") == "SELECT /* <#> */ 2")
+    // Backslash-escaped quote inside a literal must not flip the scanner
+    // out of string state (the rest of the literal would rewrite as code).
+    assert(DistanceOperators.rewrite("SELECT 'a\\' <-> b' AS s") ==
+      "SELECT 'a\\' <-> b' AS s")
     val plain = "SELECT a, b FROM t"
     assert(DistanceOperators.rewrite(plain) eq plain) // no-token fast path
     val r = spark.sql("SELECT '<->' AS s").collect().head.getString(0)
