@@ -49,6 +49,18 @@ object Q7Probe {
         li.where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))),
+      "e_join_tiny_dim" -> (() => {
+        // Same task count and probe count as c, but the broadcast build
+        // side is 25 rows instead of 100k: if the per-task stage overhead
+        // tracks RELATION SIZE it is a per-task copy/accounting of the
+        // hashed relation; if it stays, it's fixed join-stage init.
+        val nat = Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        li.where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .join(broadcast(nat),
+            pmod(col("l_suppkey"), lit(25)).cast("int") === col("n_nationkey"))
+          .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
+      }),
       "d_full" -> (() =>
         li.where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
