@@ -23,7 +23,10 @@ import graft.functions.{array_cosine_similarity, array_distance, array_inner_pro
  * 40 ms for the same 3×200k cross at sf10. Contract (matching the
  * reference macro, which materializes the left table per chunk —
  * hnsw_index_macros.cpp:9-74): the query side must be broadcast-sized;
- * the indexed lateral path is the big-outer surface.
+ * the indexed lateral path is the big-outer surface. The hint is guarded
+ * by a leaf-sum size estimate ([[BroadcastQueryMaxBytesKey]]) so a query
+ * side past Spark's broadcast limits degrades to the slow-but-completing
+ * AQE plan instead of failing the job.
  */
 object Vss {
 
@@ -38,6 +41,29 @@ object Vss {
 
   private def topK(value: Column, order: Column, k: Int, smallestIsBest: Boolean): Column =
     if (smallestIsBest) min_by_k(value, order, k) else max_by_k(value, order, k)
+
+  /** Leaf-sum ceiling (bytes) above which the query-side broadcast hint is
+    * SKIPPED and the join shape is left to AQE — a query side past Spark's
+    * broadcast limits would otherwise fail the job outright where the
+    * unhinted plan is slow but completes. The estimate is the PRE-filter
+    * leaf sum (without CBO a pushed filter doesn't shrink it), so the
+    * default is generous — half of Spark's 8 GB hard broadcast cap — and
+    * a filtered-tiny query side over a huge table can raise it. 0 = never
+    * hint. */
+  val BroadcastQueryMaxBytesKey = "spark.graft.vss.broadcastQueryMaxBytes"
+  val DefaultBroadcastQueryMaxBytes: Long = 4L << 30
+
+  /** The broadcast hint for the bounded query side of the brute-force
+    * cross joins, guarded by [[BroadcastQueryMaxBytesKey]]. Unknown stats
+    * (local relations, estimation failure) keep the hint: such frames are
+    * driver-resident and therefore broadcast-sized by construction. */
+  private def broadcastQuery(df: DataFrame): DataFrame = {
+    val max = graft.spark.ExecTuning.confLong(df.sparkSession,
+      BroadcastQueryMaxBytesKey, DefaultBroadcastQueryMaxBytes)
+    val est = try Some(graft.spark.ExecTuning.inputBytes(df))
+      catch { case _: Exception => None }
+    if (max > 0 && est.forall(_ <= BigInt(max))) broadcast(df) else df
+  }
 
   /**
    * For every row of `left`, the k best rows of `right` by vector score.
@@ -58,7 +84,7 @@ object Vss {
     val m = metricOf(metric)
     leftKey match {
       case Some(kc) =>
-        val scored = broadcast(left
+        val scored = broadcastQuery(left
           .select(struct(col("*")).as("left_tbl"))
           .withColumn("_lid", col("left_tbl").getField(kc)))
           .crossJoin(right.select(struct(col("*")).as("right_tbl")))
@@ -76,7 +102,7 @@ object Vss {
         // re-expanded afterwards — deterministic AND strictly less work.
         val lefts = left.select(struct(col("*")).as("left_tbl"))
           .groupBy(col("left_tbl")).agg(count(lit(1)).as("_n"))
-        val scored = broadcast(lefts)
+        val scored = broadcastQuery(lefts)
           .crossJoin(right.select(struct(col("*")).as("right_tbl")))
           .withColumn("_score", m.score(col("left_tbl").getField(leftCol), col("right_tbl").getField(rightCol)))
         scored
@@ -193,7 +219,7 @@ object Vss {
       metricName: String): DataFrame = {
     val outerCols = outerNN.columns.toSeq
     val innerCols = innerNN.columns.toSeq
-    val scored = broadcast(outerNN.select(struct(outerCols.map(col): _*).as("_o")))
+    val scored = broadcastQuery(outerNN.select(struct(outerCols.map(col): _*).as("_o")))
       .crossJoin(innerNN.select(struct(innerCols.map(col): _*).as("_i")))
       .withColumn("dist",
         lateralDist(col("_o").getField(outerCol), col("_i").getField(innerCol), metricName))
@@ -247,7 +273,7 @@ object Vss {
     val leftCols = left.columns
     val agged = leftKey match {
       case Some(kc) =>
-        broadcast(left
+        broadcastQuery(left
           .select(struct(col("*")).as("_left"))
           .withColumn("_lid", col("_left").getField(kc)))
           .crossJoin(right.select(struct(col("*")).as("row")))
@@ -259,7 +285,7 @@ object Vss {
       case None =>
         // Deterministic without a key: group by the left row VALUE and
         // re-expand duplicates, as in [[vssJoin]].
-        broadcast(left.select(struct(col("*")).as("_left"))
+        broadcastQuery(left.select(struct(col("*")).as("_left"))
           .groupBy(col("_left")).agg(count(lit(1)).as("_n")))
           .crossJoin(right.select(struct(col("*")).as("row")))
           .withColumn("score", m.score(col("_left").getField(leftCol), col("row").getField(rightCol)))

@@ -55,6 +55,20 @@ object SemiJoins {
       right: DataFrame, rightKey: String): DataFrame =
     join(left, leftKey, right, rightKey, anti = true)
 
+  /** Bitmap equality is LONG equality, so the fast path is only sound for
+    * key types whose cast to LONG is injective and matches native equality
+    * — the integral family. A double key 1.5 must NOT match probe key 1,
+    * and string '012' must not match '12'; those run the fallback, which
+    * joins on the raw types. */
+  private def integral(df: DataFrame, key: String): Boolean =
+    df.schema(key).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private def join(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, anti: Boolean): DataFrame = {
     val spark = left.sparkSession
@@ -66,7 +80,8 @@ object SemiJoins {
     val maxContainers = (maxBits >>> 16).min(1L << 15).toInt
     val lk = col(leftKey).cast("long")
     val containers: Option[IndexedSeq[Long]] =
-      if (maxContainers <= 0) None
+      if (maxContainers <= 0 ||
+          !integral(left, leftKey) || !integral(right, rightKey)) None
       else {
         // ONE bounded job discovers the domain: distinct container highs
         // with a limit of cap+1 — at most cap+1 longs ever reach the
@@ -116,7 +131,13 @@ object SemiJoins {
             try (graft.spark.ExecTuning.inputBytes(right) / split).toLong.max(1L)
             catch { case _: Exception => Long.MaxValue >> 20 }
           val fanInBytes = estTasks.min(1L << 40) * bmSize
-          if (fanInBytes <= (256L << 20)) 1 else 32
+          // The driver collects groups × bmSize bytes before the OR loop,
+          // so the PRODUCT is what must stay bounded: 32 groups is right
+          // for the default 32 MB ceiling, but a conf raised to the 2¹⁵
+          // container ceiling makes bmSize itself 256 MB — scale groups
+          // down so groups × bmSize ≤ 256 MB at every conf setting.
+          if (fanInBytes <= (256L << 20)) 1
+          else ((256L << 20) / bmSize).max(1L).min(32L).toInt
         }
         val partialsDf = scanned
           .groupBy((spark_partition_id() % groups).as("_sj_g"))
@@ -140,9 +161,17 @@ object SemiJoins {
       case None =>
         // Distinct + semi/anti: the general-domain shape (the deduped
         // keys still broadcast when small — AQE's call, exactly as
-        // before the bitmap path existed).
-        val keys = right.select(col(rightKey)).distinct()
-        left.join(keys, col(leftKey) === col(rightKey),
+        // before the bitmap path existed). The probe key is aliased to a
+        // fresh name first: with same-named keys (exists_join(..,'k','k'))
+        // an unresolved col(leftKey) === col(rightKey) is ambiguous and
+        // analysis throws — a data-dependent crash, since the bitmap path
+        // handles that spelling fine until the domain scatters past the
+        // cap. Both references are dataset-qualified so no spelling of
+        // leftKey/rightKey (same-named, or either side carrying the
+        // other's name) can be ambiguous.
+        val rk = "_sj_rk"
+        val keys = right.select(col(rightKey).as(rk)).distinct()
+        left.join(keys, left(leftKey) === keys(rk),
           if (anti) "left_anti" else "left_semi")
     }
   }

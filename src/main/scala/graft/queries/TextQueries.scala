@@ -31,7 +31,14 @@ object TextQueries {
     * value-checked. Re-pin against a regenerated fixture by reading the
     * gate's Verify output (the digest row IS the new pin). */
   private def digestPin(rows: DataFrame, cols: Seq[String]): DataFrame = {
-    val canon = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    // NULLs must OCCUPY their position in the canon string: concat_ws
+    // silently skips null arguments, so ('a', NULL, 'b') and ('a', 'b',
+    // NULL) would otherwise canonicalize identically and a regression that
+    // shifts a value across columns (or nulls one out) could leave the
+    // digest unchanged. The NUL sentinel can't appear in a cast value.
+    // (Both current gates pin non-null columns, so their r11 pins stand.)
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     rows.select(TF.md5Longs(canon).as("_hp"))
       .select(col("_hp").getField("h1").as("_h1"),
         col("_hp").getField("h2").as("_h2"))

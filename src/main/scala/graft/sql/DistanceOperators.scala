@@ -35,8 +35,15 @@ import graft.expressions.{ArrayCosineDistance, ArrayDistance, ArrayNegativeInner
  *    reinterprets EqualNullSafe ONLY when both resolved operands are
  *    FLOAT arrays — the vector type the reference operator is defined
  *    over; every other type keeps Spark's null-safe-equal semantics.
- *    Null-safe equality OF float vectors is the one surface this shadows;
- *    `spark.graft.sql.cosineOperator=false` restores it.
+ *    Null-safe equality OF float vectors is the one surface this shadows,
+ *    and the shadow covers BOTH spellings of that surface: SQL `a <=> b`
+ *    and the DataFrame API's `Column.eqNullSafe` / `df("v") <=> df("w")`
+ *    (the rule sees the analyzed plan, which carries no SQL-vs-API
+ *    provenance — a float-vector EqualNullSafe in a select, filter, or
+ *    JOIN CONDITION becomes a double-typed cosine distance either way).
+ *    `spark.graft.sql.cosineOperator=false` restores native semantics on
+ *    both; boolean contexts fail analysis loudly (a DOUBLE where a
+ *    predicate is required) rather than silently changing results.
  */
 object DistanceOperators {
 

@@ -39,6 +39,21 @@ class DistanceOperatorSpec extends SparkSuite {
     } finally spark.conf.unset(DistanceOperators.CosineOperatorKey)
   }
 
+  test("Column.eqNullSafe on float vectors is shadowed too (documented); conf restores it") {
+    // The rule sees analyzed plans with no SQL-vs-API provenance, so the
+    // DataFrame spelling of null-safe equality over two float vectors is
+    // the same surface as SQL `<=>` — documented in DistanceOperators'
+    // scaladoc; this pins the documented behavior.
+    val df = ones
+    val viaApi = df.select((col("a") <=> col("b")).as("d")).collect().head
+    assert(math.abs(viaApi.getDouble(0) - 1.0) < 1e-6)
+    spark.conf.set(DistanceOperators.CosineOperatorKey, "false")
+    try {
+      val r = df.select((col("a") <=> col("a")).as("ok")).collect().head
+      assert(r.getBoolean(0))
+    } finally spark.conf.unset(DistanceOperators.CosineOperatorKey)
+  }
+
   test("operators bind tighter than comparisons and survive WHERE/ORDER BY") {
     val df = Seq((1L, Array(0f, 0f)), (2L, Array(3f, 4f)), (3L, Array(6f, 8f)))
       .toDF("id", "v")

@@ -95,6 +95,50 @@ class SemiJoinsSpec extends SparkSuite {
     assert(nex == leftDf.count() - 5)
   }
 
+  test("non-integral key types keep native equality (no lossy LONG cast)") {
+    // double 1.5 must NOT match probe 1; string '012' must NOT match '12';
+    // uncastable strings must not vanish. The bitmap path's LONG cast would
+    // get all three wrong — these types must route to the fallback.
+    val dl = Seq((Some(1.5), "half"), (Some(1.0), "one"), (None: Option[Double], "dn"))
+      .toDF("k", "tag")
+    val dr = Seq(Some(1.0), None: Option[Double]).toDF("rk")
+    assert(tags(SemiJoins.exists(dl, "k", dr, "rk")) == Seq("one"))
+    assert(tags(SemiJoins.notExists(dl, "k", dr, "rk")) == Seq("dn", "half"))
+    val sl = Seq(("012", "zeroTwelve"), ("12", "twelve"), ("abc", "alpha"))
+      .toDF("k", "tag")
+    val sr = Seq("12", "abc").toDF("rk")
+    assert(tags(SemiJoins.exists(sl, "k", sr, "rk")) == Seq("alpha", "twelve"))
+    assert(tags(SemiJoins.notExists(sl, "k", sr, "rk")) == Seq("zeroTwelve"))
+  }
+
+  test("same-named keys resolve on both paths (fallback alias)") {
+    val l = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "tag")
+    val r = Seq(Some(1L)).toDF("k")
+    assert(tags(SemiJoins.exists(l, "k", r, "k")) == Seq("a"))
+    // Force the fallback (the crash the alias fix prevents).
+    spark.conf.set(SemiJoins.MaxBitmapBitsKey, "0")
+    try {
+      assert(tags(SemiJoins.exists(l, "k", r, "k")) == Seq("a"))
+      assert(tags(SemiJoins.notExists(l, "k", r, "k")) == Seq("b"))
+    } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
+    // A string-keyed same-name spelling always lands on the fallback.
+    val sl = Seq(("x", "sx"), ("y", "sy")).toDF("k", "tag")
+    val sr = Seq("x").toDF("k")
+    assert(tags(SemiJoins.exists(sl, "k", sr, "k")) == Seq("sx"))
+  }
+
+  test("conf raised to the container ceiling stays correct (fan-in cap path)") {
+    // 2^31 bits = 2^15 containers — the ceiling where bmSize alone is
+    // 256 MB; groups must scale down so groups × bmSize ≤ 256 MB. On the
+    // small fixture only correctness is observable; the cap formula is
+    // exercised on this path.
+    spark.conf.set(SemiJoins.MaxBitmapBitsKey, (1L << 31).toString)
+    try {
+      assert(tags(SemiJoins.exists(leftDf, "k", rightDf, "rk")) == sparkSemi(false))
+      assert(tags(SemiJoins.notExists(leftDf, "k", rightDf, "rk")) == sparkSemi(true))
+    } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
+  }
+
   test("randomized equivalence across both paths") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 500).map(_ => (Some(rnd.nextInt(200).toLong - 100), "t"))
