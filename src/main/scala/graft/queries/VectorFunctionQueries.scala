@@ -31,12 +31,30 @@ object VectorFunctionQueries {
       .select(col("vec_id"), round(metric(col("embedding"), col("qvec")), 4).as("d"))
       .orderBy("vec_id")
 
+  private def operatorQuery(op: String)(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("graft_vfq_emb")
+    s.sql(
+      s"""SELECT /*+ BROADCAST(q) */ e.vec_id,
+            round(e.embedding $op q.embedding, 4) AS d
+          FROM graft_vfq_emb e,
+            (SELECT embedding FROM graft_vfq_emb WHERE vec_id = 0) q
+          ORDER BY e.vec_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vss_array_distance" -> (metricQuery(array_distance) _),
     "vss_cosine_distance" -> (metricQuery(array_cosine_distance) _),
     "vss_cosine_similarity" -> (metricQuery(array_cosine_similarity) _),
     "vss_inner_product" -> (metricQuery(array_inner_product) _),
     "vss_neg_inner_product" -> (metricQuery(array_negative_inner_product) _),
+    // The reference's operator SPELLINGS (hnsw_index.cpp:663-669) through
+    // the SQL surface — same semantics as the named functions above, which
+    // is exactly the claim these gates pin (the oracle side spells the
+    // named DuckDB functions). BROADCAST(q) keeps the 1-row query side the
+    // build side (the BNLJ self-join trap: both sides estimate equal).
+    "vss_op_l2" -> (operatorQuery("<->") _),
+    "vss_op_cos" -> (operatorQuery("<=>") _),
+    "vss_op_negip" -> (operatorQuery("<#>") _),
     "vss_topn_scan" -> ((s, dir) =>
       // The O3 shape: ORDER BY distance LIMIT k (brute-force path;
       // TakeOrderedAndProject — the HNSW rewrite is exercised in tests).
@@ -112,6 +130,12 @@ object VectorFunctionQueries {
     "vss_inner_product" ->
       metricSql("list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
     "vss_neg_inner_product" ->
+      metricSql("-list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
+    "vss_op_l2" ->
+      metricSql("list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
+    "vss_op_cos" ->
+      metricSql("1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
+    "vss_op_negip" ->
       metricSql("-list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])"),
     "vss_topn_scan" ->
       s"""SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS d
