@@ -90,6 +90,15 @@ object functions {
   def count_distinct_long(x: Column): Column =
     col(graft.aggregates.CountDistinctLong(expr(x)).toAggregateExpression())
 
+  /** Exact COUNT(DISTINCT x) over a self-discovering containered bitmap:
+    * container-compact key domains (surrogate / block-allocated ids) cost
+    * containers × 8 KiB per task with word-wise-OR merges; scattered keys
+    * degrade to an exact stray set with [[count_distinct_long]]'s
+    * asymptotics — exact on any input, no salting needed:
+    * see [[graft.aggregates.BitmapDistinctAgg]]. */
+  def bitmap_count_distinct(x: Column): Column =
+    col(graft.aggregates.BitmapDistinctAgg(expr(x)).toAggregateExpression())
+
   /** Exact SUM of pre-scaled integer units ("cents") in a 128-bit two-long
     * accumulator → DECIMAL(38, scale). The scale-out-safe replacement for
     * `sum(decimal)` (per-row BigDecimal) and `sum(long)` (wraps at ~1e18):
@@ -184,6 +193,7 @@ object functions {
     "array_quantize_i8" -> (es => ArrayQuantizeI8(es(0))),
     "array_dequantize_i8" -> (es => ArrayDequantizeI8(es(0), es(1))),
     "count_distinct_long" -> (es => graft.aggregates.CountDistinctLong(es(0))),
+    "bitmap_count_distinct" -> (es => graft.aggregates.BitmapDistinctAgg(es(0))),
     // 3-arg forms extend the built-ins (DuckDB-core k-arg semantics, O10);
     // 2-arg falls through to Spark's own MinBy/MaxBy.
     "min_by" -> (es =>

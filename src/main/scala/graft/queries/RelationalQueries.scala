@@ -381,39 +381,54 @@ object RelationalQueries {
       // TRIPLED (one copy per grouping set) before the partial aggregate,
       // and the per-row hash work on 3N wide rows dominated the query.
       //
-      // r8: per-task distinct sets via the count_distinct_long kernel (a
-      // primitive open-addressing long set — no collect_set boxing), with
-      // the pre-aggregate key SALTED by hash(value) % S. The unsalted
-      // single-scan spelling merged every map task's set on only |groups|=3
-      // reducers — at 10x scale each reducer single-threadedly rebuilt a
-      // ~20M-entry set and the query went SLOWER relative to DuckDB than at
-      // 1x (sf1 5.0x -> sf10 8.8x). Salting by the VALUE's own hash makes
-      // per-(group, salt) sets disjoint, so their sizes ADD exactly and the
-      // merge runs S*|groups|-way parallel; the second-stage sum touches
-      // 3*S rows. Each distinct column salts on its own value space, which
-      // forces one pruned 2-column branch per column (a shared salt would
-      // overcount the other column across buckets); row counts ride branch
-      // A. S*|groups| stays under the ObjectHashAggregate sort-fallback
-      // threshold (default 128 in-memory groups per task).
-      val S = 32
-      val li = Tables.load(s, dir, "lineitem")
-      val parts = li.select(col("l_returnflag"), col("l_partkey"))
-        .groupBy(col("l_returnflag"),
-          pmod(xxhash64(col("l_partkey")), lit(S.toLong)).as("_salt"))
-        .agg(graft.functions.count_distinct_long(col("l_partkey")).as("_p"),
-          count(lit(1)).as("_c"))
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("_p")).as("n_parts"), sum(col("_c")).as("n_rows"))
-      val supps = li.select(col("l_returnflag"), col("l_suppkey"))
-        .groupBy(col("l_returnflag"),
-          pmod(xxhash64(col("l_suppkey")), lit(S.toLong)).as("_salt"))
-        .agg(graft.functions.count_distinct_long(col("l_suppkey")).as("_s"))
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("_s")).as("n_supps"))
-      parts.join(supps, "l_returnflag")
-        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
-          col("n_rows"))
-        .orderBy("l_returnflag")
+      // r12: ONE scan, ONE shuffle — bitmap_count_distinct folds each
+      // distinct column into a self-discovering containered bitmap
+      // (BitmapDistinctAgg). The fixtures' key domains are block-allocated
+      // (replicas at 1e8 offsets), so per-(task, group) partials are
+      // containers × 8 KiB (~2.4 MB at sf10) and the 3-reducer merge is
+      // word-wise ORs — removing the r8 salted-set plan's measured floor
+      // (its 3-way set-union merge), its second aggregation stage, and its
+      // two-branch scan + join. Scattered domains degrade in-aggregate to
+      // an exact stray set with the salted path's asymptotics, so no
+      // fallback plan is needed. The r8 salted-set spelling remains
+      // available for A/B as spark.graft.q12.bitmapDistinct=false.
+      val useBitmap = s.conf.getOption("spark.graft.q12.bitmapDistinct")
+        .forall(_.equalsIgnoreCase("true"))
+      if (useBitmap) {
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.functions.bitmap_count_distinct(col("l_partkey")).as("n_parts"),
+            graft.functions.bitmap_count_distinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      } else {
+        // r8: per-task distinct sets via the count_distinct_long kernel,
+        // pre-aggregate key SALTED by hash(value) % S so per-(group, salt)
+        // sets are disjoint and their sizes ADD exactly (the unsalted form
+        // merged every task's set on |groups|=3 reducers — sf10 went 8.8x).
+        // Each distinct column salts on its own value space (one pruned
+        // 2-column branch per column); row counts ride branch A.
+        val S = 32
+        val li = Tables.load(s, dir, "lineitem")
+        val parts = li.select(col("l_returnflag"), col("l_partkey"))
+          .groupBy(col("l_returnflag"),
+            pmod(xxhash64(col("l_partkey")), lit(S.toLong)).as("_salt"))
+          .agg(graft.functions.count_distinct_long(col("l_partkey")).as("_p"),
+            count(lit(1)).as("_c"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("_p")).as("n_parts"), sum(col("_c")).as("n_rows"))
+        val supps = li.select(col("l_returnflag"), col("l_suppkey"))
+          .groupBy(col("l_returnflag"),
+            pmod(xxhash64(col("l_suppkey")), lit(S.toLong)).as("_salt"))
+          .agg(graft.functions.count_distinct_long(col("l_suppkey")).as("_s"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("_s")).as("n_supps"))
+        parts.join(supps, "l_returnflag")
+          .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+            col("n_rows"))
+          .orderBy("l_returnflag")
+      }
     }),
     "q6_events_agg" -> ((s, dir) => {
       // Event-stream style aggregation: per type, count + exact value sum.
