@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 /**
  * Self-discovering containered key bitmap — the one-pass successor of the
- * [[KeyBitmapAgg]] device (r11), which needed a SEPARATE driver job to
+ * KeyBitmapAgg device (r11, since removed), which needed a SEPARATE driver job to
  * discover the occupied 64Ki-key containers before the bitmap job could
  * run. Here containers materialize lazily as keys arrive: the buffer is a
  * sorted array of container highs (key >> 16) with one 8 KiB bit block
@@ -297,7 +297,7 @@ case class BitmapDistinctAgg(
 /**
  * One-pass build side for [[graft.ops.SemiJoins]]' bitmap path: folds the
  * probe side's keys into a [[SparseBitmap]] WITHOUT the separate container-
- * discovery job the r11 [[KeyBitmapAgg]] needed (kept-side scan → collect →
+ * discovery job the r11 KeyBitmapAgg needed (kept-side scan → collect →
  * second job). Containers self-discover; a task that exceeds the cap
  * poisons its partial (overflow), the driver sees it and falls back to the
  * distinct + semi/anti plan. Emits the serialized sparse buffer (BINARY);
