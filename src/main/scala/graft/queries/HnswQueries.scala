@@ -231,19 +231,17 @@ object HnswQueries {
       // memory-scale path): ADC over 8-byte codes + refine·k exact re-rank
       // must reach recall@10 >= 0.9 vs brute force over 10 fixture
       // queries. Exhaustive probe isolates the PQ approximation itself.
+      // The brute-force TRUTH is ensure-cached like the layout builds
+      // (r12; it was recomputed inside every run, so the driver bench's
+      // timed body was ~98% truth crossJoin — PERF_VS_DUCKDB r11 noted
+      // build≈1.4 s vs exec≈30 ms): warmup pays it once, measured runs
+      // time the engine (ADC search + re-rank), which is what the
+      // scoreboard is for.
       val layout = ensureIvfPqLayout(s, dir)
-      val emb = graft.Tables.load(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 10)
+      val truth = ensurePqTruth(s, dir)
+      val queries = graft.Tables.load(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
-      val truth = queries.crossJoin(emb)
-        .select(col("q_id"), col("vec_id"),
-          array_distance(col("q_vec"), col("embedding")).as("d"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
-        .select(col("q_id"), col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-        .view.mapValues(_.map(_._2).toSet).toMap
       // One batched ADC + re-rank plan for all 10 queries (Pq.topKJoin) —
       // the per-query loop spelling cost 20 Spark jobs per run.
       val got = graft.index.Pq.topKJoin(s, layout, "embedding", "vec_id",
@@ -373,6 +371,31 @@ object HnswQueries {
     }
     layout
   }
+
+  /** Process-local cache of ivf_pq_recall's brute-force truth (per sf
+    * dir): exact top-10 ids per fixture query, the fixed yardstick the
+    * gate's recall is measured against. Ensure-cached for the same reason
+    * the LAYOUTS are — it is gate apparatus, not the engine under test,
+    * and recomputing it per run made the timed body ~98% truth crossJoin.
+    * Fixture files are immutable within a JVM run, so dir-keying is safe. */
+  private val pqTruthCache =
+    new scala.collection.concurrent.TrieMap[String, Map[Long, Set[Long]]]()
+
+  private[graft] def ensurePqTruth(s: SparkSession, dir: String): Map[Long, Set[Long]] =
+    pqTruthCache.getOrElseUpdate(dir, {
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      queries.crossJoin(emb)
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("embedding")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    })
 
   /** Idempotently build the IVF-PQ layout for this sf dir (codes + cells +
     * codebooks); rebuild on any stale/unreadable artifact. */
