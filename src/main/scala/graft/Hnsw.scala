@@ -50,6 +50,20 @@ object Hnsw {
   val FilteredOverfetchKey = "spark.graft.hnsw.filteredScan.overfetch"
   /** Widest filtered-scan candidate fetch before brute force takes over. */
   val FilteredMaxFetchKey = "spark.graft.hnsw.filteredScan.maxFetch"
+  /** Query→segment routing width p: search only the p segments whose
+    * centroids are nearest the query (the sublinear many-segment path —
+    * see HnswIndexMeta.routedSegments). 0 (default) = all segments, the
+    * exact-parity behavior. Pair p ≪ segments with a vector-clustered
+    * layout ([[BuildPartitionByKey]] = "vector"); on key-ranged layouts
+    * routing prunes blindly. */
+  val ProbeSegmentsKey = "spark.graft.hnsw.probeSegments"
+  /** Build-time segment placement: "key" (default, range-partitioned ids)
+    * or "vector" (deterministic k-means clusters — the routable layout). */
+  val BuildPartitionByKey = "spark.graft.hnsw.build.partitionBy"
+
+  /** Session routing width (0 = search every segment). */
+  def probeSegments(spark: SparkSession): Int =
+    spark.conf.getOption(ProbeSegmentsKey).map(_.trim.toInt).getOrElse(0)
 
   def baseDir(spark: SparkSession): String =
     spark.conf.get(LocationKey,
@@ -118,7 +132,8 @@ object Hnsw {
       metric = opts.metric, dim = dim, m = opts.m, m0 = opts.m0,
       efConstruction = opts.efConstruction, efSearch = opts.efSearch,
       count = segments.map(_._2).sum, segments = segments.map(_._1),
-      segmentRanges = segments.map(s => (s._3, s._4)))
+      segmentRanges = segments.map(s => (s._3, s._4)),
+      centroids = segments.map(_._5))
     IndexCatalog.save(base, meta)
     meta
   }
@@ -127,32 +142,67 @@ object Hnsw {
     IndexCatalog.drop(baseDir(spark), name)
 
   /** Build one immutable graph segment per partition; returns
-    * (file, count, min key, max key) per segment. */
+    * (file, count, min key, max key, centroid) per segment. The centroid
+    * (mean vector, accumulated in doubles) feeds query→segment routing
+    * ([[graft.index.HnswIndexMeta.routedSegments]]).
+    *
+    * Partition placement ([[BuildPartitionByKey]]):
+    *  - "key" (default): range-partition on the id — deterministic
+    *    placement, co-located id ranges keep the rowid fetch-back join
+    *    prunable and key probes (delete) segment-prunable via the recorded
+    *    (min, max). Centroids of key-ranged segments are near-identical,
+    *    so routing can't prune — keep probeSegments = 0.
+    *  - "vector": IVF-style — deterministic integer-Lloyd k-means over the
+    *    vectors, one segment per cluster (exact partitioner, no hash
+    *    collisions merging clusters). Segments become vector-local, so
+    *    routing reaches IVF-like recall at p ≪ segments; key ranges are
+    *    recorded but overlap, so key probes degrade (stay correct). */
   private def buildSegments(
       spark: SparkSession,
       data: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       dir: File,
       prefix: String,
       dim: Int,
-      opts: Options): Seq[(String, Long, Long, Long)] = {
+      opts: Options): Seq[(String, Long, Long, Long, Array[Float])] = {
     val maxPer = spark.conf.getOption(MaxVectorsPerPartitionKey).map(_.toLong).getOrElse(262144L)
     val total = data.count()
     val numParts = math.max(1L, (total + maxPer - 1) / maxPer).toInt
     val dirPath = dir.getAbsolutePath
     val (metric, m, m0, efc) = (opts.metric, opts.m, opts.m0, opts.efConstruction)
-    // Range-partition on the key: deterministic placement, and co-located id
-    // ranges keep the rowid fetch-back join prunable and key probes
-    // (delete) segment-prunable via the recorded (min, max) per segment.
-    data.repartitionByRange(numParts, col("_1")).rdd
+    val byVector = numParts > 1 &&
+      spark.conf.getOption(BuildPartitionByKey).exists(_.equalsIgnoreCase("vector"))
+    val parted: org.apache.spark.rdd.RDD[(Long, Array[Float])] =
+      if (byVector) {
+        import spark.implicits._
+        graft.embedding.Cluster.kmeansAssign(
+            data.toDF("_1", "_2"), "_2", "_1", k = numParts, iters = 3)
+          .select(col("cluster").cast("int"), col("_1"), col("_2"))
+          .as[(Int, Long, Array[Float])].rdd
+          .map { case (c, k, v) => (c, (k, v)) }
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = numParts
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+      } else data.repartitionByRange(numParts, col("_1")).rdd
+    parted
       .mapPartitionsWithIndex { (i, rows) =>
         val g = new HnswGraph(dim, metric, m, m0, efc, seed = 42L + i)
-        rows.foreach { case (k, v) => g.add(k, v) }
+        val sum = new Array[Double](dim)
+        var n = 0L
+        rows.foreach { case (k, v) =>
+          g.add(k, v)
+          var j = 0
+          while (j < dim) { sum(j) += v(j); j += 1 }
+          n += 1
+        }
         if (g.size == 0) Iterator.empty
         else {
           val f = f"$prefix-$i%05d.hnsw"
           IndexCatalog.writeGraph(new File(dirPath, f), g)
           val (lo, hi) = g.keyRange.get
-          Iterator.single((f, g.count.toLong, lo, hi))
+          Iterator.single((f, g.count.toLong, lo, hi,
+            sum.map(x => (x / n).toFloat)))
         }
       }
       .collect().toSeq.sortBy(_._1)
@@ -179,7 +229,8 @@ object Hnsw {
       efOverride: Option[Int] = None): Array[(Long, Double)] = {
     val base = baseDir(spark)
     val meta = IndexCatalog.load(base, name)
-    searchMeta(base, meta, q, k, efOverride.getOrElse(efSearch(spark, meta)))
+    searchMeta(base, meta, q, k, efOverride.getOrElse(efSearch(spark, meta)),
+      probeSegments(spark))
   }
 
   /**
@@ -206,19 +257,20 @@ object Hnsw {
   }
 
   private[graft] def searchMeta(base: String, meta: HnswIndexMeta, q: Array[Float],
-      k: Int, ef: Int): Array[(Long, Double)] = withFreshMeta(base, meta) { meta =>
-    val dir = IndexCatalog.indexDir(base, meta.name)
-    val tombs = graft.index.TombstoneCache.get(base, meta.name)
-    // Over-fetch per segment so catalog-level tombstones can't starve the
-    // merged top-k (bounded: compaction is the fix for large tombstone sets).
-    val fetch = k + math.min(tombs.size, 1024)
-    meta.segments.iterator
-      .flatMap { s =>
-        GraphCache.get(new File(dir, s)).search(q, fetch, ef)
-          .filterNot { case (key, _) => tombs.contains((s, key)) }
-      }
-      .toArray.sortBy(_._2).take(k)
-  }
+      k: Int, ef: Int, probe: Int = 0): Array[(Long, Double)] =
+    withFreshMeta(base, meta) { meta =>
+      val dir = IndexCatalog.indexDir(base, meta.name)
+      val tombs = graft.index.TombstoneCache.get(base, meta.name)
+      // Over-fetch per segment so catalog-level tombstones can't starve the
+      // merged top-k (bounded: compaction is the fix for large tombstone sets).
+      val fetch = k + math.min(tombs.size, 1024)
+      meta.routedSegments(q, probe).iterator
+        .flatMap { s =>
+          GraphCache.get(new File(dir, s)).search(q, fetch, ef)
+            .filterNot { case (key, _) => tombs.contains((s, key)) }
+        }
+        .toArray.sortBy(_._2).take(k)
+    }
 
   /**
    * Batched multi-query search, segment-outer: each segment graph is loaded
@@ -230,30 +282,52 @@ object Hnsw {
    * ascending top-k array per query (null queries → empty).
    */
   private[graft] def searchBatch(base: String, meta: HnswIndexMeta,
-      queries: Array[Array[Float]], k: Int, ef: Int): Array[Array[(Long, Double)]] =
-    withFreshMeta(base, meta)(searchBatchOnce(base, _, queries, k, ef))
+      queries: Array[Array[Float]], k: Int, ef: Int,
+      probe: Int = 0): Array[Array[(Long, Double)]] =
+    withFreshMeta(base, meta)(searchBatchOnce(base, _, queries, k, ef, probe))
 
   private def searchBatchOnce(base: String, meta: HnswIndexMeta,
-      queries: Array[Array[Float]], k: Int, ef: Int): Array[Array[(Long, Double)]] = {
+      queries: Array[Array[Float]], k: Int, ef: Int,
+      probe: Int): Array[Array[(Long, Double)]] = {
     val dir = IndexCatalog.indexDir(base, meta.name)
     val tombs = graft.index.TombstoneCache.get(base, meta.name)
     val fetch = k + math.min(tombs.size, 1024)
     val acc = Array.fill(queries.length)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+    // Per-query routing: each query searches only its p nearest segments
+    // (null = all — routing off or inapplicable). The segment-outer loop
+    // is preserved (one graph load serves the whole batch); a segment no
+    // query routed to is never loaded at all.
+    val routed: Array[java.util.HashSet[String]] =
+      if (probe <= 0) null
+      else queries.map { q =>
+        if (q == null) null
+        else new java.util.HashSet[String](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            meta.routedSegments(q, probe)).asJava)
+      }
     meta.segments.foreach { s =>
-      val g = GraphCache.get(new File(dir, s))
+      var any = false
       var i = 0
-      while (i < queries.length) {
-        if (queries(i) != null) {
-          acc(i) ++= g.search(queries(i), fetch, ef)
-            .filterNot { case (key, _) => tombs.contains((s, key)) }
-          // Keep each accumulator bounded: only the best k can survive.
-          if (acc(i).length > 4 * fetch) {
-            val best = acc(i).sortBy(_._2).take(k)
-            acc(i).clear(); acc(i) ++= best
-          }
-        }
+      while (i < queries.length && !any) {
+        any = queries(i) != null && (routed == null || routed(i).contains(s))
         i += 1
+      }
+      if (any) {
+        val g = GraphCache.get(new File(dir, s))
+        i = 0
+        while (i < queries.length) {
+          if (queries(i) != null && (routed == null || routed(i).contains(s))) {
+            acc(i) ++= g.search(queries(i), fetch, ef)
+              .filterNot { case (key, _) => tombs.contains((s, key)) }
+            // Keep each accumulator bounded: only the best k can survive.
+            if (acc(i).length > 4 * fetch) {
+              val best = acc(i).sortBy(_._2).take(k)
+              acc(i).clear(); acc(i) ++= best
+            }
+          }
+          i += 1
+        }
       }
     }
     acc.map(buf => buf.sortBy(_._2).take(k).toArray)
@@ -271,16 +345,21 @@ object Hnsw {
     // A task-side missing file surfaces wrapped in SparkException;
     // isMissingFile walks the cause chain, and the retry re-plans the job
     // over the fresh segment list.
-    withFreshMeta(base, meta)(searchDistributedOnce(spark, base, _, q, k, ef))
+    withFreshMeta(base, meta)(
+      searchDistributedOnce(spark, base, _, q, k, ef, probeSegments(spark)))
 
   private def searchDistributedOnce(spark: SparkSession, base: String,
-      meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
-    if (meta.segments.size <= 4) return searchMeta(base, meta, q, k, ef)
+      meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int,
+      probe: Int): Array[(Long, Double)] = {
+    // Routing happens BEFORE the fan-out decision: a 1000-segment index
+    // routed to p=8 runs the driver-local loop, not a 1000-task job.
+    val segs = meta.routedSegments(q, probe)
+    if (segs.size <= 4) return searchMeta(base, meta, q, k, ef, probe)
     val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
     val tombs = graft.index.TombstoneCache.get(base, meta.name)
     val fetch = k + math.min(tombs.size, 1024)
     val partial = spark.sparkContext
-      .parallelize(meta.segments, meta.segments.size)
+      .parallelize(segs, segs.size)
       .flatMap { s =>
         GraphCache.get(new File(dirPath, s)).search(q, fetch, ef).map {
           case (key, d) => (s, key, d)
@@ -333,14 +412,18 @@ object Hnsw {
     // A previously deleted key re-inserted here lives in the new segment;
     // per-segment tombstones keep only the old copies hidden.
     val haveRanges = meta.segmentRanges.size == meta.segments.size
+    val haveCentroids = meta.centroids.size == meta.segments.size
     val updated = meta.copy(
       dim = dim,
       count = meta.count + segs.map(_._2).sum,
       segments = meta.segments ++ segs.map(_._1),
-      // Only extend ranges when the existing ones are complete — a partial
-      // list would misalign and break pruning.
+      // Only extend ranges/centroids when the existing ones are complete —
+      // a partial list would misalign and break pruning/routing.
       segmentRanges =
         if (haveRanges) meta.segmentRanges ++ segs.map(s => (s._3, s._4))
+        else Seq.empty,
+      centroids =
+        if (haveCentroids) meta.centroids ++ segs.map(_._5)
         else Seq.empty)
     IndexCatalog.save(base, updated)
     updated
@@ -463,7 +546,7 @@ object Hnsw {
     GraphCache.invalidate(dirPath)
     IndexCatalog.writeTombstones(base, name, Set.empty)
     val updated = meta.copy(count = segs.map(_._2).sum, segments = segs.map(_._1),
-      segmentRanges = segs.map(s => (s._3, s._4)))
+      segmentRanges = segs.map(s => (s._3, s._4)), centroids = segs.map(_._5))
     IndexCatalog.save(base, updated)
     updated
   }

@@ -37,8 +37,35 @@ case class HnswIndexMeta(
       * build time (segments are range-partitioned on the key) so key probes
       * (delete, contains) prune driver-side without loading any graph.
       * Empty = unknown (pre-range artifact): probe every segment. */
-    segmentRanges: Seq[(Long, Long)] = Seq.empty) {
+    segmentRanges: Seq[(Long, Long)] = Seq.empty,
+    /** Per-segment mean vector, aligned with `segments` — written at build
+      * time for query→segment ROUTING (probe the p nearest segments
+      * instead of all; [[routedSegments]]). Empty or misaligned (pre-r12
+      * artifact, or an insert onto one) = unknown: route to every segment,
+      * which is always correct. */
+    centroids: Seq[Array[Float]] = Seq.empty) {
   def dir(base: String): String = s"$base/$name"
+
+  /** The `p` segments whose centroids are nearest `q` by the index metric
+    * — the conf-gated sublinear scaling path for many-segment indexes
+    * (every-segment fan-out grows ∝ segments while the answer needs k).
+    * All segments when routing can't apply: p ≤ 0 (the default — exact
+    * parity with the reference's one-graph search), p ≥ segments, or
+    * unknown/misaligned centroids. Routing quality is the layout's job:
+    * vector-clustered segments (build option) give IVF-like recall at
+    * p ≪ segments; key-ranged segments have near-identical centroids and
+    * routing degrades toward arbitrary pruning — keep p = 0 there. */
+  def routedSegments(q: Array[Float], p: Int): Seq[String] =
+    if (p <= 0 || p >= segments.size || centroids.size != segments.size) segments
+    else {
+      val d: (Array[Float], Array[Float]) => Double = metric match {
+        case "cosine" => graft.expressions.VectorMath.cosineDistance
+        case "ip" => graft.expressions.VectorMath.negativeDot
+        case _ => graft.expressions.VectorMath.l2Squared
+      }
+      segments.zip(centroids).sortBy { case (_, c) => d(q, c) }
+        .take(p).map(_._1)
+    }
 
   /** Segments that could contain `key` — range-pruned when ranges are known
     * and aligned, every segment otherwise. */
@@ -97,6 +124,10 @@ object IndexCatalog {
           val i = r.indexOf(':')
           (r.substring(0, i).toLong, r.substring(i + 1).toLong)
         })
+        .getOrElse(Seq.empty),
+      centroids = Option(p.getProperty("centroids"))
+        .filter(_.nonEmpty)
+        .map(_.split(";", -1).toSeq.map(_.split(",").map(_.toFloat)))
         .getOrElse(Seq.empty))
   }
 
@@ -119,6 +150,11 @@ object IndexCatalog {
     if (meta.segmentRanges.nonEmpty) {
       p.setProperty("segmentRanges",
         meta.segmentRanges.map { case (lo, hi) => s"$lo:$hi" }.mkString(";"))
+    }
+    if (meta.centroids.nonEmpty) {
+      // Float.toString round-trips exactly through toFloat.
+      p.setProperty("centroids",
+        meta.centroids.map(_.mkString(",")).mkString(";"))
     }
     // Write-then-rename so a concurrent reader never sees a torn meta file.
     val tmp = new File(dir, MetaFile + ".tmp")

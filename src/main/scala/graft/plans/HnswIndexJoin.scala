@@ -87,6 +87,9 @@ case class HnswIndexJoinCoreExec(
     // execution re-plans per batch, so this load keeps each batch fresh.
     val execMeta = graft.index.IndexCatalog.load(base, meta.name)
     val (b, m, q, kk, e) = (base, execMeta, queryExpr, k, ef)
+    // Segment-routing width, captured driver-side at execution (doExecute
+    // runs on the driver) so the conf needn't ride the plan's constructor.
+    val probe = graft.Hnsw.probeSegments(session)
     val toFloats: ArrayData => Array[Float] = q.dataType match {
       case ArrayType(FloatType, _) => _.toFloatArray()
       case ArrayType(DoubleType, _) => _.toDoubleArray().map(_.toFloat)
@@ -104,7 +107,7 @@ case class HnswIndexJoinCoreExec(
           val v = bound.eval(row)
           if (v == null) null else toFloats(v.asInstanceOf[ArrayData])
         }
-        val hits = Hnsw.searchBatch(b, m, queries, kk, e)
+        val hits = Hnsw.searchBatch(b, m, queries, kk, e, probe)
         rows.iterator.zipWithIndex.flatMap { case (outerRow, ri) =>
           hits(ri).iterator.zipWithIndex.map { case ((id, d), i) =>
             resultProj(joined(outerRow,

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{HnswIndexMeta, IndexCatalog}
+
+/** Segment routing (r12): centroid-routed search over a vector-clustered
+  * many-segment layout must keep ANN recall at p ≪ segments, default-off
+  * routing must stay exact-parity, and pre-r12 artifacts (no centroids)
+  * must keep working. */
+class HnswRoutingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Dim = 16
+  private val Clusters = 32
+  private val PerCluster = 64
+
+  /** 32 well-separated clusters (seeded ±1.5 hypercube corners, σ≈0.05
+    * noise, coordinates inside the k-means quantizer's exact range); ids
+    * interleave clusters so the deterministic k-means init (smallest 32
+    * ids) starts with one point per true cluster. */
+  private lazy val corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(1234)
+    val centers = Array.fill(Clusters)(
+      Array.fill(Dim)(if (rnd.nextBoolean()) 1.5f else -1.5f))
+    (0 until Clusters * PerCluster).map { i =>
+      val c = centers(i % Clusters)
+      val v = Array.tabulate(Dim)(j => c(j) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def bruteTop(q: Array[Float], k: Int): Set[Long] =
+    corpus.sortBy(p => (l2sq(q, p._2), p._1)).take(k).map(_._1).toSet
+
+  private def buildRouted(name: String): HnswIndexMeta = {
+    spark.conf.set(Hnsw.MaxVectorsPerPartitionKey, PerCluster.toString)
+    spark.conf.set(Hnsw.BuildPartitionByKey, "vector")
+    try Hnsw.createIndex(spark, name, corpus.toDF("id", "vec"), "vec", "id",
+      Map("ef_search" -> "256"), overwrite = true)
+    finally {
+      spark.conf.unset(Hnsw.MaxVectorsPerPartitionKey)
+      spark.conf.unset(Hnsw.BuildPartitionByKey)
+    }
+  }
+
+  test("vector-clustered build yields 32 segments with aligned centroids") {
+    val meta = buildRouted("route_spec_a")
+    assert(meta.segments.size == Clusters)
+    assert(meta.centroids.size == meta.segments.size)
+    assert(meta.count == Clusters * PerCluster)
+    // Reload from disk: centroids round-trip through the properties file.
+    val back = IndexCatalog.load(Hnsw.baseDir(spark), "route_spec_a")
+    assert(back.centroids.size == Clusters)
+    assert(back.centroids.head.length == Dim)
+  }
+
+  test("recall@10 >= 0.9 at p=4 of 32 segments (scan path); p=0 stays exact-parity") {
+    buildRouted("route_spec_b")
+    val queries = corpus.grouped(97).map(_.head).take(20).toSeq
+    // Default (p unset = search every segment): exact vs brute force at
+    // exhaustive ef — the parity the recall gates rely on.
+    queries.foreach { case (_, q) =>
+      val got = Hnsw.searchRaw(spark, "route_spec_b", q, 10).map(_._1).toSet
+      assert(got == bruteTop(q, 10))
+    }
+    spark.conf.set(Hnsw.ProbeSegmentsKey, "4")
+    try {
+      val recalls = queries.map { case (_, q) =>
+        val got = Hnsw.searchRaw(spark, "route_spec_b", q, 10).map(_._1).toSet
+        got.intersect(bruteTop(q, 10)).size / 10.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"routed recall@10 = $mean")
+    } finally spark.conf.unset(Hnsw.ProbeSegmentsKey)
+  }
+
+  test("recall@3 >= 0.9 at p=4 through the index JOIN (batch path)") {
+    buildRouted("route_spec_c")
+    val queries = corpus.grouped(131).map(_.head).take(15).toSeq
+    val qDf = queries.toDF("q_id", "q_vec")
+    spark.conf.set(Hnsw.ProbeSegmentsKey, "4")
+    try {
+      val got = graft.api.Vss.annTopK(qDf, "route_spec_c", "q_vec", 3)
+        .select(col("q_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = queries.map { case (id, q) =>
+        got.getOrElse(id, Set.empty).intersect(bruteTop(q, 3)).size / 3.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"routed lateral recall@3 = $mean")
+    } finally spark.conf.unset(Hnsw.ProbeSegmentsKey)
+  }
+
+  test("pre-r12 metas (no centroids) route to all segments; misaligned inserts disable routing") {
+    val meta = buildRouted("route_spec_d")
+    // Strip centroids, as a pre-r12 artifact would present.
+    IndexCatalog.save(Hnsw.baseDir(spark), meta.copy(centroids = Seq.empty))
+    val q = corpus.head._2
+    assert(IndexCatalog.load(Hnsw.baseDir(spark), "route_spec_d")
+      .routedSegments(q, 4).size == Clusters)
+    // Routing off is simply all segments, regardless of centroids.
+    assert(meta.routedSegments(q, 0) == meta.segments)
+    // Insert onto the stripped meta: centroids stay absent (never a
+    // partial, misaligned list), and search remains correct.
+    Hnsw.insert(spark, "route_spec_d",
+      Seq((100000L, corpus.head._2)).toDF("id", "vec"))
+    val after = IndexCatalog.load(Hnsw.baseDir(spark), "route_spec_d")
+    assert(after.centroids.isEmpty)
+    val got = Hnsw.searchRaw(spark, "route_spec_d", q, 2).map(_._1).toSet
+    assert(got.contains(corpus.head._1) && got.contains(100000L))
+  }
+
+  test("insert onto a routed index appends an aligned centroid") {
+    val meta = buildRouted("route_spec_e")
+    Hnsw.insert(spark, "route_spec_e",
+      Seq((200000L, corpus.last._2)).toDF("id", "vec"))
+    val after = IndexCatalog.load(Hnsw.baseDir(spark), "route_spec_e")
+    assert(after.segments.size == meta.segments.size + 1)
+    assert(after.centroids.size == after.segments.size)
+  }
+}
