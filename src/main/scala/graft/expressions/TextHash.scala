@@ -681,7 +681,7 @@ object TextHash {
       Array[Any](nTokens.toLong, nDistinct.toLong, nBigrams.toLong, top.toLong))
   }
 
-  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+  private[expressions] val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -799,7 +799,7 @@ object TextHash {
     * [[dropCoveredTokens]]: (start byte offsets, token count) under the
     * `split(text, ' ')` convention. Token k ends at starts(k+1) − 1 (the
     * space) except the last, which ends at the byte length. */
-  private def tokenBoundaries(bytes: Array[Byte]): (Array[Int], Int) = {
+  private[expressions] def tokenBoundaries(bytes: Array[Byte]): (Array[Int], Int) = {
     var starts = new Array[Int](16)
     var nTokens = 0
     var i = 0

@@ -157,6 +157,9 @@ object functions {
     "sign_projection" -> (es => SignRandomProjection(es(0),
       if (es.length > 1) litInt(es(1), "planes") else 16,
       if (es.length > 2) litLong(es(2), "seed") else 42L)),
+    "dsir_buckets" -> (es => graft.expressions.DsirBuckets(es(0),
+      if (es.length > 1) litInt(es(1), "dsir n") else graft.text.Dsir.DefaultN,
+      if (es.length > 2) litInt(es(2), "dsir buckets") else graft.text.Dsir.DefaultBuckets)),
     // Composed Column functions exposed to SQL by building their expression
     // trees over the argument expressions.
     "quality_score" -> (es =>

@@ -261,6 +261,49 @@ object TextQueries {
         .select(col("doc_id"),
           posexplode(TF.chunkTokens(col("text"), 40, 24)).as(Seq("chunk_no", "chunk")))
     }),
+    "doc_dsir_weights" -> ((s, dir) => {
+      // DSIR fit, oracle-EXACT: per-bucket hashed-bigram counts over
+      // target (lang = 'en') vs raw (all docs), and the importance weight
+      // in integer parts-per-million — ((tn+1)(rt+B)·10⁶) div ((rn+1)(tt+B)),
+      // exact in both engines (Spark `div` = DuckDB `//` = Java /; factors
+      // bounded well under 2⁶³ at gate scales). The bucket hash is the
+      // cross-engine contract: md5 first-8-bytes little-endian unsigned
+      // mod B = DuckDB's md5_number_upper(g) % B — see DsirKernel. B = 512
+      // keeps the weights informative on the fixture while bounding the
+      // output to ≤ B rows.
+      val B = 512
+      val d = Tables.load(s, dir, "documents")
+      val t = graft.text.Dsir.bucketCounts(d.where(col("lang") === "en"),
+        "text", n = 2, buckets = B).withColumnRenamed("n", "tn")
+      val r = graft.text.Dsir.bucketCounts(d, "text", n = 2, buckets = B)
+        .withColumnRenamed("n", "rn")
+      val tot = t.agg(sum(col("tn")).as("tt"))
+        .crossJoin(r.agg(sum(col("rn")).as("rt")))
+      r.join(t, Seq("bucket"), "left")
+        .na.fill(0L, Seq("tn"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("tn").as("target_n"), col("rn").as("raw_n"),
+          expr(s"((tn + 1) * (rt + $B) * 1000000) div ((rn + 1) * (tt + $B))")
+            .as("weight_ppm"))
+        .orderBy("bucket")
+    }),
+    "doc_dsir_select" -> ((s, dir) => {
+      // DSIR selection end-to-end: top-20 most-target-like docs by the
+      // fused log-weight score (target = 'en', raw = all; the en docs
+      // themselves should dominate — selection quality is spec-asserted,
+      // DsirSpec). Digest-pinned (see [[digestPin]]): the score sums
+      // driver-computed ln() values, and libm ln is not bit-portable
+      // across engines, so no SQL oracle can reproduce it — the pin
+      // upgrades the gate to value-checked, and the FIT half is
+      // independently oracle-exact above.
+      digestPin(
+        graft.text.Dsir.select(
+          Tables.load(s, dir, "documents"),
+          Tables.load(s, dir, "documents").where(col("lang") === "en"),
+          "text", "doc_id", k = 20, n = 2, buckets = 512)
+          .select(col("doc_id"), round(col("score"), 4).as("score")),
+        Seq("doc_id", "score"))
+    }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark
       // set; the rest is the corpus. Broadcast-joined distinct-shingle
@@ -942,6 +985,33 @@ object TextQueries {
     // digestPin gates: the constants are the engine's own digests over the
     // sf0.01 driver fixture (see digestPin's scaladoc — a regenerated
     // fixture requires re-pinning from the gate's Verify output).
+    "doc_dsir_weights" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS w
+                       FROM documents WHERE text IS NOT NULL),
+         grams AS (SELECT lang,
+                     unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+                   FROM toks),
+         b AS (SELECT lang,
+                 CAST(md5_number_upper(g) % 512 AS BIGINT) AS bucket FROM grams),
+         tc AS (SELECT bucket, count(*) AS tn FROM b WHERE lang = 'en' GROUP BY bucket),
+         rc AS (SELECT bucket, count(*) AS rn FROM b GROUP BY bucket),
+         tot AS (SELECT (SELECT sum(tn) FROM tc) AS tt,
+                        (SELECT sum(rn) FROM rc) AS rt)
+         SELECT r.bucket, coalesce(t.tn, 0) AS target_n, r.rn AS raw_n,
+           CAST(((coalesce(t.tn, 0) + 1) * (rt + 512) * 1000000)
+                // ((r.rn + 1) * (tt + 512)) AS BIGINT) AS weight_ppm
+         FROM rc r LEFT JOIN tc t USING (bucket), tot
+         ORDER BY r.bucket""",
+    // digest-pinned (ln() is not bit-portable across engines); constants
+    // computed from the sf0.01 fixture — re-pin from the gate's Verify
+    // output on fixture regen, like the pins below.
+    "doc_dsir_select" ->
+      """SELECT CAST(20 AS BIGINT) AS n,
+           CAST(8020387378 AS BIGINT) AS d1,
+           CAST(37592733125 AS BIGINT) AS d2,
+           CAST(1611804634 AS BIGINT) AS d3,
+           CAST(36169891667 AS BIGINT) AS d4""",
     "doc_fingerprints" ->
       """SELECT CAST(500 AS BIGINT) AS n,
            CAST(6275428783 AS BIGINT) AS d1,

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * DSIR-style importance-weighted data selection (Xie et al. 2023): pick
+ * the raw-corpus documents whose hashed-n-gram distribution looks most
+ * like a TARGET corpus. The standard curation move for "give me more data
+ * like my high-quality set" at pre-training scale.
+ *
+ * Three stages, all one-pass shapes:
+ *  1. FIT — per-bucket n-gram counts over target and raw
+ *     ([[bucketCounts]]: kernel featurizer → explode → one count shuffle
+ *     each; the bucket table is `buckets` rows, driver-collectible by
+ *     construction).
+ *  2. WEIGHTS — smoothed log importance ratios, computed once driver-side
+ *     ([[fitWeights]]: log(((tc+α)/(tt+αB)) / ((rc+α)/(rt+αB)))).
+ *  3. SCORE/SELECT — a fused per-document kernel sums the doc's n-gram
+ *     log-weights ([[graft.expressions.DsirScore]] — the table rides the
+ *     task binary, so the 100 TB scoring pass is scan + one codegen'd
+ *     expression, no join, no explode); [[select]] keeps the top-k by
+ *     (score, id) — deterministic under ties.
+ *
+ * Scale note: fit cost is one explode+count over each corpus — paid once
+ * per target distribution; scoring dominates at 100 TB and is the fused
+ * path. The weight table is `buckets` doubles (default 10007 ≈ 80 KB).
+ */
+object Dsir {
+
+  val DefaultN = 2
+  val DefaultBuckets = 10007
+
+  /** Per-bucket n-gram occurrence counts: (bucket LONG, n LONG), only
+    * occupied buckets, one row per bucket. */
+  def bucketCounts(df: DataFrame, textCol: String,
+      n: Int = DefaultN, buckets: Int = DefaultBuckets): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(Bridge.column(graft.expressions.DsirBuckets(
+        Bridge.composedExpression(col(textCol)), n, buckets))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Smoothed per-bucket log importance weights, driver-side (the table is
+    * `buckets` doubles). α is add-α smoothing over the bucket grid, so
+    * never-seen buckets get a finite, raw-favoring weight. */
+  def fitWeights(target: DataFrame, raw: DataFrame, textCol: String,
+      n: Int = DefaultN, buckets: Int = DefaultBuckets,
+      alpha: Double = 1.0): Array[Double] = {
+    def counts(df: DataFrame): Map[Long, Long] =
+      bucketCounts(df, textCol, n, buckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tc = counts(target)
+    val rc = counts(raw)
+    val tt = tc.values.sum.toDouble
+    val rt = rc.values.sum.toDouble
+    val denomT = tt + alpha * buckets
+    val denomR = rt + alpha * buckets
+    Array.tabulate(buckets) { b =>
+      val pT = (tc.getOrElse(b.toLong, 0L) + alpha) / denomT
+      val pR = (rc.getOrElse(b.toLong, 0L) + alpha) / denomR
+      math.log(pT / pR)
+    }
+  }
+
+  /** The fused per-document importance score as a Column. */
+  def scoreColumn(textCol: Column, logWeights: Array[Double],
+      n: Int = DefaultN, buckets: Int = DefaultBuckets): Column =
+    Bridge.column(graft.expressions.DsirScore(
+      Bridge.composedExpression(textCol), n, buckets, logWeights))
+
+  /** Top-k raw documents by target-likeness: fits weights on
+    * (target, raw), scores raw with the fused kernel, keeps the k best by
+    * (score DESC, id ASC). Output: (idCol, score DOUBLE), best first. */
+  def select(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      k: Int, n: Int = DefaultN, buckets: Int = DefaultBuckets,
+      alpha: Double = 1.0): DataFrame = {
+    val w = fitWeights(target, raw, textCol, n, buckets, alpha)
+    raw.where(col(textCol).isNotNull)
+      .select(col(idCol), scoreColumn(col(textCol), w, n, buckets).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}
