@@ -106,6 +106,14 @@ final class SparseBitmap(maxContainers: Int) {
     lastHi = Long.MinValue
     lastBlock = null
     other.strays.foreach(k => add(k, strayTolerant))
+    // Overflow-intolerant (semi-join) mode must poison PAST-CAP MERGES,
+    // not just past-cap tasks: with probe keys CLUSTERED per task (sorted
+    // layouts) no single task overflows, but a reducer merging disjoint
+    // container sets would otherwise grow without bound — the driver's
+    // containerCount check would never run because eval/serialize dies
+    // first. The result is discarded on fallback anyway, so poisoning
+    // here costs nothing.
+    if (!strayTolerant && n > maxContainers) overflowed = true
   }
 
   /** Merge-side insert: blocks are accepted past the cap (see class doc). */
@@ -183,10 +191,20 @@ final class SparseBitmap(maxContainers: Int) {
   }
 
   def serialize: Array[Byte] = {
+    // A poisoned buffer's content is discarded by every consumer — ship
+    // only the flag, never the (possibly past-cap) blocks.
+    if (overflowed) return Array[Byte](1)
     val strayN = strays.size
-    val bytes = new Array[Byte](1 + 4 + n * (8 + 8192) + 8 + strayN.toInt * 8)
+    // Size the array in LONG arithmetic: n × 8200 overflows Int at ~262k
+    // containers (a 2 GB byte array is the JVM line anyway) — fail with a
+    // diagnosis instead of a NegativeArraySizeException deep in a task.
+    val size = 1L + 4 + n.toLong * (8 + 8192) + 8 + strayN * 8
+    require(size <= Int.MaxValue, s"SparseBitmap too large to serialize: " +
+      s"$n containers + $strayN strays = $size bytes (bitmap counting is " +
+      "the wrong structure past ~260k containers — use the set path)")
+    val bytes = new Array[Byte](size.toInt)
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put(if (overflowed) 1.toByte else 0.toByte)
+    bb.put(0.toByte)
     bb.putInt(n)
     var i = 0
     while (i < n) {
@@ -206,6 +224,7 @@ object SparseBitmap {
     val sb = new SparseBitmap(maxContainers)
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     sb.overflowed = bb.get() == 1
+    if (sb.overflowed) return sb // flag-only form (serialize ships no content)
     val n = bb.getInt()
     if (n > 0) {
       sb.his = new Array[Long](n)
@@ -299,16 +318,27 @@ case class BitmapDistinctAgg(
  * probe side's keys into a [[SparseBitmap]] WITHOUT the separate container-
  * discovery job the r11 KeyBitmapAgg needed (kept-side scan → collect →
  * second job). Containers self-discover; a task that exceeds the cap
- * poisons its partial (overflow), the driver sees it and falls back to the
- * distinct + semi/anti plan. Emits the serialized sparse buffer (BINARY);
- * NULL keys are skipped, matching EXISTS.
+ * poisons its partial (overflow), and so does a reducer MERGE that crosses
+ * it — the driver sees the flag and falls back. Emits the serialized
+ * sparse buffer (BINARY); NULL keys are skipped, matching EXISTS.
+ *
+ * `allowed` (sorted container highs) restricts discovery to a KNOWN
+ * domain — the retry tier for the compact-kept/scattered-probe regime:
+ * probe keys in absent containers are SKIPPED (they cannot match a kept
+ * key, exactly the r11 semantics), so with `allowed.size ≤ cap` overflow
+ * is impossible and the bitmap stays kept-domain-sized no matter how
+ * scattered the probe is.
  */
 case class SparseKeyBitmapAgg(
     child: Expression,
     maxContainers: Int,
+    allowed: Option[IndexedSeq[Long]] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SparseBitmap] with UnaryLike[Expression] {
+
+  @transient private lazy val allowedArr: Array[Long] =
+    allowed.map(_.toArray).orNull
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -324,7 +354,13 @@ case class SparseKeyBitmapAgg(
 
   override def update(buf: SparseBitmap, input: InternalRow): SparseBitmap = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long], strayTolerant = false)
+    if (v != null) {
+      val k = v.asInstanceOf[Long]
+      if (allowedArr == null ||
+          java.util.Arrays.binarySearch(allowedArr, k >> 16) >= 0) {
+        buf.add(k, strayTolerant = false)
+      }
+    }
     buf
   }
 

@@ -54,15 +54,23 @@ object Vss {
   val DefaultBroadcastQueryMaxBytes: Long = 4L << 30
 
   /** The broadcast hint for the bounded query side of the brute-force
-    * cross joins, guarded by [[BroadcastQueryMaxBytesKey]]. Unknown stats
-    * (local relations, estimation failure) keep the hint: such frames are
-    * driver-resident and therefore broadcast-sized by construction. */
+    * cross joins, guarded by [[BroadcastQueryMaxBytesKey]]. UNKNOWN stats
+    * keep the hint (pre-guard behavior): that covers both estimation
+    * failure AND leaves that report Spark's unknown-size sentinel
+    * (`spark.sql.defaultSizeInBytes` = Long.MaxValue — LogicalRDD,
+    * createDataFrame frames). Such frames are driver-resident or
+    * deliberately hinted by the caller; treating the sentinel as "too
+    * big" would silently drop the hint exactly where the r11 BNLJ
+    * build-side trap bites hardest. Only a MEASURED leaf sum above the
+    * ceiling skips the hint. */
   private def broadcastQuery(df: DataFrame): DataFrame = {
     val max = graft.spark.ExecTuning.confLong(df.sparkSession,
       BroadcastQueryMaxBytesKey, DefaultBroadcastQueryMaxBytes)
     val est = try Some(graft.spark.ExecTuning.inputBytes(df))
       catch { case _: Exception => None }
-    if (max > 0 && est.forall(_ <= BigInt(max))) broadcast(df) else df
+    val unknown = est.forall(_ >= BigInt(Long.MaxValue) / 4)
+    if (max > 0 && (unknown || est.forall(_ <= BigInt(max)))) broadcast(df)
+    else df
   }
 
   /**

@@ -21,17 +21,23 @@ import org.apache.spark.sql.graftbridge.Bridge
  * is containers × 8 KiB REGARDLESS of row count, and the join collapses
  * to a broadcast byte array + one codegen'd bit test per kept-side row.
  *
- * ONE job builds it (r12; the r11 shape needed a separate kept-side
- * container-discovery job first — one of q9's four job boundaries):
- * containers self-discover inside the aggregate as probe keys arrive. The
- * speculation is bounded — a task that sees more than the container cap
- * poisons its partial, the driver detects overflow (or a past-cap merged
- * union) and falls back to the distinct + semi/anti join. The scattered-
- * key regime therefore pays one wasted probe-side pass where r11's
- * discovery aborted before it; that regime's real cost is the fallback
- * join itself, and `maxBitmapBits=0` turns speculation off for callers
- * who know their keys are scattered. Both paths are value-identical
- * (spec: random keys + nulls + out-of-domain probes, both paths).
+ * Three tiers, cheapest first, all value-identical (spec: random keys +
+ * nulls + out-of-domain probes on every path):
+ *
+ *  1. SPECULATIVE one-job build (r12; the r11 shape needed a separate
+ *     kept-side container-discovery job first — one of q9's four job
+ *     boundaries): containers self-discover inside the aggregate as probe
+ *     keys arrive, bounded — a task past the cap poisons its partial, and
+ *     so does a past-cap reducer merge.
+ *  2. On overflow, the KEPT-DOMAIN retry: one bounded kept-side discovery
+ *     job, then the build rerun restricted to those containers (probe keys
+ *     in absent containers cannot match — skipped in-aggregate and
+ *     range-pruned at the scan; overflow impossible). This serves the
+ *     compact-kept / scattered-probe regime the speculation cannot.
+ *  3. Distinct + semi/anti join — the general shape, for scattered keys
+ *     on BOTH sides (that regime's real cost is this join itself; the
+ *     wasted speculative pass is the price of tier 1 being one job, and
+ *     `maxBitmapBits=0` opts straight out for callers who know).
  *
  * NULL semantics match SQL EXISTS exactly on both paths: a null kept-side
  * key never matches (dropped by `exists`, kept by `notExists`); null
@@ -65,7 +71,11 @@ object SemiJoins {
     * and string '012' must not match '12'; those run the fallback, which
     * joins on the raw types. */
   private def integral(df: DataFrame, key: String): Boolean =
-    df.schema(key).dataType match {
+    // Resolve through the analyzer (df.select(col(key))), not a direct
+    // StructType lookup: schema(key) is CASE-SENSITIVE, so a key spelling
+    // that Spark's default case-insensitive resolution accepts everywhere
+    // else would throw here before either join path ran.
+    df.select(col(key)).schema.head.dataType match {
       case org.apache.spark.sql.types.ByteType
          | org.apache.spark.sql.types.ShortType
          | org.apache.spark.sql.types.IntegerType
@@ -83,48 +93,79 @@ object SemiJoins {
     // the driver-held byte array sane.
     val maxContainers = (maxBits >>> 16).min(1L << 15).toInt
     val lk = col(leftKey).cast("long")
+
+    /** The build job: fold the probe side's keys into per-task sparse
+      * bitmaps and bring the merged result to the driver — the probe
+      * filter then carries the bytes as a task-binary reference object
+      * instead of reading (= copying) a binary COLUMN per row (see
+      * BitmapContains' scaladoc for the 20 s lesson). A bare global agg
+      * would funnel every map task's partial through ONE reducer (a
+      * million-task 100 TB scan pushes ~a terabyte through it), so
+      * partials group by partition-id mod `groups` and the driver ORs the
+      * handful of sparse results; `groups` is sized so the driver-collect
+      * worst case (groups × cap × 8 KiB — partials are usually far
+      * smaller) stays ≤ 256 MB at every conf setting (8 at the default
+      * 4096-container cap). Returns None on overflow (any task OR merge
+      * past the cap); an empty probe side is a valid all-unset bitmap.
+      * `allowed` restricts discovery to known kept-side containers (the
+      * retry tier — overflow then impossible). */
+    def buildBitmap(allowed: Option[IndexedSeq[Long]])
+        : Option[(IndexedSeq[Long], Array[Byte])] = {
+      val groups: Int =
+        ((256L << 20) / (maxContainers.toLong << 13)).max(1L).min(32L).toInt
+      val probe = allowed match {
+        case Some(cs) =>
+          // Pushed range bounds: probes outside the outermost kept
+          // containers can't match and never leave the scan (r11 shape).
+          right.where(col(rightKey).isNotNull)
+            .select(col(rightKey).cast("long").as("_sj_k"))
+            .where(col("_sj_k") >= (cs.head << 16) &&
+              col("_sj_k") <= ((cs.last << 16) | 0xFFFFL))
+        case None =>
+          right.where(col(rightKey).isNotNull)
+            .select(col(rightKey).cast("long").as("_sj_k"))
+      }
+      val partialsDf = probe
+        .groupBy((spark_partition_id() % groups).as("_sj_g"))
+        .agg(Bridge.column(graft.aggregates.SparseKeyBitmapAgg(
+          Bridge.composedExpression(col("_sj_k")), maxContainers, allowed)
+          .toAggregateExpression()).as("_sj_bm"))
+        .select(col("_sj_bm"))
+      // Construction-time job: run it under the same sized-split policy
+      // the caller's later action would apply (the rddBarrier lesson —
+      // eager work escapes the action-scoped conf wrap otherwise).
+      val partials =
+        graft.spark.ExecTuning.withSizedAqe(partialsDf)(partialsDf.collect())
+      val merged = new graft.aggregates.SparseBitmap(maxContainers)
+      partials.foreach { row =>
+        merged.merge(graft.aggregates.SparseBitmap.deserialize(
+          row.getAs[Array[Byte]](0), maxContainers), strayTolerant = false)
+      }
+      if (merged.isOverflowed || merged.containerCount > maxContainers) None
+      else Some(merged.toDense)
+    }
+
+    /** Retry tier for the compact-kept / scattered-probe regime the
+      * speculative pass cannot serve (probe keys in containers the kept
+      * side never occupies force its cap): ONE bounded job discovers the
+      * KEPT side's containers (distinct highs, limit cap+1 — ≤ cap+1 longs
+      * ever reach the driver; over-limit means the kept side itself is
+      * scattered → fall through), then the build reruns restricted to
+      * them, where overflow is impossible and out-of-domain probe keys are
+      * skipped/range-pruned — the r11 two-job shape, now the RARE path. */
+    def keptDomainRetry(): Option[(IndexedSeq[Long], Array[Byte])] = {
+      val disc = left.where(lk.isNotNull)
+        .select(shiftright(lk, 16).as("_sj_c")).distinct()
+        .limit(maxContainers + 1)
+      val rows = graft.spark.ExecTuning.withSizedAqe(disc)(disc.collect())
+      if (rows.isEmpty || rows.length > maxContainers) None
+      else buildBitmap(Some(rows.map(_.getLong(0)).sorted.toIndexedSeq))
+    }
+
     val built: Option[(IndexedSeq[Long], Array[Byte])] =
       if (maxContainers <= 0 ||
           !integral(left, leftKey) || !integral(right, rightKey)) None
-      else {
-        // The ONE build job: fold the probe side's keys into per-task
-        // sparse bitmaps and bring the merged result to the driver — the
-        // probe filter then carries the bytes as a task-binary reference
-        // object instead of reading (= copying) a binary COLUMN per row
-        // (see BitmapContains' scaladoc for the 20 s lesson). A bare
-        // global agg would funnel every map task's partial through ONE
-        // reducer (a million-task 100 TB scan pushes ~a terabyte through
-        // it), so partials group by partition-id mod `groups` and the
-        // driver ORs the handful of sparse results. `groups` is sized so
-        // the driver-collect worst case (groups × cap × 8 KiB — partials
-        // are usually far smaller) stays ≤ 256 MB at every conf setting:
-        // 8 at the default 4096-container cap.
-        val groups: Int =
-          ((256L << 20) / (maxContainers.toLong << 13)).max(1L).min(32L).toInt
-        val partialsDf = right
-          .where(col(rightKey).isNotNull)
-          .select(col(rightKey).cast("long").as("_sj_k"))
-          .groupBy((spark_partition_id() % groups).as("_sj_g"))
-          .agg(Bridge.column(graft.aggregates.SparseKeyBitmapAgg(
-            Bridge.composedExpression(col("_sj_k")), maxContainers)
-            .toAggregateExpression()).as("_sj_bm"))
-          .select(col("_sj_bm"))
-        // Construction-time job: run it under the same sized-split policy
-        // the caller's later action would apply (the rddBarrier lesson —
-        // eager work escapes the action-scoped conf wrap otherwise).
-        val partials =
-          graft.spark.ExecTuning.withSizedAqe(partialsDf)(partialsDf.collect())
-        val merged = new graft.aggregates.SparseBitmap(maxContainers)
-        partials.foreach { row =>
-          merged.merge(graft.aggregates.SparseBitmap.deserialize(
-            row.getAs[Array[Byte]](0), maxContainers), strayTolerant = false)
-        }
-        // Overflow (any task past the cap) or a past-cap merged union =
-        // scattered keys: fall back. An empty probe side is a valid
-        // all-bits-unset bitmap.
-        if (merged.isOverflowed || merged.containerCount > maxContainers) None
-        else Some(merged.toDense)
-      }
+      else buildBitmap(None).orElse(keptDomainRetry())
     built match {
       case Some((cs, bmBytes)) =>
         val contains = coalesce(

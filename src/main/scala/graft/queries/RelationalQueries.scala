@@ -237,8 +237,18 @@ object RelationalQueries {
       // multi-file buckets can't be trusted; ours are single-file by
       // construction): the fact join then plans as a SORT-FREE merge join,
       // measured faster than the per-bucket hash build (fused-stage wall
-      // 1.48 s vs 2.19 s at sf10). Session-scoped; the ensure tables are
-      // the only bucketed reads in the suite.
+      // 1.48 s vs 2.19 s at sf10).
+      //
+      // DELIBERATE SESSION-WIDE SIDE EFFECT, stated blast radius: the
+      // conf changes plans ONLY for bucketed-table scans, and the only
+      // bucketed tables any graft session reads are ensureBucketed's own
+      // (repartition-then-write ⇒ exactly one sorted file per bucket, so
+      // the advertised ordering genuinely holds — the multi-file hazard
+      // the default guards against cannot arise here). It cannot be
+      // scoped to this plan: Spark reads it at PLANNING time, which
+      // happens at the caller's action, after this function returns. A
+      // host application with its own multi-file bucketed tables should
+      // run this gate in a separate session or re-disable the conf.
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("smj")
       s.table(liT).select(col("l_orderkey"),

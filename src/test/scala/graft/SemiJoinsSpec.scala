@@ -139,6 +139,53 @@ class SemiJoinsSpec extends SparkSuite {
     } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
   }
 
+  test("compact kept side + scattered probe lands on the kept-domain retry, exactly") {
+    // Kept keys in 2 containers; probe keys scattered over ~60 containers
+    // (2^20 apart). Cap = 4 containers: the speculative build overflows,
+    // the retry discovers the kept domain and serves it — results must
+    // match Spark's joins exactly, including the out-of-domain probes.
+    val l = (Seq(1L, 2L, 70000L).map(Some(_)) ++ Seq(None: Option[Long]))
+      .zipWithIndex.map { case (k, i) => (k, s"k$i") }.toDF("k", "tag")
+    val r = ((0 until 60).map(i => i.toLong << 20) ++ Seq(2L, 70000L))
+      .map(Some(_)).toDF("rk")
+    spark.conf.set(SemiJoins.MaxBitmapBitsKey, (4L << 16).toString)
+    try {
+      val ex = tags(SemiJoins.exists(l, "k", r, "rk"))
+      val exSpark = tags(l.join(r, col("k") === col("rk"), "left_semi"))
+      assert(ex == exSpark && ex == Seq("k1", "k2"))
+      assert(tags(SemiJoins.notExists(l, "k", r, "rk")) ==
+        tags(l.join(r, col("k") === col("rk"), "left_anti")))
+    } finally spark.conf.unset(SemiJoins.MaxBitmapBitsKey)
+  }
+
+  test("SparseBitmap: a past-cap reducer merge poisons in overflow-intolerant mode") {
+    import graft.aggregates.SparseBitmap
+    // Two partials, each within the cap (2), whose union has 3 containers:
+    // the merged buffer must poison (the sorted-layout regime where no
+    // single task overflows).
+    val a = new SparseBitmap(2)
+    Seq(1L, 1L << 20).foreach(a.add(_, strayTolerant = false))
+    val b = new SparseBitmap(2)
+    Seq(1L << 40).foreach(b.add(_, strayTolerant = false))
+    assert(!a.isOverflowed && !b.isOverflowed)
+    a.merge(b, strayTolerant = false)
+    assert(a.isOverflowed)
+    // Stray-tolerant (distinct-count) mode accepts the same merge exactly.
+    val c = new SparseBitmap(2)
+    Seq(1L, 1L << 20).foreach(c.add(_, strayTolerant = true))
+    val d = new SparseBitmap(2)
+    Seq(1L << 40).foreach(d.add(_, strayTolerant = true))
+    c.merge(d, strayTolerant = true)
+    assert(!c.isOverflowed && c.distinctCount == 3)
+  }
+
+  test("case-insensitive key resolution reaches the bitmap path") {
+    val l = Seq((Some(1L), "a"), (Some(9L), "b")).toDF("k", "tag")
+    val r = Seq(Some(1L)).toDF("rk")
+    assert(tags(SemiJoins.exists(l, "K", r, "RK")) == Seq("a"))
+    assert(tags(SemiJoins.notExists(l, "K", r, "RK")) == Seq("b"))
+  }
+
   test("randomized equivalence across both paths") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 500).map(_ => (Some(rnd.nextInt(200).toLong - 100), "t"))
