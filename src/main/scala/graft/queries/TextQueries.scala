@@ -297,9 +297,8 @@ object TextQueries {
       // upgrades the gate to value-checked, and the FIT half is
       // independently oracle-exact above.
       digestPin(
-        graft.text.Dsir.select(
-          Tables.load(s, dir, "documents"),
-          Tables.load(s, dir, "documents").where(col("lang") === "en"),
+        graft.text.Dsir.selectWithin(
+          Tables.load(s, dir, "documents"), col("lang") === "en",
           "text", "doc_id", k = 20, n = 2, buckets = 512)
           .select(col("doc_id"), round(col("score"), 4).as("score")),
         Seq("doc_id", "score"))

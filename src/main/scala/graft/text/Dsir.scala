@@ -52,8 +52,30 @@ object Dsir {
     def counts(df: DataFrame): Map[Long, Long] =
       bucketCounts(df, textCol, n, buckets).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val tc = counts(target)
-    val rc = counts(raw)
+    weightsFromCounts(counts(target), counts(raw), buckets, alpha)
+  }
+
+  /** [[fitWeights]] for the labeled-subset case (target = rows of `raw`
+    * matching `targetFilter`): ONE featurize+count pass with a conditional
+    * target count, instead of two corpus scans. Identical weights. */
+  def fitWeightsWithin(raw: DataFrame, targetFilter: Column, textCol: String,
+      n: Int = DefaultN, buckets: Int = DefaultBuckets,
+      alpha: Double = 1.0): Array[Double] = {
+    val rows = raw.where(col(textCol).isNotNull)
+      .select(targetFilter.as("_t"),
+        explode(Bridge.column(graft.expressions.DsirBuckets(
+          Bridge.composedExpression(col(textCol)), n, buckets))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rn"),
+        count(when(col("_t"), 1)).as("tn"))
+      .collect()
+    val tc = rows.map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rc = rows.map(r => (r.getLong(0), r.getLong(1))).toMap
+    weightsFromCounts(tc, rc, buckets, alpha)
+  }
+
+  private def weightsFromCounts(tc: Map[Long, Long], rc: Map[Long, Long],
+      buckets: Int, alpha: Double): Array[Double] = {
     val tt = tc.values.sum.toDouble
     val rt = rc.values.sum.toDouble
     val denomT = tt + alpha * buckets
@@ -76,11 +98,23 @@ object Dsir {
     * (score DESC, id ASC). Output: (idCol, score DOUBLE), best first. */
   def select(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
       k: Int, n: Int = DefaultN, buckets: Int = DefaultBuckets,
-      alpha: Double = 1.0): DataFrame = {
-    val w = fitWeights(target, raw, textCol, n, buckets, alpha)
+      alpha: Double = 1.0): DataFrame =
+    selectScored(raw, fitWeights(target, raw, textCol, n, buckets, alpha),
+      textCol, idCol, k, n, buckets)
+
+  /** [[select]] for the labeled-subset case — one fit pass, identical
+    * weights (see [[fitWeightsWithin]]). */
+  def selectWithin(raw: DataFrame, targetFilter: Column, textCol: String,
+      idCol: String, k: Int, n: Int = DefaultN, buckets: Int = DefaultBuckets,
+      alpha: Double = 1.0): DataFrame =
+    selectScored(raw,
+      fitWeightsWithin(raw, targetFilter, textCol, n, buckets, alpha),
+      textCol, idCol, k, n, buckets)
+
+  private def selectScored(raw: DataFrame, w: Array[Double], textCol: String,
+      idCol: String, k: Int, n: Int, buckets: Int): DataFrame =
     raw.where(col(textCol).isNotNull)
       .select(col(idCol), scoreColumn(col(textCol), w, n, buckets).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-  }
 }

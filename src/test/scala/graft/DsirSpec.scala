@@ -73,6 +73,14 @@ class DsirSpec extends SparkSuite {
     assert(picked == (1L to 10L).toSet) // exactly the target-like docs
   }
 
+  test("fitWeightsWithin (one-pass labeled-subset fit) equals fitWeights exactly") {
+    val raw = ((1L to 5L).map(i => (i, s"alpha beta doc$i", true)) ++
+      (6L to 12L).map(i => (i, s"uno dos doc$i", false))).toDF("id", "text", "isT")
+    val twoPass = Dsir.fitWeights(raw.where(col("isT")), raw, "text", buckets = 53)
+    val onePass = Dsir.fitWeightsWithin(raw, col("isT"), "text", buckets = 53)
+    assert(twoPass.toSeq == onePass.toSeq) // same doubles, bit-exact
+  }
+
   test("dsir_buckets SQL surface parses with and without literal args") {
     Seq((1L, "a b c")).toDF("id", "text").createOrReplaceTempView("dsir_t")
     val n3 = spark.sql("SELECT size(dsir_buckets(text)) AS n FROM dsir_t")
