@@ -23,7 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object DsirKernel {
 
-  /** md5_number_upper(bytes[from, to)) % buckets, unsigned — see class doc. */
+  /** md5_number_upper(bytes[from, to)) % buckets, unsigned — see class
+    * doc. Shared with [[BucketLmKernel]]. */
+  private[expressions] def bucketOf(d: java.security.MessageDigest,
+      bytes: Array[Byte], from: Int, to: Int, buckets: Long): Long =
+    bucket(d, bytes, from, to, buckets)
+
   private def bucket(d: java.security.MessageDigest, bytes: Array[Byte],
       from: Int, to: Int, buckets: Long): Long = {
     d.reset()
@@ -70,6 +75,88 @@ object DsirKernel {
     }
     sum
   }
+}
+
+/**
+ * Hashed-bucket bigram LM scorer with stupid backoff (Brants et al. 2007)
+ * — the per-document kernel behind [[graft.text.BucketLm]]'s
+ * CCNet-style perplexity filter. For each position i ≥ 1:
+ *
+ *   cBi = bi(bucket(tokᵢ₋₁ ⧺ ' ' ⧺ tokᵢ)); cPre = uni(bucket(tokᵢ₋₁))
+ *   logp += if (cBi > 0 && cPre > 0) ln(cBi / cPre)
+ *           else ln(backoff × (uni(bucket(tokᵢ)) + 1) / (total + buckets))
+ *
+ * and the result is the MEAN log prob (null for docs with < 2 tokens —
+ * no predictions). Hash-bucket collisions conflate counts (a ratio can
+ * even exceed 1), which is inherent to hashed LMs and harmless for
+ * ranking; the cPre > 0 guard covers the bigram-collision-with-unseen-
+ * prefix corner exactly. Buckets use the same md5_number_upper contract
+ * as [[DsirKernel]]. Count tables ride the task binary.
+ */
+object BucketLmKernel {
+  def meanLogProb(s: UTF8String, buckets: Long, uni: Array[Long],
+      bi: Array[Long], total: Long, backoff: Double): Double = {
+    val bytes = s.getBytes
+    val (starts, nTok) = TextHash.tokenBoundaries(bytes)
+    if (nTok < 2) return Double.NaN // mapped to null by the expression
+    val d = TextHash.md5Digest.get()
+    var lp = 0.0
+    var i = 1
+    while (i < nTok) {
+      val preFrom = starts(i - 1)
+      val preTo = starts(i) - 1 // the space before token i
+      val wFrom = starts(i)
+      val wTo = if (i + 1 == nTok) bytes.length else starts(i + 1) - 1
+      val cBi = bi(DsirKernel.bucketOf(d, bytes, preFrom, wTo, buckets).toInt)
+      val cPre = uni(DsirKernel.bucketOf(d, bytes, preFrom, preTo, buckets).toInt)
+      lp +=
+        (if (cBi > 0 && cPre > 0) math.log(cBi.toDouble / cPre)
+         else math.log(backoff *
+           (uni(DsirKernel.bucketOf(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
+           (total + buckets)))
+      i += 1
+    }
+    lp / (nTok - 1)
+  }
+}
+
+/** Mean token log-probability under a fitted [[graft.text.BucketLm]]
+  * model; null for docs with no bigram predictions. */
+case class BucketLmLogProb(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    buckets: Int, uni: Array[Long], bi: Array[Long], total: Long,
+    backoff: Double)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(uni.length == buckets && bi.length == buckets,
+    s"count tables must have $buckets entries")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bucket_lm_log_prob"
+
+  override def nullSafeEval(s: Any): Any = {
+    val v = BucketLmKernel.meanLogProb(s.asInstanceOf[UTF8String],
+      buckets.toLong, uni, bi, total, backoff)
+    if (v.isNaN) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("lmUni", uni, "long[]")
+    val b = ctx.addReferenceObj("lmBi", bi, "long[]")
+    val value = ctx.freshName("lmLp")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""double $value = graft.expressions.BucketLmKernel.meanLogProb(
+         |  $c, ${buckets}L, $u, $b, ${total}L, $backoff);
+         |if (Double.isNaN($value)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $value; }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BucketLmLogProb =
+    copy(child = newChild)
 }
 
 /** `dsir_buckets(text, n, buckets)` — the fit-side featurizer (explode +

@@ -303,6 +303,27 @@ object TextQueries {
           .select(col("doc_id"), round(col("score"), 4).as("score")),
         Seq("doc_id", "score"))
     }),
+    "doc_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style perplexity filter end-to-end: a hashed-bucket bigram
+      // LM fits on the 'en' reference slice, every doc scores under it
+      // (fused kernel), and the gate keeps the 20 most reference-like
+      // (lowest perplexity; ties broken by doc_id). Digest-pinned like
+      // doc_dsir_select: the score path divides counts and takes ln(),
+      // which no SQL oracle reproduces bit-portably; the hashed-count FIT
+      // machinery is oracle-exact via doc_dsir_weights (same featurizer),
+      // and the backoff math is hand-pinned in BucketLmSpec.
+      val d = Tables.load(s, dir, "documents")
+      val m = graft.text.BucketLm.fit(d.where(col("lang") === "en"), "text",
+        buckets = 4096)
+      digestPin(
+        d.select(col("doc_id"),
+            graft.text.BucketLm.perplexityColumn(col("text"), m).as("ppl"))
+          .where(col("ppl").isNotNull)
+          .orderBy(col("ppl"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
+        Seq("doc_id", "ppl"))
+    }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark
       // set; the rest is the corpus. Broadcast-joined distinct-shingle
@@ -1005,6 +1026,12 @@ object TextQueries {
     // digest-pinned (ln() is not bit-portable across engines); constants
     // computed from the sf0.01 fixture — re-pin from the gate's Verify
     // output on fixture regen, like the pins below.
+    "doc_lm_perplexity" ->
+      """SELECT CAST(20 AS BIGINT) AS n,
+           CAST(1998330214 AS BIGINT) AS d1,
+           CAST(48997339757 AS BIGINT) AS d2,
+           CAST(-3968965756 AS BIGINT) AS d3,
+           CAST(38786625351 AS BIGINT) AS d4""",
     "doc_dsir_select" ->
       """SELECT CAST(20 AS BIGINT) AS n,
            CAST(8020387378 AS BIGINT) AS d1,
