@@ -44,7 +44,11 @@ FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
     "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
     "doc_chunk_dedup", "doc_pack_sequences", "doc_pack_emit",
     # round-8 late additions, same-algorithm on both engines:
-    "doc_substr_dedup", "emb_kmeans"])
+    "doc_substr_dedup", "emb_kmeans",
+    # round-12: DSIR fit (hashed-ngram counts + integer weights, exact
+    # replay both sides). The select/perplexity gates are digest-pinned
+    # (constant-SELECT oracles) — never fair, do not add them.
+    "doc_dsir_weights"])
 
 
 def probe():
