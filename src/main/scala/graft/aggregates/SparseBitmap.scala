@@ -74,6 +74,22 @@ final class SparseBitmap(maxContainers: Int) {
     b
   }
 
+  /** [[add]] restricted to an allowed container set (sorted highs): keys
+    * in absent containers are silently skipped. The binary search runs
+    * only on a container CHANGE — a block cached from the previous row
+    * proves its container allowed (blocks only exist for allowed
+    * containers on this path), so clustered/sorted key streams pay one
+    * compare per row, matching add()'s own locality cache. */
+  def addIfAllowed(key: Long, allowed: Array[Long]): Unit = {
+    val hi = key >> 16
+    if (hi == lastHi && lastBlock != null) {
+      val lo = (key & 0xFFFF).toInt
+      lastBlock(lo >>> 6) |= 1L << (lo & 63)
+    } else if (java.util.Arrays.binarySearch(allowed, hi) >= 0) {
+      add(key, strayTolerant = false)
+    }
+  }
+
   def add(key: Long, strayTolerant: Boolean): Unit = {
     if (overflowed) return
     val hi = key >> 16
@@ -356,10 +372,8 @@ case class SparseKeyBitmapAgg(
     val v = child.eval(input)
     if (v != null) {
       val k = v.asInstanceOf[Long]
-      if (allowedArr == null ||
-          java.util.Arrays.binarySearch(allowedArr, k >> 16) >= 0) {
-        buf.add(k, strayTolerant = false)
-      }
+      if (allowedArr == null) buf.add(k, strayTolerant = false)
+      else buf.addIfAllowed(k, allowedArr)
     }
     buf
   }

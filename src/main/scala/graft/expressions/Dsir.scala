@@ -24,13 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object DsirKernel {
 
   /** md5_number_upper(bytes[from, to)) % buckets, unsigned — see class
-    * doc. Shared with [[BucketLmKernel]]. */
-  private[expressions] def bucketOf(d: java.security.MessageDigest,
-      bytes: Array[Byte], from: Int, to: Int, buckets: Long): Long =
-    bucket(d, bytes, from, to, buckets)
-
-  private def bucket(d: java.security.MessageDigest, bytes: Array[Byte],
-      from: Int, to: Int, buckets: Long): Long = {
+    * doc. Shared with [[BucketLmKernel]] (byte-identical hash contract). */
+  private[expressions] def bucket(d: java.security.MessageDigest,
+      bytes: Array[Byte], from: Int, to: Int, buckets: Long): Long = {
     d.reset()
     d.update(bytes, from, to - from)
     val out = d.digest()
@@ -107,12 +103,12 @@ object BucketLmKernel {
       val preTo = starts(i) - 1 // the space before token i
       val wFrom = starts(i)
       val wTo = if (i + 1 == nTok) bytes.length else starts(i + 1) - 1
-      val cBi = bi(DsirKernel.bucketOf(d, bytes, preFrom, wTo, buckets).toInt)
-      val cPre = uni(DsirKernel.bucketOf(d, bytes, preFrom, preTo, buckets).toInt)
+      val cBi = bi(DsirKernel.bucket(d, bytes, preFrom, wTo, buckets).toInt)
+      val cPre = uni(DsirKernel.bucket(d, bytes, preFrom, preTo, buckets).toInt)
       lp +=
         (if (cBi > 0 && cPre > 0) math.log(cBi.toDouble / cPre)
          else math.log(backoff *
-           (uni(DsirKernel.bucketOf(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
+           (uni(DsirKernel.bucket(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
            (total + buckets)))
       i += 1
     }

@@ -158,8 +158,14 @@ object SemiJoins {
         .select(shiftright(lk, 16).as("_sj_c")).distinct()
         .limit(maxContainers + 1)
       val rows = graft.spark.ExecTuning.withSizedAqe(disc)(disc.collect())
-      if (rows.isEmpty || rows.length > maxContainers) None
-      else buildBitmap(Some(rows.map(_.getLong(0)).sorted.toIndexedSeq))
+      if (rows.length > maxContainers) None
+      else if (rows.isEmpty) {
+        // No non-null kept keys: the answer is known without touching the
+        // probe side at all — an all-unset bitmap (exists drops every row,
+        // notExists keeps them; null kept keys behave as in SQL on the
+        // probe filter either way).
+        Some((IndexedSeq.empty[Long], Array.empty[Byte]))
+      } else buildBitmap(Some(rows.map(_.getLong(0)).sorted.toIndexedSeq))
     }
 
     val built: Option[(IndexedSeq[Long], Array[Byte])] =

@@ -265,8 +265,13 @@ object TextQueries {
       // DSIR fit, oracle-EXACT: per-bucket hashed-bigram counts over
       // target (lang = 'en') vs raw (all docs), and the importance weight
       // in integer parts-per-million — ((tn+1)(rt+B)·10⁶) div ((rn+1)(tt+B)),
-      // exact in both engines (Spark `div` = DuckDB `//` = Java /; factors
-      // bounded well under 2⁶³ at gate scales). The bucket hash is the
+      // exact in both engines. The products run in 128-bit exact space on
+      // BOTH sides (Spark DECIMAL(38,0) `div`, DuckDB HUGEINT `//`):
+      // tn·rt scales QUADRATICALLY with corpus size, and the measured
+      // sf10 headroom to 2⁶³ was only ~4× — one more derived-scale step
+      // would have wrapped a bare long multiply silently under non-ANSI
+      // Spark while DuckDB stayed exact (r12 review finding). DECIMAL(38)
+      // holds corpora to ~1e16 n-grams. The bucket hash is the
       // cross-engine contract: md5 first-8-bytes little-endian unsigned
       // mod B = DuckDB's md5_number_upper(g) % B — see DsirKernel. B = 512
       // keeps the weights informative on the fixture while bounding the
@@ -283,7 +288,8 @@ object TextQueries {
         .na.fill(0L, Seq("tn"))
         .crossJoin(broadcast(tot))
         .select(col("bucket"), col("tn").as("target_n"), col("rn").as("raw_n"),
-          expr(s"((tn + 1) * (rt + $B) * 1000000) div ((rn + 1) * (tt + $B))")
+          expr(s"""CAST((CAST(tn + 1 AS DECIMAL(38,0)) * (rt + $B) * 1000000)
+                   div (CAST(rn + 1 AS DECIMAL(38,0)) * (tt + $B)) AS BIGINT)""")
             .as("weight_ppm"))
         .orderBy("bucket")
     }),
@@ -1019,8 +1025,8 @@ object TextQueries {
          tot AS (SELECT (SELECT sum(tn) FROM tc) AS tt,
                         (SELECT sum(rn) FROM rc) AS rt)
          SELECT r.bucket, coalesce(t.tn, 0) AS target_n, r.rn AS raw_n,
-           CAST(((coalesce(t.tn, 0) + 1) * (rt + 512) * 1000000)
-                // ((r.rn + 1) * (tt + 512)) AS BIGINT) AS weight_ppm
+           CAST((CAST(coalesce(t.tn, 0) + 1 AS HUGEINT) * (rt + 512) * 1000000)
+                // (CAST(r.rn + 1 AS HUGEINT) * (tt + 512)) AS BIGINT) AS weight_ppm
          FROM rc r LEFT JOIN tc t USING (bucket), tot
          ORDER BY r.bucket""",
     // digest-pinned (ln() is not bit-portable across engines); constants

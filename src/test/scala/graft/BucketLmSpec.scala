@@ -52,11 +52,54 @@ class BucketLmSpec extends SparkSuite {
     assert(kept == Set(1L, 4L))
   }
 
-  test("model is deterministic and fused scoring matches a two-step spelling") {
+  test("model fit is deterministic") {
     val ref = Seq("alpha beta gamma", "beta gamma delta").toDF("text")
     val m1 = BucketLm.fit(ref, "text", buckets = 1024)
     val m2 = BucketLm.fit(ref, "text", buckets = 1024)
     assert(m1.uni.toSeq == m2.uni.toSeq && m1.bi.toSeq == m2.bi.toSeq &&
       m1.total == m2.total)
+  }
+
+  test("fused kernel matches an independent reference implementation, incl. empty tokens") {
+    // Reference path reimplemented from the CONTRACT (md5_number_upper %
+    // B over split(' ') byte slices with empties kept + the backoff
+    // formula) — shares no code with the kernel.
+    def bucket(s: String, b: Long): Long = {
+      val out = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      var i = 7
+      while (i >= 0) { h = (h << 8) | (out(i) & 0xffL); i -= 1 }
+      java.lang.Long.remainderUnsigned(h, b)
+    }
+    def refLp(m: BucketLm.Model, doc: String): Option[Double] = {
+      val toks = doc.split(" ", -1)
+      if (toks.length < 2) return None
+      val lps = toks.sliding(2).map { case Array(a, b) =>
+        val cBi = m.bi(bucket(s"$a $b", m.buckets).toInt)
+        val cPre = m.uni(bucket(a, m.buckets).toInt)
+        if (cBi > 0 && cPre > 0) math.log(cBi.toDouble / cPre)
+        else math.log(m.backoff * (m.uni(bucket(b, m.buckets).toInt) + 1.0) /
+          (m.total + m.buckets))
+      }.toSeq
+      Some(lps.sum / lps.size)
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("aa", "bb", "cc", "", "dd") // "" = empty-token coverage
+    def doc() = (1 to 1 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val refCorpus = (1 to 20).map(_ => doc()).toDF("text")
+    val m = BucketLm.fit(refCorpus, "text", buckets = 257)
+    val docs = (1 to 40).map(i => (i.toLong, doc()))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), BucketLm.logProbColumn(col("text"), m).as("lp"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    docs.foreach { case (id, text) =>
+      val exp = refLp(m, text)
+      (got(id), exp) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"doc $id")
+        case (a, b) => assert(a == b, s"doc $id: $a vs $b")
+      }
+    }
   }
 }
