@@ -21,7 +21,7 @@ object BitmapKernel {
   def contains(bm: Array[Byte], key: Long, containers: Array[Long]): Boolean = {
     val idx = index(containers, key)
     idx >= 0 && idx < bm.length.toLong * 8 &&
-      (bm((idx >>> 3).toInt) & (1 << (idx & 7))) != 0
+      (bm((idx >>> 3).toInt) & (1 << (idx & 7).toInt)) != 0
   }
 }
 

@@ -302,6 +302,6 @@ object Vss {
           .select(col("_left"), col("matches"),
             explode(sequence(lit(1L), col("_n"))).as("_dup"))
     }
-    agged.select(leftCols.map(c => col(s"_left.$c")) :+ col("matches"): _*)
+    agged.select(leftCols.toIndexedSeq.map(c => col(s"_left.$c")) :+ col("matches"): _*)
   }
 }

@@ -269,6 +269,6 @@ object Cluster {
         struct(col("_km_h"), col(idCol)), perCluster).as("_km_ids"))
       .select(explode(col("_km_ids")).as(idCol))
     assigned.join(kept, Seq(idCol))
-      .select(df.columns.map(col) :+ col("cluster"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("cluster"): _*)
   }
 }

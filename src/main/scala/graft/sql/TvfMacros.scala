@@ -430,7 +430,7 @@ object TvfMacros {
     // side fresh ids so lateralTopK's dataset-column references stay
     // unambiguous. The redundant aliases are gone (RemoveRedundantAliases)
     // before the index-join rule pattern-matches the inner side.
-    def freshIds(df: DataFrame): DataFrame = df.toDF(df.columns: _*)
+    def freshIds(df: DataFrame): DataFrame = df.toDF(df.columns.toIndexedSeq: _*)
     Vss.lateralTopK(freshIds(table(spark, args(0), "lateral_topk outer")),
       freshIds(table(spark, args(1), "lateral_topk inner")),
       str(args(2), "lateral_topk outer_col"), str(args(3), "lateral_topk inner_col"),

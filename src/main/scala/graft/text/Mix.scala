@@ -148,7 +148,7 @@ object Mix {
         .where(col(cumCol) <= col("_mix_budget"))
         .select(col("_mix_k").as(keyCol), col(cumCol))
       df.join(kept, Seq(keyCol))
-        .select(df.columns.map(col) :+ col(cumCol): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col(cumCol): _*)
     } else {
       // Reuse the already-collected budgets — running localDims again
       // would re-execute the budgets plan (a full corpus aggregation when
@@ -254,7 +254,7 @@ object Mix {
         .where(col(cumCol) <= col("_mix_budget"))
         .select(col(keyCol), col(cumCol))
       df.join(kept, Seq(keyCol))
-        .select(df.columns.map(col) :+ col(cumCol): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col(cumCol): _*)
     } else {
       // Small trivial input: cumsum directly over the full rows, no
       // exchange — the grid aggregate and the window map each re-derive a
@@ -490,7 +490,7 @@ object Mix {
           Seq.empty, buckets, "_mix_cum"))
         .select(col(keyCol), col("seq_id"), col("seq_off"), col("n_seqs"))
       df.join(coords, Seq(keyCol))
-        .select(df.columns.map(col) ++ out.map(col): _*)
+        .select(df.columns.toIndexedSeq.map(col) ++ out.map(col): _*)
     } else {
       coordsOf(withCumWeight(df, keyCol,
           TextFunctions.tokenCount(df(textCol)).cast("long"),
