@@ -30,11 +30,19 @@ import org.apache.spark.sql.types._
  * container, so a one-entry (hi → block) cache short-circuits the binary
  * search. Merges OR blocks pairwise and re-add strays (a stray in one
  * partial may be a set bit in another — [[distinctCount]] skips such
- * double-covered strays, so the count stays exact). Merge accepts blocks
- * UNCONDITIONALLY (degrading a 64Ki-bit block into point strays could
- * expand 8 KiB into 1 MB); the cap therefore bounds per-TASK discovery,
- * while a merged buffer's container count is the true container count of
- * its group — the honest memory floor of bitmap counting.
+ * double-covered strays, so the count stays exact).
+ *
+ * Memory bound (stray-tolerant mode): a block is only KEPT when its
+ * popcount ≥ 512 — the break-even where 8 KiB of bitmap beats ~16 B/key
+ * of stray storage. [[demoteSparse]] converts below-break-even blocks to
+ * point strays whenever a merge lands past the container cap and before
+ * a partial is serialized, so dense blocks never expand and a buffer
+ * (task partial, wire partial, or reducer merge of T tasks' disjoint
+ * container sets) never exceeds
+ * max(cap × 8 KiB, denseContainers × 8 KiB) + strays × ~16 B — i.e. at
+ * most the cap allowance over the set path it replaces, on EVERY key
+ * distribution. (The r12 revision accepted merged blocks unconditionally,
+ * which on scattered domains let a reducer grow to T × cap × 8 KiB.)
  */
 final class SparseBitmap(maxContainers: Int) {
   private[aggregates] var n = 0
@@ -128,8 +136,52 @@ final class SparseBitmap(maxContainers: Int) {
     // container sets would otherwise grow without bound — the driver's
     // containerCount check would never run because eval/serialize dies
     // first. The result is discarded on fallback anyway, so poisoning
-    // here costs nothing.
-    if (!strayTolerant && n > maxContainers) overflowed = true
+    // here costs nothing. Stray-tolerant mode instead demotes sparse
+    // blocks past the cap (see class doc) — kept blocks are dense enough
+    // that the buffer is never asymptotically worse than a key set.
+    if (n > maxContainers) {
+      if (strayTolerant) demoteSparse() else overflowed = true
+    }
+  }
+
+  /** Demote every block below the break-even popcount (512 set bits:
+    * 512 strays × ~16 B = one 8 KiB block) to point strays. Exact — a
+    * demoted key counts identically via the stray path — and monotone:
+    * dense blocks are never expanded. Stray-tolerant consumers only
+    * (strays are illegal in the semi-join/[[toDense]] mode). */
+  private[graft] def demoteSparse(): Unit = {
+    var keep = 0
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      var pc = 0
+      var w = 0
+      while (w < 1024) { pc += java.lang.Long.bitCount(b(w)); w += 1 }
+      if (pc >= 512) {
+        his(keep) = his(i)
+        blocks(keep) = b
+        keep += 1
+      } else {
+        val base = his(i) << 16 // low 16 bits zero, so OR-ing lo is exact for negative hi too
+        var w2 = 0
+        while (w2 < 1024) {
+          var v = b(w2)
+          while (v != 0L) {
+            strays.add(base | ((w2.toLong << 6) |
+              java.lang.Long.numberOfTrailingZeros(v)))
+            v &= v - 1
+          }
+          w2 += 1
+        }
+      }
+      i += 1
+    }
+    if (keep < n) {
+      java.util.Arrays.fill(blocks.asInstanceOf[Array[AnyRef]], keep, n, null)
+      n = keep
+      lastHi = Long.MinValue
+      lastBlock = null
+    }
   }
 
   /** Merge-side insert: blocks are accepted past the cap (see class doc). */
@@ -274,8 +326,10 @@ object SparseBitmap {
  * of per-key set rebuilds — the measured floor of the salted-set plan.
  * On scattered domains the stray set bounds it by the SAME asymptotics as
  * the set path, so no salting or fallback plan is needed: one scan, one
- * shuffle, groups-way parallel merge, exact on any input. NULLs are
- * ignored, matching COUNT(DISTINCT x).
+ * shuffle, groups-way parallel merge, exact on any input. Partials are
+ * [[SparseBitmap.demoteSparse demoted]] before hitting the wire, so a
+ * scattered task's shuffle bytes are ~16 B/key, not cap × 8 KiB. NULLs
+ * are ignored, matching COUNT(DISTINCT x).
  */
 case class BitmapDistinctAgg(
     child: Expression,
@@ -317,7 +371,14 @@ case class BitmapDistinctAgg(
 
   override def eval(buf: SparseBitmap): Any = buf.distinctCount
 
-  override def serialize(buf: SparseBitmap): Array[Byte] = buf.serialize
+  override def serialize(buf: SparseBitmap): Array[Byte] = {
+    // Ship the cheaper representation per block: on scattered domains a
+    // task partial holds up to cap sparse blocks (~32 MB as bitmaps, a few
+    // hundred KB as strays); the popcount pass is one read of bytes that
+    // were about to be written out anyway.
+    buf.demoteSparse()
+    buf.serialize
+  }
   override def deserialize(bytes: Array[Byte]): SparseBitmap =
     SparseBitmap.deserialize(bytes, maxContainers)
 

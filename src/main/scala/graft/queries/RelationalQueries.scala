@@ -85,7 +85,28 @@ object RelationalQueries {
 
   private def ensureBucketed(s: SparkSession, dir: String, table: String,
       key: String, buckets: Int = 32): String = {
-    val tbl = s"graft_${table}_bkts${buckets}_${math.abs(dir.hashCode)}"
+    // Collision-resistant dir key: basename for readability + 64 bits of
+    // md5 — two sf dirs must never share a layout table name (Int
+    // hashCode collisions would silently serve one scale's rows to the
+    // other's gate; the mtime staleness check can't catch it because both
+    // layouts are "current" for their own source).
+    val dirKey = {
+      val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+      f"${base}_$h%016x"
+    }
+    val tbl = s"graft_${table}_bkts${buckets}_$dirKey"
+    // Sorted single-file buckets only advertise their sort order under
+    // this legacy conf (off by default since Spark 3). Set it here — the
+    // layout apparatus, once per layout ensure — rather than inside a
+    // query builder body. Blast radius: Spark itself still refuses to
+    // advertise ordering for multi-file buckets even with the conf on, so
+    // other bucketed tables a host session reads can at most change PLAN
+    // (gain a sort-free merge join), never correctness; graft sessions
+    // read only ensureBucketed's own single-file-per-bucket tables.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val memoKey = s"${s.sparkContext.applicationId}/$tbl"
     if (bucketedEnsured.contains(memoKey)) return tbl
     val loc = new java.io.File(graft.Hnsw.baseDir(s), tbl)
@@ -233,23 +254,11 @@ object RelationalQueries {
         .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"))
-      // Advertise the buckets' sort order (off by default since Spark 3 —
-      // multi-file buckets can't be trusted; ours are single-file by
-      // construction): the fact join then plans as a SORT-FREE merge join,
+      // The buckets' sort order is advertised under the legacy conf set by
+      // ensureBucketed (layout apparatus, see there for the blast-radius
+      // note): the fact join then plans as a SORT-FREE merge join,
       // measured faster than the per-bucket hash build (fused-stage wall
       // 1.48 s vs 2.19 s at sf10).
-      //
-      // DELIBERATE SESSION-WIDE SIDE EFFECT, stated blast radius: the
-      // conf changes plans ONLY for bucketed-table scans, and the only
-      // bucketed tables any graft session reads are ensureBucketed's own
-      // (repartition-then-write ⇒ exactly one sorted file per bucket, so
-      // the advertised ordering genuinely holds — the multi-file hazard
-      // the default guards against cannot arise here). It cannot be
-      // scoped to this plan: Spark reads it at PLANNING time, which
-      // happens at the caller's action, after this function returns. A
-      // host application with its own multi-file bucketed tables should
-      // run this gate in a separate session or re-disable the conf.
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("smj")
       s.table(liT).select(col("l_orderkey"),
           (double_units(col("l_extendedprice"), 2) *

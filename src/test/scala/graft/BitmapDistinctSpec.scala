@@ -79,6 +79,55 @@ class BitmapDistinctSpec extends SparkSuite {
     assert(clean.isOverflowed)
   }
 
+  test("SparseBitmap: past-cap merges demote sparse blocks; dense blocks survive") {
+    // Two partials with DISJOINT one-key-per-container domains (the
+    // scattered regime the r12 merge grew unboundedly on): after a
+    // past-cap merge the container count is back under the cap and the
+    // count is exact via the stray path.
+    val cap = 4
+    val a = new SparseBitmap(cap)
+    (0 until 4).foreach(i => a.add(i.toLong << 20, strayTolerant = true))
+    val b = new SparseBitmap(cap)
+    (4 until 8).foreach(i => b.add(i.toLong << 20, strayTolerant = true))
+    a.merge(b, strayTolerant = true)
+    assert(a.containerCount <= cap)
+    assert(a.distinctCount == 8)
+    // Dense blocks (popcount >= 512, the break-even) are never demoted:
+    // three dense containers stay three blocks past a cap of two.
+    val d = new SparseBitmap(2)
+    (0 until 600).foreach(i => d.add(i.toLong, strayTolerant = true))
+    (0 until 600).foreach(i => d.add((1L << 20) + i, strayTolerant = true))
+    val e = new SparseBitmap(2)
+    (0 until 600).foreach(i => e.add((1L << 30) + i, strayTolerant = true))
+    d.merge(e, strayTolerant = true)
+    assert(d.containerCount == 3)
+    assert(d.distinctCount == 1800)
+  }
+
+  test("SparseBitmap: demotion is value-identical and shrinks scattered partials on the wire") {
+    val rnd = new scala.util.Random(11)
+    val keys = (1 to 3000).map(_ => rnd.nextLong()).distinct
+    val a = new SparseBitmap(64)
+    keys.foreach(a.add(_, strayTolerant = true))
+    val before = a.distinctCount
+    a.demoteSparse()
+    // Random 64-bit keys essentially never share a container: every block
+    // is below break-even, so all demote and the buffer is pure strays.
+    assert(a.containerCount == 0)
+    assert(a.distinctCount == before)
+    val wire = a.serialize
+    assert(SparseBitmap.deserialize(wire, 64).distinctCount == before)
+    // ~16 B/key territory, not 64 containers x 8 KiB.
+    assert(wire.length < keys.size * 24,
+      s"scattered partial serialized to ${wire.length} bytes")
+    // Negative-key containers reconstruct exactly through demotion.
+    val neg = new SparseBitmap(4)
+    val negKeys = Seq(-1L, -65536L, Long.MinValue, -(1L << 40) - 7)
+    negKeys.foreach(neg.add(_, strayTolerant = true))
+    neg.demoteSparse()
+    assert(neg.distinctCount == negKeys.size)
+  }
+
   test("SparseBitmap: toDense matches BitmapContains' layout") {
     val a = new SparseBitmap(8)
     val keys = Seq(0L, 1L, 65535L, 65536L, (1L << 40) + 123, -5L)
