@@ -54,6 +54,38 @@ object DsirKernel {
     new GenericArrayData(out)
   }
 
+  /** All orders 1..maxN in ONE pass: for each order k and position, emit
+    * `(k−1)·nBuckets + bucket` — the fused fit featurizer behind
+    * [[graft.text.BucketLm.fit]], so an order-5 LM fit costs one corpus
+    * scan + one count shuffle instead of five. Ids decompose back into
+    * (order, bucket) driver-side; per-order counts equal [[buckets]]'s
+    * exactly (same spans, same hash). */
+  def bucketsUpTo(s: UTF8String, maxN: Int, nBuckets: Long): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, nTok) = TextHash.tokenBoundaries(bytes)
+    var count = 0
+    var k = 1
+    while (k <= maxN) { count += math.max(0, nTok - k + 1); k += 1 }
+    val out = new Array[Long](count)
+    val d = TextHash.md5Digest.get()
+    var idx = 0
+    k = 1
+    while (k <= maxN) {
+      val m = nTok - k + 1
+      val base = (k - 1).toLong * nBuckets
+      var i = 0
+      while (i < m) {
+        val from = starts(i)
+        val to = if (i + k == nTok) bytes.length else starts(i + k) - 1
+        out(idx) = base + bucket(d, bytes, from, to, nBuckets)
+        idx += 1
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ logWeights(bucket) over the document's n-grams — the fused scoring
     * path: one pass, no explode, the weight table rides the task binary. */
   def score(s: UTF8String, n: Int, nBuckets: Long, logWeights: Array[Double]): Double = {
@@ -74,42 +106,58 @@ object DsirKernel {
 }
 
 /**
- * Hashed-bucket bigram LM scorer with stupid backoff (Brants et al. 2007)
- * — the per-document kernel behind [[graft.text.BucketLm]]'s
- * CCNet-style perplexity filter. For each position i ≥ 1:
+ * Hashed-bucket n-gram LM scorer with recursive stupid backoff (Brants
+ * et al. 2007, eq. 5 — the smoothing KenLM-scale systems use when counts
+ * are the only state) — the per-document kernel behind
+ * [[graft.text.BucketLm]]'s CCNet-style perplexity filter. `counts(k-1)`
+ * holds the order-k bucket counts. Each position i ≥ 1 is predicted from
+ * its LONGEST available context, k = min(i, maxOrder−1) tokens, falling
+ * one order per miss with a multiplicative backoff factor:
  *
- *   cBi = bi(bucket(tokᵢ₋₁ ⧺ ' ' ⧺ tokᵢ)); cPre = uni(bucket(tokᵢ₋₁))
- *   logp += if (cBi > 0 && cPre > 0) ln(cBi / cPre)
- *           else ln(backoff × (uni(bucket(tokᵢ)) + 1) / (total + buckets))
+ *   S(tokᵢ | ctx_k) = counts(k)(bucket(ctx_k ⧺ tokᵢ)) /
+ *                       counts(k−1)(bucket(ctx_k))     when both > 0
+ *                   = backoff · S(tokᵢ | ctx_{k−1})    otherwise
+ *   S(tokᵢ | ε)     = (uni(bucket(tokᵢ)) + 1) / (total + buckets)
  *
- * and the result is the MEAN log prob (null for docs with < 2 tokens —
- * no predictions). Hash-bucket collisions conflate counts (a ratio can
- * even exceed 1), which is inherent to hashed LMs and harmless for
- * ranking; the cPre > 0 guard covers the bigram-collision-with-unseen-
- * prefix corner exactly. Buckets use the same md5_number_upper contract
- * as [[DsirKernel]]. Count tables ride the task binary.
+ * and the result is the MEAN ln S (null for docs with < 2 tokens — no
+ * predictions). At maxOrder = 2 this is bit-identical to the r12 bigram
+ * formula (the accumulated factor enters the ln argument with the same
+ * association, and ×1.0 is exact). Hash-bucket collisions conflate
+ * counts (a ratio can even exceed 1), inherent to hashed LMs and
+ * harmless for ranking; the context-count guard covers the
+ * collision-with-unseen-prefix corner exactly. Buckets use the same
+ * md5_number_upper contract as [[DsirKernel]]; all count tables ride the
+ * task binary (order · buckets · 8 B — 2.5 MB for a 5-gram/64Ki model).
  */
 object BucketLmKernel {
-  def meanLogProb(s: UTF8String, buckets: Long, uni: Array[Long],
-      bi: Array[Long], total: Long, backoff: Double): Double = {
+  def meanLogProb(s: UTF8String, buckets: Long, counts: Array[Array[Long]],
+      total: Long, backoff: Double): Double = {
     val bytes = s.getBytes
     val (starts, nTok) = TextHash.tokenBoundaries(bytes)
     if (nTok < 2) return Double.NaN // mapped to null by the expression
     val d = TextHash.md5Digest.get()
+    val uni = counts(0)
     var lp = 0.0
     var i = 1
     while (i < nTok) {
-      val preFrom = starts(i - 1)
-      val preTo = starts(i) - 1 // the space before token i
       val wFrom = starts(i)
       val wTo = if (i + 1 == nTok) bytes.length else starts(i + 1) - 1
-      val cBi = bi(DsirKernel.bucket(d, bytes, preFrom, wTo, buckets).toInt)
-      val cPre = uni(DsirKernel.bucket(d, bytes, preFrom, preTo, buckets).toInt)
-      lp +=
-        (if (cBi > 0 && cPre > 0) math.log(cBi.toDouble / cPre)
-         else math.log(backoff *
-           (uni(DsirKernel.bucket(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
-           (total + buckets)))
+      var k = math.min(i, counts.length - 1) // context length to try
+      var bk = 1.0 // accumulated backoff factor
+      var v = Double.NaN
+      while (k >= 1 && v.isNaN) {
+        val from = starts(i - k)
+        val cNg = counts(k)(DsirKernel.bucket(d, bytes, from, wTo, buckets).toInt)
+        val cCtx = counts(k - 1)(
+          DsirKernel.bucket(d, bytes, from, starts(i) - 1, buckets).toInt)
+        if (cNg > 0 && cCtx > 0) v = math.log(bk * cNg / cCtx)
+        else { bk *= backoff; k -= 1 }
+      }
+      if (v.isNaN)
+        v = math.log(bk *
+          (uni(DsirKernel.bucket(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
+          (total + buckets))
+      lp += v
       i += 1
     }
     lp / (nTok - 1)
@@ -117,15 +165,16 @@ object BucketLmKernel {
 }
 
 /** Mean token log-probability under a fitted [[graft.text.BucketLm]]
-  * model; null for docs with no bigram predictions. */
+  * model (`counts(k-1)` = order-k bucket counts, order = counts.length);
+  * null for docs with no predictions (< 2 tokens). */
 case class BucketLmLogProb(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
-    buckets: Int, uni: Array[Long], bi: Array[Long], total: Long,
+    buckets: Int, counts: Array[Array[Long]], total: Long,
     backoff: Double)
   extends UnaryExpression with ExpectsInputTypes {
 
-  require(uni.length == buckets && bi.length == buckets,
-    s"count tables must have $buckets entries")
+  require(counts.nonEmpty && counts.forall(_.length == buckets),
+    s"count tables must have $buckets entries each")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = DoubleType
@@ -134,17 +183,16 @@ case class BucketLmLogProb(
 
   override def nullSafeEval(s: Any): Any = {
     val v = BucketLmKernel.meanLogProb(s.asInstanceOf[UTF8String],
-      buckets.toLong, uni, bi, total, backoff)
+      buckets.toLong, counts, total, backoff)
     if (v.isNaN) null else v
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val u = ctx.addReferenceObj("lmUni", uni, "long[]")
-    val b = ctx.addReferenceObj("lmBi", bi, "long[]")
+    val tbl = ctx.addReferenceObj("lmCounts", counts, "long[][]")
     val value = ctx.freshName("lmLp")
     nullSafeCodeGen(ctx, ev, c => {
       s"""double $value = graft.expressions.BucketLmKernel.meanLogProb(
-         |  $c, ${buckets}L, $u, $b, ${total}L, $backoff);
+         |  $c, ${buckets}L, $tbl, ${total}L, $backoff);
          |if (Double.isNaN($value)) { ${ev.isNull} = true; }
          |else { ${ev.value} = $value; }""".stripMargin
     })
@@ -152,6 +200,33 @@ case class BucketLmLogProb(
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): BucketLmLogProb =
+    copy(child = newChild)
+}
+
+/** `dsir_buckets_multi(text, maxN, buckets)` — all orders 1..maxN in one
+  * pass, ids = (order−1)·buckets + bucket (see
+  * [[DsirKernel.bucketsUpTo]]). Fit-side only: explode + count it once
+  * to fit every order of a backoff LM. */
+case class DsirBucketsMulti(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    maxN: Int, buckets: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1, "dsir_buckets_multi maxN must be >= 1")
+  require(buckets >= 1, "dsir_buckets_multi buckets must be >= 1")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets_multi"
+
+  override def nullSafeEval(s: Any): Any =
+    DsirKernel.bucketsUpTo(s.asInstanceOf[UTF8String], maxN, buckets.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.DsirKernel.bucketsUpTo($c, $maxN, ${buckets}L)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): DsirBucketsMulti =
     copy(child = newChild)
 }
 

@@ -330,6 +330,27 @@ object TextQueries {
           .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
         Seq("doc_id", "ppl"))
     }),
+    "doc_lm_perplexity_n5" -> ((s, dir) => {
+      // The same CCNet-style filter at the order CCNet actually uses
+      // (5-gram KenLM): one fused fit pass covers all orders 1..5
+      // (DsirBucketsMulti), scoring backs off recursively per position
+      // (BucketLmKernel — trigram->bigram->unigram chains hand-pinned in
+      // BucketLmSpec). Digest-pinned like the n=2 gate; the per-order
+      // count machinery is oracle-exact via doc_dsir_weights (same
+      // featurizer spans + hash, per-order equality spec'd against
+      // single-order passes in BucketLmSpec).
+      val d = Tables.load(s, dir, "documents")
+      val m = graft.text.BucketLm.fit(d.where(col("lang") === "en"), "text",
+        buckets = 4096, n = 5)
+      digestPin(
+        d.select(col("doc_id"),
+            graft.text.BucketLm.perplexityColumn(col("text"), m).as("ppl"))
+          .where(col("ppl").isNotNull)
+          .orderBy(col("ppl"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
+        Seq("doc_id", "ppl"))
+    }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark
       // set; the rest is the corpus. Broadcast-joined distinct-shingle
@@ -1038,6 +1059,12 @@ object TextQueries {
            CAST(48997339757 AS BIGINT) AS d2,
            CAST(-3968965756 AS BIGINT) AS d3,
            CAST(38786625351 AS BIGINT) AS d4""",
+    "doc_lm_perplexity_n5" ->
+      """SELECT CAST(20 AS BIGINT) AS n,
+           CAST(-3596905750 AS BIGINT) AS d1,
+           CAST(46020657461 AS BIGINT) AS d2,
+           CAST(684591066 AS BIGINT) AS d3,
+           CAST(33050104439 AS BIGINT) AS d4""",
     "doc_dsir_select" ->
       """SELECT CAST(20 AS BIGINT) AS n,
            CAST(8020387378 AS BIGINT) AS d1,
