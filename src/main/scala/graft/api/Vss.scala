@@ -252,7 +252,16 @@ object Vss {
    * row_number window cannot exist on a stream), micro-batch rows enriched
    * as they arrive. NULL query vectors produce no output rows.
    */
-  def annTopK(df: DataFrame, indexName: String, queryCol: String, k: Int): DataFrame = {
+  def annTopK(df: DataFrame, indexName: String, queryCol: String, k: Int): DataFrame =
+    annTopK(df, indexName, queryCol, k, probeSegments = None)
+
+  /** [[annTopK]] with a per-PLAN segment-routing width: `probeSegments =
+    * Some(p)` pins centroid routing to p segments for THIS plan regardless
+    * of (and without touching) the session conf — the builder-scoped
+    * spelling a gate or library caller needs, since plans execute after
+    * the builder returns. None defers to the session conf at execution. */
+  def annTopK(df: DataFrame, indexName: String, queryCol: String, k: Int,
+      probeSegments: Option[Int]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.{DoubleType, LongType}
     import org.apache.spark.sql.graftbridge.Bridge
@@ -266,7 +275,7 @@ object Vss {
       AttributeReference("rn", LongType, nullable = false)())
     val core = graft.plans.HnswIndexJoinCore(
       df.queryExecution.analyzed, base, meta, queryExpr, k,
-      graft.Hnsw.efSearch(spark, meta), extra)
+      graft.Hnsw.efSearch(spark, meta), extra, probeSegments)
     Bridge.ofRows(spark, core)
   }
 

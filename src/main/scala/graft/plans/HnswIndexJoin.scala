@@ -35,7 +35,8 @@ case class HnswIndexJoinCore(
     queryExpr: Expression,
     k: Int,
     ef: Int,
-    extra: Seq[Attribute]) extends UnaryNode {
+    extra: Seq[Attribute],
+    probeOverride: Option[Int] = None) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output ++ extra
 
@@ -73,7 +74,8 @@ case class HnswIndexJoinCoreExec(
     queryExpr: Expression,
     k: Int,
     ef: Int,
-    extra: Seq[Attribute]) extends UnaryExecNode {
+    extra: Seq[Attribute],
+    probeOverride: Option[Int] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ extra
 
@@ -87,9 +89,12 @@ case class HnswIndexJoinCoreExec(
     // execution re-plans per batch, so this load keeps each batch fresh.
     val execMeta = graft.index.IndexCatalog.load(base, meta.name)
     val (b, m, q, kk, e) = (base, execMeta, queryExpr, k, ef)
-    // Segment-routing width, captured driver-side at execution (doExecute
-    // runs on the driver) so the conf needn't ride the plan's constructor.
-    val probe = graft.Hnsw.probeSegments(session)
+    // Segment-routing width: a per-PLAN override when the caller pinned one
+    // (gates must not flip session confs that outlive their builder —
+    // execution happens after the builder returns), else the session conf,
+    // captured driver-side at execution (doExecute runs on the driver) so
+    // it needn't ride the plan's constructor.
+    val probe = probeOverride.getOrElse(graft.Hnsw.probeSegments(session))
     val toFloats: ArrayData => Array[Float] = q.dataType match {
       case ArrayType(FloatType, _) => _.toFloatArray()
       case ArrayType(DoubleType, _) => _.toDoubleArray().map(_.toFloat)

@@ -193,7 +193,8 @@ class HnswStrategy(session: SparkSession) extends SparkStrategy {
       HnswIndexScanExec(s.output, s.relation, s.base, s.meta, s.query, s.k, s.ef,
         s.condition) :: Nil
     case j: HnswIndexJoinCore =>
-      HnswIndexJoinCoreExec(planLater(j.child), j.base, j.meta, j.queryExpr, j.k, j.ef, j.extra) :: Nil
+      HnswIndexJoinCoreExec(planLater(j.child), j.base, j.meta, j.queryExpr,
+        j.k, j.ef, j.extra, j.probeOverride) :: Nil
     case _ => Nil
   }
 }

@@ -74,6 +74,58 @@ object HnswQueries {
     ip
   }
 
+  /** Deterministic CLUSTERED derivation of the fixture embeddings for the
+    * routed-recall gate: `vec = 0.25·embedding + center(vec_id mod 32)`,
+    * centers on seeded ±1 hypercube corners. The fixture embeddings are
+    * isotropic — no spatial partitioning routes safely on them
+    * (HnswRoutingSpec's argument) — and a training-scale corpus IS
+    * clustered, so the gate's regime is the realistic one. Coordinates
+    * stay within ±1.15, inside the k-means quantizer's exact ±127/64
+    * range; ids cover all 32 clusters within vec_id < 32, so the
+    * deterministic smallest-ids k-means init starts one-per-cluster. */
+  private[graft] def routedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val rnd = new scala.util.Random(4242)
+    val centers: Seq[Seq[Float]] =
+      Seq.fill(32)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val c = element_at(typedLit(centers), (col("vec_id") % 32).cast("int") + 1)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), c,
+          (x, ctr) => (x * lit(0.25) + ctr).cast("float")).as("vec"))
+  }
+
+  /** Idempotently build the vector-clustered routed index over
+    * [[routedCorpus]] — ~32 segments, one per planted cluster, centroids
+    * recorded for routing. Same lifecycle as [[ensureIndexes]]; the
+    * centroid check guards against silently serving a centroid-less
+    * artifact (routing would then probe every segment and the recall gate
+    * would pass vacuously). */
+  private[graft] def ensureRoutedIndex(s: SparkSession, dir: String): String = {
+    val name = s"gate_emb_routed_${math.abs(dir.hashCode)}"
+    val base = Hnsw.baseDir(s)
+    def routable: Boolean = usable(s, name) && {
+      val m = IndexCatalog.load(base, name)
+      m.segments.size >= 8 && m.centroids.size == m.segments.size
+    }
+    if (!routable) {
+      val corpus = routedCorpus(s, dir)
+      val total = corpus.count()
+      val prevMax = s.conf.getOption(Hnsw.MaxVectorsPerPartitionKey)
+      val prevBy = s.conf.getOption(Hnsw.BuildPartitionByKey)
+      s.conf.set(Hnsw.MaxVectorsPerPartitionKey, ((total + 31) / 32).toString)
+      s.conf.set(Hnsw.BuildPartitionByKey, "vector")
+      try Hnsw.createIndex(s, name, corpus, "vec", "vec_id",
+        Map("ef_search" -> IndexCatalog.DefaultEfSearch.toString), overwrite = true)
+      finally {
+        prevMax.fold(s.conf.unset(Hnsw.MaxVectorsPerPartitionKey))(
+          s.conf.set(Hnsw.MaxVectorsPerPartitionKey, _))
+        prevBy.fold(s.conf.unset(Hnsw.BuildPartitionByKey))(
+          s.conf.set(Hnsw.BuildPartitionByKey, _))
+      }
+    }
+    name
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hnsw_topn_scan" -> ((s, dir) => {
       ensureIndexes(s, dir)
@@ -353,6 +405,34 @@ object HnswQueries {
         .select(col("q_id"), col("vec_id").as("neighbor_id"))
       ann.join(truth, Seq("q_id", "neighbor_id"))
         .agg((count(lit(1)).cast("double") / lit(200.0) >= 0.9).as("recall_ok"))
+    }),
+    "hnsw_routed_recall" -> ((s, dir) => {
+      // The r12 segment-routing claim promoted to the scoreboard (r12
+      // verdict item 3): with only p = 4 of ~32 vector-clustered segments
+      // probed per query, recall@10 >= 0.9 over 20 queries against the
+      // brute-force truth — the sublinear many-segment path measured in
+      // the gates' own regime (recall posture of the reference's
+      // hnsw_basic.test:28-34). Corpus/layout rationale: [[routedCorpus]].
+      // The probe width rides THE PLAN (annTopK's probeSegments
+      // override), never a session conf — every other hnsw gate keeps
+      // exact-parity p = 0, and a gate builder's conf flip would leak
+      // past its return anyway.
+      val name = ensureRoutedIndex(s, dir)
+      val corpus = routedCorpus(s, dir)
+      val queries = routedCorpus(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val ann = graft.api.Vss.annTopK(queries, name, "q_vec", 10,
+          probeSegments = Some(4))
+        .select(col("q_id"), col("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      val truth = queries.crossJoin(corpus)
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("vec")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      ann.join(truth, Seq("q_id", "neighbor_id"))
+        .agg((count(lit(1)).cast("double") / lit(200.0) >= 0.9).as("recall_ok"))
     })
   )
 
@@ -466,6 +546,11 @@ object HnswQueries {
       // regression flips it to false and fails the hash match.
       "SELECT true AS recall_ok",
     "hnsw_recall_lateral" ->
+      "SELECT true AS recall_ok",
+    "hnsw_routed_recall" ->
+      // Routed search (p = 4 of ~32 segments) must keep recall@10 >= 0.9 on
+      // the clustered derived corpus; a routing regression (bad centroids,
+      // wrong pruning) flips the boolean and fails the hash match.
       "SELECT true AS recall_ok",
     "ivf_pq_recall" ->
       // PQ quality gate: a codebook/encode/ADC regression flips the Spark
