@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cap_by_count" -> graft.sql.TvfMacros.capByCountTvf,
       "pack_sequences" -> graft.sql.TvfMacros.packSequencesTvf,
       "emit_packed_sequences" -> graft.sql.TvfMacros.emitPackedSequencesTvf,
+      // DSIR selection + CCNet-style perplexity filtering (r13: SQL parity
+      // with the Scala surface, like every other §2.5 family).
+      "dsir_select" -> graft.sql.TvfMacros.dsirSelectTvf,
+      "perplexity_filter" -> graft.sql.TvfMacros.perplexityFilterTvf,
       // Event-stream operators (ops package) as SQL TVFs.
       "as_of_join" -> graft.sql.TvfMacros.asOfJoin,
       "exists_join" -> graft.sql.TvfMacros.existsJoin,

@@ -351,6 +351,37 @@ object TextQueries {
           .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
         Seq("doc_id", "ppl"))
     }),
+    "doc_dsir_select_tvf" -> ((s, dir) => {
+      // The SQL TVF spelling of doc_dsir_select (r13: SQL parity for the
+      // DSIR family, like every other §2.5 surface). dsir_select's
+      // two-table fit (fitWeights) is spec'd EXACTLY equal to the Scala
+      // gate's one-pass labeled-subset fit (DsirSpec), so the digest pin
+      // is the same constants as doc_dsir_select.
+      val d = Tables.load(s, dir, "documents")
+      d.createOrReplaceTempView("graft_dsir_raw")
+      d.where(col("lang") === "en").createOrReplaceTempView("graft_dsir_target")
+      digestPin(
+        s.sql("""SELECT doc_id, round(score, 4) AS score
+                 FROM dsir_select(TABLE(graft_dsir_raw), TABLE(graft_dsir_target),
+                                  'text', 'doc_id', 20, 2, 512)"""),
+        Seq("doc_id", "score"))
+    }),
+    "doc_lm_filter_tvf" -> ((s, dir) => {
+      // The SQL TVF spelling of the perplexity filter: keep corpus rows
+      // under a fixed perplexity ceiling w.r.t. an order-3 LM fitted on
+      // the 'en' slice — exercises the TVF's n argument on a backoff
+      // order the Scala gates don't pin. Digest-pinned over the kept ids.
+      val d = Tables.load(s, dir, "documents")
+      d.createOrReplaceTempView("graft_lm_corpus")
+      d.where(col("lang") === "en").createOrReplaceTempView("graft_lm_ref")
+      digestPin(
+        s.sql("""SELECT doc_id
+                 FROM perplexity_filter(TABLE(graft_lm_corpus), TABLE(graft_lm_ref),
+                                        'text', 5.5, 3, 4096)
+                 ORDER BY doc_id""")
+          .select(col("doc_id")),
+        Seq("doc_id"))
+    }),
     "doc_decontam" -> ((s, dir) => {
       // Eval-set contamination scan: every 50th doc plays the benchmark
       // set; the rest is the corpus. Broadcast-joined distinct-shingle
@@ -1071,6 +1102,21 @@ object TextQueries {
            CAST(37592733125 AS BIGINT) AS d2,
            CAST(1611804634 AS BIGINT) AS d3,
            CAST(36169891667 AS BIGINT) AS d4""",
+    // Same constants as doc_dsir_select by construction: the TVF's
+    // two-table fit is spec'd exactly equal to the labeled-subset fit
+    // (DsirSpec "fitWeightsWithin equals fitWeights exactly").
+    "doc_dsir_select_tvf" ->
+      """SELECT CAST(20 AS BIGINT) AS n,
+           CAST(8020387378 AS BIGINT) AS d1,
+           CAST(37592733125 AS BIGINT) AS d2,
+           CAST(1611804634 AS BIGINT) AS d3,
+           CAST(36169891667 AS BIGINT) AS d4""",
+    "doc_lm_filter_tvf" ->
+      """SELECT CAST(266 AS BIGINT) AS n,
+           CAST(-35316011898 AS BIGINT) AS d1,
+           CAST(609909244940 AS BIGINT) AS d2,
+           CAST(-9549070195 AS BIGINT) AS d3,
+           CAST(566970047112 AS BIGINT) AS d4""",
     "doc_fingerprints" ->
       """SELECT CAST(500 AS BIGINT) AS n,
            CAST(6275428783 AS BIGINT) AS d1,

@@ -393,6 +393,55 @@ object TvfMacros {
   //     → outer.* + inner.* + (dist, rn); rewrites onto the HNSW index join
   //       when one matches, bounded-heap brute force otherwise.
 
+  /** dsir_select(TABLE(raw), TABLE(target), 'text_col', 'id_col', k
+    * [, n[, buckets]]) → (id_col, score DOUBLE): the k raw documents whose
+    * hashed-n-gram distribution is most target-like, best first —
+    * [[graft.text.Dsir.select]] (Xie et al. 2023), the SQL spelling of the
+    * Scala gate. Fit (two count passes + the driver-side weight table)
+    * happens at resolution, like kmeans_assign's centroid fit. */
+  def dsirSelectTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 5 || args.length > 7) throw new IllegalArgumentException(
+      s"dsir_select(raw, target, text_col, id_col, k[, n[, buckets]]) " +
+        s"takes 5 to 7 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.text.Dsir.select(
+      table(spark, args(0), "dsir_select raw"),
+      table(spark, args(1), "dsir_select target"),
+      str(args(2), "dsir_select text_col"), str(args(3), "dsir_select id_col"),
+      intLit(args(4), "dsir_select k"),
+      if (args.length >= 6) intLit(args(5), "dsir_select n")
+      else graft.text.Dsir.DefaultN,
+      if (args.length == 7) intLit(args(6), "dsir_select buckets")
+      else graft.text.Dsir.DefaultBuckets)
+      .queryExecution.analyzed
+  }
+
+  /** perplexity_filter(TABLE(corpus), TABLE(reference), 'text_col',
+    * max_perplexity[, n[, buckets]]) → the corpus rows whose perplexity
+    * under a stupid-backoff n-gram LM fitted on the reference is ≤
+    * max_perplexity (docs with < 2 tokens are dropped, CCNet's tail cut) —
+    * [[graft.text.BucketLm]]'s SQL spelling. The fit (one fused count
+    * pass over the REFERENCE only) happens at resolution; scoring is the
+    * fused kernel expression, so the corpus side stays scan-only. */
+  def perplexityFilterTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 6) throw new IllegalArgumentException(
+      s"perplexity_filter(corpus, reference, text_col, max_perplexity" +
+        s"[, n[, buckets]]) takes 4 to 6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val textCol = str(args(2), "perplexity_filter text_col")
+    val m = graft.text.BucketLm.fit(
+      table(spark, args(1), "perplexity_filter reference"), textCol,
+      buckets =
+        if (args.length == 6) intLit(args(5), "perplexity_filter buckets")
+        else graft.text.BucketLm.DefaultBuckets,
+      n = if (args.length >= 5) intLit(args(4), "perplexity_filter n")
+        else graft.text.BucketLm.DefaultOrder)
+    graft.text.BucketLm.filterByPerplexity(
+      table(spark, args(0), "perplexity_filter corpus"), textCol, m,
+      dblLit(args(3), "perplexity_filter max_perplexity"))
+      .queryExecution.analyzed
+  }
+
   def annTopKTvf(args: Seq[Expression]): LogicalPlan = {
     if (args.length != 4) throw new IllegalArgumentException(
       s"ann_topk(queries, index_name, query_col, k) takes 4 arguments, got ${args.length}")
