@@ -418,18 +418,27 @@ object TextQueries {
     }),
     "doc_source_mix" -> ((s, dir) => {
       // Training-mix composition: per-source token budgets filled in
-      // deterministic hash order via the bucketed distributed prefix sum
-      // (Mix.byTokenBudget, buckets=256); the oracle is the textbook
-      // one-window-per-source cumsum — the gate proves the decomposition
-      // exact. Budgets derive from the source name so they vary per group.
+      // deterministic hash order via the bucketed distributed prefix sum;
+      // the oracle is the textbook one-window-per-source cumsum — the
+      // gate proves the decomposition exact. Budgets derive from the
+      // source name so they vary per group. The gate's output is exactly
+      // the selection MANIFEST (key, group, cum), so it rides
+      // Mix.tokenBudgetManifest (r13): byTokenBudget's full-row join-back
+      // pass re-attached columns this projection immediately dropped —
+      // one corpus re-scan + one key join of pure floor (spec'd
+      // value-identical; the full-row contract is still gated through
+      // doc_domain_caps/doc_pipeline_e2e).
       val d = Tables.load(s, dir, "documents")
       val budgets = d.select(col("source")).distinct()
         .withColumn("budget",
           (lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
             .cast("long"))
-      graft.text.Mix.byTokenBudget(d, "doc_id", "text", "source", budgets)
+      // No trailing orderBy: the driver compare sorts before hashing, and
+      // the global range sort SAMPLES its child, re-executing the whole
+      // window subtree once just to pick split points (StageProf r13:
+      // two full window passes, 80+105 ms of a ~750 ms body at sf10).
+      graft.text.Mix.tokenBudgetManifest(d, "doc_id", "text", "source", budgets)
         .select(col("doc_id"), col("source"), col("cum_tokens"))
-        .orderBy("doc_id")
     }),
     "doc_pipeline_e2e" -> ((s, dir) => {
       // The round-7 operators composed end-to-end, the way a training-data

@@ -75,6 +75,47 @@ object Mix {
       groupCol, budgets, buckets, "cum_tokens")
 
   /**
+   * The MANIFEST shape of [[byTokenBudget]]: only `(keyCol, groupCol,
+   * cum_tokens)` — the selection manifest a warehouse-scale pipeline
+   * feeds to its writer (or semi-joins against the corpus at write time)
+   * instead of materializing selected full rows. The structural win over
+   * `byTokenBudget(...).select(key, group, cum)`: the narrow path there
+   * must re-scan the corpus and run a key join just to re-attach columns
+   * such a caller immediately projects away; here every output column
+   * already lives in the narrow prefix-sum frame, so the whole operator
+   * is one narrow map pass + one (group, bucket) exchange and NO
+   * join-back. Rows are value-identical to that projection (spec:
+   * "tokenBudgetManifest equals byTokenBudget's projection").
+   */
+  def tokenBudgetManifest(df: DataFrame, keyCol: String, textCol: String,
+      groupCol: String, budgets: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val cumCol = "cum_tokens"
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    val (_, bdg) = localDims(budgets, groupCol,
+      col("budget").cast("long").as("_mix_budget"), "budgets")
+    val narrow = df.select(col(keyCol), col(groupCol),
+      TextFunctions.tokenCount(df(textCol)).cast("long").as("_mix_w"))
+    // Always share the exchange here: unlike byWeightBudgetWith's wide
+    // path (where the barrier ships full rows and loses on small inputs),
+    // the manifest's barriered exchange is the NARROW frame — a few bytes
+    // per row — while the pass it saves re-runs scan + tokenCount over
+    // every text byte. In-session ABBA (r13, AbConf
+    // spark.graft.mix.narrowInputBytes 1 vs 64M): barrier wins at BOTH
+    // bench scales — 0.60 vs 0.68 s at sf0.1 (5.6 MB) and 0.75 vs 1.09 s
+    // at sf10 (56 MB) — so there is no small side to protect.
+    withCumWeight(narrow, keyCol, col("_mix_w"), Seq(groupCol), buckets,
+        cumCol, shareExchange = true, pruneBudget = Some(bdg))
+      .where(col(cumCol) <= col("_mix_budget"))
+      .select(col(keyCol), col(groupCol), col(cumCol))
+  }
+
+  /**
    * Per-group DOC-COUNT caps — "at most N documents per domain", the
    * C4/RefinedWeb-style dominance guard — as [[byTokenBudget]] with unit
    * weights: same deterministic fill order, `cum_docs` is the doc's

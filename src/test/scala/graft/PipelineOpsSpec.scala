@@ -147,6 +147,20 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("tokenBudgetManifest equals byTokenBudget's projection at every bucket width") {
+    val budgets = Seq(("s0", 20L), ("s1", 14L), ("s2", 25L)).toDF("source", "budget")
+    for (buckets <- Seq(1, 4, 256)) {
+      val full = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets,
+          buckets = buckets)
+        .select("doc_id", "source", "cum_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      val manifest = Mix.tokenBudgetManifest(mixCorpus, "doc_id", "text", "source",
+          budgets, buckets = buckets)
+        .as[(Long, String, Long)].collect().toSet
+      assert(manifest == full, s"buckets=$buckets")
+    }
+  }
+
   test("byTokenBudget cum_tokens is the inclusive prefix sum and ≤ budget") {
     val budgets = Seq(("s0", 25L), ("s1", 10L), ("s2", 0L)).toDF("source", "budget")
     val rows = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
