@@ -35,14 +35,18 @@ import org.apache.spark.sql.types._
  * Memory bound (stray-tolerant mode): a block is only KEPT when its
  * popcount ≥ 512 — the break-even where 8 KiB of bitmap beats ~16 B/key
  * of stray storage. [[demoteSparse]] converts below-break-even blocks to
- * point strays whenever a merge lands past the container cap and before
- * a partial is serialized, so dense blocks never expand and a buffer
- * (task partial, wire partial, or reducer merge of T tasks' disjoint
- * container sets) never exceeds
+ * point strays (a) once at the update path's first cap-hit — and when
+ * that pass frees most of the cap, the stream is scattered and new
+ * containers stray DIRECTLY from then on, so cap × 8 KiB is a one-time
+ * transient, not the steady state — (b) after any merge that lands past
+ * the cap, and (c) before a partial is serialized. Dense blocks never
+ * expand, and a buffer (task partial, wire partial, or reducer merge of
+ * T tasks' disjoint container sets) never exceeds
  * max(cap × 8 KiB, denseContainers × 8 KiB) + strays × ~16 B — i.e. at
  * most the cap allowance over the set path it replaces, on EVERY key
  * distribution. (The r12 revision accepted merged blocks unconditionally,
- * which on scattered domains let a reducer grow to T × cap × 8 KiB.)
+ * which on scattered domains let a reducer grow to T × cap × 8 KiB and a
+ * scattered task partial sit at cap × 8 KiB for 4096 keys.)
  */
 final class SparseBitmap(maxContainers: Int) {
   private[aggregates] var n = 0
@@ -55,6 +59,13 @@ final class SparseBitmap(maxContainers: Int) {
 
   private var lastHi = Long.MinValue
   private var lastBlock: Array[Long] = null
+  /** Update-path scatter detection: when the FIRST cap-hit demote frees
+    * most of the blocks, the task's key stream is scattered — stop
+    * allocating blocks for new containers (existing dense blocks still
+    * absorb bits) and stray directly, so the cap × 8 KiB allocation is a
+    * one-time transient, not the steady state. */
+  private var demotedOnce = false
+  private var preferStrays = false
 
   private def findOrInsert(hi: Long, allowInsert: Boolean): Array[Long] = {
     var lo = 0
@@ -103,10 +114,22 @@ final class SparseBitmap(maxContainers: Int) {
     val hi = key >> 16
     var b = if (hi == lastHi) lastBlock else null
     if (b == null) {
-      b = findOrInsert(hi, allowInsert = true)
+      b = findOrInsert(hi, allowInsert = !preferStrays)
       if (b == null) {
-        if (strayTolerant) strays.add(key) else overflowed = true
-        return
+        if (!strayTolerant) { overflowed = true; return }
+        if (!preferStrays && !demotedOnce) {
+          // First cap-hit: demote sparse blocks once. If that freed most
+          // of the cap the stream is scattered — flip to direct strays;
+          // if the blocks are genuinely dense they stay, the freed slots
+          // (if any) refill, and later cap-hits stray without re-scanning
+          // (demotedOnce guards against a per-insert demote churn).
+          demotedOnce = true
+          val before = n
+          demoteSparse()
+          if (n <= before / 2) preferStrays = true
+          else b = findOrInsert(hi, allowInsert = true)
+        }
+        if (b == null) { strays.add(key); return }
       }
       lastHi = hi
       lastBlock = b

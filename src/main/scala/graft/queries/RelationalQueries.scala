@@ -533,9 +533,16 @@ object RelationalQueries {
       // word-wise ORs — removing the r8 salted-set plan's measured floor
       // (its 3-way set-union merge), its second aggregation stage, and its
       // two-branch scan + join. Scattered domains degrade in-aggregate to
-      // an exact stray set with the salted path's asymptotics, so no
-      // fallback plan is needed. The r8 salted-set spelling remains
-      // available for A/B as spark.graft.q12.bitmapDistinct=false.
+      // an exact stray set (r13: sparse blocks demote at ~16 B/key, so
+      // memory stays bounded on every distribution). Measured crossover
+      // (ScatterDistinct, 60M rows × 3 groups): container-compact domains
+      // bitmap 0.6-0.9 s vs salted 1.9-2.5 s (~3× win — this fixture's
+      // regime); fully scattered domains bitmap 4.8-5.3 s vs salted
+      // 2.0-2.1 s (~2.5× degrade — the un-salted plan funnels each
+      // group's stray merge through ONE reducer while salting spreads it
+      // over groups × 32). Exact either way; workloads with known-
+      // scattered high-cardinality keys should set
+      // spark.graft.q12.bitmapDistinct=false to keep the salted plan.
       val useBitmap = s.conf.getOption("spark.graft.q12.bitmapDistinct")
         .forall(_.equalsIgnoreCase("true"))
       if (useBitmap) {
