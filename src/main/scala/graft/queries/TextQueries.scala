@@ -510,9 +510,13 @@ object TextQueries {
       val caps = withDom.select(col("domain")).distinct()
         .withColumn("budget",
           (lit(2) + substring(col("domain"), 2, 1).cast("int") % 3).cast("long"))
-      graft.text.Mix.byCountBudget(withDom, "doc_id", "domain", caps)
+      // Manifest shape + no trailing orderBy (r13, same rationale as
+      // doc_source_mix): the gate's output IS (key, group, rank), so the
+      // heap path's join-back re-attached nothing, and the driver compare
+      // sorts before hashing. byCountBudget's full-row contract stays
+      // covered by the cross-path and manifest-equality specs.
+      graft.text.Mix.countBudgetManifest(withDom, "doc_id", "domain", caps)
         .select(col("doc_id"), col("domain"), col("cum_docs"))
-        .orderBy("doc_id")
     }),
     "doc_pack_sequences" -> ((s, dir) => {
       // Sequence packing: each doc's coordinates in the fixed-length
@@ -521,10 +525,12 @@ object TextQueries {
       // span boundaries, so n_seqs > 1 paths are exercised). The oracle is
       // the textbook one-window global cumsum; the gate proves the
       // bucketed decomposition AND the integer seq arithmetic exact.
-      graft.text.Mix.packSequences(
+      // Manifest shape + no trailing orderBy (r13, same rationale as
+      // doc_source_mix): the gate projects exactly the coords frame, so
+      // packSequences' join-back was pure floor here.
+      graft.text.Mix.packManifest(
           Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
         .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
-        .orderBy("doc_id")
     }),
     "doc_pack_emit" -> ((s, dir) => {
       // The materialized side of packing: actual L=128-token sequences

@@ -198,6 +198,54 @@ object Mix {
     }
   }
 
+  /** The MANIFEST shape of [[byCountBudget]]: only `(keyCol, groupCol,
+    * cum_docs)` — same rationale as [[tokenBudgetManifest]]. On the heap
+    * path this drops the join-back entirely (the group and rank are
+    * already in the aggregate's output — byCountBudget only joined back
+    * to re-attach the other columns); the large-cap fallback runs the
+    * narrow cumsum without a join-back. Value-identical rows to
+    * `byCountBudget(...).select(key, group, cum_docs)` (spec). */
+  def countBudgetManifest(df: DataFrame, keyCol: String, groupCol: String,
+      budgets: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val cumCol = "cum_docs"
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    val (rows, bdg) = localDims(budgets, groupCol,
+      col("budget").cast("long").as("_mix_budget"), "budgets")
+    val kMax = if (rows.isEmpty) 0L
+      else rows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).max
+    val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
+      HeapCapMaxKKey, DefaultHeapCapMaxK)
+    if (heapCap > 0 && kMax <= heapCap && kMax <= Int.MaxValue) {
+      val k = math.max(1L, kMax).toInt
+      val narrow = df.where(col(keyCol).isNotNull)
+        .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
+        .select(col(groupCol), col(keyCol),
+          col("_mix_hp").getField("h1").as("_mix_h1"),
+          col("_mix_hp").getField("h2").as("_mix_h2"))
+      narrow.groupBy(col(groupCol))
+        .agg(graft.functions.min_by_k(col(keyCol),
+          struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
+        .join(broadcast(bdg), Seq(groupCol))
+        .select(col(groupCol), col("_mix_budget"),
+          posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
+        .withColumn(cumCol, col("_mix_p") + lit(1L))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col("_mix_k").as(keyCol), col(groupCol), col(cumCol))
+    } else {
+      withCumWeight(df.select(col(keyCol), col(groupCol)), keyCol, lit(1L),
+          Seq(groupCol), buckets, cumCol, shareExchange = true,
+          pruneBudget = Some(bdg))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col(keyCol), col(groupCol), col(cumCol))
+    }
+  }
+
   /** Largest per-group count cap the [[byCountBudget]] bounded-heap path
     * accepts (`spark.graft.mix.heapCapMaxK`); caps above it fall back to
     * the bucketed cumsum. 0 disables the heap path (spec/A-B device). */
@@ -504,17 +552,7 @@ object Mix {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with packSequences " +
         s"output/temporaries (${out.mkString(", ")}, '_mix_*') — rename them first")
-    // `div` (IntegralDivide) keeps the math exact on token-count longs —
-    // `/` detours through double and mis-assigns near sequence boundaries
-    // once cumulative counts are large enough that 1/L < ulp(cum/L).
-    def coordsOf(cum: DataFrame): DataFrame = cum
-      .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
-      .withColumn("seq_id", expr(s"_mix_start div ${seqLen}L"))
-      .withColumn("seq_off", col("_mix_start") % seqLen)
-      // last token's sequence − first token's sequence + 1; empty docs span 1.
-      .withColumn("n_seqs",
-        expr(s"greatest(_mix_cum - 1L, _mix_start) div ${seqLen}L")
-          - col("seq_id") + lit(1L))
+    def coordsOf(cum: DataFrame): DataFrame = seqCoords(cum, seqLen)
     if (nontrivialUpstream(df)) {
       // Expensive upstream: wide + shared exchange — the narrow shape's
       // join-back re-executes the upstream pipeline (see byWeightBudgetWith).
@@ -538,6 +576,45 @@ object Mix {
           Seq.empty, buckets, "_mix_cum", shareExchange = false))
         .drop("_mix_toks", "_mix_cum", "_mix_start")
     }
+  }
+
+  /** `div` (IntegralDivide) keeps the math exact on token-count longs —
+    * `/` detours through double and mis-assigns near sequence boundaries
+    * once cumulative counts are large enough that 1/L < ulp(cum/L). */
+  private def seqCoords(cum: DataFrame, seqLen: Long): DataFrame = cum
+    .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
+    .withColumn("seq_id", expr(s"_mix_start div ${seqLen}L"))
+    .withColumn("seq_off", col("_mix_start") % seqLen)
+    // last token's sequence − first token's sequence + 1; empty docs span 1.
+    .withColumn("n_seqs",
+      expr(s"greatest(_mix_cum - 1L, _mix_start) div ${seqLen}L")
+        - col("seq_id") + lit(1L))
+
+  /** The MANIFEST shape of [[packSequences]]: only `(keyCol, seq_id,
+    * seq_off, n_seqs)` — the packing layout itself, which is what a
+    * writer actually consumes (emitPackedSequences re-derives it
+    * internally; a custom writer joins it back at emit time). Always the
+    * narrow one-scan shape with NO join-back: every output column lives
+    * in the narrow cumsum frame. Same barrier rationale as
+    * [[tokenBudgetManifest]] — the shared exchange is a few bytes per
+    * row while the saved pass re-runs scan + tokenCount. Value-identical
+    * to `packSequences(...).select(key, seq_id, seq_off, n_seqs)` (spec). */
+  def packManifest(df: DataFrame, keyCol: String, textCol: String,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val out = Seq("seq_id", "seq_off", "n_seqs")
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || out.contains(c))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with packManifest " +
+        s"output/temporaries (${out.mkString(", ")}, '_mix_*') — rename them first")
+    val narrow = df.select(col(keyCol),
+      TextFunctions.tokenCount(df(textCol)).cast("long").as("_mix_w"))
+    seqCoords(withCumWeight(narrow, keyCol, col("_mix_w"),
+        Seq.empty, buckets, "_mix_cum", shareExchange = true), seqLen)
+      .select(col(keyCol), col("seq_id"), col("seq_off"), col("n_seqs"))
   }
 
   /**

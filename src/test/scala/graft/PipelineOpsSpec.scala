@@ -161,6 +161,28 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("countBudgetManifest equals byCountBudget's projection on both paths") {
+    val caps = Seq(("s0", 3L), ("s1", 2L), ("s2", 4L)).toDF("source", "budget")
+    def full = Mix.byCountBudget(mixCorpus, "doc_id", "source", caps)
+      .select("doc_id", "source", "cum_docs")
+      .as[(Long, String, Long)].collect().toSet
+    def manifest = Mix.countBudgetManifest(mixCorpus, "doc_id", "source", caps)
+      .as[(Long, String, Long)].collect().toSet
+    assert(manifest == full) // heap path (caps <= default heapCapMaxK)
+    spark.conf.set(Mix.HeapCapMaxKKey, "0") // force the cumsum fallback
+    try assert(manifest == full)
+    finally spark.conf.unset(Mix.HeapCapMaxKKey)
+  }
+
+  test("packManifest equals packSequences' projection") {
+    val full = Mix.packSequences(mixCorpus, "doc_id", "text", seqLen = 7L)
+      .select("doc_id", "seq_id", "seq_off", "n_seqs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val manifest = Mix.packManifest(mixCorpus, "doc_id", "text", seqLen = 7L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(manifest == full)
+  }
+
   test("byTokenBudget cum_tokens is the inclusive prefix sum and ≤ budget") {
     val budgets = Seq(("s0", 25L), ("s1", 10L), ("s2", 0L)).toDF("source", "budget")
     val rows = Mix.byTokenBudget(mixCorpus, "doc_id", "text", "source", budgets)
