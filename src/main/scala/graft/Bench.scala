@@ -82,12 +82,14 @@ object Bench {
     // the gate indexes up front so the first measured query isn't charged
     // one-time setup (index CREATE is a separate operation in the
     // reference's model too — queries measure search, not build).
-    if (subsetNeeds("hnsw_")) {
+    if (subsetNeeds("hnsw_"))
       graft.queries.HnswQueries.ensureIndexes(spark, sfDir)
-      // The routed-recall gate's clustered index is apparatus like the
-      // rest — build it (and its k-means placement) outside timed runs.
+    // The routed-recall gate's clustered index is apparatus like the rest
+    // — built outside timed runs, but ONLY when that gate runs (its
+    // k-means build + corpus count would tax every restricted hnsw_*
+    // session otherwise, the same scoping the ivf_ builds have).
+    if (subsetNeeds("hnsw_routed"))
       graft.queries.HnswQueries.ensureRoutedIndex(spark, sfDir): Unit
-    }
     // The IVF layouts get the same treatment as the HNSW indexes: built
     // (and their footers read once) BEFORE the measured loop. r7's driver
     // bench showed the ivf_* gates 2-3x over r5 while local profiled runs

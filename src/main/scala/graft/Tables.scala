@@ -24,4 +24,19 @@ object Tables {
       k => k._1.read.parquet(k._2).schema)
     spark.read.schema(schema).parquet(path)
   }
+
+  /** Collision-resistant artifact-name key for an sf dir: readable
+    * basename + 64 bits of md5 of the full path. Gate artifacts (indexes,
+    * bucketed layouts) keyed by `dir.hashCode` could collide two dirs
+    * onto one artifact (Int hash; abs(Int.MinValue) is even negative) and
+    * silently serve one scale's data to the other's gate — the mtime
+    * staleness checks can't catch it because both artifacts are "current"
+    * for their own source. */
+  def dirKey(dir: String): String = {
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+    f"${base}_$h%016x"
+  }
 }

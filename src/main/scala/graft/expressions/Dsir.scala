@@ -144,16 +144,17 @@ object BucketLmKernel {
       val wTo = if (i + 1 == nTok) bytes.length else starts(i + 1) - 1
       var k = math.min(i, counts.length - 1) // context length to try
       var bk = 1.0 // accumulated backoff factor
-      var v = Double.NaN
-      while (k >= 1 && v.isNaN) {
+      var hit = false // NOT v.isNaN as the loop flag: a hit whose log is
+      var v = 0.0 //     NaN (pathological backoff) must still terminate
+      while (k >= 1 && !hit) {
         val from = starts(i - k)
         val cNg = counts(k)(DsirKernel.bucket(d, bytes, from, wTo, buckets).toInt)
         val cCtx = counts(k - 1)(
           DsirKernel.bucket(d, bytes, from, starts(i) - 1, buckets).toInt)
-        if (cNg > 0 && cCtx > 0) v = math.log(bk * cNg / cCtx)
+        if (cNg > 0 && cCtx > 0) { v = math.log(bk * cNg / cCtx); hit = true }
         else { bk *= backoff; k -= 1 }
       }
-      if (v.isNaN)
+      if (!hit)
         v = math.log(bk *
           (uni(DsirKernel.bucket(d, bytes, wFrom, wTo, buckets).toInt) + 1.0) /
           (total + buckets))

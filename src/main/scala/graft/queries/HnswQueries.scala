@@ -48,7 +48,10 @@ object HnswQueries {
   }
 
   private[graft] def ensureIndexes(s: SparkSession, dir: String): (String, String) = {
-    val suffix = math.abs(dir.hashCode).toString
+    // Collision-resistant suffix (Tables.dirKey, r13): Int-hashCode keys
+    // could alias two sf dirs onto one index and silently serve the wrong
+    // scale's vectors — see Tables.dirKey's scaladoc.
+    val suffix = Tables.dirKey(dir)
     val l2 = s"gate_emb_l2_$suffix"
     val cos = s"gate_emb_cos_$suffix"
     val emb = Tables.load(s, dir, "embeddings")
@@ -66,7 +69,7 @@ object HnswQueries {
   /** The ip-metric gate index (hnsw_metrics.test:26-39 parity) — separate
     * from [[ensureIndexes]] so the l2/cos gates don't pay its build. */
   private[graft] def ensureIpIndex(s: SparkSession, dir: String): String = {
-    val ip = s"gate_emb_ip_${math.abs(dir.hashCode)}"
+    val ip = s"gate_emb_ip_${Tables.dirKey(dir)}"
     if (!usable(s, ip)) {
       Hnsw.createIndex(s, ip, Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
         Map("ef_search" -> "1000000", "metric" -> "ip"), overwrite = true)
@@ -101,7 +104,7 @@ object HnswQueries {
     * artifact (routing would then probe every segment and the recall gate
     * would pass vacuously). */
   private[graft] def ensureRoutedIndex(s: SparkSession, dir: String): String = {
-    val name = s"gate_emb_routed_${math.abs(dir.hashCode)}"
+    val name = s"gate_emb_routed_${Tables.dirKey(dir)}"
     val base = Hnsw.baseDir(s)
     def routable: Boolean = usable(s, name) && {
       val m = IndexCatalog.load(base, name)
@@ -204,7 +207,7 @@ object HnswQueries {
       // exactly once. Inserted vectors are perturbed by an exact binary
       // float (+0.25f) — identical single-precision rounding in both
       // engines — so no inserted row ties with its source row.
-      val name = s"gate_crud_${math.abs(dir.hashCode)}"
+      val name = s"gate_crud_${Tables.dirKey(dir)}"
       val emb = Tables.load(s, dir, "embeddings")
       val baseRows = emb.where(col("vec_id") >= 100 && col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding"))
@@ -440,7 +443,7 @@ object HnswQueries {
     * stale/unreadable artifact (see [[ensureIndexes]]). */
   private[graft] def ensureIvfLayout(s: SparkSession, dir: String): String = {
     val layout = new java.io.File(Hnsw.baseDir(s),
-      s"ivf_emb_${math.abs(dir.hashCode)}").getAbsolutePath
+      s"ivf_emb_${Tables.dirKey(dir)}").getAbsolutePath
     val ok =
       try {
         graft.index.Ivf.readCentroids(new java.io.File(layout, "_ivf_centroids.bin"))
@@ -481,7 +484,7 @@ object HnswQueries {
     * codebooks); rebuild on any stale/unreadable artifact. */
   private[graft] def ensureIvfPqLayout(s: SparkSession, dir: String): String = {
     val layout = new java.io.File(Hnsw.baseDir(s),
-      s"ivfpq_emb_${math.abs(dir.hashCode)}").getAbsolutePath
+      s"ivfpq_emb_${Tables.dirKey(dir)}").getAbsolutePath
     val ok =
       try {
         graft.index.Pq.readCodebooks(

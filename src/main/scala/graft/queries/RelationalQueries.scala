@@ -85,19 +85,9 @@ object RelationalQueries {
 
   private def ensureBucketed(s: SparkSession, dir: String, table: String,
       key: String, buckets: Int = 32): String = {
-    // Collision-resistant dir key: basename for readability + 64 bits of
-    // md5 — two sf dirs must never share a layout table name (Int
-    // hashCode collisions would silently serve one scale's rows to the
-    // other's gate; the mtime staleness check can't catch it because both
-    // layouts are "current" for their own source).
-    val dirKey = {
-      val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = java.nio.ByteBuffer.wrap(md).getLong(0)
-      f"${base}_$h%016x"
-    }
-    val tbl = s"graft_${table}_bkts${buckets}_$dirKey"
+    // Collision-resistant dir key (Tables.dirKey): two sf dirs must never
+    // share a layout table name — see its scaladoc for the hazard.
+    val tbl = s"graft_${table}_bkts${buckets}_${Tables.dirKey(dir)}"
     // Sorted single-file buckets only advertise their sort order under
     // this legacy conf (off by default since Spark 3). Set it here — the
     // layout apparatus, once per layout ensure — rather than inside a

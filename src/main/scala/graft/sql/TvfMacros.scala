@@ -30,23 +30,26 @@ import graft.text.Dedup
  */
 object TvfMacros {
 
+  // The `what` strings carry the function name (callers pass e.g.
+  // "dsir_select text_col") — a hardcoded family prefix here misreported
+  // every non-vss TVF's argument errors as vss_join/vss_match's (r13).
   private def table(spark: SparkSession, e: Expression, what: String): DataFrame = e match {
     case Literal(s, StringType) if s != null => spark.table(s.toString)
     case f: FunctionTableSubqueryArgumentExpression => Bridge.ofRows(spark, f.plan)
     case other => throw new IllegalArgumentException(
-      s"vss_join/vss_match $what must be TABLE(name) or a string literal, got: ${other.sql}")
+      s"$what must be TABLE(name) or a string literal, got: ${other.sql}")
   }
 
   private def str(e: Expression, what: String): String = e match {
     case Literal(s, StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(
-      s"vss_join/vss_match $what must be a string literal, got: ${other.sql}")
+      s"$what must be a string literal, got: ${other.sql}")
   }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
-      s"vss_join/vss_match $what must be an integer literal, got: ${other.sql}")
+      s"$what must be an integer literal, got: ${other.sql}")
   }
 
   private def build(fn: String, args: Seq[Expression],
@@ -57,17 +60,17 @@ object TvfMacros {
           s"takes 5 to 7 arguments, got ${args.length}")
     }
     val spark = SparkSession.active
-    val left = table(spark, args(0), "left_table")
-    val right = table(spark, args(1), "right_table")
-    val metric = if (args.length >= 6) str(args(5), "metric") else "l2sq"
+    val left = table(spark, args(0), s"$fn left_table")
+    val right = table(spark, args(1), s"$fn right_table")
+    val metric = if (args.length >= 6) str(args(5), s"$fn metric") else "l2sq"
     // Optional 7th arg: a UNIQUE left key column. The keyless form groups
     // the cross product by the full left-row struct (deterministic for any
     // left table); naming a key shuffles k×(narrow key) instead of k×(whole
     // row) — the difference between a wide-row shuffle and a long shuffle
     // at warehouse scale.
-    val leftKey = if (args.length == 7) Some(str(args(6), "left_key")) else None
-    make(left, right, str(args(2), "left_col"), str(args(3), "right_col"),
-      intLit(args(4), "k"), metric, leftKey)
+    val leftKey = if (args.length == 7) Some(str(args(6), s"$fn left_key")) else None
+    make(left, right, str(args(2), s"$fn left_col"), str(args(3), s"$fn right_col"),
+      intLit(args(4), s"$fn k"), metric, leftKey)
       .queryExecution.analyzed
   }
 

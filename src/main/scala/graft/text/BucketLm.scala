@@ -47,6 +47,10 @@ object BucketLm {
       backoff: Double = DefaultBackoff,
       n: Int = DefaultOrder): Model = {
     require(n >= 1 && n <= MaxOrder, s"order must be in [1, $MaxOrder], got $n")
+    // The backoff factor multiplies into a log argument — zero/negative/NaN
+    // would poison every fallback score.
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff must be in (0, 1], got $backoff")
     val counts = Array.fill(n)(new Array[Long](buckets))
     reference.where(col(textCol).isNotNull)
       .select(explode(Bridge.column(graft.expressions.DsirBucketsMulti(

@@ -160,34 +160,12 @@ object Mix {
     // kMax <= Int.MaxValue: a conf raised past 2^31 must fall back, not
     // wrap the heap size through toInt.
     if (heapCap > 0 && kMax <= heapCap && kMax <= Int.MaxValue) {
-      // min_by_k(key, (md5(key), key), K) per group = the first K docs of
-      // the group in fill order; posexplode position + 1 is exactly the
-      // rank the cumsum path calls cum_docs. Null keys are excluded here
-      // exactly as in the cumsum path (the fill order is a function of
-      // the key — a null key has no position in it).
-      val k = math.max(1L, kMax).toInt
-      // Same md5-longs order device as the cumsum path (withCumWeight):
-      // struct (h1, h2, key) order == struct (hex, key) order.
-      // The struct is projected ONCE and the fields extracted from the
-      // named column: two direct hp.getField projections would evaluate
-      // the digest twice whenever codegen subexpression elimination
-      // doesn't fire (guaranteed in interpreted/fallback paths), and
-      // CollapseProject refuses to inline a duplicated non-cheap
-      // expression, so the two-step spelling keeps one evaluation.
-      val narrow = df.where(col(keyCol).isNotNull)
-        .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
-        .select(col(groupCol), col(keyCol),
-          col("_mix_hp").getField("h1").as("_mix_h1"),
-          col("_mix_hp").getField("h2").as("_mix_h2"))
-      val kept = narrow.groupBy(col(groupCol))
-        .agg(graft.functions.min_by_k(col(keyCol),
-          struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
-        .join(broadcast(bdg), Seq(groupCol))
-        .select(col("_mix_budget"),
-          posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
-        .withColumn(cumCol, col("_mix_p") + lit(1L))
-        .where(col(cumCol) <= col("_mix_budget"))
-        .select(col("_mix_k").as(keyCol), col(cumCol))
+      // The fill itself is ONE definition ([[heapCountManifest]], shared
+      // with countBudgetManifest — the gates' digest pins depend on the
+      // two paths staying value-identical); this contract only adds the
+      // pass-through join of the full rows.
+      val kept = heapCountManifest(df, keyCol, groupCol, bdg,
+        math.max(1L, kMax).toInt, cumCol).drop(groupCol)
       df.join(kept, Seq(keyCol))
         .select(df.columns.toIndexedSeq.map(col) :+ col(cumCol): _*)
     } else {
@@ -196,6 +174,42 @@ object Mix {
       // budgets derive from the corpus).
       byWeightBudgetWith(df, keyCol, lit(1L), groupCol, bdg, buckets, cumCol)
     }
+  }
+
+  /** The bounded-heap fill, defined ONCE for [[byCountBudget]] (which
+    * joins it back to the full rows) and [[countBudgetManifest]] (which
+    * emits it directly): `(keyCol, groupCol, cumCol)` for the first
+    * budget(g) docs of each group in deterministic (md5(key), key) order.
+    *
+    * min_by_k(key, (md5(key), key), K) per group = the first K docs of
+    * the group in fill order; posexplode position + 1 is exactly the
+    * rank the cumsum path calls cum_docs. Null keys are excluded here
+    * exactly as in the cumsum path (the fill order is a function of the
+    * key — a null key has no position in it). Same md5-longs order
+    * device as the cumsum path (withCumWeight): struct (h1, h2, key)
+    * order == struct (hex, key) order. The struct is projected ONCE and
+    * the fields extracted from the named column: two direct hp.getField
+    * projections would evaluate the digest twice whenever codegen
+    * subexpression elimination doesn't fire (guaranteed in
+    * interpreted/fallback paths), and CollapseProject refuses to inline
+    * a duplicated non-cheap expression, so the two-step spelling keeps
+    * one evaluation. */
+  private def heapCountManifest(df: DataFrame, keyCol: String,
+      groupCol: String, bdg: DataFrame, k: Int, cumCol: String): DataFrame = {
+    val narrow = df.where(col(keyCol).isNotNull)
+      .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
+      .select(col(groupCol), col(keyCol),
+        col("_mix_hp").getField("h1").as("_mix_h1"),
+        col("_mix_hp").getField("h2").as("_mix_h2"))
+    narrow.groupBy(col(groupCol))
+      .agg(graft.functions.min_by_k(col(keyCol),
+        struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
+      .join(broadcast(bdg), Seq(groupCol))
+      .select(col(groupCol), col("_mix_budget"),
+        posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
+      .withColumn(cumCol, col("_mix_p") + lit(1L))
+      .where(col(cumCol) <= col("_mix_budget"))
+      .select(col("_mix_k").as(keyCol), col(groupCol), col(cumCol))
   }
 
   /** The MANIFEST shape of [[byCountBudget]]: only `(keyCol, groupCol,
@@ -222,21 +236,8 @@ object Mix {
     val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
       HeapCapMaxKKey, DefaultHeapCapMaxK)
     if (heapCap > 0 && kMax <= heapCap && kMax <= Int.MaxValue) {
-      val k = math.max(1L, kMax).toInt
-      val narrow = df.where(col(keyCol).isNotNull)
-        .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
-        .select(col(groupCol), col(keyCol),
-          col("_mix_hp").getField("h1").as("_mix_h1"),
-          col("_mix_hp").getField("h2").as("_mix_h2"))
-      narrow.groupBy(col(groupCol))
-        .agg(graft.functions.min_by_k(col(keyCol),
-          struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), k).as("_mix_keys"))
-        .join(broadcast(bdg), Seq(groupCol))
-        .select(col(groupCol), col("_mix_budget"),
-          posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
-        .withColumn(cumCol, col("_mix_p") + lit(1L))
-        .where(col(cumCol) <= col("_mix_budget"))
-        .select(col("_mix_k").as(keyCol), col(groupCol), col(cumCol))
+      heapCountManifest(df, keyCol, groupCol, bdg,
+        math.max(1L, kMax).toInt, cumCol)
     } else {
       withCumWeight(df.select(col(keyCol), col(groupCol)), keyCol, lit(1L),
           Seq(groupCol), buckets, cumCol, shareExchange = true,
