@@ -99,6 +99,17 @@ object functions {
   def bitmap_count_distinct(x: Column): Column =
     col(graft.aggregates.BitmapDistinctAgg(expr(x)).toAggregateExpression())
 
+  /** [[bitmap_count_distinct]] with an explicit per-buffer container cap.
+    * Sizing rule: a task's transient memory is live-groups × cap × 8 KiB
+    * (the update path demotes sparse blocks at its first cap-hit, but the
+    * first fill is real allocation — measured to OOM a 4.6 GB heap at 96
+    * live scattered groups × the default 4096). High-group-count
+    * aggregations over possibly-scattered keys should lower the cap;
+    * exactness never depends on it. */
+  def bitmap_count_distinct(x: Column, maxContainers: Int): Column =
+    col(graft.aggregates.BitmapDistinctAgg(expr(x), maxContainers)
+      .toAggregateExpression())
+
   /** Exact SUM of pre-scaled integer units ("cents") in a 128-bit two-long
     * accumulator → DECIMAL(38, scale). The scale-out-safe replacement for
     * `sum(decimal)` (per-row BigDecimal) and `sum(long)` (wraps at ~1e18):

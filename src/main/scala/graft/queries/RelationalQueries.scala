@@ -531,8 +531,12 @@ object RelationalQueries {
       // 2.0-2.1 s (~2.5× degrade — the un-salted plan funnels each
       // group's stray merge through ONE reducer while salting spreads it
       // over groups × 32). Exact either way; workloads with known-
-      // scattered high-cardinality keys should set
-      // spark.graft.q12.bitmapDistinct=false to keep the salted plan.
+      // scattered high-cardinality keys should either set
+      // spark.graft.q12.bitmapDistinct=false (salted sets) or use the
+      // container-salted bitmap spelling — groupBy(g, pmod(xxhash64(k >>
+      // 16), 32)) + bitmap_count_distinct(k, smallCap) + sum — measured
+      // best-of-both (dense 0.65-0.77 s, scattered 2.0-2.5 s; see
+      // PERF_VS_DUCKDB r13).
       val useBitmap = s.conf.getOption("spark.graft.q12.bitmapDistinct")
         .forall(_.equalsIgnoreCase("true"))
       if (useBitmap) {

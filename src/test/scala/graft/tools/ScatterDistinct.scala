@@ -54,6 +54,20 @@ object ScatterDistinct {
         df(key).groupBy(col("g"), pmod(xxhash64(col("k")), lit(32L)).as("_s"))
           .agg(graft.functions.count_distinct_long(col("k")).as("_p"))
           .groupBy("g").agg(sum(col("_p")).as("n")))
+      // CONTAINER-salted bitmap: salting by key>>16 keeps every container
+      // intact in exactly one salt, so per-salt bitmap counts ADD exactly
+      // (disjoint container sets) while the reducer merge parallelism goes
+      // groups -> groups x 32 — the un-salted plan's one weakness on
+      // scattered domains. A plan spelling, not a new kernel. The cap must
+      // shrink with the live-buffer count (the default 4096 OOM'd here:
+      // 96 live scattered buffers x 32 MB transient per task) — the
+      // sizing rule on the bitmap_count_distinct(x, maxContainers)
+      // overload.
+      run("bitmap-csalt")(() =>
+        df(key).groupBy(col("g"),
+            pmod(xxhash64(shiftright(col("k"), 16)), lit(32L)).as("_s"))
+          .agg(graft.functions.bitmap_count_distinct(col("k"), 128).as("_p"))
+          .groupBy("g").agg(sum(col("_p")).as("n")))
     }
 
     check("dense", col("id") % 2000000L)
