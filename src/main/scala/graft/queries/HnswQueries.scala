@@ -247,7 +247,6 @@ object HnswQueries {
         .join(finalState, "vec_id")
         .select(col("vec_id"),
           round(array_distance(col("embedding"), lit_vector(QueryVec)), 4).as("d"))
-        .orderBy("d", "vec_id")
     }),
     "hnsw_lateral_topk" -> ((s, dir) => {
       ensureIndexes(s, dir)
@@ -259,7 +258,6 @@ object HnswQueries {
       graft.api.Vss.lateralTopK(outer, inner, "q_vec", "embedding", "q_id", 3)
         .select(col("q_id"), col("vec_id").as("n_id"),
           round(col("dist"), 4).as("d"), col("rn").cast("long").as("rn"))
-        .orderBy("q_id", "rn")
     }),
     "ivf_topn_scan" -> ((s, dir) => {
       // IVF-flat scale path: partition-pruned brute TopN over nprobe cells.
@@ -267,7 +265,6 @@ object HnswQueries {
       val layout = ensureIvfLayout(s, dir)
       graft.index.Ivf.topK(s, layout, "embedding", QueryVec, 10, nprobe = 8)
         .select(col("vec_id"), round(col("distance"), 4).as("d"))
-        .orderBy("d", "vec_id")
     }),
     "ivf_topk_join" -> ((s, dir) => {
       // Batch multi-query ANN over the IVF layout: queries broadcast +
@@ -279,7 +276,6 @@ object HnswQueries {
           k = 3, nprobe = 8, tieCol = Some("vec_id"))
         .select(col("q_id").cast("long").as("q_id"), col("vec_id").as("n_id"),
           round(col("distance"), 4).as("d"), col("rn"))
-        .orderBy("q_id", "rn")
     }),
     "ivf_pq_recall" -> ((s, dir) => {
       // IVF-PQ quality gate (the hnsw_recall_ann analogue for the
@@ -535,7 +531,7 @@ object HnswQueries {
            FROM embeddings e, embeddings q WHERE q.vec_id < 5)
          SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn FROM s)
-         WHERE rn <= 3 ORDER BY q_id, rn""",
+         WHERE rn <= 3""",
     "hnsw_lateral_topk" ->
       """WITH s AS (
            SELECT q.vec_id AS q_id, e.vec_id AS n_id,
@@ -543,7 +539,7 @@ object HnswQueries {
            FROM embeddings e, embeddings q WHERE q.vec_id < 5)
          SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d) AS rn FROM s)
-         WHERE rn <= 3 ORDER BY q_id, rn""",
+         WHERE rn <= 3""",
     "hnsw_recall_ann" ->
       // The Spark side emits `recall@10 >= 0.9` as a boolean; a graph-quality
       // regression flips it to false and fails the hash match.

@@ -41,7 +41,6 @@ object MacroQueries {
           col("left_tbl").getField("vec_id").as("l_id"),
           col("right_tbl").getField("vec_id").as("r_id"),
           round(col("score"), 4).as("score"))
-        .orderBy("l_id", "r_id")
     }),
     "vss_join_sql" -> ((s, dir) => {
       // The same join as vss_join_macro, routed through the SQL TVF surface
@@ -54,8 +53,7 @@ object MacroQueries {
         """SELECT left_tbl.vec_id AS l_id, right_tbl.vec_id AS r_id,
                   round(score, 4) AS score
            FROM vss_join(TABLE(emb_sql_q), TABLE(emb_sql_all), 'embedding', 'embedding', 5,
-                         'l2sq', 'vec_id')
-           ORDER BY l_id, r_id""")
+                         'l2sq', 'vec_id')""")
     }),
     "vss_match_macro" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -67,7 +65,6 @@ object MacroQueries {
           round(element_at(col("matches"), 1).getField("score"), 4).as("best"),
           array_join(transform(col("matches"), m => m.getField("row").getField("vec_id"))
             .cast("array<string>"), ",").as("match_ids"))
-        .orderBy("vec_id")
     })
   )
 
@@ -83,7 +80,7 @@ object MacroQueries {
       s"SELECT (list(e.vec_id ORDER BY $dist DESC))[1:8] AS ids FROM embeddings e, $q0",
     "vss_min_by_k_grouped" ->
       s"""SELECT e.label, array_to_string((list(e.vec_id ORDER BY $dist))[1:5], ',') AS ids
-          FROM embeddings e, $q0 GROUP BY e.label ORDER BY e.label""",
+          FROM embeddings e, $q0 GROUP BY e.label""",
     "vss_join_macro" ->
       """WITH s AS (
            SELECT l.vec_id AS l_id, r.vec_id AS r_id,
@@ -91,7 +88,7 @@ object MacroQueries {
            FROM embeddings l, embeddings r WHERE l.vec_id < 3)
          SELECT l_id, r_id, round(score, 4) AS score
          FROM (SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY score, r_id) AS rn FROM s)
-         WHERE rn <= 5 ORDER BY l_id, r_id""",
+         WHERE rn <= 5""",
     "vss_join_sql" ->
       """WITH s AS (
            SELECT l.vec_id AS l_id, r.vec_id AS r_id,
@@ -99,7 +96,7 @@ object MacroQueries {
            FROM embeddings l, embeddings r WHERE l.vec_id < 3)
          SELECT l_id, r_id, round(score, 4) AS score
          FROM (SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY score, r_id) AS rn FROM s)
-         WHERE rn <= 5 ORDER BY l_id, r_id""",
+         WHERE rn <= 5""",
     "vss_match_macro" ->
       """WITH s AS (
            SELECT l.vec_id AS vec_id, r.vec_id AS rid,
@@ -110,6 +107,6 @@ object MacroQueries {
                FROM s GROUP BY vec_id)
          SELECT vec_id, len(matches) AS n, round(matches[1].score, 4) AS best,
                 array_to_string(list_transform(matches, x -> x.rid), ',') AS match_ids
-         FROM m ORDER BY vec_id"""
+         FROM m"""
   )
 }

@@ -17,7 +17,11 @@ import graft.functions.{double_units, sum128}
  *    exactly (double summation order differs between engines);
  *  - final aggregate columns are cast to DECIMAL(38,2) on both sides so the
  *    result schemas align;
- *  - deterministic ORDER BY on every query.
+ *  - results are SETS: no trailing ORDER BY on either side — the driver
+ *    compare canonicalizes (sorts rows by all columns) before hashing, so a
+ *    final global sort is pure cost on both engines (a range exchange + a
+ *    split-point sampling job on Spark's side). Top-k sorts (ORDER BY …
+ *    LIMIT) and window-internal orderings are semantic and stay.
  */
 object RelationalQueries {
 
@@ -149,7 +153,6 @@ object RelationalQueries {
           outD(sum128(double_units(col("l_quantity"), 2), 2)).as("sum_qty"),
           outD(sum128(double_units(col("l_extendedprice"), 2), 2)).as("sum_base_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
     }),
     "q2_join_agg" -> ((s, dir) => {
       // revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
@@ -213,7 +216,6 @@ object RelationalQueries {
         .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("revenue"), col("n_rows"))
-        .orderBy("n_name")
     }),
     "q2_bucketed" -> ((s, dir) => {
       // q2 over the CO-BUCKETED warehouse layout — the r8/r10 bucketed-
@@ -262,7 +264,6 @@ object RelationalQueries {
         .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("revenue"), col("n_rows"))
-        .orderBy("n_name")
     }),
     "q3_topn" -> ((s, dir) => {
       // Top 10 orders by total price (TopN pattern → TakeOrderedAndProject).
@@ -281,7 +282,6 @@ object RelationalQueries {
           outD(col("c_acctbal").cast(dec)).as("bal"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 3)
-        .orderBy("c_nationkey", "rnk")
     }),
     "q5_exists" -> ((s, dir) => {
       // Customers with at least one order (EXISTS). The r10 plan deduped
@@ -341,7 +341,6 @@ object RelationalQueries {
         .join(broadcast(Tables.load(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("ship_year"), col("volume"), col("n_rows"))
-        .orderBy("n_name", "ship_year")
     }),
     "q8_corr_subquery" -> ((s, dir) => {
       // Correlated scalar subquery: parts priced above their brand's average
@@ -351,8 +350,7 @@ object RelationalQueries {
         """SELECT p_partkey, p_brand, round(CAST(p_retailprice AS DOUBLE), 4) AS price
            FROM graft_q8_part p
            WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
-                                  FROM graft_q8_part p2 WHERE p2.p_brand = p.p_brand)
-           ORDER BY p_partkey""")
+                                  FROM graft_q8_part p2 WHERE p2.p_brand = p.p_brand)""")
     }),
     "q9_no_orders" -> ((s, dir) => {
       // Anti join: customers with no high-value (>300k) orders — NOT
@@ -365,7 +363,7 @@ object RelationalQueries {
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 300000)
       graft.ops.SemiJoins.notExists(c, "c_custkey", o, "o_custkey")
-        .select(col("c_custkey"), col("c_nationkey")).orderBy("c_custkey")
+        .select(col("c_custkey"), col("c_nationkey"))
     }),
     "q10_events_hourly" -> ((s, dir) => {
       // Time-series bucketing: per (event_type, hour) counts + exact sums.
@@ -376,7 +374,6 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("hour_bucket"))
         .agg(count(lit(1)).as("n"),
           outD(sum128(double_units(col("value"), 4), 4)).as("sum_value"))
-        .orderBy("event_type", "hour_bucket")
     }),
     "q11_rollup" -> ((s, dir) => {
       // Grouping-set breadth: ROLLUP over returnflag/linestatus. Spark
@@ -392,7 +389,6 @@ object RelationalQueries {
           sum128(double_units(col("l_quantity"), 2), 2).as("psum"))
       grid.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("pn")).as("n"), outD(sum(col("psum"))).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "q14_asof_join" -> ((s, dir) => {
       // As-of join: each purchase event picks up the most recent prior view
@@ -410,7 +406,6 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           col("ts").as("p_ts"),
           col("v_view_event_id").as("view_event_id"), col("v_ts"))
-        .orderBy("event_id")
     }),
     "q15_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (4 h gap over epoch-micros), then
@@ -419,7 +414,6 @@ object RelationalQueries {
           Seq("user_id"), "ts", maxGap = fourHoursUs)
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_ts").as("start_us"), col("end_ts").as("end_us"))
-        .orderBy("user_id", "session_seq")
     }),
     "q16_range_join" -> ((s, dir) => {
       // Range join composed with sessionization: attribute every purchase
@@ -438,7 +432,6 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           col("iv_session_seq").as("session_seq"),
           col("iv_n_events").as("n_events"))
-        .orderBy("event_id")
     }),
     "q17_sessionize_tvf" -> ((s, dir) => {
       // SQL-TVF gate over the RAW events table — no ts normalization on the
@@ -452,8 +445,7 @@ object RelationalQueries {
       s.sql(
         s"""SELECT user_id, session_seq, count(*) AS n_events
             FROM sessionize(TABLE(graft_q17_events), 'user_id', 'ts', ${gap}L)
-            GROUP BY user_id, session_seq
-            ORDER BY user_id, session_seq""")
+            GROUP BY user_id, session_seq""")
     }),
     "q19_range_tvf" -> ((s, dir) => {
       // Third of the event-TVF trio on the RAW timestamp-typed table:
@@ -473,8 +465,7 @@ object RelationalQueries {
         s"""SELECT event_id, user_id, iv_session_seq AS session_seq,
                    iv_n_events AS n_events
             FROM range_join(TABLE(graft_q19_purchases), TABLE(graft_q19_sessions),
-                            'user_id', 'ts', 'start_ts', 'end_ts', 0L)
-            ORDER BY event_id""")
+                            'user_id', 'ts', 'start_ts', 'end_ts', 0L)""")
     }),
     "q18_asof_tvf" -> ((s, dir) => {
       // SQL-TVF gate for as_of_join over the RAW timestamp-typed events —
@@ -494,8 +485,7 @@ object RelationalQueries {
       s.sql(
         """SELECT event_id, user_id, asof_view_event_id AS view_event_id
            FROM as_of_join(TABLE(graft_q18_purchases), TABLE(graft_q18_views),
-                           'user_id', 'ts', 'ts')
-           ORDER BY event_id""")
+                           'user_id', 'ts', 'ts')""")
     }),
     "q13_json_extract" -> ((s, dir) => {
       // Semi-structured: extract a JSON field from props and aggregate it.
@@ -507,7 +497,6 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
           outD(avg(col("k"))).as("avg_k"))
-        .orderBy("event_type")
     }),
     "q12_multi_distinct" -> ((s, dir) => {
       // Multiple DISTINCT aggregates. NOT countDistinct(a), countDistinct(b)
@@ -546,7 +535,6 @@ object RelationalQueries {
           .agg(graft.functions.bitmap_count_distinct(col("l_partkey")).as("n_parts"),
             graft.functions.bitmap_count_distinct(col("l_suppkey")).as("n_supps"),
             count(lit(1)).as("n_rows"))
-          .orderBy("l_returnflag")
       } else {
         // r8: per-task distinct sets via the count_distinct_long kernel,
         // pre-aggregate key SALTED by hash(value) % S so per-(group, salt)
@@ -572,7 +560,6 @@ object RelationalQueries {
         parts.join(supps, "l_returnflag")
           .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
             col("n_rows"))
-          .orderBy("l_returnflag")
       }
     }),
     "q6_events_agg" -> ((s, dir) => {
@@ -583,7 +570,6 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           count(col("user_id")).as("n_users"),
           outD(sum128(double_units(col("value"), 4), 4)).as("sum_value"))
-        .orderBy("event_type")
     })
   )
 
@@ -593,8 +579,7 @@ object RelationalQueries {
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
            count(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_join_agg" ->
       """SELECT n_name,
            round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -605,7 +590,7 @@ object RelationalQueries {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""",
+         GROUP BY n_name""",
     // Same answer as q2_join_agg — the Spark side reads the co-bucketed
     // layout (row-identical data), DuckDB reads its own best (flat) files.
     "q2_bucketed" ->
@@ -618,7 +603,7 @@ object RelationalQueries {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""",
+         GROUP BY n_name""",
     "q3_topn" ->
       """SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 4) AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
@@ -628,16 +613,14 @@ object RelationalQueries {
            SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
                   row_number() OVER (PARTITION BY c_nationkey
                     ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rnk
-           FROM customer) WHERE rnk <= 3
-         ORDER BY c_nationkey, rnk""",
+           FROM customer) WHERE rnk <= 3""",
     "q5_exists" ->
       """SELECT c_custkey FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         ORDER BY c_custkey""",
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "q6_events_agg" ->
       """SELECT event_type, count(*) AS n, count(user_id) AS n_users,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events GROUP BY event_type""",
     "q16_range_join" ->
       """WITH s AS (
            SELECT user_id, ts,
@@ -658,8 +641,7 @@ object RelationalQueries {
          SELECT p.event_id, p.user_id, iv.session_seq, iv.n_events
          FROM events p JOIN iv
            ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
-         WHERE p.event_type = 'purchase'
-         ORDER BY p.event_id""",
+         WHERE p.event_type = 'purchase'""",
     "q15_sessionize" ->
       """WITH s AS (
            SELECT user_id, ts,
@@ -675,8 +657,7 @@ object RelationalQueries {
            FROM s)
          SELECT user_id, session_seq, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
-         FROM t GROUP BY user_id, session_seq
-         ORDER BY user_id, session_seq""",
+         FROM t GROUP BY user_id, session_seq""",
     "q17_sessionize_tvf" ->
       """WITH s AS (
            SELECT user_id, ts,
@@ -691,8 +672,7 @@ object RelationalQueries {
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            FROM s)
          SELECT user_id, session_seq, count(*) AS n_events
-         FROM t GROUP BY user_id, session_seq
-         ORDER BY user_id, session_seq""",
+         FROM t GROUP BY user_id, session_seq""",
     "q19_range_tvf" ->
       """WITH s AS (
            SELECT user_id, ts,
@@ -713,42 +693,37 @@ object RelationalQueries {
          SELECT p.event_id, p.user_id, iv.session_seq, iv.n_events
          FROM events p JOIN iv
            ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
-         WHERE p.event_type = 'purchase'
-         ORDER BY p.event_id""",
+         WHERE p.event_type = 'purchase'""",
     "q18_asof_tvf" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
-         ORDER BY p.event_id""",
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
            v.event_id AS view_event_id, epoch_us(v.ts) AS v_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
-         ORDER BY p.event_id""",
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "q13_json_extract" ->
       """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
            round(CAST(avg(k) AS DOUBLE), 4) AS avg_k
          FROM (SELECT event_type,
                  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
-         GROUP BY event_type ORDER BY event_type""",
+         GROUP BY event_type""",
     "q12_multi_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
            count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+         FROM lineitem GROUP BY l_returnflag""",
     "q10_events_hourly" ->
       """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
-         FROM events GROUP BY event_type, hour_bucket
-         ORDER BY event_type, hour_bucket""",
+         FROM events GROUP BY event_type, hour_bucket""",
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q7_ship_volume" ->
       """SELECT n_name, year(l_shipdate) AS ship_year,
            round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -759,17 +734,15 @@ object RelationalQueries {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          WHERE year(l_shipdate) IN (1995, 1996)
-         GROUP BY n_name, year(l_shipdate) ORDER BY n_name, ship_year""",
+         GROUP BY n_name, year(l_shipdate)""",
     "q8_corr_subquery" ->
       """SELECT p_partkey, p_brand, round(CAST(p_retailprice AS DOUBLE), 4) AS price
          FROM part p
          WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
-                                FROM part p2 WHERE p2.p_brand = p.p_brand)
-         ORDER BY p_partkey""",
+                                FROM part p2 WHERE p2.p_brand = p.p_brand)""",
     "q9_no_orders" ->
       """SELECT c_custkey, c_nationkey FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-         ORDER BY c_custkey"""
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)"""
   )
 }

@@ -15,7 +15,8 @@ import graft.text.{Dedup, TextFunctions => TF}
  * surfaces.
  *
  * Shared conventions: whitespace tokenization, word 3-gram shingles,
- * round(x, 4) DOUBLE outputs, ORDER BY ids.
+ * round(x, 4) DOUBLE outputs, unordered result sets (the driver compare
+ * sorts rows before hashing, so trailing ORDER BYs were pure cost — r13).
  */
 object TextQueries {
 
@@ -58,13 +59,11 @@ object TextQueries {
           col("st.n_tokens").as("n_tokens"), col("st.mean_tok_len").as("mean_tok_len"),
           col("st.alpha_ratio").as("alpha_ratio"), col("st.punct_ratio").as("punct_ratio"),
           col("n_bpe"))
-        .orderBy("doc_id")
     }),
     "doc_exact_dedup" -> ((s, dir) => {
       Dedup.exactDupGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select(col("text_hash"), col("n"),
           array_join(col("ids").cast("array<string>"), ",").as("ids"), col("keep_id"))
-        .orderBy("text_hash")
     }),
     "doc_near_dup" -> ((s, dir) => {
       // Banded MinHash/LSH candidates + exact-Jaccard verification; the
@@ -73,7 +72,6 @@ object TextQueries {
       Dedup.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
           threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
     }),
     "doc_lang_quality" -> ((s, dir) => {
       // Quality stats per (actual) language — text analysis aggregate.
@@ -83,7 +81,6 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("st.n_tokens").cast("double")), 4).as("avg_tokens"),
           round(avg(col("st.alpha_ratio")), 4).as("avg_alpha"))
-        .orderBy("lang")
     }),
     "doc_dedup_kept" -> ((s, dir) => {
       // End-to-end near-dedup: LSH pairs → connected components → keep the
@@ -91,7 +88,7 @@ object TextQueries {
       // over brute-force all-pairs.
       Dedup.dropNearDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id",
           threshold = 0.8)
-        .select(col("doc_id")).orderBy("doc_id")
+        .select(col("doc_id"))
     }),
     "doc_jaccard_join" -> ((s, dir) => {
       // EXACT n-gram Jaccard similarity join (prefix-filtered inverted
@@ -100,7 +97,6 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
           threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
     }),
     "doc_simhash_pairs" -> ((s, dir) => {
       // SimHash near-dup candidates (chunk-banded, deterministic;
@@ -129,7 +125,6 @@ object TextQueries {
       Dedup.embeddingNearDupPairs(base.unionByName(planted),
           "embedding", "vec_id", threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("id_a", "id_b")
     }),
     "doc_quality_filter" -> ((s, dir) => {
       // Corpus curation pre-filter: composite quality score >= 0.93 (the
@@ -139,7 +134,6 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       TF.filterByQuality(d, "text", minScore = 0.93)
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
     }),
     "doc_curation_e2e" -> ((s, dir) => {
       // The full curation pipeline in one gate: quality filter (>= 0.93) →
@@ -154,13 +148,12 @@ object TextQueries {
       curated.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
-        .orderBy("lang")
     }),
     "doc_det_sample" -> ((s, dir) => {
       // Deterministic 20% hash sample — the reproducible train/eval split
       // device. Oracle recomputes the identical md5-prefix threshold.
       TF.deterministicSample(Tables.load(s, dir, "documents"), "doc_id", 0.2)
-        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+        .select(col("doc_id"), col("lang"))
     }),
     "mm_decode_features" -> ((s, dir) => {
       // REAL multimodal decode, oracle-checked: deterministic two-color
@@ -186,7 +179,6 @@ object TextQueries {
           round(element_at(col("features"), 1).cast("double") * px).cast("long").as("sum_r"),
           round(element_at(col("features"), 2).cast("double") * px).cast("long").as("sum_g"),
           round(element_at(col("features"), 3).cast("double") * px).cast("long").as("sum_b"))
-        .orderBy("doc_id", "frame_no")
     }),
     "mm_audio_features" -> ((s, dir) => {
       // REAL audio decode, oracle-checked: deterministic 16-bit PCM WAV
@@ -213,7 +205,6 @@ object TextQueries {
             .cast("long").as("sample_min"),
           round(element_at(col("features"), 4).cast("double") * lit(32768.0))
             .cast("long").as("sample_max"))
-        .orderBy("doc_id")
     }),
     "mm_video_meta" -> ((s, dir) => {
       // ISO BMFF container-metadata parse (public ISO/IEC 14496-12 box
@@ -233,7 +224,6 @@ object TextQueries {
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
           col("meta.brand").as("brand"))
-        .orderBy("doc_id")
     }),
     "doc_fingerprints" -> ((s, dir) => {
       // Deterministic rolling-hash fingerprint + simhash + langid.
@@ -250,14 +240,11 @@ object TextQueries {
       // Training sequence segmentation: 40-token windows every 24 tokens
       // (overlapping). Chunks are byte slices of the source text, so the
       // oracle's array_to_string(w[a:b], ' ') reproduces them exactly.
-      // Sort BEFORE the explode: the range shuffle then moves each doc's
-      // text once instead of its ~1.7x overlapping chunks, and Generate
-      // preserves per-partition order (chunk_no ascends within a doc), so
-      // rows still stream out (doc_id, chunk_no)-ordered. The driver
-      // compare is order-insensitive (sorts before hashing) either way.
+      // No sort anywhere: scan → explode, chunk_no from posexplode (r13 —
+      // the former pre-explode sort was a full range shuffle the compare
+      // discards).
       Tables.load(s, dir, "documents")
         .where(col("text").isNotNull)
-        .orderBy("doc_id")
         .select(col("doc_id"),
           posexplode(TF.chunkTokens(col("text"), 40, 24)).as(Seq("chunk_no", "chunk")))
     }),
@@ -291,7 +278,6 @@ object TextQueries {
           expr(s"""CAST((CAST(tn + 1 AS DECIMAL(38,0)) * (rt + $B) * 1000000)
                    div (CAST(rn + 1 AS DECIMAL(38,0)) * (tt + $B)) AS BIGINT)""")
             .as("weight_ppm"))
-        .orderBy("bucket")
     }),
     "doc_dsir_select" -> ((s, dir) => {
       // DSIR selection end-to-end: top-20 most-target-like docs by the
@@ -377,8 +363,7 @@ object TextQueries {
       digestPin(
         s.sql("""SELECT doc_id
                  FROM perplexity_filter(TABLE(graft_lm_corpus), TABLE(graft_lm_ref),
-                                        'text', 5.5, 3, 4096)
-                 ORDER BY doc_id""")
+                                        'text', 5.5, 3, 4096)""")
           .select(col("doc_id")),
         Seq("doc_id"))
     }),
@@ -390,7 +375,6 @@ object TextQueries {
       graft.text.Decontaminate.overlapCounts(
           d.where(col("doc_id") % 50 =!= 0),
           d.where(col("doc_id") % 50 === 0), "text", "doc_id")
-        .orderBy("doc_id")
     }),
     "doc_pii_redact" -> ((s, dir) => {
       // PII scrub + audit counts. The fixture text is PII-free by
@@ -414,7 +398,6 @@ object TextQueries {
         .select(col("doc_id"), col("p.n_emails").as("n_emails"),
           col("p.n_ips").as("n_ips"), col("p.n_phones").as("n_phones"),
           col("red_md5"))
-        .orderBy("doc_id")
     }),
     "doc_source_mix" -> ((s, dir) => {
       // Training-mix composition: per-source token budgets filled in
@@ -460,14 +443,12 @@ object TextQueries {
             .cast("long"))
       graft.text.Mix.byTokenBudget(clean, "doc_id", "text", "source", budgets)
         .select(col("doc_id"), col("source"), col("lang"), col("cum_tokens"))
-        .orderBy("doc_id")
     }),
     "doc_token_freq" -> ((s, dir) => {
       // Corpus-relative rarity signal (integer-exact LM-surprise analogue):
       // per doc, the sum/min of its tokens' corpus occurrence counts.
       graft.text.TextFunctions
         .tokenFrequencyStats(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")
     }),
     "doc_substr_dedup" -> ((s, dir) => {
       // EXACT substring dedup (Lee et al. 2021 ExactSubstr, window
@@ -480,7 +461,6 @@ object TextQueries {
           "text", "doc_id", minTokens = 5)
         .select(col("doc_id"), TF.md5Hex(col("text")).as("text_md5"),
           col("n_tokens_removed"))
-        .orderBy("doc_id")
     }),
     "doc_chunk_dedup" -> ((s, dir) => {
       // Chunk-level dedup (the line/paragraph-dedup analogue): 3-token
@@ -493,7 +473,6 @@ object TextQueries {
           "text", "doc_id", size = 3)
         .select(col("doc_id"), col("n_chunks_kept"),
           TF.md5Hex(col("text")).as("text_md5"))
-        .orderBy("doc_id")
     }),
     "doc_domain_caps" -> ((s, dir) => {
       // Per-domain doc-count caps (the C4-style dominance guard): domains
@@ -541,7 +520,6 @@ object TextQueries {
       graft.text.Mix.emitPackedSequences(
           Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
         .select(col("seq_id"), col("n_tokens"), md5(col("text")).as("text_md5"))
-        .orderBy("seq_id")
     }),
     "doc_split_assign" -> ((s, dir) => {
       // Deterministic train/val/test assignment. DYADIC fractions
@@ -553,7 +531,6 @@ object TextQueries {
         .select(col("doc_id"),
           TF.assignSplit(col("doc_id"),
             Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.0625)).as("split"))
-        .orderBy("doc_id")
     }),
     "doc_stopword_filter" -> ((s, dir) => {
       // Gopher-style stopword signal: distinct stopwords present per doc
@@ -565,7 +542,6 @@ object TextQueries {
         .select(col("doc_id"),
           TF.distinctWordsPresent(col("text"), words).cast("long").as("n_stop"))
         .withColumn("keep", (col("n_stop") >= 2).cast("int"))
-        .orderBy("doc_id")
     }),
     "doc_url_domains" -> ((s, dir) => {
       // Domain-level curation: extract the host from a (derived) URL,
@@ -588,7 +564,6 @@ object TextQueries {
       TF.filterByDomainBlocklist(withUrl, "url", blocklist)
         .withColumn("domain", TF.extractDomain(col("url")))
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
-        .orderBy("domain")
     }),
     "doc_source_rates" -> ((s, dir) => {
       // Proportional mix: per-source deterministic sample rates. Rates are
@@ -601,7 +576,7 @@ object TextQueries {
           (lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
             .cast("double") / 16.0)
       graft.text.Mix.bySampleRates(d, "doc_id", "source", rates)
-        .select(col("doc_id"), col("source")).orderBy("doc_id")
+        .select(col("doc_id"), col("source"))
     }),
     "doc_top_ngrams" -> ((s, dir) => {
       // Corpus-level vocabulary statistics: top-20 bigrams by occurrence.
@@ -622,7 +597,6 @@ object TextQueries {
           col("r.n_distinct").as("n_distinct"),
           col("r.n_bigrams").as("n_bigrams"),
           col("r.top_bigram").as("top_bigram"))
-        .orderBy("doc_id")
     })
   )
 
@@ -649,7 +623,7 @@ object TextQueries {
          UNION
          SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d WHERE r.lbl < e.s)
        SELECT doc_id FROM documents
-       WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach) ORDER BY doc_id"""
+       WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach)"""
 
   val oracleSql: Map[String, String] = Map(
     // The decode gate's oracle never touches the bytes: it predicts, from
@@ -674,8 +648,7 @@ object TextQueries {
            (red_l * (width // 2) + red_r * (width - width // 2)) * height AS sum_r,
            grn * width * height AS sum_g,
            blu * width * height AS sum_b
-         FROM m, LATERAL unnest(range(0, n_frames, 2)) AS f(frame_no)
-         ORDER BY doc_id, f.frame_no""",
+         FROM m, LATERAL unnest(range(0, n_frames, 2)) AS f(frame_no)""",
     // Audio twin of mm_decode_features: sample_sum depends on every decoded
     // PCM sample (alternating a/b per frame, +c per channel), so a fake
     // decode cannot match the closed forms.
@@ -694,7 +667,7 @@ object TextQueries {
              + n_frames * channels * (channels - 1) // 2 AS sample_sum,
            least(a, b) AS sample_min,
            greatest(a, b) + channels - 1 AS sample_max
-         FROM m ORDER BY doc_id""",
+         FROM m""",
     // Video twin: closed-form ISO BMFF fields (see syntheticVideoAssets).
     "mm_video_meta" ->
       """WITH m AS (
@@ -708,7 +681,7 @@ object TextQueries {
            FROM documents WHERE doc_id < 400)
          SELECT doc_id, duration * 1000 // timescale AS duration_ms,
            timescale, n_tracks, width, height, brand
-         FROM m ORDER BY doc_id""",
+         FROM m""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,
@@ -719,12 +692,12 @@ object TextQueries {
            round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
                  / length(text), 4) AS punct_ratio,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
-         FROM documents ORDER BY doc_id""",
+         FROM documents""",
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n,
            array_to_string(list_sort(list(doc_id)), ',') AS ids,
            min(doc_id) AS keep_id
-         FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""",
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
     "doc_dedup_kept" -> dedupKeptSql,
     "doc_near_dup" ->
       s"""$shingleCte,
@@ -732,22 +705,20 @@ object TextQueries {
                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(list_concat(a.s, b.s))) AS j
                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
-         ORDER BY id_a, id_b""",
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8""",
     "doc_jaccard_join" ->
       s"""$shingleCte,
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(list_concat(a.s, b.s))) AS j
                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
-         ORDER BY id_a, id_b""",
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""",
     "doc_lang_quality" ->
       """SELECT lang, count(*) AS n_docs,
            round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
            round(avg(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                  / length(text), 4)), 4) AS avg_alpha
-         FROM documents GROUP BY lang ORDER BY lang""",
+         FROM documents GROUP BY lang""",
     "doc_curation_e2e" ->
       """WITH RECURSIVE f AS (
            SELECT doc_id, text, lang,
@@ -783,12 +754,11 @@ object TextQueries {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM q WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach)
-         GROUP BY lang ORDER BY lang""",
+         GROUP BY lang""",
     "doc_det_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
-               < 230584300921369408
-         ORDER BY doc_id""",
+               < 230584300921369408""",
     "doc_quality_filter" ->
       """WITH f AS (
            SELECT doc_id,
@@ -808,7 +778,7 @@ object TextQueries {
                + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0
                        THEN 1.0 ELSE 0.25 END) * 0.2, 6) AS quality
            FROM f)
-         SELECT doc_id, quality FROM q WHERE quality >= 0.93 ORDER BY doc_id""",
+         SELECT doc_id, quality FROM q WHERE quality >= 0.93""",
     "emb_near_dup" ->
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings
@@ -819,15 +789,14 @@ object TextQueries {
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
          FROM aug a, aug b
          WHERE a.vec_id < b.vec_id
-           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-         ORDER BY id_a, id_b""",
+           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""",
     "doc_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),
          c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM w)
          SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_no,
            array_to_string(w[st+1 : least(st+40, len(w))], ' ') AS chunk
-         FROM c ORDER BY doc_id, chunk_no""",
+         FROM c""",
     "doc_decontam" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,
@@ -838,7 +807,7 @@ object TextQueries {
          c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
          SELECT doc_id, count(*) AS n_hits
          FROM c JOIN ev USING (g)
-         GROUP BY doc_id ORDER BY doc_id""",
+         GROUP BY doc_id""",
     "doc_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id, text
@@ -860,7 +829,7 @@ object TextQueries {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
-         FROM aug ORDER BY doc_id""",
+         FROM aug""",
     "doc_source_mix" ->
       """WITH t AS (
            SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
@@ -872,8 +841,7 @@ object TextQueries {
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
            FROM t)
          SELECT doc_id, source, cum_tokens FROM c
-         WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)
-         ORDER BY doc_id""",
+         WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)""",
     "doc_pipeline_e2e" ->
       """WITH f AS (
            SELECT doc_id, text, lang, source,
@@ -918,8 +886,7 @@ object TextQueries {
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                 FROM t)
          SELECT doc_id, source, lang, cum_tokens FROM c2
-         WHERE cum_tokens <= 500 + 100 * (CAST(substr(source, 4, 10) AS INT) % 4)
-         ORDER BY doc_id""",
+         WHERE cum_tokens <= 500 + 100 * (CAST(substr(source, 4, 10) AS INT) % 4)""",
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents WHERE text IS NOT NULL),
@@ -928,7 +895,7 @@ object TextQueries {
            CAST(sum(cnt) AS BIGINT) AS freq_sum,
            CAST(min(cnt) AS BIGINT) AS min_freq
          FROM tok JOIN c USING (tok)
-         GROUP BY doc_id ORDER BY doc_id""",
+         GROUP BY doc_id""",
     "doc_substr_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),
@@ -949,7 +916,7 @@ object TextQueries {
                   FROM keepj GROUP BY doc_id)
          SELECT w.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
            CAST(len(w.w) - coalesce(k.nk, 0) AS BIGINT) AS n_tokens_removed
-         FROM w LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
+         FROM w LEFT JOIN kept k USING (doc_id)""",
     "doc_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),
@@ -963,7 +930,7 @@ object TextQueries {
                FROM ch)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
            md5(array_to_string(list(chunk ORDER BY chunk_no), ' ')) AS text_md5
-         FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+         FROM f WHERE rn = 1 GROUP BY doc_id""",
     "doc_domain_caps" ->
       """WITH u AS (
            SELECT doc_id, lower(regexp_extract(
@@ -977,8 +944,7 @@ object TextQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_docs
            FROM u)
          SELECT doc_id, domain, cum_docs FROM c
-         WHERE cum_docs <= 2 + CAST(substr(domain, 2, 1) AS INT) % 3
-         ORDER BY doc_id""",
+         WHERE cum_docs <= 2 + CAST(substr(domain, 2, 1) AS INT) % 3""",
     "doc_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, len(string_split(text, ' ')) AS toks,
@@ -994,7 +960,7 @@ object TextQueries {
            CAST((cum - toks) % 128 AS BIGINT) AS seq_off,
            CAST(greatest(cum - 1, cum - toks) // 128
                 - (cum - toks) // 128 + 1 AS BIGINT) AS n_seqs
-         FROM c ORDER BY doc_id""",
+         FROM c""",
     "doc_pack_emit" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1012,7 +978,7 @@ object TextQueries {
          SELECT CAST(pos // 128 AS BIGINT) AS seq_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5
-         FROM u GROUP BY 1 ORDER BY 1""",
+         FROM u GROUP BY 1""",
     "doc_split_assign" ->
       """SELECT doc_id,
            CASE
@@ -1022,8 +988,7 @@ object TextQueries {
              ELSE NULL END AS split
          FROM (SELECT doc_id,
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
-               FROM documents)
-         ORDER BY doc_id""",
+               FROM documents)""",
     "doc_stopword_filter" ->
       """SELECT doc_id,
            CAST(len(list_intersect(string_split(text, ' '),
@@ -1031,7 +996,7 @@ object TextQueries {
            CAST(CASE WHEN len(list_intersect(string_split(text, ' '),
              ['the', 'a', 'and', 'value', 'data'])) >= 2
              THEN 1 ELSE 0 END AS INT) AS keep
-         FROM documents ORDER BY doc_id""",
+         FROM documents""",
     "doc_url_domains" ->
       """WITH u AS (
            SELECT lower(regexp_extract(
@@ -1041,12 +1006,11 @@ object TextQueries {
            FROM documents)
          SELECT domain, count(*) AS n_docs FROM u
          WHERE domain NOT IN ('w0.example0.org', 'w3.example1.org')
-         GROUP BY domain ORDER BY domain""",
+         GROUP BY domain""",
     "doc_source_rates" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
-               < (1 + CAST(substr(source, 4, 10) AS INT) % 4) * 72057594037927936
-         ORDER BY doc_id""",
+               < (1 + CAST(substr(source, 4, 10) AS INT) % 4) * 72057594037927936""",
     "doc_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w
                     FROM documents WHERE text IS NOT NULL),
@@ -1073,8 +1037,7 @@ object TextQueries {
          SELECT ts.doc_id, n_tokens, n_distinct,
            coalesce(n_bigrams, 0) AS n_bigrams,
            coalesce(top_bigram, 0) AS top_bigram
-         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
-         ORDER BY ts.doc_id""",
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
     // digestPin gates: the constants are the engine's own digests over the
     // sf0.01 driver fixture (see digestPin's scaladoc — a regenerated
     // fixture requires re-pinning from the gate's Verify output).
@@ -1094,8 +1057,7 @@ object TextQueries {
          SELECT r.bucket, coalesce(t.tn, 0) AS target_n, r.rn AS raw_n,
            CAST((CAST(coalesce(t.tn, 0) + 1 AS HUGEINT) * (rt + 512) * 1000000)
                 // (CAST(r.rn + 1 AS HUGEINT) * (tt + 512)) AS BIGINT) AS weight_ppm
-         FROM rc r LEFT JOIN tc t USING (bucket), tot
-         ORDER BY r.bucket""",
+         FROM rc r LEFT JOIN tc t USING (bucket), tot""",
     // digest-pinned (ln() is not bit-portable across engines); constants
     // computed from the sf0.01 fixture — re-pin from the gate's Verify
     // output on fixture regen, like the pins below.

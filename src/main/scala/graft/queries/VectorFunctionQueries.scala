@@ -37,8 +37,7 @@ object VectorFunctionQueries {
       s"""SELECT /*+ BROADCAST(q) */ e.vec_id,
             round(e.embedding $op q.embedding, 4) AS d
           FROM graft_vfq_emb e,
-            (SELECT embedding FROM graft_vfq_emb WHERE vec_id = 0) q
-          ORDER BY e.vec_id""")
+            (SELECT embedding FROM graft_vfq_emb WHERE vec_id = 0) q""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,7 +69,6 @@ object VectorFunctionQueries {
       e.select(col("vec_id"),
           round(array_inner_product(n, col("embedding")), 4).as("d"),
           round(array_inner_product(n, n), 4).as("unit"))
-        .orderBy("vec_id")
     }),
     "emb_kmeans" -> ((s, dir) => {
       // Deterministic integer-Lloyd clustering (SemDeDup's cluster stage):
@@ -83,7 +81,6 @@ object VectorFunctionQueries {
           k = 8, iters = 3)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           col("dist2"))
-        .orderBy("vec_id")
     }),
     "emb_cluster_sample" -> ((s, dir) => {
       // The full SemDeDup selection end-to-end: integer-Lloyd clusters,
@@ -95,7 +92,6 @@ object VectorFunctionQueries {
           Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
           k = 8, perCluster = 20, iters = 3)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-        .orderBy("vec_id")
     }),
     "vss_quantize_i8" -> ((s, dir) => {
       // Codes proven byte-exact via md5 of the comma-joined list; the
@@ -110,7 +106,6 @@ object VectorFunctionQueries {
           round(array_inner_product(
             array_dequantize_i8(col("q.codes"), col("q.scale")),
             col("embedding")), 4).as("recon_dot"))
-        .orderBy("vec_id")
     })
   )
 
@@ -118,7 +113,7 @@ object VectorFunctionQueries {
     "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
 
   private def metricSql(duckExpr: String): String =
-    s"SELECT e.vec_id, round($duckExpr, 4) AS d $fromClause ORDER BY e.vec_id"
+    s"SELECT e.vec_id, round($duckExpr, 4) AS d $fromClause"
 
   val oracleSql: Map[String, String] = Map(
     "vss_array_distance" ->
@@ -154,7 +149,7 @@ object VectorFunctionQueries {
          SELECT vec_id,
            round(list_inner_product(nu::DOUBLE[], v::DOUBLE[]), 4) AS d,
            round(list_inner_product(nu::DOUBLE[], nu::DOUBLE[]), 4) AS unit
-         FROM nv ORDER BY vec_id""",
+         FROM nv""",
     // SemDeDup selection end-to-end: the kmeans replay + row_number over
     // the library-wide (md5(id), id) fill order, capped per cluster.
     "emb_cluster_sample" ->
@@ -227,7 +222,7 @@ object VectorFunctionQueries {
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
                 FROM sel)
          SELECT vec_id, CAST(c AS BIGINT) AS cluster
-         FROM rk WHERE rk <= 20 ORDER BY vec_id""",
+         FROM rk WHERE rk <= 20""",
     // Integer Lloyd unrolled: init = 8 smallest vec_ids, three
     // assignment+update rounds, final assignment. All-integer (quantized
     // vectors, exact sums, truncating `//`), so the replay is exact.
@@ -297,7 +292,7 @@ object VectorFunctionQueries {
                      i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
                  FROM q, c3))
          SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
-         FROM af WHERE rn = 1 ORDER BY vec_id""",
+         FROM af WHERE rn = 1""",
     "vss_quantize_i8" ->
       """WITH q AS (
            SELECT vec_id, embedding AS v,
@@ -320,6 +315,6 @@ object VectorFunctionQueries {
            round(list_inner_product(
              list_transform(codes, c -> CAST(CAST(c AS DOUBLE) * scale AS FLOAT))::DOUBLE[],
              v::DOUBLE[]), 4) AS recon_dot
-         FROM enc ORDER BY vec_id"""
+         FROM enc"""
   )
 }
