@@ -49,4 +49,30 @@ object Sessionize {
       .groupBy((keyCols :+ "session_seq").map(col): _*)
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"))
+
+  /**
+   * Per-EVENT session stats: input + `session_seq` + `n_events` /
+   * `start_ts` / `end_ts` of the event's own session — the fused form of
+   * "sessionize, roll up, then range-join events back to their session"
+   * for the common case where the points being attributed ARE (a subset
+   * of) the events that formed the sessions.
+   *
+   * That composed pipeline ([[sessionStats]] + `RangeJoin.
+   * pointInDisjointIntervals`) scans the events twice and pays a second
+   * key exchange for the interval merge; here the session aggregates ride
+   * a second window over (keys…, session_seq) that REUSES the sessionize
+   * exchange — `HashPartitioning(keys)` already satisfies the finer
+   * clustering, so Spark inserts only a local re-sort (of data already in
+   * (keys, ts) = (keys, session_seq) order). One scan, ONE shuffle total,
+   * at any scale. Value-identical to the composed path for points drawn
+   * from the sessionized events (spec'd in SessionizeSpec).
+   */
+  def sessionizeWithStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      maxGap: Long): DataFrame = {
+    val bySession = Window.partitionBy((keyCols :+ "session_seq").map(col): _*)
+    sessionize(df, keyCols, tsCol, maxGap)
+      .withColumn("n_events", count(lit(1)).over(bySession))
+      .withColumn("start_ts", min(col(tsCol)).over(bySession))
+      .withColumn("end_ts", max(col(tsCol)).over(bySession))
+  }
 }

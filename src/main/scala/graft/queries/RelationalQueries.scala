@@ -416,22 +416,20 @@ object RelationalQueries {
           col("start_ts").as("start_us"), col("end_ts").as("end_us"))
     }),
     "q16_range_join" -> ((s, dir) => {
-      // Range join composed with sessionization: attribute every purchase
-      // to the (4 h-gap) session interval containing it. Sessions of a user
-      // are separated by gaps > 0, i.e. DISJOINT — so the merge path
-      // (ops.RangeJoin.pointInDisjointIntervals) applies: ONE window
-      // shuffle, no interval explode, no join-side shuffle pair. (The
-      // bucketized pointInInterval stays the general-overlap path.)
-      val ev = eventsUs(s, dir)
-      val sessions = graft.ops.Sessionize.sessionStats(ev, Seq("user_id"), "ts",
-        maxGap = fourHoursUs)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      graft.ops.RangeJoin.pointInDisjointIntervals(purchases, sessions,
-          Seq("user_id"), "ts", "start_ts", "end_ts")
-        .select(col("event_id"), col("user_id"),
-          col("iv_session_seq").as("session_seq"),
-          col("iv_n_events").as("n_events"))
+      // Attribute every purchase to the (4 h-gap) session containing it.
+      // The points being attributed ARE events of the sessionized stream,
+      // so the fused per-event form applies (Sessionize.sessionizeWithStats,
+      // r13): ONE scan + ONE exchange — the session aggregates ride a
+      // second window that reuses the sessionize exchange. The composed
+      // general form (sessionStats + RangeJoin.pointInDisjointIntervals,
+      // for points that are NOT part of the interval-forming stream) is
+      // value-identical on this query (SessionizeSpec) and stays
+      // driver-gated through q19's range_join TVF.
+      graft.ops.Sessionize.sessionizeWithStats(eventsUs(s, dir),
+          Seq("user_id"), "ts", maxGap = fourHoursUs)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("n_events"))
     }),
     "q17_sessionize_tvf" -> ((s, dir) => {
       // SQL-TVF gate over the RAW events table — no ts normalization on the

@@ -69,4 +69,44 @@ class SessionizeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
   }
+
+  test("sessionizeWithStats: per-event stats equal the per-session rollup") {
+    val r = Sessionize.sessionizeWithStats(events, Seq("user"), "ts", 200L)
+      .select("user", "ts", "session_seq", "n_events", "start_ts", "end_ts")
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // every event carries its own session's rollup
+    assert(r(("u1", 100L)) == (1L, 2L, 100L, 150L))
+    assert(r(("u1", 150L)) == (1L, 2L, 100L, 150L))
+    assert(r(("u1", 400L)) == (2L, 2L, 400L, 450L))
+    assert(r(("u2", 1000L)) == (3L, 1L, 1000L, 1000L))
+  }
+
+  test("sessionizeWithStats == sessionStats + pointInDisjointIntervals " +
+      "for points drawn from the sessionized events") {
+    val points = events.where(col("ts") % 100 === 0) // an arbitrary subset
+    val fused = Sessionize.sessionizeWithStats(events, Seq("user"), "ts", 200L)
+      .where(col("ts") % 100 === 0)
+      .select(col("user"), col("ts"), col("session_seq"), col("n_events"))
+    val sessions = Sessionize.sessionStats(events, Seq("user"), "ts", 200L)
+    val composed = graft.ops.RangeJoin.pointInDisjointIntervals(
+        points, sessions, Seq("user"), "ts", "start_ts", "end_ts")
+      .select(col("user"), col("ts"),
+        col("iv_session_seq").as("session_seq"),
+        col("iv_n_events").as("n_events"))
+    val key = (x: org.apache.spark.sql.Row) =>
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))
+    assert(fused.collect().map(key).sorted.toSeq ==
+      composed.collect().map(key).sorted.toSeq)
+  }
+
+  test("sessionizeWithStats plan: ONE exchange — the stats window reuses " +
+      "the sessionize partitioning") {
+    val plan = Sessionize.sessionizeWithStats(events, Seq("user"), "ts", 200L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
