@@ -220,6 +220,67 @@ object TextHash {
     }
   }
 
+  /**
+   * Count of DISTINCT word n-gram shingles of `s` that appear in the probe
+   * table — the fused form of "explode shingles, join a broadcast eval-gram
+   * set, count" (decontamination's hot loop). Same single byte pass and
+   * open-addressing dedup as [[wordShingles]]; each NEW distinct shingle
+   * probes `hashes` (fnv1a64, sorted ascending) by binary search and, on a
+   * hash hit, VERIFIES bytes against the parallel `grams` entries sharing
+   * that hash — hash equality alone is never trusted, so the count equals
+   * the string-join semantics exactly at any collision rate.
+   */
+  def shingleHitCount(s: UTF8String, n: Int,
+      hashes: Array[Long], grams: Array[UTF8String]): Long = {
+    val bytes = s.getBytes
+    var starts = new Array[Int](math.max(8, bytes.length / 8))
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (nTok == starts.length) starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        starts(nTok) = i + 1
+        nTok += 1
+      }
+      i += 1
+    }
+    if (nTok < n) return 0L
+    val m = nTok - n + 1
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val table = new Array[UTF8String](cap)
+    var hits = 0L
+    var w = 0
+    while (w <= nTok - n) {
+      val off = starts(w)
+      val end = if (w + n < nTok) starts(w + n) - 1 else bytes.length
+      val sh = UTF8String.fromBytes(bytes, off, end - off)
+      var idx = sh.hashCode & (cap - 1)
+      var dup = false
+      while (!dup && (table(idx) ne null)) {
+        if (table(idx).equals(sh)) dup = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (!dup) {
+        table(idx) = sh
+        val h = fnv1a64(sh)
+        var lo = java.util.Arrays.binarySearch(hashes, h)
+        if (lo >= 0) {
+          while (lo > 0 && hashes(lo - 1) == h) lo -= 1
+          var j = lo
+          var found = false
+          while (!found && j < hashes.length && hashes(j) == h) {
+            if (grams(j).equals(sh)) found = true
+            j += 1
+          }
+          if (found) hits += 1
+        }
+      }
+      w += 1
+    }
+    hits
+  }
+
   // binaryCompare, NOT compareTo: Spark 4's UTF8String.compareTo re-checks
   // System.getenv("SPARK_TESTING") on EVERY call (a collation assertion),
   // and ProcessEnvironment.get re-encodes the key bytes each time — inside
@@ -1016,6 +1077,39 @@ object TokenFreqLookup {
     StructField("n_tokens", LongType, nullable = false),
     StructField("freq_sum", LongType, nullable = false),
     StructField("min_freq", LongType, nullable = false)))
+}
+
+/** [[TextHash.shingleHitCount]] as a codegen'd expression: per-document
+  * count of distinct word n-gram shingles present in a BROADCAST eval-gram
+  * table (fnv1a64-sorted hashes + parallel grams for byte verification).
+  * Same `Broadcast`-hoisting shape as [[TokenFreqLookup]]: arrays fetched
+  * once per executor, `.value` unwrapped in generated-class init, so the
+  * per-row path is one byte scan + binary searches — no explode, no join,
+  * no aggregation. */
+case class ShingleHitCount(child: Expression, n: Int,
+    hashes: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    grams: org.apache.spark.broadcast.Broadcast[Array[UTF8String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle n must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHitCount(v.asInstanceOf[UTF8String], n, hashes.value, grams.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hRef = ctx.addReferenceObj("shingleHashesBc", hashes,
+      "org.apache.spark.broadcast.Broadcast")
+    val gRef = ctx.addReferenceObj("shingleGramsBc", grams,
+      "org.apache.spark.broadcast.Broadcast")
+    val hArr = ctx.addMutableState("long[]", "shingleHashes",
+      v => s"$v = (long[])$hRef.value();")
+    val gArr = ctx.addMutableState("org.apache.spark.unsafe.types.UTF8String[]",
+      "shingleGrams",
+      v => s"$v = (org.apache.spark.unsafe.types.UTF8String[])$gRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHash.shingleHitCount($c, $n, $hArr, $gArr)")
+  }
+  override def prettyName: String = "shingle_hit_count"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** [[TextHash.wordShingleHashesSorted]] as a codegen'd expression —

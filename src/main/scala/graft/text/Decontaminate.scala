@@ -1,7 +1,10 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.{ShingleHitCount, TextHash}
 
 /**
  * Eval-set decontamination: find (or drop) corpus documents that share
@@ -12,21 +15,70 @@ import org.apache.spark.sql.functions._
  * to match this library's shingle convention).
  *
  * Plan shape (100 TB posture): the eval set is tiny relative to the
- * corpus, so its DISTINCT shingle set builds one side of an equi-join
- * that AQE broadcasts at runtime; the corpus side is never shuffled —
- * each scan task streams its documents' distinct shingles (fused
- * [[graft.expressions.WordShingles]] kernel, no intermediate strings
- * until explode) against the broadcast set, and only matching (doc,
- * shingle) rows reach the partial-aggregated count. Work is proportional
- * to corpus bytes + hits, not corpus x eval.
+ * corpus BY CONTRACT (it is a benchmark), so its DISTINCT shingles are
+ * collected once (capped — see below), sorted by fnv1a64, and broadcast;
+ * the corpus side is then ONE scan with a fused per-document kernel
+ * ([[graft.expressions.ShingleHitCount]]): tokenize, dedup, binary-search
+ * the hash table, byte-verify on hash hits. No explode, no join, no
+ * aggregation — work is proportional to corpus bytes, and the only rows
+ * that exist after the scan are the contaminated ids. (The r12 plan
+ * exploded every corpus document's shingles through a broadcast hash
+ * join and re-aggregated per doc — ~2.5 s of the 3.6 s total at sf10
+ * was that explode+join+agg stage; the fused scan replaces all of it.)
+ *
+ * The driver-side gram collect is capped at
+ * `spark.graft.decontam.maxEvalGrams` (default 8M entries; at ~32 B/gram
+ * that bounds the broadcast near the repo-wide 256 MB driver-payload
+ * ceiling documented in [[graft.ops.SemiJoins]]). Past the cap the
+ * operator falls back to the r12 shape — distinct eval shingles as the
+ * build side of an AQE-broadcast equi-join — which needs no driver
+ * materialization at all.
  */
 object Decontaminate {
 
+  private val MaxGramsConf = "spark.graft.decontam.maxEvalGrams"
+
+  /** Sorted (hashes, grams) broadcast pair for the fused path, or None if
+    * the eval set's distinct-shingle count exceeds the cap. */
+  private def hitCountCol(corpus: DataFrame, eval: DataFrame, textCol: String,
+      n: Int): Option[Column] = {
+    val spark = corpus.sparkSession
+    val cap = spark.conf.getOption(MaxGramsConf).map(_.toInt).getOrElse(8000000)
+    val collected = eval
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("_g"))
+      .distinct()
+      .limit(cap + 1)
+      .collect()
+    if (collected.length > cap) return None
+    val pairs = collected.map { r =>
+      val g = UTF8String.fromString(r.getString(0))
+      (TextHash.fnv1a64(g), g)
+    }
+    java.util.Arrays.sort(pairs, Ordering.by((p: (Long, UTF8String)) => p._1))
+    val sc = spark.sparkContext
+    val hashes = sc.broadcast(pairs.map(_._1))
+    val grams = sc.broadcast(pairs.map(_._2))
+    Some(org.apache.spark.sql.graftbridge.Bridge.column(ShingleHitCount(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col(textCol)), n, hashes, grams)))
+  }
+
   /** One row per contaminated corpus doc: (idCol, n_hits) where n_hits is
     * the number of DISTINCT shingles the doc shares with `eval`. Docs with
-    * no overlap are absent (the common case at scale). */
+    * no overlap are absent (the common case at scale). Rows are per corpus
+    * ROW on the fused path; callers with duplicate ids should dedup first
+    * (the fixture/gate contract is unique ids). */
   def overlapCounts(corpus: DataFrame, eval: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
+      idCol: String, n: Int = 3): DataFrame =
+    hitCountCol(corpus, eval, textCol, n) match {
+      case Some(hits) =>
+        corpus.select(col(idCol), hits.as("n_hits")).where(col("n_hits") > 0)
+      case None => overlapCountsJoin(corpus, eval, textCol, idCol, n)
+    }
+
+  /** The r12 join-shaped plan — the past-cap fallback, and the value-
+    * identity reference for the fused kernel (DecontaminateSpec). */
+  private[graft] def overlapCountsJoin(corpus: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val evalGrams = eval
       .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("_g"))
       .distinct()
@@ -40,10 +92,15 @@ object Decontaminate {
   }
 
   /** `corpus` minus every doc flagged by [[overlapCounts]] — the actual
-    * decontamination step (left-anti on the bounded hit set). */
+    * decontamination step. Fused path: a scan-only filter (hit count == 0,
+    * NULL text kept — a null-text row has no shingles to share, matching
+    * the join path, where it never reaches the overlap set). */
   def dropContaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame =
-    corpus.join(
-      overlapCounts(corpus, eval, textCol, idCol, n).select(col(idCol)),
-      Seq(idCol), "left_anti")
+    hitCountCol(corpus, eval, textCol, n) match {
+      case Some(hits) => corpus.where(coalesce(hits, lit(0L)) === 0L)
+      case None => corpus.join(
+        overlapCountsJoin(corpus, eval, textCol, idCol, n).select(col(idCol)),
+        Seq(idCol), "left_anti")
+    }
 }

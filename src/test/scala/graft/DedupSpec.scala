@@ -522,6 +522,46 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("decontaminate fused kernel == join plan on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "a")
+    def doc() = (1 to (1 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 300L).map(i => (i, if (i % 37 == 0) null else doc()))
+      .toDF("doc_id", "text")
+    val eval = (1000L to 1010L).map(i => (i, doc())).toDF("doc_id", "text")
+    val fused = graft.text.Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val joined = graft.text.Decontaminate
+      .overlapCountsJoin(corpus, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fused == joined)
+    // dropContaminated keeps exactly the complement (incl. null-text rows)
+    val keptF = graft.text.Decontaminate
+      .dropContaminated(corpus, eval, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val flagged = fused.map(_._1).toSet
+    assert(keptF == (1L to 300L).filterNot(flagged), "complement mismatch")
+    // plan shape: the fused path is scan-only — no join, no aggregate
+    val plan = graft.text.Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("decontaminate falls back to the join plan past the gram cap") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c q")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.decontam.maxEvalGrams", "1")
+    try {
+      val r = graft.text.Decontaminate.overlapCounts(corpus, eval, "text", "doc_id")
+      assert(r.queryExecution.executedPlan.toString.contains("Join"))
+      assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+    } finally spark.conf.unset("spark.graft.decontam.maxEvalGrams")
+  }
+
   test("chunkTokens matches the sliding-window reference incl. edge cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
