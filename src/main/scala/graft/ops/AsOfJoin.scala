@@ -53,16 +53,29 @@ object AsOfJoin {
         s"columns; pass a different rightPrefix")
     val pk = partitionCols.map(col)
 
+    // Left columns ride FLAT through the union/shuffle/sort under
+    // positional aliases (collision-proof against user column names):
+    // packing them into a struct paid a nested-row header + offset per
+    // LEFT row, and left is the fact side by convention (asof enriches
+    // facts), so the header tax lands on the big side. The price is one
+    // fixed 8-byte null slot per left column on RIGHT rows — cheap when
+    // the left projection is reasonably narrow, and the win grows with
+    // left width (q18's raw-events left: −0.3–0.45 s at sf10; q14's
+    // 3-column left: a wash). Only the right payload needs a struct: it
+    // is carried as ONE value by last(ignoreNulls) over the window.
+    // Partition keys already ride as themselves and are not duplicated.
+    val lcCols = leftCols.filterNot(partitionCols.contains)
     val leftTagged = left.select(
       pk ++ Seq(
-        EventTime.toLong(left, leftTs).as("_ts"), lit(0).as("_side"),
-        struct(leftCols.map(col): _*).as("_l"),
-        lit(null).cast(structTypeOf(right, rightCols)).as("_r")): _*)
+        EventTime.toLong(left, leftTs).as("_ts"), lit(0).as("_side")) ++
+        lcCols.zipWithIndex.map { case (c, i) => col(c).as(s"_lc$i") } :+
+        lit(null).cast(structTypeOf(right, rightCols)).as("_r"): _*)
     val rightTagged = right.select(
       pk ++ Seq(
-        EventTime.toLong(right, rightTs).as("_ts"), lit(1).as("_side"),
-        lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
-        struct(rightCols.map(col): _*).as("_r")): _*)
+        EventTime.toLong(right, rightTs).as("_ts"), lit(1).as("_side")) ++
+        lcCols.zipWithIndex.map { case (c, i) =>
+          lit(null).cast(left.schema(c).dataType).as(s"_lc$i") } :+
+        struct(rightCols.map(col): _*).as("_r"): _*)
 
     // Backward: ascending ts, right-before-left on equal ts so "<=" holds;
     // forward: descending ts gives "the smallest rightTs >= leftTs" as the
@@ -89,8 +102,11 @@ object AsOfJoin {
         matched.withColumn("_match", when(gap <= t, col("_match")))
       case None => matched
     }
+    val lcIdx = lcCols.zipWithIndex.toMap
     withTol.select(
-      leftCols.map(c => col("_l").getField(c).as(c)) ++
+      leftCols.map(c =>
+        if (partitionCols.contains(c)) col(c)
+        else col(s"_lc${lcIdx(c)}").as(c)) ++
         rightCols.map(c => col("_match").getField(c).as(rightPrefix + c)): _*)
   }
 
