@@ -117,8 +117,10 @@ object Dedup {
    * coverage is the span.
    *
    * Scale shape: one stride-1 window explode (rows ∝ corpus tokens; each
-   * window a zero-copy byte slice), a map-side-combined count per
-   * distinct window, an equi-join back to the window stream, one per-doc
+   * window a zero-copy byte slice), ONE exchange of the narrow
+   * (id, start, h1, h2) frame with a corpus-wide count window over the
+   * two-long md5 key (see the in-body note for why this beats
+   * count-then-join-back at every scale), one per-doc
    * aggregate of repeated start positions, and a single-pass kernel
    * ([[graft.expressions.TextHash.dropCoveredTokens]]) that rebuilds
    * each text with a coverage-watermark sweep — no all-pairs stage, no
@@ -146,12 +148,25 @@ object Dedup {
           .as(Seq("_ss_start", "_ss_gram")))
       .where(col("_ss_start") + minTokens <= col("_ss_n"))
       .select(col(idCol), col("_ss_start"),
-        TextFunctions.md5Hex(col("_ss_gram")).as("_ss_h"))
-    val repeated = grams.groupBy(col("_ss_h"))
-      .agg(count(lit(1)).as("_ss_c"))
+        TextFunctions.md5Longs(col("_ss_gram")).getField("h1").as("_ss_h1"),
+        TextFunctions.md5Longs(col("_ss_gram")).getField("h2").as("_ss_h2"))
+    // Corpus-wide counts via ONE window over the hash (r13): every exact
+    // plan must co-locate all copies of a window hash to recover their
+    // spans, so count them right there — one exchange of the narrow
+    // (id, start, h1, h2) frame, a fixed-width two-long sort, no join, no
+    // second pass. The former shape (groupBy count → join grams back)
+    // either broadcast `repeated` and RE-RAN the whole tokenize+md5 pass
+    // on the probe side (3.0 s of 7.6 s profiled at sf10), or — past a
+    // broadcastable `repeated`, the 100 TB regime — degraded to SMJ,
+    // which co-locates the same rows AND pays the agg exchange AND the
+    // recompute. Per-hash work stays linear in copies; a pathological
+    // single window repeated ~1e9 times serializes one task, the same
+    // hotspot every exact-span plan has.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_ss_h1"), col("_ss_h2"))
+    val spans = grams
+      .withColumn("_ss_c", count(lit(1)).over(w))
       .where(col("_ss_c") >= 2)
-      .select(col("_ss_h"))
-    val spans = grams.join(repeated, Seq("_ss_h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_ss_start").cast("long"))).as("_ss_starts"))
     val rebuilt = Bridge.column(graft.expressions.DropCoveredTokens(
