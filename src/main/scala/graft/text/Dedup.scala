@@ -89,8 +89,12 @@ object Dedup {
       .select(col(idCol),
         posexplode(TextFunctions.chunkTokens(col(textCol), size, size))
           .as(Seq("_chunk_no", "_chunk")))
+    // Two flat longs as the corpus-wide chunk key (r13, the substring-
+    // dedup device): fixed-width sort/partition keys through the window
+    // exchange instead of a 32-char hex string per chunk.
+    val h = TextFunctions.md5Longs(col("_chunk"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextFunctions.md5Hex(col("_chunk")))
+      .partitionBy(h.getField("h1"), h.getField("h2"))
       .orderBy(col(idCol), col("_chunk_no"))
     chunks.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)

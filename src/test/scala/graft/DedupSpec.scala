@@ -550,6 +550,38 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("shingleHitCount kernel: dedup, byte verification, equal-hash walk") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.TextHash
+    def u(s: String) = UTF8String.fromString(s)
+    def table(grams: String*): (Array[Long], Array[UTF8String]) = {
+      val pairs = grams.toArray.map(g => (TextHash.fnv1a64(u(g)), u(g)))
+        .sortBy(_._1)
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val (h, g) = table("a b c", "b c d", "x y z")
+    // distinct hits only: "a b c" occurs twice in the text but counts once
+    assert(TextHash.shingleHitCount(u("a b c a b c d"), 3, h, g) == 2L)
+    // fewer than n tokens -> 0
+    assert(TextHash.shingleHitCount(u("a b"), 3, h, g) == 0L)
+    // no overlap -> 0
+    assert(TextHash.shingleHitCount(u("p q r s"), 3, h, g) == 0L)
+    // equal-hash walk: craft a probe table whose hash array has DUPLICATE
+    // hash values for different grams (unreachable via real fnv collisions
+    // — call the kernel directly). The matching gram sits AFTER a
+    // non-matching gram with the same hash, so the probe must walk
+    // neighbors and byte-verify, not trust the first hash hit.
+    val target = u("m n o")
+    val decoy = u("q r s")
+    val hh = TextHash.fnv1a64(target)
+    val hs = Array(hh, hh)
+    val gs = Array(decoy, target) // same claimed hash, decoy first
+    assert(TextHash.shingleHitCount(u("m n o p"), 3, hs, gs) == 1L)
+    // and a hash hit whose gram does NOT byte-match counts nothing
+    assert(TextHash.shingleHitCount(u("q r s"), 3, Array(TextHash.fnv1a64(u("q r s"))),
+      Array(u("totally different"))) == 0L)
+  }
+
   test("decontaminate falls back to the join plan past the gram cap") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
