@@ -240,11 +240,17 @@ object TextQueries {
       // Training sequence segmentation: 40-token windows every 24 tokens
       // (overlapping). Chunks are byte slices of the source text, so the
       // oracle's array_to_string(w[a:b], ' ') reproduces them exactly.
-      // No sort anywhere: scan → explode, chunk_no from posexplode (r13 —
-      // the former pre-explode sort was a full range shuffle the compare
-      // discards).
+      // This gate KEEPS its trailing ORDER BY (the one exception to the
+      // r13 unordered-set sweep): DuckDB's unordered execution of the
+      // unnest pipeline is pathological at scale — 34 s (preserve-order
+      // on) / 610 s (off) vs 2.2 s ordered for the same sf10 rows — and
+      // banking a 15–270× artifact win against a query the baseline runs
+      // in 2 s would misstate the engines. Both engines pay their sort:
+      // Spark sorts BEFORE the explode (each doc's text moves once, not
+      // its ~1.7× overlapping chunks; Generate preserves the order).
       Tables.load(s, dir, "documents")
         .where(col("text").isNotNull)
+        .orderBy("doc_id")
         .select(col("doc_id"),
           posexplode(TF.chunkTokens(col("text"), 40, 24)).as(Seq("chunk_no", "chunk")))
     }),
@@ -796,7 +802,7 @@ object TextQueries {
          c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM w)
          SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_no,
            array_to_string(w[st+1 : least(st+40, len(w))], ' ') AS chunk
-         FROM c""",
+         FROM c ORDER BY doc_id, chunk_no""",
     "doc_decontam" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

@@ -37,12 +37,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     oracle = json.load(open(f"{DUMP}/oracle_sql.json"))
-    con = duckdb.connect()
-    con.execute(f"SET threads TO 32")
-    for t in TABLES:
-        p = pathlib.Path(SF) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # One connection per preserve_insertion_order setting: the flag cuts
+    # both ways on unordered queries (=true serializes heavy projection
+    # pipelines, =false regresses some wide-output shapes), so each gate
+    # is timed under BOTH and the minimum kept — generous to the baseline
+    # (mirrors tools/campaign.py).
+    cons = []
+    for preserve in ("false", "true"):
+        con = duckdb.connect()
+        con.execute(f"SET threads TO 32")
+        con.execute(f"SET preserve_insertion_order={preserve}")
+        for t in TABLES:
+            p = pathlib.Path(SF) / f"{t}.parquet"
+            if p.exists():
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        cons.append(con)
     spark = json.load(open("BENCH_LOCAL.json"))["queries"]
     rows = []
     for name in sorted(FAIR):
@@ -50,10 +59,11 @@ def main():
             continue
         sql = oracle[name]
         times = []
-        for _ in range(2):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            times.append(time.time() - t0)
+        for con in cons:
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                times.append(time.time() - t0)
         # Bench writes {"err": ...} for a failed query — treat as missing.
         sp = spark.get(name)
         if not isinstance(sp, (int, float)):

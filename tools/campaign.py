@@ -105,9 +105,17 @@ def spark_scale(sfdir):
     return per
 
 
-def duck_conn(sfdir):
+def duck_conn(sfdir, preserve_order):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # Both engines compute unordered result SETS (the driver compare sorts
+    # before hashing; gates carry no trailing ORDER BY since r13, except
+    # doc_chunks — see its gate comment). DuckDB's preserve_insertion_order
+    # cuts BOTH ways on unordered queries: =true serializes heavy
+    # projection pipelines (20x on the text-kernel gates), =false is worse
+    # on some wide-output shapes. The harness runs each gate under BOTH
+    # settings and keeps the minimum — maximally generous to the baseline.
+    con.execute(f"SET preserve_insertion_order={'true' if preserve_order else 'false'}")
     # Let DuckDB spill rather than OOM on memory-heavy shapes (the sf10
     # packed-sequence string_agg) — the generous-to-DuckDB configuration.
     con.execute("SET temp_directory='/tmp/duck_spill'")
@@ -129,22 +137,27 @@ def duck_scale(sfdir):
         # packed-sequence string_agg) otherwise poisons the shared pool and
         # cascades tiny-allocation OOMs into unrelated cheap queries.
         # Warmth lives in the OS page cache, which connections share.
-        con = duck_conn(sfdir)
         times = []
-        try:
-            for _ in range(2):
-                t0 = time.time()
-                con.execute(ORACLE[name]).fetchall()
-                times.append(time.time() - t0)
+        err = None
+        for preserve in (False, True):
+            con = duck_conn(sfdir, preserve)
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    con.execute(ORACLE[name]).fetchall()
+                    times.append(time.time() - t0)
+            except Exception as e:
+                err = f"{type(e).__name__}: {e}"[:300]
+            finally:
+                con.close()
+        if times:
             per[name] = min(times)
-        except Exception as e:
-            # Record and continue: a one-query DuckDB failure must not kill
-            # the campaign. Totals/marginals only ever use duck∩spark
+        else:
+            # Record and continue: a both-configs DuckDB failure must not
+            # kill the campaign. Totals/marginals only ever use duck∩spark
             # queries, so an errored query drops out of both sides' sums.
-            errs[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"[duckdb {sfdir}] {name} ERR {errs[name]}", flush=True)
-        finally:
-            con.close()
+            errs[name] = err
+            print(f"[duckdb {sfdir}] {name} ERR {err}", flush=True)
     print(f"[duckdb {sfdir}] {len(per)} queries, {len(errs)} errors", flush=True)
     return per, errs
 
