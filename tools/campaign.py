@@ -119,6 +119,7 @@ def duck_conn(sfdir, preserve_order):
     # Let DuckDB spill rather than OOM on memory-heavy shapes (the sf10
     # packed-sequence string_agg) — the generous-to-DuckDB configuration.
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = pathlib.Path(sfdir) / f"{t}.parquet"
         if p.exists():
@@ -128,36 +129,35 @@ def duck_conn(sfdir, preserve_order):
 
 
 def duck_scale(sfdir):
+    # One connection per (scale, flag) — NOT per gate: hundreds of duckdb
+    # instances in one process exhaust the native heap at sf10 (bad_alloc
+    # at CREATE VIEW). The pool is bounded (memory_limit in duck_conn) and
+    # a failing gate gets a FRESH connection for the rest of its flag run,
+    # so a memory-heavy query (the sf10 packed-sequence string_agg) cannot
+    # cascade its OOM into unrelated cheap queries. Warmth lives in the OS
+    # page cache, shared either way.
     per = {}
     errs = {}
-    for name in FAIR:
-        if name not in ORACLE:
-            continue
-        # Fresh connection per query: a memory-heavy query (the sf10
-        # packed-sequence string_agg) otherwise poisons the shared pool and
-        # cascades tiny-allocation OOMs into unrelated cheap queries.
-        # Warmth lives in the OS page cache, which connections share.
-        times = []
-        err = None
-        for preserve in (False, True):
-            con = duck_conn(sfdir, preserve)
+    names = [n for n in FAIR if n in ORACLE]
+    for preserve in (False, True):
+        con = duck_conn(sfdir, preserve)
+        for name in names:
             try:
                 for _ in range(2):
                     t0 = time.time()
                     con.execute(ORACLE[name]).fetchall()
-                    times.append(time.time() - t0)
+                    per[name] = min(per.get(name, 9e9), time.time() - t0)
             except Exception as e:
-                err = f"{type(e).__name__}: {e}"[:300]
-            finally:
+                errs[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"[duckdb {sfdir}] {name} (preserve={preserve}) ERR "
+                      f"{errs[name]}", flush=True)
                 con.close()
-        if times:
-            per[name] = min(times)
-        else:
-            # Record and continue: a both-configs DuckDB failure must not
-            # kill the campaign. Totals/marginals only ever use duck∩spark
-            # queries, so an errored query drops out of both sides' sums.
-            errs[name] = err
-            print(f"[duckdb {sfdir}] {name} ERR {err}", flush=True)
+                con = duck_conn(sfdir, preserve)
+        con.close()
+    # A gate that succeeded under EITHER flag has a time; drop its error.
+    for name in list(errs):
+        if name in per:
+            del errs[name]
     print(f"[duckdb {sfdir}] {len(per)} queries, {len(errs)} errors", flush=True)
     return per, errs
 
