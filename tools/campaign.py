@@ -105,55 +105,38 @@ def spark_scale(sfdir):
     return per
 
 
-def duck_conn(sfdir, preserve_order):
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    # Both engines compute unordered result SETS (the driver compare sorts
-    # before hashing; gates carry no trailing ORDER BY since r13, except
-    # doc_chunks — see its gate comment). DuckDB's preserve_insertion_order
-    # cuts BOTH ways on unordered queries: =true serializes heavy
-    # projection pipelines (20x on the text-kernel gates), =false is worse
-    # on some wide-output shapes. The harness runs each gate under BOTH
-    # settings and keeps the minimum — maximally generous to the baseline.
-    con.execute(f"SET preserve_insertion_order={'true' if preserve_order else 'false'}")
-    # Let DuckDB spill rather than OOM on memory-heavy shapes (the sf10
-    # packed-sequence string_agg) — the generous-to-DuckDB configuration.
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET memory_limit='48GB'")
-    for t in TABLES:
-        p = pathlib.Path(sfdir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con
-
-
 def duck_scale(sfdir):
-    # One connection per (scale, flag) — NOT per gate: hundreds of duckdb
-    # instances in one process exhaust the native heap at sf10 (bad_alloc
-    # at CREATE VIEW). The pool is bounded (memory_limit in duck_conn) and
-    # a failing gate gets a FRESH connection for the rest of its flag run,
-    # so a memory-heavy query (the sf10 packed-sequence string_agg) cannot
-    # cascade its OOM into unrelated cheap queries. Warmth lives in the OS
-    # page cache, shared either way.
+    # Each (scale, flag) pass runs in a SUBPROCESS (tools/duck_pass.py):
+    # the sf10 packed-sequence string_agg exhausts the process native heap
+    # (duck pool + fetchall conversion) and poisons every later in-process
+    # connection; a subprocess returns the memory to the OS between
+    # passes. Within a pass a failing gate gets a fresh connection, so an
+    # OOM cannot cascade. Per-gate time = min over both
+    # preserve_insertion_order settings x 2 runs each — the flag cuts both
+    # ways on unordered queries (=true serializes heavy projection
+    # pipelines, =false regresses some wide-output shapes), and the min is
+    # the generous-to-the-baseline reading. Warmth lives in the OS page
+    # cache, shared across passes.
     per = {}
     errs = {}
     names = [n for n in FAIR if n in ORACLE]
-    for preserve in (False, True):
-        con = duck_conn(sfdir, preserve)
-        for name in names:
-            try:
-                for _ in range(2):
-                    t0 = time.time()
-                    con.execute(ORACLE[name]).fetchall()
-                    per[name] = min(per.get(name, 9e9), time.time() - t0)
-            except Exception as e:
-                errs[name] = f"{type(e).__name__}: {e}"[:300]
-                print(f"[duckdb {sfdir}] {name} (preserve={preserve}) ERR "
-                      f"{errs[name]}", flush=True)
-                con.close()
-                con = duck_conn(sfdir, preserve)
-        con.close()
+    for preserve in ("false", "true"):
+        out = f"/tmp/duck_pass_{preserve}.json"
+        r = subprocess.run(
+            ["python3", "tools/duck_pass.py", sfdir, preserve,
+             f"{DUMP}/oracle_sql.json", out] + names,
+            cwd="/root/repo", capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"[duckdb {sfdir}] pass preserve={preserve} CRASHED: "
+                  f"{r.stderr[-300:]}", flush=True)
+            continue
+        res = json.loads(pathlib.Path(out).read_text())
+        for k, v in res["times"].items():
+            per[k] = min(per.get(k, 9e9), v)
+        for k, v in res["errs"].items():
+            print(f"[duckdb {sfdir}] {k} (preserve={preserve}) ERR {v}",
+                  flush=True)
+            errs[k] = v
     # A gate that succeeded under EITHER flag has a time; drop its error.
     for name in list(errs):
         if name in per:

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""One DuckDB timing pass for tools/campaign.py — runs in a SUBPROCESS so
+the native heap (duckdb buffer pool + fetchall conversion) is returned to
+the OS between passes; an in-process pass at sf10 exhausted the heap on
+the packed-sequence string_agg and poisoned every later connection.
+
+Usage: python3 tools/duck_pass.py <sfdir> <true|false> <oracle.json> <out.json> <name> [name ...]
+Writes {"times": {name: min_seconds}, "errs": {name: msg}}.
+"""
+import json, pathlib, sys, time
+
+import duckdb
+
+SFDIR, PRESERVE, ORACLE_PATH, OUT = sys.argv[1:5]
+NAMES = sys.argv[5:]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+ORACLE = json.loads(pathlib.Path(ORACLE_PATH).read_text())
+
+
+def conn():
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute(f"SET preserve_insertion_order={PRESERVE}")
+    # Spill rather than OOM on memory-heavy shapes (sf10 string_agg), and
+    # leave native headroom for result conversion.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
+    for t in TABLES:
+        p = pathlib.Path(SFDIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+times, errs = {}, {}
+con = conn()
+for name in NAMES:
+    try:
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(ORACLE[name]).fetchall()
+            times[name] = min(times.get(name, 9e9), time.time() - t0)
+    except Exception as e:
+        errs[name] = f"{type(e).__name__}: {e}"[:300]
+        # Fresh connection so one failing gate cannot cascade.
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = conn()
+pathlib.Path(OUT).write_text(json.dumps({"times": times, "errs": errs}))
