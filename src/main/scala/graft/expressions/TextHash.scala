@@ -1137,6 +1137,45 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bloom_hit_count(hashes) -> BIGINT: how many of a row's 64-bit shingle
+  * hashes a BROADCAST Bloom filter claims to contain. The screening half
+  * of the two-phase decontamination plan for eval sets too large to
+  * materialize (see `text/Decontaminate.scala`): 0 positives proves a doc
+  * clean (Bloom filters have no false negatives); positives are verified
+  * exactly downstream. Same `Broadcast`-hoisting shape as
+  * [[TokenFreqLookup]]. */
+case class BloomHitCount(child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    BloomHitCount.count(v.asInstanceOf[ArrayData], bf.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomBc", bf,
+      "org.apache.spark.broadcast.Broadcast")
+    val bfv = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "bloom", v => s"$v = (org.apache.spark.util.sketch.BloomFilter)$bfRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.BloomHitCount.count($c, $bfv)")
+  }
+  override def prettyName: String = "bloom_hit_count"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BloomHitCount {
+  def count(arr: ArrayData, bf: org.apache.spark.util.sketch.BloomFilter): Long = {
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
 /** [[TextHash.jaccardSimSortedLongs]] as a codegen'd expression. */
 case class JaccardSimSortedLongs(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

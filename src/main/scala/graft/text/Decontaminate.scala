@@ -29,10 +29,17 @@ import graft.expressions.{ShingleHitCount, TextHash}
  * The driver-side gram collect is capped at
  * `spark.graft.decontam.maxEvalGrams` (default 8M entries; at ~32 B/gram
  * that bounds the broadcast near the repo-wide 256 MB driver-payload
- * ceiling documented in [[graft.ops.SemiJoins]]). Past the cap the
- * operator falls back to the r12 shape — distinct eval shingles as the
- * build side of an AQE-broadcast equi-join — which needs no driver
- * materialization at all.
+ * ceiling documented in [[graft.ops.SemiJoins]]). Past the cap the plan
+ * goes TWO-PHASE instead (r13): a Bloom filter over the eval grams'
+ * 64-bit shingle hashes (`spark.graft.decontam.bloomFpp`, default 1%)
+ * screens the corpus in the same scan-only shape — zero Bloom positives
+ * PROVES a document clean (no false negatives) — and only the screened
+ * candidates (true hits + the FPP tail) pay the exact string-level
+ * equi-join against the eval grams. At 100 TB that turns the old
+ * fallback's corpus-wide shingle-explode shuffle into one corpus scan
+ * plus a join whose corpus side is the contaminated fraction; the eval
+ * side is one linear pass either way. Both phases together remain
+ * string-EXACT — the Bloom is only ever a screen, never the verdict.
  */
 object Decontaminate {
 
@@ -72,8 +79,36 @@ object Decontaminate {
     hitCountCol(corpus, eval, textCol, n) match {
       case Some(hits) =>
         corpus.select(col(idCol), hits.as("n_hits")).where(col("n_hits") > 0)
-      case None => overlapCountsJoin(corpus, eval, textCol, idCol, n)
+      case None =>
+        overlapCountsJoin(bloomScreen(corpus, eval, textCol, n), eval,
+          textCol, idCol, n)
     }
+
+  /** Phase 1 of the past-cap plan: the corpus rows whose distinct shingle
+    * hashes have at least one Bloom positive against the eval grams. A
+    * Bloom filter has NO false negatives, so the complement is proven
+    * clean; the survivors (true hits + the fpp tail) are the only rows
+    * the exact join must process. */
+  private def bloomScreen(corpus: DataFrame, eval: DataFrame,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    val fpp = spark.conf.getOption("spark.graft.decontam.bloomFpp")
+      .map(_.toDouble).getOrElse(0.01)
+    def hashesOf(df: DataFrame) = Bridge.column(
+      graft.expressions.WordShingleHashes(Bridge.expression(df(textCol)), n))
+    val evalHashes = eval.where(col(textCol).isNotNull)
+      .select(explode(hashesOf(eval)).as("_g64"))
+    // Raw (non-distinct) count as the items estimate: an upper bound on
+    // the distinct count, so the filter is sized at or below the asked
+    // fpp. One extra linear pass over the eval side only.
+    val items = math.max(evalHashes.count(), 1L)
+    val bf = evalHashes.stat.bloomFilter("_g64", items, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val screenHits = Bridge.column(graft.expressions.BloomHitCount(
+      Bridge.expression(hashesOf(corpus)), bfBc))
+    corpus.where(screenHits > 0)
+  }
 
   /** The r12 join-shaped plan — the past-cap fallback, and the value-
     * identity reference for the fused kernel (DecontaminateSpec). */
@@ -99,8 +134,12 @@ object Decontaminate {
       idCol: String, n: Int = 3): DataFrame =
     hitCountCol(corpus, eval, textCol, n) match {
       case Some(hits) => corpus.where(coalesce(hits, lit(0L)) === 0L)
-      case None => corpus.join(
-        overlapCountsJoin(corpus, eval, textCol, idCol, n).select(col(idCol)),
-        Seq(idCol), "left_anti")
+      case None =>
+        // The anti join's right side is the EXACT contaminated id set,
+        // computed only over the Bloom-screened candidates — tiny next to
+        // the corpus, where the old fallback's was corpus-wide.
+        corpus.join(
+          overlapCounts(corpus, eval, textCol, idCol, n).select(col(idCol)),
+          Seq(idCol), "left_anti")
     }
 }

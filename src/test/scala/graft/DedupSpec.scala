@@ -582,15 +582,41 @@ class DedupSpec extends SparkSuite {
       Array(u("totally different"))) == 0L)
   }
 
-  test("decontaminate falls back to the join plan past the gram cap") {
+  test("decontaminate past the gram cap: Bloom screen + exact join, " +
+      "value-identical to the fused path") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
     val eval = Seq((9L, "a b c q")).toDF("doc_id", "text")
     spark.conf.set("spark.graft.decontam.maxEvalGrams", "1")
     try {
       val r = graft.text.Decontaminate.overlapCounts(corpus, eval, "text", "doc_id")
-      assert(r.queryExecution.executedPlan.toString.contains("Join"))
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan) // the exact verify phase
+      // The screen phase: on LocalRelation fixtures Catalyst evaluates the
+      // filter at optimization time, so look at the analyzed plan.
+      val analyzed = r.queryExecution.analyzed.toString
+      assert(analyzed.contains("bloom_hit_count"), analyzed)
       assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+
+      // randomized value identity: two-phase == fused (the under-cap path)
+      val rnd = new scala.util.Random(7)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      def doc() = (1 to (3 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bigCorpus = (1L to 200L).map(i => (i, if (i % 41 == 0) null else doc()))
+        .toDF("doc_id", "text")
+      val bigEval = (900L to 905L).map(i => (i, doc())).toDF("doc_id", "text")
+      val twoPhase = graft.text.Decontaminate
+        .overlapCounts(bigCorpus, bigEval, "text", "doc_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val dropped = graft.text.Decontaminate
+        .dropContaminated(bigCorpus, bigEval, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      spark.conf.unset("spark.graft.decontam.maxEvalGrams")
+      val fused = graft.text.Decontaminate
+        .overlapCounts(bigCorpus, bigEval, "text", "doc_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(twoPhase == fused)
+      assert(dropped == (1L to 200L).filterNot(twoPhase.map(_._1).toSet))
     } finally spark.conf.unset("spark.graft.decontam.maxEvalGrams")
   }
 
