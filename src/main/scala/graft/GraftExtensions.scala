@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "exists_join" -> graft.sql.TvfMacros.existsJoin,
       "not_exists_join" -> graft.sql.TvfMacros.notExistsJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
+      "sessionize_stats" -> graft.sql.TvfMacros.sessionizeStatsTvf,
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,

@@ -386,6 +386,22 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** `sessionize_stats(TABLE(t), 'key', 'ts', max_gap)` — the fused
+    * per-event form ([[graft.ops.Sessionize.sessionizeWithStats]]): input
+    * + session_seq + the event's own session's (n_events, start_ts,
+    * end_ts), one scan one shuffle. The SQL spelling of "sessionize, roll
+    * up, and attribute back" for points drawn from the stream itself. */
+  def sessionizeStatsTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 4) throw new IllegalArgumentException(
+      s"sessionize_stats(table, key, ts, max_gap) takes 4 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    graft.ops.Sessionize.sessionizeWithStats(
+      table(spark, args(0), "sessionize_stats table"),
+      keys(args(1), "sessionize_stats key"), str(args(2), "sessionize_stats ts"),
+      lngLit(args(3), "sessionize_stats max_gap"))
+      .queryExecution.analyzed
+  }
+
   // ---- Index-backed ANN as SQL table functions (the index-join surface —
   // the brute vss_join/vss_match macros above mirror the reference; these
   // expose the accelerated paths to SQL users):

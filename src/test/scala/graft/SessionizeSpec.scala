@@ -101,6 +101,18 @@ class SessionizeSpec extends SparkSuite {
       composed.collect().map(key).sorted.toSeq)
   }
 
+  test("sessionize_stats TVF == the Scala fused API") {
+    events.createOrReplaceTempView("szs_events")
+    val viaSql = spark.sql(
+      """SELECT user, ts, session_seq, n_events, start_ts, end_ts
+         FROM sessionize_stats(TABLE(szs_events), 'user', 'ts', 200L)""")
+      .collect().map(_.toSeq).toSet
+    val viaApi = Sessionize.sessionizeWithStats(events, Seq("user"), "ts", 200L)
+      .select("user", "ts", "session_seq", "n_events", "start_ts", "end_ts")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaApi.nonEmpty)
+  }
+
   test("sessionizeWithStats plan: ONE exchange — the stats window reuses " +
       "the sessionize partitioning") {
     val plan = Sessionize.sessionizeWithStats(events, Seq("user"), "ts", 200L)
