@@ -84,7 +84,8 @@ def main():
         f.write("| query | DuckDB s | Spark s | ratio (duck/spark) |\n|---|---|---|---|\n")
         for name, d, s in rows:
             ratio = f"{d / s:.2f}" if s else "—"
-            f.write(f"| {name} | {d:.3f} | {s:.3f} | {ratio} |\n")
+            s_str = f"{s:.3f}" if s is not None else "—"
+            f.write(f"| {name} | {d:.3f} | {s_str} | {ratio} |\n")
         ratio = f"{duck_total / spark_total:.2f}" if spark_total else "—"
         f.write(f"| **total** | **{duck_total:.2f}** | **{spark_total:.2f}** | "
                 f"**{ratio}** |\n")
