@@ -7,7 +7,7 @@ data. Only apples-to-apples entries are timed: the relational/vector/text
 queries whose oracle is the same algorithm. Deliberately-brute-force
 oracles (all-pairs dedup verifies, recursive-CTE connected components) are
 excluded — there the oracle is a correctness spec, not the reference's
-algorithm. Writes PERF_VS_DUCKDB.md.
+algorithm. Writes PERF_LOCAL.md (PERF_OUT overrides).
 
 Usage: python3 tools/bench_duckdb.py [sf_dir] [verify_dump_dir]
 """
@@ -75,7 +75,9 @@ def main():
     both = [r for r in rows if r[2] is not None]
     duck_total = sum(r[1] for r in both)
     spark_total = sum(r[2] for r in both)
-    with open(os.environ.get("PERF_OUT", "PERF_VS_DUCKDB.md"), "w") as f:
+    # Default changed r13: PERF_VS_DUCKDB.md is a curated multi-round
+    # document now — never clobber it from a tool run.
+    with open(os.environ.get("PERF_OUT", "PERF_LOCAL.md"), "w") as f:
         f.write("# Spark engine vs DuckDB (the reference's engine) at sf0.1\n\n")
         f.write(f"Same queries (each gate's oracle SQL), same parquet inputs\n")
         f.write(f"(`{SF}`), both engines at 32 threads, min of 2 runs.\n")
