@@ -33,9 +33,26 @@ def conn():
     return con
 
 
+def reconnect():
+    """Fresh connection with backoff: right after an OOM the dying pool's
+    pages may not be reclaimed yet and even tiny allocations fail."""
+    import gc
+    gc.collect()
+    for delay in (0.5, 3, 10):
+        time.sleep(delay)
+        try:
+            return conn()
+        except Exception:
+            gc.collect()
+    return None
+
+
 times, errs = {}, {}
 con = conn()
 for name in NAMES:
+    if con is None:
+        errs.setdefault(name, "no connection (pool unrecoverable after OOM)")
+        continue
     try:
         for _ in range(2):
             t0 = time.time()
@@ -48,5 +65,7 @@ for name in NAMES:
             con.close()
         except Exception:
             pass
-        con = conn()
+        con = reconnect()
+# ALWAYS write the pass result — partial data beats a crashed pass (the
+# other flag's pass and the per-gate min still salvage the campaign).
 pathlib.Path(OUT).write_text(json.dumps({"times": times, "errs": errs}))
