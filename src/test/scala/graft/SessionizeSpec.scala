@@ -101,6 +101,20 @@ class SessionizeSpec extends SparkSuite {
       composed.collect().map(key).sorted.toSeq)
   }
 
+  test("sessionizeWithStats preserves a TIMESTAMP_NTZ ts type on start/end") {
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val df = Seq(("u", base), ("u", base.plusSeconds(1)), ("u", base.plusSeconds(10)))
+      .toDF("user", "ts")
+    val r = Sessionize.sessionizeWithStats(df, Seq("user"), "ts", 5000000L) // 5 s gap
+    assert(r.schema("start_ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    assert(r.schema("end_ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val rows = r.select("ts", "session_seq", "n_events")
+      .collect().map(x => (x.getAs[LocalDateTime](0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows == Set((base, 1L, 2L), (base.plusSeconds(1), 1L, 2L),
+      (base.plusSeconds(10), 2L, 1L)))
+  }
+
   test("sessionize_stats TVF == the Scala fused API") {
     events.createOrReplaceTempView("szs_events")
     val viaSql = spark.sql(
