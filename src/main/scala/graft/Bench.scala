@@ -36,6 +36,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Let ensureBucketed's sorted single-file-per-bucket layouts
+      // advertise their sort order (sort-free merge join for q2_bucketed).
+      // Harness-level opt-in: the library APIs never set session confs
+      // (r13 verdict item 4); Spark still refuses to advertise ordering
+      // for multi-file buckets, so this cannot mis-order other tables.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // A/B knobs for the ExecTuning small-query policy (run/fork=true means
       // -D flags never reach this JVM; env is the override channel).

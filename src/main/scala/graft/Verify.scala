@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); surface as LONG nanos
       // (oracle side uses epoch_ns(ts) for the same value).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Harness-level opt-in for ensureBucketed's sorted bucket layouts
+      // (see Bench.scala) — the library APIs never set session confs.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

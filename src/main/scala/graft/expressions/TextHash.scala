@@ -770,15 +770,6 @@ object TextHash {
     UTF8String.fromBytes(hex)
   }
 
-  /** Raw 16-byte md5 — the compact internal key form (half the bytes of
-    * [[md5Hex]] through an exchange or sort; same reused thread-local
-    * digest). */
-  def md5Bin(s: UTF8String): Array[Byte] = {
-    val d = md5Digest.get()
-    d.reset()
-    d.digest(s.getBytes)
-  }
-
   /** Sorted-distinct keys → one struct per key: (v, pre = the keys
     * strictly below v). The LSH band explode emits these so each bucket
     * row carries only the PREFIX the unique-emission check needs: a pair
@@ -1231,20 +1222,6 @@ case class Md5Hex(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Hex($c)")
   override def prettyName: String = "md5_hex"
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** md5_bin(text) -> BINARY(16) — the raw digest, the compact internal key
-  * form; see [[TextHash.md5Bin]]. */
-case class Md5Bin(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes = Seq(StringType)
-  override def dataType: DataType = BinaryType
-  override def nullSafeEval(v: Any): Any =
-    TextHash.md5Bin(v.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.md5Bin($c)")
-  override def prettyName: String = "md5_bin"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -93,14 +93,13 @@ object RelationalQueries {
     // share a layout table name — see its scaladoc for the hazard.
     val tbl = s"graft_${table}_bkts${buckets}_${Tables.dirKey(dir)}"
     // Sorted single-file buckets only advertise their sort order under
-    // this legacy conf (off by default since Spark 3). Set it here — the
-    // layout apparatus, once per layout ensure — rather than inside a
-    // query builder body. Blast radius: Spark itself still refuses to
-    // advertise ordering for multi-file buckets even with the conf on, so
-    // other bucketed tables a host session reads can at most change PLAN
-    // (gain a sort-free merge join), never correctness; graft sessions
-    // read only ensureBucketed's own single-file-per-bucket tables.
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // spark.sql.legacy.bucketedTableScan.outputOrdering (off by default
+    // since Spark 3). That conf is NOT set here (r13 verdict: a library
+    // API must not mutate a host session) — the graft harness sessions
+    // (Bench/Verify) enable it at session build, and a host session that
+    // wants the sort-free merge join over these layouts opts in the same
+    // way. Without it the q2_bucketed plan stays correct and still skips
+    // the shuffle (bucket join), just pays two local sorts.
     val memoKey = s"${s.sparkContext.applicationId}/$tbl"
     if (bucketedEnsured.contains(memoKey)) return tbl
     val loc = new java.io.File(graft.Hnsw.baseDir(s), tbl)
@@ -246,11 +245,12 @@ object RelationalQueries {
         .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"))
-      // The buckets' sort order is advertised under the legacy conf set by
-      // ensureBucketed (layout apparatus, see there for the blast-radius
-      // note): the fact join then plans as a SORT-FREE merge join,
-      // measured faster than the per-bucket hash build (fused-stage wall
-      // 1.48 s vs 2.19 s at sf10).
+      // The buckets' sort order is advertised under the legacy conf the
+      // HARNESS sets at session build (Bench/Verify; see ensureBucketed's
+      // note — library APIs don't mutate sessions): the fact join then
+      // plans as a SORT-FREE merge join, measured faster than the
+      // per-bucket hash build (fused-stage wall 1.48 s vs 2.19 s at sf10).
+      // Without the conf the plan is merely two local sorts slower.
       val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("smj")
       s.table(liT).select(col("l_orderkey"),
           (double_units(col("l_extendedprice"), 2) *
@@ -444,6 +444,22 @@ object RelationalQueries {
         s"""SELECT user_id, session_seq, count(*) AS n_events
             FROM sessionize(TABLE(graft_q17_events), 'user_id', 'ts', ${gap}L)
             GROUP BY user_id, session_seq""")
+    }),
+    "q20_sessionize_stats_tvf" -> ((s, dir) => {
+      // SQL-TVF gate for the FUSED per-event session-stats operator
+      // (Sessionize.sessionizeWithStats) — q16 drives the Scala API; this
+      // proves the `sessionize_stats` SQL spelling on the RAW
+      // timestamp-typed table (q17/q18 posture: no Spark-side ts
+      // normalization). Same attribution semantics as q16: every purchase
+      // tagged with its session's seq and event count, one scan + one
+      // exchange.
+      val ev = Tables.load(s, dir, "events")
+      ev.createOrReplaceTempView("graft_q20_events")
+      val gap = rawFourHours(ev)
+      s.sql(
+        s"""SELECT event_id, user_id, session_seq, n_events
+            FROM sessionize_stats(TABLE(graft_q20_events), 'user_id', 'ts', ${gap}L)
+            WHERE event_type = 'purchase'""")
     }),
     "q19_range_tvf" -> ((s, dir) => {
       // Third of the event-TVF trio on the RAW timestamp-typed table:
@@ -671,6 +687,27 @@ object RelationalQueries {
            FROM s)
          SELECT user_id, session_seq, count(*) AS n_events
          FROM t GROUP BY user_id, session_seq""",
+    "q20_sessionize_stats_tvf" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 4 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s),
+         iv AS (
+           SELECT user_id, session_seq, count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts
+           FROM t GROUP BY user_id, session_seq)
+         SELECT p.event_id, p.user_id, iv.session_seq, iv.n_events
+         FROM events p JOIN iv
+           ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
+         WHERE p.event_type = 'purchase'""",
     "q19_range_tvf" ->
       """WITH s AS (
            SELECT user_id, ts,

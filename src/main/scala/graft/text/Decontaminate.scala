@@ -69,16 +69,29 @@ object Decontaminate {
       org.apache.spark.sql.graftbridge.Bridge.expression(col(textCol)), n, hashes, grams)))
   }
 
-  /** One row per contaminated corpus doc: (idCol, n_hits) where n_hits is
-    * the number of DISTINCT shingles the doc shares with `eval`. Docs with
-    * no overlap are absent (the common case at scale). Rows are per corpus
-    * ROW on the fused path; callers with duplicate ids should dedup first
-    * (the fixture/gate contract is unique ids). */
+  /** One row per contaminated corpus id: (idCol, n_hits) where n_hits is
+    * the number of DISTINCT shared shingles summed over the id's rows
+    * (per-row-distinct, like the join plan's explode — so both the fused
+    * and the past-cap path agree on duplicate-id corpora too). Ids with
+    * no overlap are absent (the common case at scale).
+    *
+    * NOTE eager: constructing this DataFrame launches eval-side jobs on
+    * the driver (the capped distinct-gram collect; past the cap, a count
+    * + Bloom build) — callers composing plans speculatively pay them even
+    * if the result never executes. The eval set is tiny by contract, so
+    * the cost is one linear pass over it. */
   def overlapCounts(corpus: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame =
     hitCountCol(corpus, eval, textCol, n) match {
       case Some(hits) =>
-        corpus.select(col(idCol), hits.as("n_hits")).where(col("n_hits") > 0)
+        // Filter BEFORE the id rollup: the exchange carries only the
+        // contaminated rows' (id, n_hits) pairs — a vanishing fraction of
+        // the corpus — so unifying duplicate-id semantics with the join
+        // path costs one narrow agg over near-empty input.
+        corpus.select(col(idCol), hits.as("_row_hits"))
+          .where(col("_row_hits") > 0)
+          .groupBy(col(idCol))
+          .agg(sum(col("_row_hits")).as("n_hits"))
       case None =>
         overlapCountsJoin(bloomScreen(corpus, eval, textCol, n), eval,
           textCol, idCol, n)
@@ -129,7 +142,12 @@ object Decontaminate {
   /** `corpus` minus every doc flagged by [[overlapCounts]] — the actual
     * decontamination step. Fused path: a scan-only filter (hit count == 0,
     * NULL text kept — a null-text row has no shingles to share, matching
-    * the join path, where it never reaches the overlap set). */
+    * the join path, where it never reaches the overlap set). On
+    * duplicate-id corpora the fused path drops contaminated ROWS while
+    * the past-cap path anti-joins on contaminated IDS (dropping every row
+    * of a flagged id); with unique ids — the normal pipeline contract —
+    * the two are identical. Same construction-time eagerness note as
+    * [[overlapCounts]]. */
   def dropContaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame =
     hitCountCol(corpus, eval, textCol, n) match {
@@ -137,9 +155,14 @@ object Decontaminate {
       case None =>
         // The anti join's right side is the EXACT contaminated id set,
         // computed only over the Bloom-screened candidates — tiny next to
-        // the corpus, where the old fallback's was corpus-wide.
+        // the corpus, where the old fallback's was corpus-wide. Built
+        // directly from the join plan (NOT via overlapCounts, which would
+        // re-enter hitCountCol and pay the capped 8M-gram driver collect
+        // a second time in exactly the regime where the eval set is
+        // largest).
         corpus.join(
-          overlapCounts(corpus, eval, textCol, idCol, n).select(col(idCol)),
+          overlapCountsJoin(bloomScreen(corpus, eval, textCol, n), eval,
+            textCol, idCol, n).select(col(idCol)),
           Seq(idCol), "left_anti")
     }
 }

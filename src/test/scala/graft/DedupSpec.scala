@@ -543,11 +543,43 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val flagged = fused.map(_._1).toSet
     assert(keptF == (1L to 300L).filterNot(flagged), "complement mismatch")
-    // plan shape: the fused path is scan-only — no join, no aggregate
+    // plan shape: the fused path never joins — the corpus side is one
+    // kernel scan; the only aggregate is the id rollup over the already-
+    // filtered (contaminated-rows-only) frame.
     val plan = graft.text.Decontaminate
       .overlapCounts(corpus, eval, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+    // ... and dropContaminated's fused path is PURE scan-filter — no join,
+    // no aggregate, no exchange (the 100 TB shape).
+    val dropPlan = graft.text.Decontaminate
+      .dropContaminated(corpus, eval, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!dropPlan.contains("Join") && !dropPlan.contains("Aggregate") &&
+      !dropPlan.contains("Exchange"), dropPlan)
+  }
+
+  test("decontaminate overlapCounts: duplicate-id corpora roll up per id " +
+      "on BOTH the fused and the past-cap path") {
+    import spark.implicits._
+    // id 1 appears twice: one row shares 2 shingles, the other 1.
+    val corpus = Seq(
+      (1L, "a b c d"),      // shares "a b c", "b c d"
+      (1L, "b c d zz"),     // shares "b c d"
+      (2L, "p q r s"))      // clean
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val fused = graft.text.Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fused == Seq((1L, 3L)))
+    spark.conf.set("spark.graft.decontam.maxEvalGrams", "1")
+    try {
+      val twoPhase = graft.text.Decontaminate
+        .overlapCounts(corpus, eval, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(twoPhase == fused)
+    } finally spark.conf.unset("spark.graft.decontam.maxEvalGrams")
   }
 
   test("shingleHitCount kernel: dedup, byte verification, equal-hash walk") {

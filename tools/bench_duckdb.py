@@ -80,7 +80,8 @@ def main():
     with open(os.environ.get("PERF_OUT", "PERF_LOCAL.md"), "w") as f:
         f.write("# Spark engine vs DuckDB (the reference's engine) at sf0.1\n\n")
         f.write(f"Same queries (each gate's oracle SQL), same parquet inputs\n")
-        f.write(f"(`{SF}`), both engines at 32 threads, min of 2 runs.\n")
+        f.write(f"(`{SF}`), both engines at 32 threads; DuckDB takes the min\n")
+        f.write("of 2 runs under each preserve_insertion_order setting.\n")
         f.write("Only apples-to-apples entries timed (same algorithm both\n")
         f.write("sides); brute-force correctness oracles excluded.\n\n")
         f.write("| query | DuckDB s | Spark s | ratio (duck/spark) |\n|---|---|---|---|\n")
