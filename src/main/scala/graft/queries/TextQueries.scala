@@ -418,15 +418,21 @@ object TextQueries {
       // value-identical; the full-row contract is still gated through
       // doc_domain_caps/doc_pipeline_e2e).
       val d = Tables.load(s, dir, "documents")
-      val budgets = d.select(col("source")).distinct()
-        .withColumn("budget",
-          (lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
-            .cast("long"))
+      // Budget AS AN EXPRESSION of the source (r14): the budget here is a
+      // formula, which is exactly what the oracle inlines — the r13 gate
+      // materialized it through the dim-table API, paying a distinct-
+      // sources scan DuckDB never ran. The expression form removes the
+      // budget apparatus entirely (no dim collect, no broadcast join):
+      // the operator is the narrow scan+tokenCount pass + ONE (group,
+      // bucket) exchange, nothing else. The dim-table contract stays
+      // gated through doc_domain_caps / doc_pipeline_e2e, and the two
+      // forms are spec'd value-identical (MixSpec).
       // No trailing orderBy: the driver compare sorts before hashing, and
       // the global range sort SAMPLES its child, re-executing the whole
       // window subtree once just to pick split points (StageProf r13:
       // two full window passes, 80+105 ms of a ~750 ms body at sf10).
-      graft.text.Mix.tokenBudgetManifest(d, "doc_id", "text", "source", budgets)
+      graft.text.Mix.tokenBudgetManifest(d, "doc_id", "text", "source",
+          lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
         .select(col("doc_id"), col("source"), col("cum_tokens"))
     }),
     "doc_pipeline_e2e" -> ((s, dir) => {

@@ -116,6 +116,51 @@ object Mix {
   }
 
   /**
+   * [[tokenBudgetManifest]] with the budget as an EXPRESSION over the
+   * group column instead of a dimension table — for budgets that are a
+   * formula of the group (proportional rates, per-source multipliers)
+   * rather than a curated table. Structurally this removes the budget
+   * apparatus entirely: no dimension collect, no broadcast join — the
+   * expression evaluates inline in the prune filter (below the window
+   * sort) and the keep filter, so the whole operator is the narrow
+   * prefix-sum frame's one scan + one (group, bucket) exchange, with NO
+   * other job. Value-identical to the table form fed
+   * `distinct groups × the same formula` (spec'd); groups the table form
+   * would drop by absence cannot exist here — the formula covers every
+   * group, matching SQL engines that inline the budget formula in the
+   * cumsum comparison.
+   *
+   * @param budget expression over `groupCol` (it may reference any column
+   *               of the NARROW frame — key, group — but group is the
+   *               contract) yielding the group's token budget; cast to
+   *               LONG internally.
+   */
+  def tokenBudgetManifest(df: DataFrame, keyCol: String, textCol: String,
+      groupCol: String, budget: Column): DataFrame =
+    tokenBudgetManifest(df, keyCol, textCol, groupCol, budget, 256)
+
+  /** [[tokenBudgetManifest]] (expression-budget form) with explicit
+    * prefix-sum fan-out. */
+  def tokenBudgetManifest(df: DataFrame, keyCol: String, textCol: String,
+      groupCol: String, budget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val cumCol = "cum_tokens"
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    val narrow = df.select(col(keyCol), col(groupCol),
+      TextFunctions.tokenCount(df(textCol)).cast("long").as("_mix_w"))
+    // Same always-share rationale as the table form above.
+    withCumWeight(narrow, keyCol, col("_mix_w"), Seq(groupCol), buckets,
+        cumCol, shareExchange = true, budgetExpr = Some(budget.cast("long")))
+      .where(col(cumCol) <= col("_mix_budget"))
+      .select(col(keyCol), col(groupCol), col(cumCol))
+  }
+
+  /**
    * Per-group DOC-COUNT caps — "at most N documents per domain", the
    * C4/RefinedWeb-style dominance guard — as [[byTokenBudget]] with unit
    * weights: same deterministic fill order, `cum_docs` is the doc's
@@ -427,7 +472,10 @@ object Mix {
   private[graft] def withCumWeight(df: DataFrame, keyCol: String,
       weight: Column, groupCols: Seq[String], buckets: Int,
       cumCol: String, shareExchange: Boolean = true,
-      pruneBudget: Option[DataFrame] = None): DataFrame = {
+      pruneBudget: Option[DataFrame] = None,
+      budgetExpr: Option[Column] = None): DataFrame = {
+    require(pruneBudget.isEmpty || budgetExpr.isEmpty,
+      "pass the budget as a dimension table OR an expression, not both")
     val gcols = groupCols.map(col)
     // The md5 order rides as TWO signed-order-flipped longs (md5Longs):
     // (h1, h2) tuple order IS the hex string's lexicographic order, so the
@@ -505,10 +553,16 @@ object Mix {
     // (domain caps, toy mixes) the sort input collapses from the corpus to
     // the few buckets still under budget. `_mix_budget` rides out for the
     // caller's cum <= budget filter (no second broadcast join).
-    val pruned = pruneBudget match {
-      case Some(bdg) => joined.join(broadcast(bdg), groupCols)
+    val pruned = (pruneBudget, budgetExpr) match {
+      case (Some(bdg), _) => joined.join(broadcast(bdg), groupCols)
         .where(col("_mix_off") <= col("_mix_budget"))
-      case None => joined
+      case (_, Some(e)) =>
+        // Expression budget: same below-the-sort prune, zero apparatus —
+        // `_mix_budget` is computed inline from the group column instead
+        // of joined from a collected dimension.
+        joined.withColumn("_mix_budget", e)
+          .where(col("_mix_off") <= col("_mix_budget"))
+      case _ => joined
     }
     pruned
       .withColumn(cumCol, col("_mix_off") + sum(col("_mix_toks")).over(wIn))

@@ -161,6 +161,36 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("tokenBudgetManifest expression-budget form equals the table form " +
+      "fed the same formula, and plans zero extra jobs") {
+    // budget = 14 + 3·(last digit of source) — a formula of the group,
+    // evaluated inline by the expression form and materialized as a dim
+    // table for the reference.
+    val budgetExpr = lit(14) + lit(3) * substring(col("source"), 2, 1).cast("int")
+    val budgetsTable = mixCorpus.select(col("source")).distinct()
+      .withColumn("budget", budgetExpr.cast("long"))
+    for (buckets <- Seq(1, 4, 256)) {
+      val viaTable = Mix.tokenBudgetManifest(mixCorpus, "doc_id", "text",
+          "source", budgetsTable, buckets = buckets)
+        .as[(Long, String, Long)].collect().toSet
+      val viaExpr = Mix.tokenBudgetManifest(mixCorpus, "doc_id", "text",
+          "source", budgetExpr, buckets)
+        .as[(Long, String, Long)].collect().toSet
+      assert(viaExpr == viaTable, s"buckets=$buckets")
+      assert(viaExpr.nonEmpty)
+    }
+    // Exactly ONE broadcast join in the expression form's plan (the grid
+    // offsets join every cumsum carries) — the budget apparatus join is
+    // gone, not just cheaper. The table form carries two.
+    def nJoins(p: String): Int = "BroadcastHashJoin".r.findAllIn(p).length
+    val exprPlan = Mix.tokenBudgetManifest(mixCorpus, "doc_id", "text", "source",
+      budgetExpr).queryExecution.executedPlan.toString
+    val tablePlan = Mix.tokenBudgetManifest(mixCorpus, "doc_id", "text", "source",
+      budgetsTable).queryExecution.executedPlan.toString
+    assert(nJoins(exprPlan) == 1, exprPlan)
+    assert(nJoins(tablePlan) == 2, tablePlan)
+  }
+
   test("countBudgetManifest equals byCountBudget's projection on both paths") {
     val caps = Seq(("s0", 3L), ("s1", 2L), ("s2", 4L)).toDF("source", "budget")
     def full = Mix.byCountBudget(mixCorpus, "doc_id", "source", caps)
