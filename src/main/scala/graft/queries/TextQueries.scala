@@ -50,7 +50,43 @@ object TextQueries {
         sum(col("_h2").bitwiseAND(lit(0xFFFFFFFFL))).as("d4"))
   }
 
+  /** The committed fixture BPE vocabulary (GPT-2 merges.txt wire format;
+    * provenance: graft.tools.LearnBpeFixture over the sf0.01 documents —
+    * the fixture corpus exhausts its pair inventory at 89 merges). Loaded
+    * once; drives both the gate and its generated oracle SQL. */
+  private lazy val bpeFixtureMerges =
+    graft.text.Bpe.loadMergesResource("graft/bpe_merges_fixture.txt")
+
+  /** DuckDB replay of the BPE encode for one word expression `w`: chars
+    * joined by TWO spaces (double-space sentinels), then one literal
+    * replace per merge in rank order. The rank-r pattern ` x  y ` consumes
+    * only the INNER space of each boundary pair, so the surviving outer
+    * spaces let an immediately-adjacent occurrence still match (a
+    * single-space join would miss [a,b,a,b]'s second pair — replace()
+    * resumes after the consumed shared space). Rank-order exhaustive
+    * application equals the canonical lowest-rank-first loop (BpeSpec
+    * property: merges involving a rank-r output all rank after r). */
+  private def bpeOracleWordCount(w: String): String = {
+    val spaced = s"""'  ' || regexp_replace($w, '(.)', '\\1  ', 'g')"""
+    val chain = bpeFixtureMerges.pairs.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"len(string_split(trim($chain), '  '))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_token_count" -> ((s, dir) => {
+      // REAL merges-table BPE (Bpe.scala): token count per doc under the
+      // committed fixture vocabulary — the production-tokenizer currency
+      // for the Mix budgets/packing family, vs tokenCountBpe's run-count
+      // heuristic. The oracle replays the merge chain string-level in
+      // DuckDB (bpeOracleWordCount); the engine side is one codegen'd
+      // byte-pass expression with a per-thread Zipfian word cache.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges)
+            .as("n_bpe_tokens"))
+    }),
     "doc_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TF.textStats(col("text")).as("st"),
@@ -694,6 +730,17 @@ object TextQueries {
          SELECT doc_id, duration * 1000 // timescale AS duration_ms,
            timescale, n_tracks, width, height, brand
          FROM m""",
+    "doc_bpe_token_count" ->
+      s"""SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE CAST(coalesce(list_sum(
+                   [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                         THEN ${bpeOracleWordCount("w")}
+                         ELSE 1 END
+                    FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
+                   AS BIGINT)
+            END AS n_bpe_tokens
+          FROM documents""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,279 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Real merges-table byte-pair encoding — the production-tokenizer analogue
+ * of [[TextFunctions.tokenCountBpe]]'s run-count heuristic, so token
+ * budgets / packing / perplexity currencies can match an actual BPE
+ * vocabulary.
+ *
+ * == Conventions ==
+ *
+ * Pre-tokenization is the repo's BPE-run convention (the
+ * `[a-z]+|[0-9]+|[^a-z0-9 ]` class split that `tokenCountBpe` counts, see
+ * `TextHash.asciiClassCount`): maximal lowercase-letter runs and digit
+ * runs are BPE units; every other non-space character is one token and
+ * never merges. Merges therefore contain only `[a-z0-9]` — pure ASCII by
+ * construction, so character-level == byte-level and the DuckDB oracle
+ * replay (space-joined chars + a rank-ordered `replace` chain) is exact.
+ *
+ * The merges table uses the GPT-2 `merges.txt` wire format — one
+ * space-separated pair per line, rank = line order, `#` comments — so a
+ * real published vocabulary drops in via [[Bpe.loadMerges]] unchanged.
+ *
+ * == Training at 100 TB ==
+ *
+ * [[Bpe.learnMerges]] is the standard two-phase trainer every production
+ * BPE implementation uses (Sennrich et al. 2016; HF tokenizers'
+ * word-count phase): the CORPUS pass is one distributed
+ * aggregate — pre-token word histogram, `groupBy(word).count` — capped at
+ * `maxWords` highest-frequency words (deterministic tiebreak), and the
+ * merge loop runs driver-local over that bounded histogram. The corpus is
+ * touched exactly once regardless of vocabulary size; the dropped tail
+ * below the cap is the lowest-frequency words, whose pair counts are
+ * negligible by construction. Training is fully deterministic: max count,
+ * then lexicographically smallest pair.
+ *
+ * == Encoding ==
+ *
+ * [[Bpe.tokenCount]] is a codegen'd Catalyst expression (no UDF): one
+ * byte pass splits runs exactly like `asciiClassCount`, each run is
+ * encoded with the canonical lowest-rank-first merge loop, memoized in a
+ * per-thread word cache (natural-language word frequency is Zipfian — the
+ * cache turns almost every row into hash lookups). Applying merges
+ * exhaustively in rank order is equivalent: a merge produced at rank r
+ * only creates adjacencies involving its output token, whose own merges
+ * all rank AFTER r, and never creates a new instance of an earlier pair
+ * (spec'd as a property against the naive spelling).
+ */
+object Bpe {
+
+  /** An ordered merges table (rank = position). Pairs are over the
+    * `[a-z0-9]` run alphabet; multi-character sides appear as earlier
+    * merges' outputs, exactly like GPT-2's published merges.txt. */
+  final case class BpeMerges(pairs: Vector[(String, String)]) {
+    require(pairs.nonEmpty, "empty merges table")
+    pairs.foreach { case (a, b) =>
+      require((a + b).forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+        s"merge '$a $b' outside the [a-z0-9] run alphabet") }
+    def size: Int = pairs.size
+    /** GPT-2 merges.txt wire format. */
+    def format: String = pairs.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n"
+    /** (pair -> rank) lookup keyed "left right" (tokens never contain a
+      * space), built once per table. */
+    lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.size * 2)
+      pairs.iterator.zipWithIndex.foreach { case ((a, b), r) =>
+        m.putIfAbsent(a + " " + b, Integer.valueOf(r)): Unit }
+      m
+    }
+    /** Per-thread word→count memo (Zipfian hit rate; bounded, cleared at
+      * 64k entries). Lives on the merges table so distinct vocabularies
+      * never share entries. */
+    @transient lazy val countCache: ThreadLocal[java.util.HashMap[String, Integer]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+  }
+
+  // -------------------------------------------------------------- training
+
+  /**
+   * Learn `numMerges` merges from the corpus (see the object scaladoc for
+   * the two-phase design). Stops early when no pair occurs twice.
+   *
+   * @param maxWords histogram cap — driver memory bound (the broadcast-
+   *                 contract analogue of Mix's dimension cap)
+   */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 100000): BpeMerges = {
+    require(numMerges >= 1 && numMerges <= 65536, s"numMerges out of range: $numMerges")
+    require(maxWords >= 1 && maxWords <= 10000000, s"maxWords out of range: $maxWords")
+    // One corpus pass: run pre-tokens (train-time apparatus — the builtin
+    // regex is fine off the serving path), histogram, deterministic top-N.
+    val hist: Array[(String, Long)] = df
+      .select(explode(expr(
+        s"regexp_extract_all(`$textCol`, '[a-z]+|[0-9]+', 0)")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // Driver-local merge loop over the bounded histogram.
+    var words: Array[(Array[String], Long)] =
+      hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 1L // require count >= 2: merging a hapax is noise
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        words = words.map { case (toks, c) => (mergePair(toks, best), c) }
+        r += 1
+      }
+    }
+    BpeMerges(merges.result())
+  }
+
+  /** Merge every left-to-right non-overlapping occurrence of `pair` —
+    * the per-rank application step (both engines' convention: scanning
+    * resumes after the fused token). */
+  private[graft] def mergePair(toks: Array[String],
+      pair: (String, String)): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == pair._1 && toks(i + 1) == pair._2) {
+        out += toks(i) + toks(i + 1); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  // -------------------------------------------------------------- encoding
+
+  /** Canonical BPE encode of one run word: repeatedly merge the
+    * lowest-rank adjacent pair (all its occurrences, left to right) until
+    * none remains. Driver/test surface; the expression path counts through
+    * the same code. */
+  def encodeWord(word: String, merges: BpeMerges): Array[String] = {
+    var toks: Array[String] = word.map(_.toString).toArray
+    var done = false
+    while (!done && toks.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val rk = merges.ranks.get(toks(i) + " " + toks(i + 1))
+        if (rk != null && rk < bestRank) { bestRank = rk; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else toks = mergePair(toks, merges.pairs(bestRank))
+    }
+    toks
+  }
+
+  private[text] def countWord(word: String, merges: BpeMerges): Int = {
+    val cache = merges.countCache.get()
+    val hit = cache.get(word)
+    if (hit != null) return hit.intValue()
+    val n = encodeWord(word, merges).length
+    if (cache.size() >= 65536) cache.clear()
+    cache.put(word, Integer.valueOf(n))
+    n
+  }
+
+  /** BPE token count of a full text under the run convention: one byte
+    * pass splits `[a-z]+` / `[0-9]+` runs (BPE-encoded) and other
+    * non-space chars (1 token each; multi-byte chars count once via their
+    * leading byte, like `asciiClassCount`). */
+  private[text] def countText(s: org.apache.spark.unsafe.types.UTF8String,
+      merges: BpeMerges): Long = {
+    val n = s.numBytes
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val lower = b >= 'a' && b <= 'z'
+      val digit = b >= '0' && b <= '9'
+      if (lower || digit) {
+        val start = i
+        if (lower) while (i < n && s.getByte(i) >= 'a' && s.getByte(i) <= 'z') i += 1
+        else while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') i += 1
+        val len = i - start
+        if (len == 1) cnt += 1
+        else {
+          val bytes = new Array[Byte](len)
+          var j = 0
+          while (j < len) { bytes(j) = s.getByte(start + j); j += 1 }
+          cnt += countWord(new String(bytes, StandardCharsets.US_ASCII), merges)
+        }
+      } else {
+        if ((b & 0xC0) != 0x80 && b != ' ') cnt += 1 // char-start, not space
+        i += 1
+      }
+    }
+    cnt
+  }
+
+  /** Column surface: BPE token count under `merges` (LONG; null text →
+    * null). Codegen'd expression — the merges table rides the task binary
+    * as a reference object (a few KB), like the DSIR score table. */
+  def tokenCount(text: Column, merges: BpeMerges): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+
+  // ------------------------------------------------------------- wire I/O
+
+  /** Parse the GPT-2 merges.txt wire format (one `left right` pair per
+    * line in rank order; blank lines and `#…` header/comment lines
+    * skipped) — the loader a real published vocabulary drops into. */
+  def parseMerges(content: String): BpeMerges =
+    BpeMerges(content.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merges line: '$l'")
+        (sp(0), sp(1))
+      }.toVector)
+
+  def loadMerges(path: String): BpeMerges =
+    parseMerges(Files.readString(Paths.get(path), StandardCharsets.UTF_8))
+
+  /** Load a merges table from the library classpath (the committed
+    * fixture vocabulary lives at `graft/bpe_merges_fixture.txt`). */
+  def loadMergesResource(name: String): BpeMerges = {
+    val in = getClass.getClassLoader.getResourceAsStream(name)
+    require(in != null, s"merges resource not found: $name")
+    try parseMerges(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  def saveMerges(merges: BpeMerges, path: String): Unit = {
+    Files.writeString(Paths.get(path), merges.format): Unit
+  }
+}
+
+/** `bpe_token_count(text)` under a bound merges table — see
+  * [[Bpe.tokenCount]]. */
+case class BpeTokenCount(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Bpe.BpeMerges)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Bpe.countText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, classOf[Bpe.BpeMerges].getName)
+    defineCodeGen(ctx, ev, c => s"graft.text.Bpe.countText($c, $ref)")
+  }
+  override def prettyName: String = "bpe_token_count"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+import graft.text.Bpe.BpeMerges
+
+/** Real merges-table BPE: trainer determinism, the Sennrich hand example,
+  * canonical-encode == rank-order-replay == the DuckDB replace-chain
+  * simulation (the oracle gate's mechanism), and the expression surface. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Naive rank-order replay: apply each merge exhaustively in rank order
+    * (the DuckDB oracle's nested-replace semantics), independent of the
+    * canonical lowest-rank-first loop in Bpe.encodeWord. */
+  private def rankOrderEncode(word: String, m: BpeMerges): Array[String] =
+    m.pairs.foldLeft(word.map(_.toString).toArray)((toks, p) => Bpe.mergePair(toks, p))
+
+  /** Simulate the oracle's string-level replace chain (the exact DuckDB
+    * mechanism): tokens separated by TWO spaces with double-space
+    * sentinels at both ends; the rank-r pattern `␣x␣␣y␣` consumes only
+    * the INNER space of each boundary pair, so the surviving outer spaces
+    * serve as the boundary for an immediately-adjacent occurrence — a
+    * single-space join would miss `[a,b,a,b]`'s second pair because
+    * replace() resumes after the consumed shared space. Both Java's
+    * String.replace and DuckDB's replace() scan left-to-right resuming
+    * after each replacement. */
+  private def replaceChainCount(word: String, m: BpeMerges): Int = {
+    var s = "  " + word.toCharArray.mkString("  ") + "  "
+    m.pairs.foreach { case (a, b) => s = s.replace(s" $a  $b ", s" $a$b ") }
+    s.trim.split("  ").length
+  }
+
+  test("Sennrich hand example: low/lower/newest/widest learns the textbook merges") {
+    // The classic BPE illustration (Sennrich et al. 2016, §3.2 adapted to
+    // our no-</w> convention): 'es' and 'est' dominate, then 'lo' / 'low'.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val m = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", numMerges = 4)
+    // e+s (9) -> es+t (9) -> l+o (7) -> lo+w (7)
+    assert(m.pairs == Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(Bpe.encodeWord("newest", m).toSeq == Seq("n", "e", "w", "est"))
+    assert(Bpe.encodeWord("lowest", m).toSeq == Seq("low", "est"))
+    assert(Bpe.encodeWord("low", m).toSeq == Seq("low"))
+  }
+
+  test("training is deterministic and stops when no pair repeats") {
+    val df = Seq("ab ab cd", "ab xyz").toDF("text")
+    val m1 = Bpe.learnMerges(df, "text", numMerges = 100)
+    val m2 = Bpe.learnMerges(df, "text", numMerges = 100)
+    assert(m1 == m2)
+    // 'ab' x3 merges; everything else is hapax-bounded.
+    assert(m1.pairs.head == ("a", "b"))
+    assert(m1.size < 100) // early stop, not the requested budget
+  }
+
+  test("canonical encode == rank-order replay == replace-chain simulation " +
+      "on randomized words (the oracle-equivalence property)") {
+    val rnd = new scala.util.Random(99)
+    // Skewed small alphabet so merges genuinely chain (multi-char sides).
+    def word(n: Int) = (1 to n).map(_ => "aabbcde".charAt(rnd.nextInt(7))).mkString
+    val corpus = (1 to 300).map(_ => word(2 + rnd.nextInt(12))).mkString(" ")
+    val m = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", numMerges = 60)
+    assert(m.size > 10, s"degenerate fixture: only ${m.size} merges")
+    assert(m.pairs.exists(p => p._1.length + p._2.length > 2),
+      "no chained merges — property would be vacuous")
+    for (_ <- 1 to 2000) {
+      val w = word(1 + rnd.nextInt(16))
+      val canonical = Bpe.encodeWord(w, m)
+      assert(canonical.toSeq == rankOrderEncode(w, m).toSeq, s"word '$w'")
+      assert(canonical.length == replaceChainCount(w, m), s"word '$w'")
+      assert(canonical.mkString == w, s"concat invariant broken for '$w'")
+    }
+  }
+
+  test("tokenCount expression: runs encoded, symbols/digits/unicode counted " +
+      "like the run convention; null -> null") {
+    val m = BpeMerges(Vector(("a", "b"), ("ab", "c"), ("1", "2")))
+    val rows = Seq(
+      ("abc abc", 2L),          // 'abc' -> 1 token, twice
+      ("abcabc", 2L),           // 'abcabc' -> ab+c ab+c -> abc abc
+      ("ab1c", 3L),             // run 'ab' merges; '1' digit run; run 'c'
+      ("a-b!", 4L),             // symbols break runs: a,-,b,!
+      ("x 123 yz", 5L),         // x + (123 -> 12,3) + (yz -> y,z)
+      ("", 0L),
+      ("café", 4L))        // run caf (no merges apply: c,a,f) + one multi-byte char
+      .toDF("text", "expected")
+    val got = rows.withColumn("n", Bpe.tokenCount(col("text"), m))
+      .select("text", "expected", "n").collect()
+    got.foreach(r => assert(r.getLong(2) == r.getLong(1), s"text='${r.getString(0)}'"))
+    val nul = Seq((null: String, 1)).toDF("text", "x")
+      .select(Bpe.tokenCount(col("text"), m)).collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("expression agrees with driver-side encode over a learned table on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.learnMerges(docs, "text", numMerges = 80)
+    assert(m.size >= 40, s"fixture corpus too degenerate: ${m.size} merges")
+    val viaExpr = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), Bpe.tokenCount(col("text"), m).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val raw = docs.where(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+    raw.foreach { r =>
+      val expected = "[a-z]+|[0-9]+|[^a-z0-9 ]".r.findAllIn(r.getString(1)).map { w =>
+        if (w.length > 1 && w.head.isLetterOrDigit) Bpe.encodeWord(w, m).length else 1
+      }.sum
+      assert(viaExpr(r.getLong(0)) == expected.toLong, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("merges wire format round-trips; resource table loads; alphabet guarded") {
+    val m = BpeMerges(Vector(("t", "h"), ("th", "e"), ("1", "0")))
+    assert(Bpe.parseMerges(m.format) == m)
+    assert(Bpe.parseMerges("# header\n\nt h\nth e\n1 0\n") == m)
+    intercept[IllegalArgumentException](BpeMerges(Vector(("a", "B"))))
+    intercept[IllegalArgumentException](Bpe.parseMerges("a b c\n"))
+    // The committed fixture vocabulary (LearnBpeFixture provenance tool:
+    // sf0.01 documents exhaust their pair inventory at 89 merges — the
+    // fixture corpus's full vocabulary).
+    val fixture = Bpe.loadMergesResource("graft/bpe_merges_fixture.txt")
+    assert(fixture.size >= 80 && fixture.pairs.exists(_ == ("jo", "in")))
+  }
+}
