@@ -534,15 +534,17 @@ object TextQueries {
         .withColumn("url", concat(lit("https://w"), (id % 7).cast("string"),
           lit(".example"), (id % 3).cast("string"), lit(".org/p/"), id.cast("string")))
         .withColumn("domain", TF.extractDomain(col("url")))
-      val caps = withDom.select(col("domain")).distinct()
-        .withColumn("budget",
-          (lit(2) + substring(col("domain"), 2, 1).cast("int") % 3).cast("long"))
-      // Manifest shape + no trailing orderBy (r13, same rationale as
-      // doc_source_mix): the gate's output IS (key, group, rank), so the
-      // heap path's join-back re-attached nothing, and the driver compare
-      // sorts before hashing. byCountBudget's full-row contract stays
-      // covered by the cross-path and manifest-equality specs.
-      graft.text.Mix.countBudgetManifest(withDom, "doc_id", "domain", caps)
+      // Cap AS AN EXPRESSION of the domain (r14, same move as
+      // doc_source_mix): the cap is a formula the oracle inlines, so the
+      // r13 gate's distinct-domains scan + collect + broadcast join was
+      // apparatus DuckDB never paid. The expression heap form is ONE
+      // bounded-heap aggregate — no dim job, no join of any kind; maxCap=4
+      // is the formula's proven bound (2 + digit%3 ≤ 4), enforced in-plan
+      // by raise_error. Manifest shape + no trailing orderBy (r13). The
+      // dim-table contract stays spec'd value-identical (PipelineOpsSpec)
+      // and driver-gated through doc_pipeline_e2e's byTokenBudget.
+      graft.text.Mix.countBudgetManifest(withDom, "doc_id", "domain",
+          lit(2) + substring(col("domain"), 2, 1).cast("int") % 3, maxCap = 4)
         .select(col("doc_id"), col("domain"), col("cum_docs"))
     }),
     "doc_pack_sequences" -> ((s, dir) => {

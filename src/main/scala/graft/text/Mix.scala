@@ -292,6 +292,71 @@ object Mix {
     }
   }
 
+  /**
+   * [[countBudgetManifest]] with the cap as an EXPRESSION over the group
+   * column plus an explicit driver-side bound — the count-cap analogue of
+   * the token-budget expression form: no dimension collect, no broadcast
+   * join anywhere (on the heap path the whole operator is ONE bounded-heap
+   * aggregate; the cap expression evaluates on the aggregate's own
+   * groups×≤maxCap output frame).
+   *
+   * `maxCap` plays the role the collected table's max played for heap
+   * sizing, and is a CONTRACT: a group whose evaluated cap exceeds it
+   * fails the job with a raise_error (the heap would otherwise silently
+   * truncate that group — never guess, always fail). Caps above the heap
+   * cutover conf ride the bucketed-cumsum fallback, same as the table
+   * form. Value-identical to the table form fed `distinct groups × the
+   * same formula` on both paths (spec'd).
+   */
+  def countBudgetManifest(df: DataFrame, keyCol: String, groupCol: String,
+      cap: Column, maxCap: Int): DataFrame =
+    countBudgetManifest(df, keyCol, groupCol, cap, maxCap, 256)
+
+  /** [[countBudgetManifest]] (expression-cap form) with explicit fan-out. */
+  def countBudgetManifest(df: DataFrame, keyCol: String, groupCol: String,
+      cap: Column, maxCap: Int, buckets: Int): DataFrame = {
+    require(maxCap >= 1, s"maxCap must be >= 1, got $maxCap")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val cumCol = "cum_docs"
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || c == cumCol)
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with Mix " +
+        s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    // The maxCap contract enforced in-plan: any group whose cap evaluates
+    // above the declared bound aborts the job instead of silently keeping
+    // only maxCap of its docs.
+    val guarded = when(cap.cast("long") > maxCap,
+        raise_error(concat(lit(s"countBudgetManifest: cap expression exceeds " +
+          s"declared maxCap=$maxCap for group "), col(groupCol).cast("string"))))
+      .otherwise(cap.cast("long"))
+    val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
+      HeapCapMaxKKey, DefaultHeapCapMaxK)
+    if (heapCap > 0 && maxCap <= heapCap) {
+      val narrow = df.where(col(keyCol).isNotNull)
+        .withColumn("_mix_hp", TextFunctions.md5Longs(col(keyCol).cast("string")))
+        .select(col(groupCol), col(keyCol),
+          col("_mix_hp").getField("h1").as("_mix_h1"),
+          col("_mix_hp").getField("h2").as("_mix_h2"))
+      narrow.groupBy(col(groupCol))
+        .agg(graft.functions.min_by_k(col(keyCol),
+          struct(col("_mix_h1"), col("_mix_h2"), col(keyCol)), maxCap).as("_mix_keys"))
+        .withColumn("_mix_budget", guarded)
+        .select(col(groupCol), col("_mix_budget"),
+          posexplode(col("_mix_keys")).as(Seq("_mix_p", "_mix_k")))
+        .withColumn(cumCol, col("_mix_p") + lit(1L))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col("_mix_k").as(keyCol), col(groupCol), col(cumCol))
+    } else {
+      withCumWeight(df.select(col(keyCol), col(groupCol)), keyCol, lit(1L),
+          Seq(groupCol), buckets, cumCol, shareExchange = true,
+          budgetExpr = Some(guarded))
+        .where(col(cumCol) <= col("_mix_budget"))
+        .select(col(keyCol), col(groupCol), col(cumCol))
+    }
+  }
+
   /** Largest per-group count cap the [[byCountBudget]] bounded-heap path
     * accepts (`spark.graft.mix.heapCapMaxK`); caps above it fall back to
     * the bucketed cumsum. 0 disables the heap path (spec/A-B device). */

@@ -191,6 +191,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(nJoins(tablePlan) == 2, tablePlan)
   }
 
+  test("countBudgetManifest expression-cap form equals the table form on " +
+      "both paths; zero joins on the heap path; maxCap contract enforced") {
+    val capExpr = lit(2) + substring(col("source"), 2, 1).cast("int") % 2 // 2..3
+    val capsTable = mixCorpus.select(col("source")).distinct()
+      .withColumn("budget", capExpr.cast("long"))
+    def viaTable = Mix.countBudgetManifest(mixCorpus, "doc_id", "source", capsTable)
+      .as[(Long, String, Long)].collect().toSet
+    def viaExpr = Mix.countBudgetManifest(mixCorpus, "doc_id", "source", capExpr, maxCap = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaExpr == viaTable) // heap path
+    assert(viaExpr.nonEmpty)
+    val plan = Mix.countBudgetManifest(mixCorpus, "doc_id", "source", capExpr, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // ONE aggregate, no dim join at all
+    spark.conf.set(Mix.HeapCapMaxKKey, "0") // force the cumsum fallback
+    try assert(viaExpr == viaTable)
+    finally spark.conf.unset(Mix.HeapCapMaxKKey)
+    // maxCap contract: an under-declared bound fails loudly, never truncates
+    val boom = intercept[Exception] {
+      Mix.countBudgetManifest(mixCorpus, "doc_id", "source", capExpr, maxCap = 2)
+        .collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("countBudgetManifest equals byCountBudget's projection on both paths") {
     val caps = Seq(("s0", 3L), ("s1", 2L), ("s2", 4L)).toDF("source", "budget")
     def full = Mix.byCountBudget(mixCorpus, "doc_id", "source", caps)
