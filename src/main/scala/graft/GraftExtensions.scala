@@ -80,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "not_exists_join" -> graft.sql.TvfMacros.notExistsJoin,
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
       "sessionize_stats" -> graft.sql.TvfMacros.sessionizeStatsTvf,
+      "bpe_token_count" -> graft.sql.TvfMacros.bpeTokenCountTvf,
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,

@@ -402,6 +402,24 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** `bpe_token_count(TABLE(t), 'text_col', 'merges_path')` — input plus
+    * `n_bpe_tokens` under the merges table at `merges_path` (GPT-2
+    * merges.txt wire format; a path so SQL sessions can bind any published
+    * vocabulary — the Scala API takes the parsed object). The merges file
+    * is read once at plan time and rides the task binary as a reference
+    * object, like the DSIR score table. */
+  def bpeTokenCountTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 3) throw new IllegalArgumentException(
+      s"bpe_token_count(table, text_col, merges_path) takes 3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val df = table(spark, args(0), "bpe_token_count table")
+    val textCol = str(args(1), "bpe_token_count text_col")
+    val merges = graft.text.Bpe.loadMerges(str(args(2), "bpe_token_count merges_path"))
+    df.withColumn("n_bpe_tokens",
+        graft.text.Bpe.tokenCount(org.apache.spark.sql.functions.col(textCol), merges))
+      .queryExecution.analyzed
+  }
+
   // ---- Index-backed ANN as SQL table functions (the index-join surface —
   // the brute vss_join/vss_match macros above mirror the reference; these
   // expose the accelerated paths to SQL users):

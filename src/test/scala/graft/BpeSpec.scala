@@ -111,6 +111,23 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("bpe_token_count SQL TVF == the Scala API under the same merges file") {
+    val m = BpeMerges(Vector(("a", "b"), ("ab", "c")))
+    val path = java.nio.file.Files.createTempFile("bpe-tvf", ".txt").toString
+    Bpe.saveMerges(m, path)
+    val df = Seq((1L, "abc xyz"), (2L, "ababc"), (3L, null: String))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("bpe_tvf_docs")
+    val viaSql = spark.sql(
+      s"""SELECT id, n_bpe_tokens
+          FROM bpe_token_count(TABLE(bpe_tvf_docs), 'text', '$path')""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val viaApi = df.select(col("id"), Bpe.tokenCount(col("text"), m).as("n"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql == Set((1L, 4L), (2L, 2L), (3L, -1L))) // abc + x,y,z; ab+abc; null
+  }
+
   test("merges wire format round-trips; resource table loads; alphabet guarded") {
     val m = BpeMerges(Vector(("t", "h"), ("th", "e"), ("1", "0")))
     assert(Bpe.parseMerges(m.format) == m)
