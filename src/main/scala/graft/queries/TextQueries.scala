@@ -561,6 +561,19 @@ object TextQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
         .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
     }),
+    "doc_pack_sequences_bpe" -> ((s, dir) => {
+      // Packing in REAL tokenizer units (r14): same layout contract as
+      // doc_pack_sequences but the currency is the committed BPE
+      // vocabulary's token count — the coordinates a training job's
+      // actual tokenizer would produce, where whitespace counts over- or
+      // under-fill fixed-length examples. The oracle replays the merge
+      // chain string-level per doc, then the textbook global cumsum.
+      graft.text.Mix.packManifestBy(
+          Tables.load(s, dir, "documents"), "doc_id",
+          graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges),
+          seqLen = 128L)
+        .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
+    }),
     "doc_pack_emit" -> ((s, dir) => {
       // The materialized side of packing: actual L=128-token sequences
       // reassembled from the concatenated corpus (docs split across
@@ -1009,6 +1022,30 @@ object TextQueries {
     "doc_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, len(string_split(text, ' ')) AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(sum(toks) OVER (ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id,
+           CAST((cum - toks) // 128 AS BIGINT) AS seq_id,
+           CAST((cum - toks) % 128 AS BIGINT) AS seq_off,
+           CAST(greatest(cum - 1, cum - toks) // 128
+                - (cum - toks) // 128 + 1 AS BIGINT) AS n_seqs
+         FROM c""",
+    "doc_pack_sequences_bpe" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(coalesce(list_sum(
+                    [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                          THEN ${bpeOracleWordCount("w")}
+                          ELSE 1 END
+                     FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
+                    AS BIGINT)
+             END AS toks,
              md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
          c AS (

@@ -738,6 +738,33 @@ object Mix {
   }
 
   /**
+   * [[packManifest]] with the per-document weight as an EXPRESSION — the
+   * packing currency generalized beyond whitespace tokens. The headline
+   * use is REAL tokenizer units: `packManifestBy(df, "doc_id",
+   * Bpe.tokenCount(col("text"), merges), 2048)` lays the corpus out in
+   * actual BPE-token coordinates, so the emitted sequences match what the
+   * training job's tokenizer will produce (whitespace counts over- or
+   * under-fill real 2048-token examples). Weights must be non-negative;
+   * same one-scan + one-narrow-exchange shape as [[packManifest]].
+   */
+  def packManifestBy(df: DataFrame, keyCol: String, weight: Column,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val out = Seq("seq_id", "seq_off", "n_seqs")
+    val clash = df.columns.filter(c => c.startsWith("_mix_") || out.contains(c))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with packManifestBy " +
+        s"output/temporaries (${out.mkString(", ")}, '_mix_*') — rename them first")
+    val narrow = df.select(col(keyCol), weight.cast("long").as("_mix_w"))
+    seqCoords(withCumWeight(narrow, keyCol, col("_mix_w"),
+        Seq.empty, buckets, "_mix_cum", shareExchange = true), seqLen)
+      .select(col(keyCol), col("seq_id"), col("seq_off"), col("n_seqs"))
+  }
+
+  /**
    * Materialize the packed training sequences [[packSequences]] only
    * assigns coordinates for: one output row per sequence, holding the
    * L-token (last one possibly shorter) whitespace-joined slice of the

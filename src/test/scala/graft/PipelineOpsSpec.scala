@@ -191,6 +191,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(nJoins(tablePlan) == 2, tablePlan)
   }
 
+  test("packManifestBy(weight) generalizes packManifest: identical with the " +
+      "whitespace weight, different-and-consistent with a custom currency") {
+    val ws = Mix.packManifest(mixCorpus, "doc_id", "text", seqLen = 7L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val byWs = Mix.packManifestBy(mixCorpus, "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")), seqLen = 7L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(byWs == ws)
+    // A doubled currency halves the capacity of each sequence: total
+    // spanned sequences (max seq_id+n_seqs) must strictly grow.
+    val doubled = Mix.packManifestBy(mixCorpus, "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")) * 2, seqLen = 7L)
+      .as[(Long, Long, Long, Long)].collect()
+    def lastSeq(rows: Iterable[(Long, Long, Long, Long)]) =
+      rows.map(r => r._2 + r._4).max
+    assert(lastSeq(doubled) > lastSeq(ws))
+  }
+
   test("countBudgetManifest expression-cap form equals the table form on " +
       "both paths; zero joins on the heap path; maxCap contract enforced") {
     val capExpr = lit(2) + substring(col("source"), 2, 1).cast("int") % 2 // 2..3
