@@ -111,6 +111,25 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("BpeTokenCount compiles under strict codegen (no interpreter fallback)") {
+    // The merges table rides as a reference object whose Janino-facing
+    // class name contains '$' (nested in object Bpe) and whose count call
+    // goes through the object's static forwarder — both would silently
+    // fall back to the interpreter in default conf if broken. Strict conf
+    // turns any codegen failure into a test failure.
+    val m = BpeMerges(Vector(("a", "b")))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq("ab ab c").toDF("text")
+        .select(Bpe.tokenCount(col("text"), m)).collect().head.getLong(0)
+      assert(got == 3L)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("bpe_token_count SQL TVF == the Scala API under the same merges file") {
     val m = BpeMerges(Vector(("a", "b"), ("ab", "c")))
     val path = java.nio.file.Files.createTempFile("bpe-tvf", ".txt").toString
