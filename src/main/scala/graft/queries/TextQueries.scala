@@ -471,6 +471,21 @@ object TextQueries {
           lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
         .select(col("doc_id"), col("source"), col("cum_tokens"))
     }),
+    "doc_source_mix_bpe" -> ((s, dir) => {
+      // Budget fill in REAL tokenizer units (r14, the budget analogue of
+      // doc_pack_sequences_bpe): per-source budgets measured in the
+      // committed BPE vocabulary's tokens — what "5B tokens of source X"
+      // actually means to the training job. Weight AND budget both ride
+      // as expressions (Mix.weightBudgetManifestBy): one scan computing
+      // the BPE counts, one narrow exchange, zero apparatus jobs. Budgets
+      // (900..1300) sit below every source's BPE total (1136..1553 at
+      // sf0.01) so the fill genuinely truncates in the new currency.
+      val d = Tables.load(s, dir, "documents")
+      graft.text.Mix.weightBudgetManifestBy(d, "doc_id",
+          graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges), "source",
+          lit(900) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+    }),
     "doc_pipeline_e2e" -> ((s, dir) => {
       // The round-7 operators composed end-to-end, the way a training-data
       // build actually runs: quality filter → eval-set decontamination →
@@ -916,6 +931,26 @@ object TextQueries {
            FROM t)
          SELECT doc_id, source, cum_tokens FROM c
          WHERE cum_tokens <= 1000 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)""",
+    "doc_source_mix_bpe" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(coalesce(list_sum(
+                    [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                          THEN ${bpeOracleWordCount("w")}
+                          ELSE 1 END
+                     FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
+                    AS BIGINT)
+             END AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             CAST(sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, cum_tokens FROM c
+         WHERE cum_tokens <= 900 + 100 * (CAST(substr(source, 4, 10) AS INT) % 5)""",
     "doc_pipeline_e2e" ->
       """WITH f AS (
            SELECT doc_id, text, lang, source,

@@ -142,7 +142,24 @@ object Mix {
   /** [[tokenBudgetManifest]] (expression-budget form) with explicit
     * prefix-sum fan-out. */
   def tokenBudgetManifest(df: DataFrame, keyCol: String, textCol: String,
-      groupCol: String, budget: Column, buckets: Int): DataFrame = {
+      groupCol: String, budget: Column, buckets: Int): DataFrame =
+    weightBudgetManifestBy(df, keyCol,
+      TextFunctions.tokenCount(df(textCol)).cast("long"), groupCol, budget,
+      buckets)
+
+  /**
+   * The fully-general expression form: per-row WEIGHT and per-group
+   * BUDGET both as expressions — budget fills in any currency. The
+   * headline use is real tokenizer units
+   * (`weightBudgetManifestBy(df, "doc_id", Bpe.tokenCount(col("text"),
+   * merges), "source", budgetExpr)`: per-source budgets measured in the
+   * BPE tokens the training job will actually consume). Same zero-
+   * apparatus plan as the token expression form: one scan computing the
+   * weight, one narrow (group, bucket) exchange, budget inline in the
+   * below-sort prune and keep filters.
+   */
+  def weightBudgetManifestBy(df: DataFrame, keyCol: String, weight: Column,
+      groupCol: String, budget: Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 65536,
       s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
         s"16-bit hash prefix), got $buckets")
@@ -152,7 +169,7 @@ object Mix {
       s"input columns [${clash.mkString(", ")}] collide with Mix " +
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
     val narrow = df.select(col(keyCol), col(groupCol),
-      TextFunctions.tokenCount(df(textCol)).cast("long").as("_mix_w"))
+      weight.cast("long").as("_mix_w"))
     // Same always-share rationale as the table form above.
     withCumWeight(narrow, keyCol, col("_mix_w"), Seq(groupCol), buckets,
         cumCol, shareExchange = true, budgetExpr = Some(budget.cast("long")))
