@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{array_distance, lit_vector, min_by_k}
+import graft.functions.{array_distance, min_by_k}
 import graft.index.IndexCatalog
 
 /**

@@ -58,6 +58,29 @@ def probe():
     return (float(m.group(1)), float(m.group(2))) if m else (99.0, 99.0)
 
 
+def io_probe():
+    """Disk-latency bracket (round-14 audit: the box's interference channel
+    can be virtio IO, invisible to the CPU probe — fast windows read
+    ~300+ MB/s fdatasync, degraded ones ~100). Recorded per bracket; NOT
+    part of the taint gate yet (one round of baseline data first)."""
+    try:
+        t0 = time.time()
+        with open("/tmp/graft_io_probe", "wb") as f:
+            f.write(b"\0" * (256 << 20))
+            f.flush()
+            os.fsync(f.fileno())
+        mbps = 256 / max(time.time() - t0, 1e-9)
+        os.unlink("/tmp/graft_io_probe")
+        psi = ""
+        try:
+            psi = open("/proc/pressure/io").readline().strip()
+        except OSError:
+            pass
+        return {"fdatasync_mbps": round(mbps, 1), "psi_some": psi}
+    except OSError as e:
+        return {"error": str(e)}
+
+
 def fast(p):
     return p[0] < 0.80 and p[1] < 1.30
 
@@ -145,8 +168,10 @@ def duck_scale(sfdir):
     return per, errs
 
 
-result = {"sessions": SESSIONS, "fair_n": len(FAIR), "probes": {}, "scales": {}}
+result = {"sessions": SESSIONS, "fair_n": len(FAIR), "probes": {},
+          "io_probes": {}, "scales": {}}
 result["probes"]["start"] = wait_fast()
+result["io_probes"]["start"] = io_probe()
 for label, sfdir in SCALES:
     d, derrs = duck_scale(sfdir)
     s = spark_scale(sfdir)
@@ -157,6 +182,7 @@ for label, sfdir in SCALES:
         "spark_total": sum(s[k] for k in both),
     }
     result["probes"][f"after_{label}"] = probe()
+    result["io_probes"][f"after_{label}"] = io_probe()
     print(f"[{label}] duck={result['scales'][label]['duck_total']:.2f}s "
           f"spark={result['scales'][label]['spark_total']:.2f}s", flush=True)
 
