@@ -25,6 +25,9 @@ object AbConf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Harness-level opt-in for ensureBucketed's sorted layouts (r14:
+      // the library no longer sets it — mirror Bench/Verify).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", 64L << 20)
