@@ -48,6 +48,12 @@ FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
     # round-12: DSIR fit (hashed-ngram counts + integer weights, exact
     # replay both sides). The select/perplexity gates are digest-pinned
     # (constant-SELECT oracles) — never fair, do not add them.
+    # round-14: the BPE gates (doc_bpe_token_count, doc_pack_sequences_bpe,
+    # doc_source_mix_bpe) are also excluded: their oracle replays the merge
+    # chain as ~90 nested string replaces over per-char-split words — a
+    # correctness device, not DuckDB's best algorithm, so timing it would
+    # flatter Spark. Same-algorithm timing for BPE is the PERF_VS_DUCKDB
+    # round-14 scale receipt (train pass + 0.56 s sf10 scoring scan).
     "doc_dsir_weights"])
 
 
