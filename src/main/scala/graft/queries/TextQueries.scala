@@ -87,6 +87,27 @@ object TextQueries {
           graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges)
             .as("n_bpe_tokens"))
     }),
+    "doc_quality_classifier" -> ((s, dir) => {
+      // Learned fasttext/CCNet-class scorer (TextClassifier, r14): one
+      // distributed HashingTF+LogisticRegression fit, then the codegen'd
+      // HashedLinearScore kernel (spec'd == model.transform to 1e-9).
+      // Self-checking gate (training is LBFGS — not bit-stable enough to
+      // hash-pin scores): trains on a SEPARABLE weak label (the fixture's
+      // languages share one vocabulary, so token presence is the honest
+      // learnable class here) and asserts in-plan that the learned kernel
+      // classifies at >= 0.95 accuracy with every score a probability.
+      val d = Tables.load(s, dir, "documents").where(col("text").isNotNull)
+        .withColumn("_lbl",
+          array_contains(split(col("text"), " "), "vector").cast("int"))
+      val m = graft.text.TextClassifier.train(d, "text", "_lbl",
+        numFeatures = 1 << 16)
+      d.select(col("_lbl"),
+          graft.text.TextClassifier.score(col("text"), m).as("_s"))
+        .agg(((avg(((col("_s") >= 0.5).cast("int") === col("_lbl"))
+            .cast("double")) >= 0.95) &&
+          min(col("_s")) >= 0.0 && max(col("_s")) <= 1.0 &&
+          count(lit(1)) > 0).as("ok"))
+    }),
     "doc_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TF.textStats(col("text")).as("st"),
@@ -760,6 +781,7 @@ object TextQueries {
          SELECT doc_id, duration * 1000 // timescale AS duration_ms,
            timescale, n_tracks, width, height, brand
          FROM m""",
+    "doc_quality_classifier" -> "SELECT true AS ok",
     "doc_bpe_token_count" ->
       s"""SELECT doc_id,
             CASE WHEN text IS NULL THEN NULL
