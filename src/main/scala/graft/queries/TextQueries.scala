@@ -99,8 +99,11 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents").where(col("text").isNotNull)
         .withColumn("_lbl",
           array_contains(split(col("text"), " "), "vector").cast("int"))
+      // 8 LBFGS iterations: the weak label is separable, so accuracy
+      // saturates early — the gate is a plumbing check, not a convergence
+      // benchmark (full-default training is spec'd in TextClassifierSpec).
       val m = graft.text.TextClassifier.train(d, "text", "_lbl",
-        numFeatures = 1 << 16)
+        numFeatures = 1 << 16, maxIter = 8)
       d.select(col("_lbl"),
           graft.text.TextClassifier.score(col("text"), m).as("_s"))
         .agg(((avg(((col("_s") >= 0.5).cast("int") === col("_lbl"))
