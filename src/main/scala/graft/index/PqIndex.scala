@@ -265,6 +265,16 @@ object Pq {
    * [[Ivf.build]] plus a `pq_code` column: parquet partitioned by
    * `ivf_cell`, centroids + codebooks persisted alongside. One extra
    * build-pass expression; same single corpus pass.
+   *
+   * Sizing `m` (measured at 1M×64-dim clustered, FIXTURES.md F10): on
+   * clustered embedding corpora most inter-vector variance is BETWEEN
+   * clusters, so the sub-block codebooks spend their codes separating
+   * clusters and top-k ranking quality rides on code granularity —
+   * m=8 (8 B/vector) capped recall@10 at ~0.46 there while m=16 (16 B)
+   * reached 0.94 with refine=64. Size m by intra-cluster variance, not
+   * corpus size, and lean on the exact `refine` re-rank (refine·k ≪ cell
+   * size) for the last mile; `nprobe` saturates early on clustered data
+   * (≈2 in the F10 sweep), mirroring the HNSW routing result.
    */
   def buildIvfPq(df: DataFrame, vecCol: String, outPath: String, nCells: Int,
       m: Int, ksub: Int = 256, sampleFraction: Double = 1.0,
