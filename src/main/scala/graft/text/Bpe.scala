@@ -96,8 +96,8 @@ object Bpe {
     // One corpus pass: run pre-tokens (train-time apparatus — the builtin
     // regex is fine off the serving path), histogram, deterministic top-N.
     val hist: Array[(String, Long)] = df
-      .select(explode(expr(
-        s"regexp_extract_all(`$textCol`, '[a-z]+|[0-9]+', 0)")).as("w"))
+      .select(explode(
+        regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))

@@ -42,7 +42,11 @@ object TextClassifier {
 
   /**
    * One distributed fit: label ∈ {0.0, 1.0} (`labelCol` cast to double).
-   * Null/empty texts train and score as empty feature vectors.
+   * A null text trains as "" (which, like every text, contributes its
+   * space-split tokens — for "" that is one empty-string token, the same
+   * bucket the scorer hashes it to); at SCORE time a null text returns
+   * null (no row is silently scored as empty) — filter or coalesce
+   * upstream if nulls should score.
    */
   def train(df: DataFrame, textCol: String, labelCol: String,
       numFeatures: Int = 1 << 18, maxIter: Int = 50,
