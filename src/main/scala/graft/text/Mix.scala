@@ -761,7 +761,9 @@ object Mix {
    * Bpe.tokenCount(col("text"), merges), 2048)` lays the corpus out in
    * actual BPE-token coordinates, so the emitted sequences match what the
    * training job's tokenizer will produce (whitespace counts over- or
-   * under-fill real 2048-token examples). Weights must be non-negative;
+   * under-fill real 2048-token examples). Weights must be non-negative
+   * and non-null (a null-text token count should be coalesced or filtered
+   * upstream — a null weight has no defined position in the layout);
    * same one-scan + one-narrow-exchange shape as [[packManifest]].
    */
   def packManifestBy(df: DataFrame, keyCol: String, weight: Column,
