@@ -111,6 +111,34 @@ object TextQueries {
           min(col("_s")) >= 0.0 && max(col("_s")) <= 1.0 &&
           count(lit(1)) > 0).as("ok"))
     }),
+    "doc_langid_classifier" -> ((s, dir) => {
+      // MULTICLASS (softmax) classifier (r15) — the langid analogue of
+      // doc_quality_classifier, completing fasttext-class parity for the
+      // language-filter stage: one multinomial HashingTF+LR fit, then the
+      // codegen'd HashedSoftmaxScore kernel (k accumulators, one byte
+      // pass; spec'd == model.transform to 1e-9). Self-checking like the
+      // binary gate (LBFGS isn't hash-pinnable): the 3-class weak label
+      // is a marker token injected per doc_id%3 — the fixture's languages
+      // share one vocabulary, so marker presence is the honest separable
+      // multiclass signal — and the gate asserts in-plan that the learned
+      // kernel classifies >= 0.95 with every winner probability a valid
+      // softmax output (>= 1/k, <= 1: the argmax class can't sit below
+      // uniform).
+      val markers = array(lit("qlangzero"), lit("qlangone"), lit("qlangtwo"))
+      val d = Tables.load(s, dir, "documents").where(col("text").isNotNull)
+        .withColumn("_lbl", (col("doc_id") % 3).cast("int"))
+        .withColumn("_t2", concat(
+          element_at(markers, (col("doc_id") % 3 + 1).cast("int")),
+          lit(" "), col("text")))
+      val m = graft.text.TextClassifier.trainMulticlass(d, "_t2", "_lbl",
+        numFeatures = 1 << 16, maxIter = 8)
+      d.select(col("_lbl"),
+          graft.text.TextClassifier.scoreMulticlass(col("_t2"), m).as("_k"))
+        .agg(((avg((col("_k.label") === col("_lbl").cast("string"))
+            .cast("double")) >= 0.95) &&
+          min(col("_k.prob")) >= 1.0 / 3.0 && max(col("_k.prob")) <= 1.0 &&
+          count(lit(1)) > 0).as("ok"))
+    }),
     "doc_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TF.textStats(col("text")).as("st"),
@@ -504,9 +532,15 @@ object TextQueries {
       // the BPE counts, one narrow exchange, zero apparatus jobs. Budgets
       // (900..1300) sit below every source's BPE total (1136..1553 at
       // sf0.01) so the fill genuinely truncates in the new currency.
+      // coalesce-to-0: Bpe.tokenCount is null for null text, and the
+      // manifest's weight contract is non-null (enforced in-plan). A
+      // 0-weight doc fills exactly like the oracle's NULL toks (window
+      // sum skips nulls == adds 0), so the gate stays defined and
+      // oracle-exact if the fixture ever gains null texts.
       val d = Tables.load(s, dir, "documents")
       graft.text.Mix.weightBudgetManifestBy(d, "doc_id",
-          graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges), "source",
+          coalesce(graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges),
+            lit(0L)), "source",
           lit(900) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
         .select(col("doc_id"), col("source"), col("cum_tokens"))
     }),
@@ -607,9 +641,12 @@ object TextQueries {
       // actual tokenizer would produce, where whitespace counts over- or
       // under-fill fixed-length examples. The oracle replays the merge
       // chain string-level per doc, then the textbook global cumsum.
+      // coalesce-to-0 for the same reason as doc_source_mix_bpe: the
+      // layout contract needs a non-null weight for every doc.
       graft.text.Mix.packManifestBy(
           Tables.load(s, dir, "documents"), "doc_id",
-          graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges),
+          coalesce(graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges),
+            lit(0L)),
           seqLen = 128L)
         .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_seqs"))
     }),
@@ -785,6 +822,7 @@ object TextQueries {
            timescale, n_tracks, width, height, brand
          FROM m""",
     "doc_quality_classifier" -> "SELECT true AS ok",
+    "doc_langid_classifier" -> "SELECT true AS ok",
     "doc_bpe_token_count" ->
       s"""SELECT doc_id,
             CASE WHEN text IS NULL THEN NULL

@@ -62,6 +62,24 @@ object Bpe {
     pairs.foreach { case (a, b) =>
       require((a + b).forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
         s"merge '$a $b' outside the [a-z0-9] run alphabet") }
+    // Creation-order validation: every multi-char side must be the output
+    // of an EARLIER merge. The scaladoc'd rank-order-replay ==
+    // lowest-rank-first equivalence (which the DuckDB oracle replay relies
+    // on) holds only for such tables — a hand-written file ranking 'ab c'
+    // before the 'a b' that produces 'ab' would silently break it, so
+    // malformed tables fail loudly here instead (O(n) set check).
+    locally {
+      val producible = scala.collection.mutable.HashSet.empty[String]
+      pairs.iterator.zipWithIndex.foreach { case ((a, b), r) =>
+        require(a.length == 1 || producible.contains(a),
+          s"merge #$r '$a $b': left side '$a' is not the output of an " +
+            s"earlier merge — the table is not creation-ordered")
+        require(b.length == 1 || producible.contains(b),
+          s"merge #$r '$a $b': right side '$b' is not the output of an " +
+            s"earlier merge — the table is not creation-ordered")
+        producible += (a + b): Unit
+      }
+    }
     def size: Int = pairs.size
     /** GPT-2 merges.txt wire format. */
     def format: String = pairs.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n"
@@ -104,7 +122,148 @@ object Bpe {
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-    // Driver-local merge loop over the bounded histogram.
+    BpeMerges(learnFromHistogram(hist, numMerges))
+  }
+
+  /**
+   * Driver-local merge loop over the bounded histogram — INCREMENTAL pair
+   * counts (the HF-tokenizers design): per merge round, only the words
+   * that actually contain the chosen pair are re-paired, and the deltas
+   * flow into a lazy-deletion max-heap, so round cost is proportional to
+   * the pair's footprint instead of the whole histogram. At production
+   * vocabulary sizes (32k–50k merges over a 100k–1M-word histogram) the
+   * r14 full-recount loop was O(numMerges × histogram-tokens) — tens of
+   * minutes; this is seconds (receipt in FIXTURES.md). Merge-sequence
+   * equality with the recount reference is spec'd (BpeSpec) on randomized
+   * histograms; selection rule unchanged: max count (≥ 2), then
+   * lexicographically smallest pair.
+   *
+   * Heap discipline: every time a pair's count CHANGES, the new (count,
+   * pair) entry is pushed; a popped entry is valid iff its count equals
+   * the pair's current count (stale entries — superseded counts — are
+   * discarded on pop). The pair→word-ids index tolerates stale ids the
+   * same way: a listed word is re-checked for the adjacency before it
+   * contributes deltas.
+   */
+  private[graft] def learnFromHistogram(hist: Array[(String, Long)],
+      numMerges: Int): Vector[(String, String)] = {
+    val words: Array[Array[String]] = hist.map(_._1.map(_.toString).toArray)
+    val wcount: Array[Long] = hist.map(_._2)
+
+    val pairCounts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val pairWords = new java.util.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    // Max-heap: highest count first, then lexicographically SMALLEST pair.
+    val heap = scala.collection.mutable.PriorityQueue.empty[
+      (Long, String, String)](new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2) // reversed: lex-smaller wins ties
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      })
+
+    def bump(p: (String, String), d: Long): Long = {
+      val prev = pairCounts.get(p)
+      val nc = (if (prev == null) 0L else prev.longValue()) + d
+      if (nc <= 0L) pairCounts.remove(p) else pairCounts.put(p, nc)
+      nc
+    }
+    def register(p: (String, String), id: Int): Unit = {
+      var buf = pairWords.get(p)
+      if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        pairWords.put(p, buf)
+      }
+      if (buf.isEmpty || buf.last != id) buf += id: Unit
+    }
+
+    var id = 0
+    while (id < words.length) {
+      val toks = words(id)
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = (toks(i), toks(i + 1))
+        bump(p, wcount(id)): Unit
+        register(p, id)
+        i += 1
+      }
+      id += 1
+    }
+    pairCounts.forEach((p, c) =>
+      if (c >= 2L) heap.enqueue((c.longValue(), p._1, p._2)))
+
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    val delta = new java.util.HashMap[(String, String), java.lang.Long]()
+    while (r < numMerges && !exhausted) {
+      // Pop to the first non-stale entry with count >= 2.
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        val p = (a, b)
+        val cur = pairCounts.get(p)
+        if (cur != null && cur.longValue() == c && c >= 2L) best = p
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val ids = pairWords.remove(best)
+        delta.clear()
+        val seen = new java.util.HashSet[Integer]()
+        if (ids != null) ids.foreach { wid =>
+          if (seen.add(wid)) {
+            val toks = words(wid)
+            var has = false
+            var i = 0
+            while (!has && i < toks.length - 1) {
+              has = toks(i) == best._1 && toks(i + 1) == best._2
+              i += 1
+            }
+            if (has) { // stale index entries re-checked, never trusted
+              val c = wcount(wid)
+              i = 0
+              while (i < toks.length - 1) {
+                val p = (toks(i), toks(i + 1))
+                delta.merge(p, java.lang.Long.valueOf(-c), (x, y) =>
+                  java.lang.Long.valueOf(x.longValue() + y.longValue())): Unit
+                i += 1
+              }
+              val merged = mergePair(toks, best)
+              words(wid) = merged
+              i = 0
+              while (i < merged.length - 1) {
+                val p = (merged(i), merged(i + 1))
+                delta.merge(p, java.lang.Long.valueOf(c), (x, y) =>
+                  java.lang.Long.valueOf(x.longValue() + y.longValue())): Unit
+                register(p, wid)
+                i += 1
+              }
+            }
+          }
+        }
+        delta.forEach { (p, d) =>
+          if (d.longValue() != 0L) {
+            val nc = bump(p, d.longValue())
+            if (nc >= 2L) heap.enqueue((nc, p._1, p._2))
+          }
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The r14 full-recount merge loop, kept as the SPEC REFERENCE for
+    * [[learnFromHistogram]] (BpeSpec proves merge-sequence equality on
+    * randomized histograms). O(numMerges × histogram tokens) — do not
+    * use at production vocabulary sizes. */
+  private[graft] def learnFromHistogramRecount(hist: Array[(String, Long)],
+      numMerges: Int): Vector[(String, String)] = {
     var words: Array[(Array[String], Long)] =
       hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges = Vector.newBuilder[(String, String)]
@@ -135,7 +294,7 @@ object Bpe {
         r += 1
       }
     }
-    BpeMerges(merges.result())
+    merges.result()
   }
 
   /** Merge every left-to-right non-overlapping occurrence of `pair` —

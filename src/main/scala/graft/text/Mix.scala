@@ -168,13 +168,32 @@ object Mix {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with Mix " +
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
+    // Both contracts enforced in-plan (never silently): a null WEIGHT has
+    // no defined position in the fill order, and a null BUDGET would drop
+    // its whole group through the cum <= null filter — the same
+    // silent-truncation class the countBudgetManifest maxCap guard exists
+    // to prevent. Coalesce upstream if null text should fill as 0 tokens.
     val narrow = df.select(col(keyCol), col(groupCol),
-      weight.cast("long").as("_mix_w"))
+      raiseOnNull(weight, "weightBudgetManifestBy: weight", col(keyCol))
+        .as("_mix_w"))
     // Same always-share rationale as the table form above.
     withCumWeight(narrow, keyCol, col("_mix_w"), Seq(groupCol), buckets,
-        cumCol, shareExchange = true, budgetExpr = Some(budget.cast("long")))
+        cumCol, shareExchange = true, budgetExpr = Some(
+          raiseOnNull(budget, "weightBudgetManifestBy: budget", col(groupCol))))
       .where(col(cumCol) <= col("_mix_budget"))
       .select(col(keyCol), col(groupCol), col(cumCol))
+  }
+
+  /** In-plan non-null contract for EXPRESSION-form weights/budgets/caps:
+    * a value that evaluates to null (including a failed cast) aborts the
+    * job instead of silently vanishing through a null-comparison filter
+    * (the never-guess-always-fail rule of the maxCap guard). */
+  private def raiseOnNull(e: Column, what: String, ctx: Column): Column = {
+    val v = e.cast("long")
+    when(v.isNull, raise_error(concat(
+        lit(s"$what must be non-null — got null/uncastable at "),
+        coalesce(ctx.cast("string"), lit("null")))))
+      .otherwise(v)
   }
 
   /**
@@ -343,11 +362,19 @@ object Mix {
         s"temporaries/output ('$cumCol', '_mix_*') — rename them first")
     // The maxCap contract enforced in-plan: any group whose cap evaluates
     // above the declared bound aborts the job instead of silently keeping
-    // only maxCap of its docs.
-    val guarded = when(cap.cast("long") > maxCap,
+    // only maxCap of its docs — and a NULL cap (e.g. a failed cast)
+    // aborts too, instead of silently dropping the whole group through
+    // the cum <= null filter (the exact truncation class this guard
+    // exists to prevent, just in the other direction).
+    val capL = cap.cast("long")
+    val guarded = when(capL.isNull,
+        raise_error(concat(lit("countBudgetManifest: cap expression is " +
+          "null/uncastable for group "),
+          coalesce(col(groupCol).cast("string"), lit("null")))))
+      .when(capL > maxCap,
         raise_error(concat(lit(s"countBudgetManifest: cap expression exceeds " +
           s"declared maxCap=$maxCap for group "), col(groupCol).cast("string"))))
-      .otherwise(cap.cast("long"))
+      .otherwise(capL)
     val heapCap = graft.spark.ExecTuning.confLong(df.sparkSession,
       HeapCapMaxKKey, DefaultHeapCapMaxK)
     if (heapCap > 0 && maxCap <= heapCap) {
@@ -763,8 +790,10 @@ object Mix {
    * training job's tokenizer will produce (whitespace counts over- or
    * under-fill real 2048-token examples). Weights must be non-negative
    * and non-null (a null-text token count should be coalesced or filtered
-   * upstream — a null weight has no defined position in the layout);
-   * same one-scan + one-narrow-exchange shape as [[packManifest]].
+   * upstream — a null weight has no defined position in the layout); the
+   * non-null half is ENFORCED in-plan with a raise_error, so a violation
+   * fails the job loudly instead of producing an undefined layout. Same
+   * one-scan + one-narrow-exchange shape as [[packManifest]].
    */
   def packManifestBy(df: DataFrame, keyCol: String, weight: Column,
       seqLen: Long, buckets: Int = 256): DataFrame = {
@@ -777,7 +806,8 @@ object Mix {
     require(clash.isEmpty,
       s"input columns [${clash.mkString(", ")}] collide with packManifestBy " +
         s"output/temporaries (${out.mkString(", ")}, '_mix_*') — rename them first")
-    val narrow = df.select(col(keyCol), weight.cast("long").as("_mix_w"))
+    val narrow = df.select(col(keyCol),
+      raiseOnNull(weight, "packManifestBy: weight", col(keyCol)).as("_mix_w"))
     seqCoords(withCumWeight(narrow, keyCol, col("_mix_w"),
         Seq.empty, buckets, "_mix_cum", shareExchange = true), seqLen)
       .select(col(keyCol), col("seq_id"), col("seq_off"), col("n_seqs"))

@@ -147,6 +147,55 @@ class BpeSpec extends SparkSuite {
     assert(viaSql == Set((1L, 4L), (2L, 2L), (3L, -1L))) // abc + x,y,z; ab+abc; null
   }
 
+  test("incremental trainer == full-recount reference on randomized " +
+      "histograms (merge-sequence equality, r14 verdict item)") {
+    // learnFromHistogram (delta updates over a pair->words index + a
+    // lazy-deletion max-heap) must pick the exact same merge at every
+    // round as the O(merges × histogram) recount loop — including the
+    // count >= 2 stop rule and the lexicographic tiebreak, which the
+    // skewed small alphabets here exercise constantly.
+    for (seed <- Seq(1, 7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "aabbccddef0123"
+      val words = (1 to 400).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(12)))
+          .map(_ => alpha.charAt(rnd.nextInt(alpha.length))).mkString
+        (w, 1L + rnd.nextInt(50).toLong)
+      }.distinct.toArray
+      for (n <- Seq(1, 5, 50, 5000)) {
+        val inc = Bpe.learnFromHistogram(words, n)
+        val ref = Bpe.learnFromHistogramRecount(words, n)
+        assert(inc == ref, s"seed=$seed numMerges=$n: $inc vs $ref")
+        if (n == 5000) assert(inc.size < 5000, "exhaustion path not hit")
+      }
+    }
+    // Degenerate edges: single word, overlapping self-pairs ('aaaa'),
+    // hapax-only histograms (0 merges).
+    for (hist <- Seq(Array(("aaaa", 3L)), Array(("ab", 1L), ("cd", 1L)),
+        Array(("abab", 2L), ("baba", 2L), ("aabb", 5L)))) {
+      assert(Bpe.learnFromHistogram(hist, 100) ==
+        Bpe.learnFromHistogramRecount(hist, 100), hist.toSeq.toString)
+    }
+  }
+
+  test("creation-order validation: a side that no earlier merge produces " +
+      "is rejected (the oracle-replay equivalence precondition)") {
+    // Valid chained table: 'ab' produced at rank 0, consumed at rank 1.
+    BpeMerges(Vector(("a", "b"), ("ab", "c"), ("ab", "ab")))
+    // 'ab c' before the 'a b' that produces 'ab' — rank-order replay
+    // would silently diverge from lowest-rank-first; must fail loudly.
+    val e1 = intercept[IllegalArgumentException](
+      BpeMerges(Vector(("ab", "c"), ("a", "b"))))
+    assert(e1.getMessage.contains("creation-ordered"))
+    val e2 = intercept[IllegalArgumentException](
+      BpeMerges(Vector(("a", "bc"))))
+    assert(e2.getMessage.contains("creation-ordered"))
+    // parseMerges routes through the same constructor check.
+    intercept[IllegalArgumentException](Bpe.parseMerges("ab c\na b\n"))
+    // The committed fixture and every trainer output are creation-ordered
+    // by construction (loadMergesResource below re-validates the fixture).
+  }
+
   test("merges wire format round-trips; resource table loads; alphabet guarded") {
     val m = BpeMerges(Vector(("t", "h"), ("th", "e"), ("1", "0")))
     assert(Bpe.parseMerges(m.format) == m)

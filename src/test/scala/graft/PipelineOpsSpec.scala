@@ -234,6 +234,56 @@ class PipelineOpsSpec extends SparkSuite {
     assert(boom.getMessage != null)
   }
 
+  test("expression-form null contracts fail loudly: null weight, null " +
+      "budget, null cap all raise instead of silently dropping (r14 advice)") {
+    // Null WEIGHT: no defined position in the layout/fill order.
+    val withNullText = mixCorpus.withColumn("text",
+      when(col("doc_id") === 7L, lit(null: String)).otherwise(col("text")))
+    val nullW = graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+    val wBoom = intercept[Exception] {
+      Mix.weightBudgetManifestBy(withNullText, "doc_id", nullW, "source",
+        lit(1000L)).collect()
+    }
+    assert(wBoom.getMessage.contains("weight must be non-null"),
+      wBoom.getMessage)
+    val pBoom = intercept[Exception] {
+      Mix.packManifestBy(withNullText, "doc_id", nullW, seqLen = 7L).collect()
+    }
+    assert(pBoom.getMessage.contains("weight must be non-null"),
+      pBoom.getMessage)
+    // ... and coalesce-to-0 is the documented fix: runs clean, and the
+    // null-text doc fills with 0 tokens exactly like the oracle's window
+    // sum skipping a NULL.
+    assert(Mix.weightBudgetManifestBy(withNullText, "doc_id",
+      coalesce(nullW, lit(0L)), "source", lit(1000L)).count() == 60L)
+    // Null BUDGET: would drop the whole group through cum <= null.
+    val nullBudget = when(col("source") === "s1", lit(null).cast("long"))
+      .otherwise(lit(1000L))
+    val bBoom = intercept[Exception] {
+      Mix.weightBudgetManifestBy(mixCorpus, "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long"),
+        "source", nullBudget).collect()
+    }
+    assert(bBoom.getMessage.contains("budget must be non-null"),
+      bBoom.getMessage)
+    // Null CAP, both paths (heap and cumsum fallback).
+    val nullCap = when(col("source") === "s2", lit(null).cast("long"))
+      .otherwise(lit(3L))
+    val cBoom = intercept[Exception] {
+      Mix.countBudgetManifest(mixCorpus, "doc_id", "source", nullCap,
+        maxCap = 3).collect()
+    }
+    assert(cBoom.getMessage.contains("null/uncastable"), cBoom.getMessage)
+    spark.conf.set(Mix.HeapCapMaxKKey, "0")
+    try {
+      val cBoom2 = intercept[Exception] {
+        Mix.countBudgetManifest(mixCorpus, "doc_id", "source", nullCap,
+          maxCap = 3).collect()
+      }
+      assert(cBoom2.getMessage.contains("null/uncastable"), cBoom2.getMessage)
+    } finally spark.conf.unset(Mix.HeapCapMaxKKey)
+  }
+
   test("countBudgetManifest equals byCountBudget's projection on both paths") {
     val caps = Seq(("s0", 3L), ("s1", 2L), ("s2", 4L)).toDF("source", "budget")
     def full = Mix.byCountBudget(mixCorpus, "doc_id", "source", caps)

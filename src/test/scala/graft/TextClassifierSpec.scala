@@ -64,6 +64,112 @@ class TextClassifierSpec extends SparkSuite {
     assert(acc >= 0.95, s"separable-class accuracy $acc")
   }
 
+  test("multiclass: codegen softmax scorer == ML transform (argmax label + " +
+      "probability to 1e-9) on fixture docs") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    val numFeatures = 1 << 14
+    // 3-class weak label injected as a marker token — each doc carries
+    // exactly one, so the classes are separable and every class occurs.
+    val markers = Seq("qmarkzero", "qmarkone", "qmarktwo")
+    val labeled = docs
+      .withColumn("cls", (col("doc_id") % 3).cast("int"))
+      .withColumn("text2", concat(
+        element_at(typedLit(markers), (col("doc_id") % 3 + 1).cast("int")),
+        lit(" "), col("text")))
+    val model = TextClassifier.trainMulticlass(labeled, "text2", "cls",
+      numFeatures = numFeatures, maxIter = 20)
+    assert(model.labels.toSeq == Seq("0", "1", "2")) // sorted distinct
+
+    // Reference: the same ML pipeline, probabilities + prediction.
+    val prepared = labeled.select(col("doc_id"), col("text2"),
+      split(col("text2"), " ").as("_tc_tokens"),
+      col("cls").cast("double").as("_tc_label"))
+    val tf = new HashingTF().setInputCol("_tc_tokens")
+      .setOutputCol("_tc_features").setNumFeatures(numFeatures)
+    val lr = new LogisticRegression().setFeaturesCol("_tc_features")
+      .setLabelCol("_tc_label").setMaxIter(20).setRegParam(0.01)
+      .setFamily("multinomial")
+    val mlModel = lr.fit(tf.transform(prepared))
+    val refModel = TextClassifier.MulticlassModel(
+      Array("0", "1", "2"),
+      Array.tabulate(3)(c => Array.tabulate(numFeatures)(i =>
+        mlModel.coefficientMatrix(c, i))),
+      mlModel.interceptVector.toArray)
+    val viaMl = mlModel.transform(tf.transform(prepared))
+      .select(col("doc_id"), col("prediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).as("p"))
+    val viaKernel = prepared.select(col("doc_id"),
+      TextClassifier.scoreMulticlass(col("text2"), refModel).as("k"))
+    val joined = viaMl.join(viaKernel, "doc_id")
+      .select(col("doc_id"), col("prediction"),
+        col("k.label").cast("double").as("klabel"),
+        abs(element_at(col("p"), (col("prediction") + 1).cast("int"))
+          - col("k.prob")).as("d"))
+      .agg(max((col("prediction") =!= col("klabel")).cast("int")).as("mismatch"),
+        max(col("d")).as("maxd"))
+      .collect().head
+    assert(joined.getInt(0) == 0, "argmax label diverged from ML prediction")
+    assert(joined.getDouble(1) < 1e-9, s"max |ml - kernel| = ${joined.getDouble(1)}")
+    // And the fit itself must separate the marker classes.
+    val acc = labeled.select(col("cls"),
+        TextClassifier.scoreMulticlass(col("text2"), model).as("k"))
+      .agg(avg((col("k.label") === col("cls").cast("string")).cast("double")))
+      .collect().head.getDouble(0)
+    assert(acc >= 0.95, s"marker-class accuracy $acc")
+  }
+
+  test("multiclass scorer edge cases: null -> null; k probabilities sum " +
+      "context (winner prob in (0,1]); strict codegen; value-based model " +
+      "equality dedups plans") {
+    val m = TextClassifier.MulticlassModel(
+      Array("x", "y", "z"),
+      Array(Array.fill(16)(0.5), Array.fill(16)(0.25), Array.fill(16)(0.0)),
+      Array(0.0, 0.1, 0.2))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = Seq((1L, "a b c"), (2L, ""), (3L, null: String))
+        .toDF("id", "text")
+        .select(col("id"), TextClassifier.scoreMulticlass(col("text"), m).as("k"))
+        .collect()
+      val byId = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getStruct(1)))).toMap
+      // "a b c": margins = (1.5, 0.85, 0.2) -> class x wins.
+      assert(byId(1L).get.getString(0) == "x")
+      val z = Array(1.5, 0.85, 0.2)
+      val expect = 1.0 / z.map(v => math.exp(v - 1.5)).sum
+      assert(math.abs(byId(1L).get.getDouble(1) - expect) < 1e-12)
+      assert(byId(2L).get.getString(0) == "x") // one empty token: 0.5 > 0.35
+      assert(byId(3L).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // Value-based equality (r14 advice): separately-constructed identical
+    // models -> equal expressions, so CSE/plan-dedup can fire.
+    val m2 = TextClassifier.MulticlassModel(
+      Array("x", "y", "z"),
+      Array(Array.fill(16)(0.5), Array.fill(16)(0.25), Array.fill(16)(0.0)),
+      Array(0.0, 0.1, 0.2))
+    assert(m == m2 && m.hashCode == m2.hashCode)
+    val b1 = TextClassifier.Model(Array(1.0, 2.0), 0.5)
+    val b2 = TextClassifier.Model(Array(1.0, 2.0), 0.5)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode)
+    // Over a resolved child (a Column-built child wraps a lazy
+    // ColumnNodeExpression whose Origin defeats equality — harness noise,
+    // not the model): identical models => semantically equal expressions.
+    val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.StringType, nullable = true)
+    assert(graft.text.HashedLinearScore(ref, b1).semanticEquals(
+      graft.text.HashedLinearScore(ref, b2)))
+    assert(graft.text.HashedSoftmaxScore(ref, m).semanticEquals(
+      graft.text.HashedSoftmaxScore(ref, m2)))
+    assert(!graft.text.HashedLinearScore(ref, b1).semanticEquals(
+      graft.text.HashedLinearScore(ref,
+        TextClassifier.Model(Array(1.0, 3.0), 0.5))))
+  }
+
   test("scorer edge cases: null -> null; empty string hashes one empty token " +
       "exactly like the training pipeline; strict codegen") {
     val m = TextClassifier.Model(Array.fill(16)(0.25), intercept = -1.0)
