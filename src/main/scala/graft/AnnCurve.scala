@@ -41,7 +41,17 @@ import graft.index.IndexCatalog
  *
  * Env knobs: SPARK_GRAFT_ANN_N (corpus rows, default 1,000,000),
  * SPARK_GRAFT_ANN_DIM (default 64), SPARK_GRAFT_ANN_NQ (queries, 100),
- * SPARK_GRAFT_ANN_CLUSTERS (default 32 = segment count).
+ * SPARK_GRAFT_ANN_CLUSTERS (default 32 = segment count),
+ * SPARK_GRAFT_ANN_MODE:
+ *   - `separable` (default, = FIXTURES F10): queries drawn from the same
+ *     cluster process as the corpus — proves routing loses nothing on
+ *     cleanly clustered data (p=1 == p=32 recall).
+ *   - `boundary` (FIXTURES F10b, r14 verdict item 3): queries at the
+ *     MIDPOINT of two adjacent planted centers (+ small noise), so each
+ *     query's true top-10 deliberately spans 2 segments. This is the case
+ *     routing exists for: p=1 recall must visibly DROP (only one flank
+ *     searched) and p=2–4 must recover it — proving the centroid ranking
+ *     picks the RIGHT segments, not just that the corpus is separable.
  */
 object AnnCurve {
 
@@ -96,9 +106,25 @@ object AnnCurve {
     val corpus = spark.read.parquet(corpusPath)
     out(f"\ncorpus written: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // queries: ids past the corpus range — same centers, fresh noise.
+    // queries: ids past the corpus range. separable mode: same centers,
+    // fresh noise. boundary mode: midpoint of centers (i, i+1) + smaller
+    // noise — the two flanking centroids are the query's two nearest by
+    // construction, every other center sits ~sqrt(2·dim) away.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_ANN_MODE", "separable")
+    require(mode == "separable" || mode == "boundary", s"bad mode: $mode")
+    def boundaryVec(idCol: org.apache.spark.sql.Column) = {
+      val ca = element_at(typedLit(centers), (idCol % clusters).cast("int") + 1)
+      val cb = element_at(typedLit(centers), ((idCol + 1) % clusters).cast("int") + 1)
+      val mid = zip_with(ca, cb, (a, b) => (a + b) / 2.0)
+      val noise = transform(sequence(lit(0), lit(dim - 1)), j =>
+        (pmod(xxhash64(idCol * dim + j), lit(1000000)) / 500000.0 - 1.0) * 0.4)
+      zip_with(mid, noise, (c, nz) => (c + nz).cast("float"))
+    }
+    out(s"query mode: $mode")
+    val qVecExpr =
+      if (mode == "boundary") boundaryVec(col("id")) else clusteredVec(col("id"))
     val queriesDf = spark.range(n.toLong, n.toLong + nq)
-      .select(col("id").as("q_id"), clusteredVec(col("id")).as("q_vec"))
+      .select(col("id").as("q_id"), qVecExpr.as("q_vec"))
     val queryVecs: Array[(Long, Array[Float])] = queriesDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 

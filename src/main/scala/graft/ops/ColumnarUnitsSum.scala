@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Vectorized grouped units-sum over a parquet fact scan — the columnar
+ * kernel for the TPC-H "decimal scan" family (revenue = Σ price ×
+ * (1 − discount) by small dimension key × time bucket; q1/q2/q7 shapes),
+ * the one workload class where row-at-a-time whole-stage codegen had
+ * stayed 2.6–3.1× behind DuckDB's SIMD decimal kernels (the reference
+ * vendors simsimd for exactly this posture — duckdb-vss CMakeLists.txt:
+ * 11-17).
+ *
+ * Instead of ColumnarToRow + per-row codegen, the operator consumes the
+ * Parquet VECTORIZED reader's ColumnarBatches directly
+ * (`FileSourceScanExec.executeColumnar()`): one tight JIT loop per batch
+ * reads the four ColumnVectors positionally, applies the residual
+ * timestamp range (the range is also pushed to the parquet row-group
+ * level), probes an open-addressed long→int dimension map, and
+ * accumulates into a per-task (group × bucket) grid of 128-bit two-long
+ * registers (the [[graft.aggregates.Sum128]] carry formula) — measured
+ * 4.1× the row-codegen plan and ~55M surviving rows/s/32-threads at sf10
+ * (tools/ColumnarKernelProbe, r15).
+ *
+ * == Semantics ==
+ *
+ * Result = the declarative spelling (the fallback path below, also the
+ * spec reference):
+ * {{{
+ *   fact.where(ts >= lo && ts < hi && every used column isNotNull)
+ *       .join(broadcast(dim), factKey === dimKey)      // inner: misses drop
+ *       .groupBy(dimGroup, bucketOf(ts))
+ *       .agg(sum128(units(a) × (bConst − units(b)), outScale), count(1))
+ * }}}
+ * emitted as (dimGroupCol INT, bucket INT, sum DECIMAL(38, outScale),
+ * n_rows LONG), only non-empty cells. A row participates iff ts/key/
+ * measure columns are all non-null, ts ∈ [lo, hi), and the key is in the
+ * dimension (inner-join semantics). `measureB = None` sums plain
+ * `units(a)`.
+ *
+ * == Scale contract ==
+ *
+ * - The dimension is dimension-sized (collected once, ≤ 2^21 rows — the
+ *   broadcast contract everywhere in this library); group ids must be
+ *   dense ints ≥ 0 and the (groups × buckets) grid ≤ 2^22 cells.
+ * - Per-row |units product| must fit in a signed 64-bit long (the grid
+ *   registers are 128-bit, so the SUM never wraps at any corpus size —
+ *   same contract split as sum128 over double_units).
+ * - Partials are one grid per TASK (groups × buckets × 24 bytes),
+ *   combined with `treeReduce` — at a 100 TB scan's ~million tasks the
+ *   driver sees the tree's root fan-in, not a million grids.
+ * - The kernel needs a plan that bottoms out in ONE vectorized
+ *   FileSourceScanExec after pruning (plain parquet reads — the
+ *   [[graft.Tables]] shape). Anything else (non-parquet source, exotic
+ *   lineage, nested schema disabling the vectorized reader) falls back to
+ *   the declarative plan above — the operator is total, the kernel is an
+ *   execution strategy.
+ */
+object ColumnarUnitsSum {
+
+  /** Open-addressed long→int map (power-of-two, linear probe): the per-row
+    * dimension probe must not box. -1 = absent. */
+  final class LongIntMap private[ops] (capacityPow2: Int) extends Serializable {
+    private val mask = capacityPow2 - 1
+    private val keys = new Array[Long](capacityPow2)
+    private val vals = new Array[Int](capacityPow2)
+    private val used = new Array[Boolean](capacityPow2)
+    def put(k: Long, v: Int): Unit = {
+      var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v; used(i) = true
+    }
+    def get(k: Long): Int = {
+      var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
+  }
+
+  /**
+   * @param fact      fact frame (see scale contract for the kernel path)
+   * @param tsCol     TIMESTAMP/TIMESTAMP_NTZ or LONG column; lo/hi/bounds
+   *                  in its units (micros for timestamps)
+   * @param lo, hi    half-open keep range
+   * @param bucketBounds ascending interior boundaries inside [lo, hi);
+   *                  bucket id = number of boundaries ≤ ts (0-based)
+   * @param factKeyCol LONG key column joined to the dimension
+   * @param dim       (dimKeyCol LONG/INT, dimGroupCol INT) rows; group ids
+   *                  dense in [0, nGroups)
+   * @param measureA  (DOUBLE column, decimal scale) — units via the
+   *                  double_units contract (Math.round(x·10^s))
+   * @param measureB  optional (constUnits, DOUBLE column, scale): the
+   *                  summand becomes unitsA × (constUnits − unitsB)
+   * @param outScale  decimal scale of the DECIMAL(38, outScale) sum
+   */
+  def gridSum(fact: DataFrame, tsCol: String, lo: Long, hi: Long,
+      bucketBounds: Array[Long], factKeyCol: String,
+      dim: DataFrame, dimKeyCol: String, dimGroupCol: String,
+      measureA: (String, Int), measureB: Option[(Long, String, Int)],
+      outScale: Int): DataFrame = {
+    require(lo < hi, s"empty range [$lo, $hi)")
+    require(bucketBounds.forall(b => b > lo && b < hi) &&
+      (bucketBounds.isEmpty || bucketBounds.sliding(2).forall(
+        w => w.length < 2 || w(0) < w(1))),
+      "bucketBounds must be ascending interior points of [lo, hi)")
+    require(outScale >= 0 && outScale <= 38, s"bad outScale $outScale")
+    val spark = fact.sparkSession
+    val nBuckets = bucketBounds.length + 1
+
+    // Dimension: one bounded collect (broadcast contract), validated dense.
+    // executeCollect returns InternalRows — no per-row external conversion
+    // (a 100k-supplier dim costs ~3x less to land this way; the collect is
+    // on the serving path of every gridSum call).
+    val dimRows = dim.select(col(dimKeyCol).cast("long"),
+        col(dimGroupCol).cast("int")).limit((1 << 21) + 1)
+      .queryExecution.executedPlan.executeCollect()
+    require(dimRows.length <= (1 << 21),
+      s"dim must be dimension-sized (<= ${1 << 21} rows)")
+    require(dimRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getInt(1) >= 0),
+      "dim keys/groups must be non-null, groups >= 0")
+    val nGroups = if (dimRows.isEmpty) 0 else dimRows.map(_.getInt(1)).max + 1
+    val cells = nGroups.toLong * nBuckets
+    require(cells <= (1 << 22),
+      s"grid too large: $nGroups groups x $nBuckets buckets")
+    var capacity = 64
+    while (capacity < dimRows.length * 2) capacity <<= 1
+    val map = new LongIntMap(capacity)
+    dimRows.foreach(r => map.put(r.getLong(0), r.getInt(1)))
+
+    val (aCol, aScale) = measureA
+    val usedCols = Seq(tsCol, factKeyCol, aCol) ++ measureB.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField(dimGroupCol, IntegerType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("sum", DecimalType(38, outScale), nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+
+    columnarScan(fact, tsCol, lo, hi, usedCols) match {
+      case Some((scan, iTs, iKey, iA, iB)) =>
+        val bcMap = spark.sparkContext.broadcast(map)
+        val aFactor = math.pow(10.0, aScale)
+        val (bConst, bFactor) = measureB match {
+          case Some((c, _, s)) => (c, math.pow(10.0, s))
+          case None => (0L, 0.0)
+        }
+        val hasB = measureB.isDefined
+        val bounds = bucketBounds // local for serialization
+        val nCells = cells.toInt
+        val partials = scan.executeColumnar().mapPartitions { it =>
+          val m = bcMap.value
+          val sumLo = new Array[Long](nCells)
+          val sumHi = new Array[Long](nCells)
+          val cnt = new Array[Long](nCells)
+          it.foreach { batch =>
+            val cTs = batch.column(iTs)
+            val cKey = batch.column(iKey)
+            val cA = batch.column(iA)
+            val cB = if (hasB) batch.column(iB) else null
+            val nullable = cTs.hasNull || cKey.hasNull || cA.hasNull ||
+              (hasB && cB.hasNull)
+            val n = batch.numRows()
+            var i = 0
+            while (i < n) {
+              if (!nullable || !(cTs.isNullAt(i) || cKey.isNullAt(i) ||
+                  cA.isNullAt(i) || (hasB && cB.isNullAt(i)))) {
+                val ts = cTs.getLong(i)
+                if (ts >= lo && ts < hi) {
+                  val g = m.get(cKey.getLong(i))
+                  if (g >= 0) {
+                    var b = 0
+                    while (b < bounds.length && ts >= bounds(b)) b += 1
+                    val ua = java.lang.Math.round(cA.getDouble(i) * aFactor)
+                    val v = if (hasB)
+                      ua * (bConst - java.lang.Math.round(cB.getDouble(i) * bFactor))
+                    else ua
+                    val idx = g * nBuckets + b
+                    // 128-bit add, Sum128's carry formula
+                    val oldLo = sumLo(idx)
+                    val newLo = oldLo + v
+                    sumLo(idx) = newLo
+                    sumHi(idx) += (v >> 63) +
+                      (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
+                    cnt(idx) += 1L
+                  }
+                }
+              }
+              i += 1
+            }
+          }
+          Iterator.single((sumLo, sumHi, cnt))
+        }
+        val merge = (x: (Array[Long], Array[Long], Array[Long]),
+            y: (Array[Long], Array[Long], Array[Long])) => {
+          var i = 0
+          while (i < nCells) {
+            val oldLo = x._1(i)
+            val v = y._1(i)
+            val newLo = oldLo + v
+            x._1(i) = newLo
+            x._2(i) += y._2(i) +
+              (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
+            x._3(i) += y._3(i)
+            i += 1
+          }
+          x
+        }
+        val nParts = partials.getNumPartitions
+        // Plain reduce below a few hundred grids (treeReduce's extra
+        // combine stage is a whole scheduled job — pure floor at local/
+        // small-cluster partition counts); tree fan-in above it so a
+        // 100 TB scan's ~million task grids never all land on the driver.
+        val (tLo, tHi, tCnt) =
+          if (nParts == 0)
+            (new Array[Long](nCells), new Array[Long](nCells),
+              new Array[Long](nCells))
+          else if (nParts <= 512) partials.reduce(merge)
+          else partials.treeReduce(merge, depth = 2)
+        val out = new java.util.ArrayList[Row](64)
+        var idx = 0
+        while (idx < nCells) {
+          if (tCnt(idx) > 0) {
+            val big = java.math.BigInteger.valueOf(tHi(idx)).shiftLeft(64)
+              .add(new java.math.BigInteger(
+                java.lang.Long.toUnsignedString(tLo(idx))))
+            out.add(Row(idx / nBuckets, idx % nBuckets,
+              new java.math.BigDecimal(big, outScale), tCnt(idx)))
+          }
+          idx += 1
+        }
+        spark.createDataFrame(out, outSchema)
+
+      case None => // declarative fallback — the semantics reference
+        import graft.functions.{double_units, sum128}
+        val tsL = graft.ops.EventTime.toLong(fact, tsCol)
+        val bucket = bucketBounds.zipWithIndex.foldRight(
+          lit(bucketBounds.length)) { case ((bound, i), rest) =>
+          when(tsL < bound, i).otherwise(rest)
+        }
+        val notNull = usedCols.map(col(_).isNotNull).reduce(_ && _)
+        val unitsA = double_units(col(aCol), aScale)
+        val summand = measureB match {
+          case Some((c, bCol, s)) => unitsA * (lit(c) - double_units(col(bCol), s))
+          case None => unitsA
+        }
+        fact.where(notNull && tsL >= lo && tsL < hi)
+          .join(broadcast(dim.select(col(dimKeyCol).cast("long").as("_cus_k"),
+            col(dimGroupCol).cast("int").as(dimGroupCol))),
+            col(factKeyCol).cast("long") === col("_cus_k"))
+          .groupBy(col(dimGroupCol), bucket.cast("int").as("bucket"))
+          .agg(sum128(summand, outScale).as("sum"),
+            count(lit(1)).as("n_rows"))
+    }
+  }
+
+  /** Locate the single vectorized parquet scan under `fact` restricted to
+    * `usedCols` with the ts range pushed; None → caller takes the
+    * declarative path. Returns (scan, ts/key/a/b vector positions). */
+  private def columnarScan(fact: DataFrame, tsCol: String, lo: Long, hi: Long,
+      usedCols: Seq[String]): Option[(FileSourceScanExec, Int, Int, Int, Int)] =
+    try {
+      val tsType = fact.schema(tsCol).dataType
+      def instant(us: Long) =
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      def local(us: Long) = java.time.LocalDateTime
+        .ofInstant(instant(us), java.time.ZoneOffset.UTC)
+      val tsFilter = tsType match {
+        case TimestampType =>
+          col(tsCol) >= lit(instant(lo)) && col(tsCol) < lit(instant(hi))
+        case TimestampNTZType =>
+          col(tsCol) >= lit(local(lo)) && col(tsCol) < lit(local(hi))
+        case LongType => col(tsCol) >= lo && col(tsCol) < hi
+        case _ => return None
+      }
+      val pruned = fact.select(usedCols.distinct.map(col): _*).where(tsFilter)
+      // A bare scan+filter plans without exchanges, so AQE leaves it
+      // un-wrapped (forceApply off) and the leaf is final at plan time.
+      val leaves = pruned.queryExecution.executedPlan.collectLeaves()
+      leaves match {
+        case Seq(scan: FileSourceScanExec) if scan.supportsColumnar =>
+          val names = scan.output.map(_.name)
+          val types = scan.output.map(_.dataType)
+          def pos(c: String, want: DataType => Boolean): Int = {
+            val i = names.indexOf(c)
+            if (i >= 0 && want(types(i))) i else -1
+          }
+          val iTs = pos(tsCol,
+            t => t == TimestampType || t == TimestampNTZType || t == LongType)
+          val iKey = pos(usedCols(1), _ == LongType)
+          val iA = pos(usedCols(2), _ == DoubleType)
+          val iB = if (usedCols.length > 3) pos(usedCols(3), _ == DoubleType) else 0
+          if (iTs >= 0 && iKey >= 0 && iA >= 0 && iB >= 0)
+            Some((scan, iTs, iKey, iA, iB))
+          else None
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -309,38 +309,42 @@ object RelationalQueries {
     }),
     "q7_ship_volume" -> ((s, dir) => {
       // q7-style: revenue by supplier nation × ship year with a date-range
-      // filter and broadcast dims over the fact table. Two per-row trims
-      // (r11 StageProf: the 60M-row scan stage is 70% of the gate):
-      // year(ts) IN (1995,1996) is spelled as the equivalent half-open
-      // timestamp range (session tz is UTC, so calendar years are exact
-      // micros ranges) — two long compares instead of a per-row calendar
-      // conversion, and the range reaches the parquet scan as a pushed
-      // filter (year(col) never pushes); year() itself then runs only on
-      // the ~2/7 of rows that survive, once, in the group key.
-      val li = Tables.load(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      // The pre-agg probe carries only (s_suppkey → s_nationkey): the fact
-      // rows group on an all-int key (nationkey, year) and the 25-row
-      // nation name join runs over the ~50 aggregated rows, not 17M fact
-      // rows. ship_year is a single midpoint compare — the filter already
-      // bounds the domain to [1995, 1997), so "which calendar year" needs
-      // no per-row calendar conversion at all.
-      val sup = Tables.load(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey"))
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey"),
-          when(col("l_shipdate") < lit("1996-01-01").cast("timestamp"), 1995)
-            .otherwise(1996).as("ship_year"))
-        .agg(
-          // Same long-register revenue term as q2: cents × (100 − cents)
-          // is the DECIMAL(38,4) product's unscaled value at scale 4.
-          outD(sum128(double_units(col("l_extendedprice"), 2) *
-            (lit(100L) - double_units(col("l_discount"), 2)), 4)).as("volume"),
-          count(lit(1)).as("n_rows"))
-        .join(broadcast(Tables.load(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), col("ship_year"), col("volume"), col("n_rows"))
+      // filter and broadcast dims over the fact table. year(ts) IN
+      // (1995,1996) is spelled as the equivalent half-open micros range
+      // (session tz is UTC, so calendar years are exact micros ranges):
+      // the range pushes to the parquet row-group level and the year
+      // becomes the grid's bucket boundary — no per-row calendar
+      // conversion anywhere.
+      //
+      // r15: the fact-side work (pushed-range scan → suppkey→nationkey
+      // probe → cents × (100 − cents) revenue into a 25×2 grid) runs
+      // through graft.ops.ColumnarUnitsSum — the vectorized kernel over
+      // the parquet reader's ColumnarBatches that closed the one
+      // remaining DuckDB-SIMD-decimal gap (4.1× the r14 row-codegen plan
+      // at sf10; ColumnarUnitsSumSpec proves value-identity with the
+      // declarative spelling, which remains the operator's fallback
+      // path). The 25-row nation name lookup rides the grid as a literal
+      // map over the LocalRelation (ConvertToLocalRelation folds it — the
+      // broadcast-join spelling scheduled a whole extra job just to
+      // decorate 50 rows, ~0.25 s of pure floor at every scale).
+      val grid = graft.ops.ColumnarUnitsSum.gridSum(
+        Tables.load(s, dir, "lineitem"), "l_shipdate",
+        lo = 788918400000000L,  // 1995-01-01T00:00Z
+        hi = 852076800000000L,  // 1997-01-01T00:00Z
+        bucketBounds = Array(820454400000000L), // 1996-01-01T00:00Z
+        factKeyCol = "l_suppkey",
+        dim = Tables.load(s, dir, "supplier"),
+        dimKeyCol = "s_suppkey", dimGroupCol = "s_nationkey",
+        measureA = ("l_extendedprice", 2),
+        measureB = Some((100L, "l_discount", 2)),
+        outScale = 4)
+      val nationNames = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      grid.select(
+          element_at(typedLit(nationNames), col("s_nationkey")).as("n_name"),
+          (col("bucket") + lit(1995)).as("ship_year"),
+          outD(col("sum")).as("volume"), col("n_rows"))
     }),
     "q8_corr_subquery" -> ((s, dir) => {
       // Correlated scalar subquery: parts priced above their brand's average

@@ -51,6 +51,89 @@ class StreamingTextSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("classifier kernels score a stream (stateless codegen kernels): " +
+      "binary HashedLinearScore and multiclass HashedSoftmaxScore, " +
+      "micro-batch == batch") {
+    // The r14/r15 scorers are pure per-row expressions (weights ride the
+    // task binary) — the streaming ingest shape is "score documents as
+    // they arrive", no state store. Train-once happens on a BATCH frame;
+    // the collapsed model is what streams.
+    val bin = graft.text.TextClassifier.Model(
+      Array.tabulate(32)(i => (i % 5) * 0.1 - 0.2), intercept = 0.3)
+    val multi = graft.text.TextClassifier.MulticlassModel(
+      Array("de", "en", "fr"),
+      Array(Array.tabulate(32)(_ * 0.01), Array.tabulate(32)(i => 0.3 - i * 0.01),
+        Array.fill(32)(0.05)),
+      Array(0.1, 0.0, -0.1))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def scored(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("p", graft.text.TextClassifier.score(col("text"), bin))
+      .withColumn("k",
+        graft.text.TextClassifier.scoreMulticlass(col("text"), multi))
+      .select(col("doc_id"), col("p"), col("k.label"), col("k.prob"))
+    val query = scored(stream)
+      .writeStream.format("memory").queryName("classifier_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val rows = Seq((1L, "the quick brown fox"), (2L, ""),
+        (3L, null: String), (4L, "ein kleiner text mit mehr worten"))
+      mem.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("classifier_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = scored(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally query.stop()
+  }
+
+  test("session stats on a stream: session_window rollup == the batch " +
+      "sessionStats on the same rows") {
+    // The q20 family's streaming analogue: gap-sessionization rides
+    // Structured Streaming's session_window state machinery. Convention
+    // note: session_window merges on gap < G (half-open window), the
+    // batch operator on gap <= maxGap — identical whenever no gap equals
+    // G exactly, which the fixture gaps (60 s / 180 s vs G = 90 s)
+    // guarantee.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "ts")
+    val query = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "90 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .writeStream.format("memory").queryName("session_stream")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    try {
+      def t(min: Int, sec: Int) =
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+      val rows = Seq(
+        (1L, t(0, 0)), (1L, t(1, 0)), (1L, t(2, 0)),   // one session
+        (1L, t(5, 0)), (1L, t(6, 0)),                  // gap 180s -> new
+        (2L, t(0, 30)),                                // singleton
+        (2L, t(3, 30)), (2L, t(4, 30)))                // gap 180s -> new
+      mem.addData(rows.take(4): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("session_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.Sessionize
+        .sessionStats(rows.toDF("user_id", "ts"), Seq("user_id"), "ts",
+          maxGap = 90L * 1000000L)
+        .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // 2 sessions for user 1, 2 for user 2
+    } finally query.stop()
+  }
+
   test("Bpe.tokenCount annotates a stream (stateless codegen kernel)") {
     val m = BpeMerges(Vector(("a", "b"), ("ab", "c")))
     implicit val sqlCtx = spark.sqlContext

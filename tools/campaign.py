@@ -64,11 +64,33 @@ def probe():
     return (float(m.group(1)), float(m.group(2))) if m else (99.0, 99.0)
 
 
+# IO-bracket thresholds (r14 verdict item 5), set from the r14c untainted
+# baseline series: fdatasync 70.3-96.9 MB/s with psi_some avg10 0.00-0.18 /
+# avg60 0.00-0.03 across all three brackets. A bracket reading well below
+# that band (or real IO pressure) marks the campaign tainted — the r13/r14
+# counter-audits proved virtio IO latency swings same-code gate timings
+# 3-22x while the CPU probe stays fast.
+IO_MBPS_MIN = 50.0
+IO_PSI_AVG10_MAX = 10.0
+IO_PSI_AVG60_MAX = 5.0
+
+
+def io_fast(bracket):
+    if not bracket or "error" in bracket:
+        return False
+    ok = bracket.get("fdatasync_mbps", 0.0) >= IO_MBPS_MIN
+    m = re.search(r"avg10=([\d.]+) avg60=([\d.]+)", bracket.get("psi_some", ""))
+    if m:
+        ok = ok and float(m.group(1)) <= IO_PSI_AVG10_MAX \
+            and float(m.group(2)) <= IO_PSI_AVG60_MAX
+    return ok
+
+
 def io_probe():
     """Disk-latency bracket (round-14 audit: the box's interference channel
-    can be virtio IO, invisible to the CPU probe — fast windows read
-    ~300+ MB/s fdatasync, degraded ones ~100). Recorded per bracket; NOT
-    part of the taint gate yet (one round of baseline data first)."""
+    can be virtio IO, invisible to the CPU probe). Part of the taint gate
+    since r15 (thresholds above, from the r14c baseline series); each
+    bracket records its own pass/fail."""
     try:
         t0 = time.time()
         with open("/tmp/graft_io_probe", "wb") as f:
@@ -82,9 +104,11 @@ def io_probe():
             psi = open("/proc/pressure/io").readline().strip()
         except OSError:
             pass
-        return {"fdatasync_mbps": round(mbps, 1), "psi_some": psi}
+        b = {"fdatasync_mbps": round(mbps, 1), "psi_some": psi}
+        b["pass"] = io_fast(b)
+        return b
     except OSError as e:
-        return {"error": str(e)}
+        return {"error": str(e), "pass": False}
 
 
 def fast(p):
@@ -95,8 +119,12 @@ def wait_fast(max_wait_s=7200):
     t0 = time.time()
     while True:
         p = probe()
-        print(f"[probe] single={p[0]:.2f}s par32={p[1]:.2f}s", flush=True)
-        if fast(p) or os.environ.get("CAMPAIGN_SKIP_WAIT") == "1":
+        b = io_probe()
+        print(f"[probe] single={p[0]:.2f}s par32={p[1]:.2f}s "
+              f"io={b.get('fdatasync_mbps')}MB/s pass={b.get('pass')}",
+              flush=True)
+        if (fast(p) and b.get("pass")) \
+                or os.environ.get("CAMPAIGN_SKIP_WAIT") == "1":
             return p
         if time.time() - t0 > max_wait_s:
             print("[probe] no fast window within budget; proceeding TAINTED",
@@ -203,7 +231,9 @@ for a, b in zip(labels, labels[1:]):
     result["marginals"][f"{a}->{b}"] = {
         "duck": dd, "spark": ds,
         "ratio": (ds / dd) if dd > 0 else None}
-result["tainted"] = not all(fast(tuple(p)) for p in result["probes"].values())
+result["tainted"] = (
+    not all(fast(tuple(p)) for p in result["probes"].values())
+    or not all(b.get("pass", False) for b in result["io_probes"].values()))
 json.dump(result, open(OUT, "w"), indent=1)
 print(json.dumps({k: v for k, v in result.items() if k != "scales"}, indent=1))
 for a, b in zip(labels, labels[1:]):
