@@ -116,10 +116,20 @@ object ColumnarUnitsSum {
     // Dimension: one bounded collect (broadcast contract), validated dense.
     // executeCollect returns InternalRows — no per-row external conversion
     // (a 100k-supplier dim costs ~3x less to land this way; the collect is
-    // on the serving path of every gridSum call).
-    val dimRows = dim.select(col(dimKeyCol).cast("long"),
-        col(dimGroupCol).cast("int")).limit((1 << 21) + 1)
-      .queryExecution.executedPlan.executeCollect()
+    // on the serving path of every gridSum call). The collect runs
+    // CONCURRENTLY with the fact-side plan derivation below (independent
+    // work; concurrent action submission is the standard Spark device for
+    // exactly this) — on a sub-second gate the dim job otherwise
+    // serializes behind planning for pure floor.
+    val dimFuture = scala.concurrent.Future {
+      dim.select(col(dimKeyCol).cast("long"),
+          col(dimGroupCol).cast("int")).limit((1 << 21) + 1)
+        .queryExecution.executedPlan.executeCollect()
+    }(scala.concurrent.ExecutionContext.global)
+    val scanInfo = columnarScan(fact, tsCol, lo, hi,
+      Seq(tsCol, factKeyCol, measureA._1) ++ measureB.map(_._2))
+    val dimRows = scala.concurrent.Await.result(dimFuture,
+      scala.concurrent.duration.Duration.Inf)
     require(dimRows.length <= (1 << 21),
       s"dim must be dimension-sized (<= ${1 << 21} rows)")
     require(dimRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getInt(1) >= 0),
@@ -141,7 +151,7 @@ object ColumnarUnitsSum {
       StructField("sum", DecimalType(38, outScale), nullable = false),
       StructField("n_rows", LongType, nullable = false)))
 
-    columnarScan(fact, tsCol, lo, hi, usedCols) match {
+    scanInfo match {
       case Some((scan, iTs, iKey, iA, iB)) =>
         val bcMap = spark.sparkContext.broadcast(map)
         val aFactor = math.pow(10.0, aScale)

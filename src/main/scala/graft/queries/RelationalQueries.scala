@@ -327,6 +327,14 @@ object RelationalQueries {
       // map over the LocalRelation (ConvertToLocalRelation folds it — the
       // broadcast-join spelling scheduled a whole extra job just to
       // decorate 50 rows, ~0.25 s of pure floor at every scale).
+      // The 25-row nation read overlaps the grid computation (independent
+      // jobs — same concurrent-submission device as the kernel's dim
+      // collect): on a sub-second gate a serialized tiny job is pure floor.
+      val nationF = scala.concurrent.Future {
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"))
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      }(scala.concurrent.ExecutionContext.global)
       val grid = graft.ops.ColumnarUnitsSum.gridSum(
         Tables.load(s, dir, "lineitem"), "l_shipdate",
         lo = 788918400000000L,  // 1995-01-01T00:00Z
@@ -338,9 +346,8 @@ object RelationalQueries {
         measureA = ("l_extendedprice", 2),
         measureB = Some((100L, "l_discount", 2)),
         outScale = 4)
-      val nationNames = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey").cast("int"), col("n_name"))
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val nationNames = scala.concurrent.Await.result(nationF,
+        scala.concurrent.duration.Duration.Inf)
       grid.select(
           element_at(typedLit(nationNames), col("s_nationkey")).as("n_name"),
           (col("bucket") + lit(1995)).as("ship_year"),
