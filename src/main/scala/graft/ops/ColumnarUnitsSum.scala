@@ -49,9 +49,11 @@ import org.apache.spark.sql.types._
  * - Per-row |units product| must fit in a signed 64-bit long (the grid
  *   registers are 128-bit, so the SUM never wraps at any corpus size —
  *   same contract split as sum128 over double_units).
- * - Partials are one grid per TASK (groups × buckets × 24 bytes),
- *   combined with `treeReduce` — at a 100 TB scan's ~million tasks the
- *   driver sees the tree's root fan-in, not a million grids.
+ * - Partials are one grid per TASK (groups × buckets × 24 bytes): plain
+ *   `reduce` up to 512 partitions (a tree's extra combine stage is pure
+ *   floor at local/small-cluster counts), `treeReduce` above it — at a
+ *   100 TB scan's ~million tasks the driver sees the tree's root fan-in,
+ *   not a million grids.
  * - The kernel needs a plan that bottoms out in ONE vectorized
  *   FileSourceScanExec after pruning (plain parquet reads — the
  *   [[graft.Tables]] shape). Anything else (non-parquet source, exotic
