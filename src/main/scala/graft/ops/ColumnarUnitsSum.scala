@@ -54,12 +54,21 @@ import org.apache.spark.sql.types._
  *   floor at local/small-cluster counts), `treeReduce` above it — at a
  *   100 TB scan's ~million tasks the driver sees the tree's root fan-in,
  *   not a million grids.
- * - The kernel needs a plan that bottoms out in ONE vectorized
- *   FileSourceScanExec after pruning (plain parquet reads — the
- *   [[graft.Tables]] shape). Anything else (non-parquet source, exotic
- *   lineage, nested schema disabling the vectorized reader) falls back to
- *   the declarative plan above — the operator is total, the kernel is an
- *   execution strategy.
+ * - The kernel needs `fact` to be a BARE parquet relation (optionally a
+ *   pure-attribute projection/alias of one — the [[graft.Tables]] shape)
+ *   whose pruned plan bottoms out in ONE vectorized FileSourceScanExec.
+ *   Anything else — and in particular a PRE-FILTERED fact like
+ *   `load(...).where(p)`, whose predicate the kernel could not re-apply —
+ *   falls back to the declarative plan above: the operator is total, the
+ *   kernel is an execution strategy. (The bare-lineage guard is load-
+ *   bearing: a filter above the scan only reaches parquet row-group stats,
+ *   so consuming the scan's batches directly would silently keep rows the
+ *   filter should drop.)
+ * - EAGER: the kernel path runs the dim collect, the full fact scan, and
+ *   the grid reduce at CALL time and returns a LocalRelation of the grid —
+ *   the returned DataFrame is the materialized result, not a lazy plan.
+ *   Callers that need deferred execution should compose the declarative
+ *   spelling themselves.
  */
 object ColumnarUnitsSum {
 
@@ -70,10 +79,15 @@ object ColumnarUnitsSum {
     private val keys = new Array[Long](capacityPow2)
     private val vals = new Array[Int](capacityPow2)
     private val used = new Array[Boolean](capacityPow2)
-    def put(k: Long, v: Int): Unit = {
+    /** @return false iff `k` was already present (the value is
+      *         overwritten either way — callers that must reject
+      *         duplicates check the flag). */
+    def put(k: Long, v: Int): Boolean = {
       var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
       while (used(i) && keys(i) != k) i = (i + 1) & mask
+      val fresh = !used(i)
       keys(i) = k; vals(i) = v; used(i) = true
+      fresh
     }
     def get(k: Long): Int = {
       var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
@@ -143,7 +157,15 @@ object ColumnarUnitsSum {
     var capacity = 64
     while (capacity < dimRows.length * 2) capacity <<= 1
     val map = new LongIntMap(capacity)
-    dimRows.foreach(r => map.put(r.getLong(0), r.getInt(1)))
+    // Duplicate dim keys fail LOUDLY on BOTH paths: the map is last-write-
+    // wins (one group per fact row) while the declarative fallback's inner
+    // join would fan each fact row out once per duplicate — silent
+    // divergence. The check runs here, before the path split, so the two
+    // paths agree: a dim with duplicate keys is a contract violation.
+    dimRows.foreach { r =>
+      require(map.put(r.getLong(0), r.getInt(1)),
+        s"duplicate dim key ${r.getLong(0)}: $dimKeyCol must be unique")
+    }
 
     val (aCol, aScale) = measureA
     val usedCols = Seq(tsCol, factKeyCol, aCol) ++ measureB.map(_._2)
@@ -154,7 +176,8 @@ object ColumnarUnitsSum {
       StructField("n_rows", LongType, nullable = false)))
 
     scanInfo match {
-      case Some((scan, iTs, iKey, iA, iB)) =>
+      case Some(ks) =>
+        val KernelScan(scan, iTs, iKey, iA, iBOpt) = ks
         val bcMap = spark.sparkContext.broadcast(map)
         val aFactor = math.pow(10.0, aScale)
         val (bConst, bFactor) = measureB match {
@@ -162,6 +185,7 @@ object ColumnarUnitsSum {
           case None => (0L, 0.0)
         }
         val hasB = measureB.isDefined
+        val iB = iBOpt.getOrElse(-1) // sentinel: only read under hasB
         val bounds = bucketBounds // local for serialization
         val nCells = cells.toInt
         val partials = scan.executeColumnar().mapPartitions { it =>
@@ -270,12 +294,43 @@ object ColumnarUnitsSum {
     }
   }
 
+  /** The kernel path's resolved scan: the single vectorized parquet scan
+    * plus the positions of the ts/key/measure vectors in its output.
+    * `iB` is None when there is no second measure — never a positional
+    * placeholder that could alias a real column index. */
+  private[ops] final case class KernelScan(scan: FileSourceScanExec,
+      iTs: Int, iKey: Int, iA: Int, iB: Option[Int])
+
+  /** True iff `plan` is a BARE relation: a parquet LogicalRelation,
+    * optionally under SubqueryAlias wrappers (catalog-table reads) and
+    * pure-attribute Projects (column pruning). Anything else — above all
+    * a Filter — carries semantics the kernel would not re-apply: its
+    * predicate reaches the scan only as row-group/page stats, so
+    * consuming the scan's batches directly would silently keep rows the
+    * predicate should drop. Callers with non-bare lineage take the
+    * declarative fallback, which honors the full plan. */
+  private def isBareRelation(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference]) &&
+          isBareRelation(p.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        isBareRelation(a.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+
   /** Locate the single vectorized parquet scan under `fact` restricted to
     * `usedCols` with the ts range pushed; None → caller takes the
-    * declarative path. Returns (scan, ts/key/a/b vector positions). */
+    * declarative path. */
   private def columnarScan(fact: DataFrame, tsCol: String, lo: Long, hi: Long,
-      usedCols: Seq[String]): Option[(FileSourceScanExec, Int, Int, Int, Int)] =
+      usedCols: Seq[String]): Option[KernelScan] =
     try {
+      // Load-bearing safety gate (see isBareRelation): pre-filtered or
+      // otherwise derived lineage must fall back.
+      if (!isBareRelation(fact.queryExecution.analyzed)) return None
       val tsType = fact.schema(tsCol).dataType
       def instant(us: Long) =
         java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
@@ -298,18 +353,18 @@ object ColumnarUnitsSum {
         case Seq(scan: FileSourceScanExec) if scan.supportsColumnar =>
           val names = scan.output.map(_.name)
           val types = scan.output.map(_.dataType)
-          def pos(c: String, want: DataType => Boolean): Int = {
+          def pos(c: String, want: DataType => Boolean): Option[Int] = {
             val i = names.indexOf(c)
-            if (i >= 0 && want(types(i))) i else -1
+            if (i >= 0 && want(types(i))) Some(i) else None
           }
-          val iTs = pos(tsCol,
-            t => t == TimestampType || t == TimestampNTZType || t == LongType)
-          val iKey = pos(usedCols(1), _ == LongType)
-          val iA = pos(usedCols(2), _ == DoubleType)
-          val iB = if (usedCols.length > 3) pos(usedCols(3), _ == DoubleType) else 0
-          if (iTs >= 0 && iKey >= 0 && iA >= 0 && iB >= 0)
-            Some((scan, iTs, iKey, iA, iB))
-          else None
+          for {
+            iTs <- pos(tsCol,
+              t => t == TimestampType || t == TimestampNTZType || t == LongType)
+            iKey <- pos(usedCols(1), _ == LongType)
+            iA <- pos(usedCols(2), _ == DoubleType)
+            iB <- if (usedCols.length <= 3) Some(None)
+                  else pos(usedCols(3), _ == DoubleType).map(Some(_))
+          } yield KernelScan(scan, iTs, iKey, iA, iB)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -63,6 +63,14 @@ object TextClassifier {
       "one weight row + intercept per class")
     require(weights.forall(_.length == weights(0).length),
       "ragged weight matrix")
+    // Joint bound: the individually-documented caps (4096 classes, 2^24
+    // features) jointly allow a ~512 GB dense matrix and a `flat` array
+    // past Int.MaxValue (NegativeArraySizeException at SCORE time). Fail
+    // the construction instead: 2^27 doubles = 1 GiB of task binary, the
+    // practical ceiling for weights that ride every executor.
+    require(labels.length.toLong * weights(0).length <= (1L << 27),
+      s"classes x features too large: ${labels.length} x ${weights(0).length} " +
+        s"> ${1L << 27} (dense weights must fit the task binary)")
     def numClasses: Int = labels.length
     def numFeatures: Int = weights(0).length
     /** Class-major → feature-major flat layout [idx*k + c]: one token's k
@@ -160,6 +168,12 @@ object TextClassifier {
     require(labels.length >= 2, s"need >= 2 distinct labels, got ${labels.length}")
     require(labels.length <= maxClasses,
       s"labels must be class-count-sized (<= $maxClasses distinct values)")
+    // Fail the FIT on the joint k x f bound (same check the model
+    // constructor enforces) — a contract error here beats an array-size
+    // crash at scoring time after a long distributed fit.
+    require(labels.length.toLong * numFeatures <= (1L << 27),
+      s"classes x features too large: ${labels.length} x $numFeatures " +
+        s"> ${1L << 27} (dense weights must fit the task binary)")
     val idxExpr = labels.zipWithIndex.tail
       .foldLeft(when(col("_tc_l") === labels(0), lit(0.0))) {
         case (acc, (l, i)) => acc.when(col("_tc_l") === l, lit(i.toDouble))

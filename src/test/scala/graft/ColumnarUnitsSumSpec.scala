@@ -122,4 +122,44 @@ class ColumnarUnitsSumSpec extends SparkSuite {
       "k", dim, "k", "g", ("a", 2), None, 2).collect()
     assert(ok.length == 1 && ok.head.getLong(3) == 1L)
   }
+
+  test("pre-filtered parquet fact falls back (bare-lineage guard) and the " +
+      "filter is honored") {
+    // A predicate above the scan reaches parquet only as row-group stats:
+    // the kernel consuming batches directly would silently keep rows the
+    // filter should drop. The guard must route this to the declarative
+    // path, whose result honors the filter exactly.
+    val path = java.nio.file.Files.createTempDirectory("cus-filtered").toString
+    (1 to 1000).map(i => (i.toLong, 1L, 1.0, i % 2))
+      .toDF("ts", "k", "a", "flag")
+      .write.mode("overwrite").parquet(path)
+    val dim = Seq((1L, 0)).toDF("k", "g")
+    val filtered = spark.read.parquet(path).where(col("flag") === 1)
+    val got = ColumnarUnitsSum.gridSum(filtered, "ts", 0L, 2000L, Array.empty,
+      "k", dim, "k", "g", ("a", 0), None, 0)
+    assert(!got.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "filtered lineage must NOT take the eager kernel path")
+    val rows = got.collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 500L,
+      s"filter must be honored: ${rows.toSeq}")
+    // Sanity: the SAME data unfiltered takes the kernel and counts all rows.
+    val bare = ColumnarUnitsSum.gridSum(spark.read.parquet(path), "ts", 0L,
+      2000L, Array.empty, "k", dim, "k", "g", ("a", 0), None, 0).collect()
+    assert(bare.head.getLong(3) == 1000L)
+  }
+
+  test("duplicate dim keys fail loudly on both paths") {
+    val dupDim = Seq((1L, 0), (1L, 1)).toDF("k", "g")
+    val mem = Seq((1L, 1L, 1.0)).toDF("ts", "k", "a")
+    val e1 = intercept[IllegalArgumentException](ColumnarUnitsSum.gridSum(
+      mem, "ts", 0L, 10L, Array.empty, "k", dupDim, "k", "g", ("a", 0), None, 0))
+    assert(e1.getMessage.contains("duplicate dim key"))
+    val path = java.nio.file.Files.createTempDirectory("cus-dup").toString
+    mem.write.mode("overwrite").parquet(path)
+    val e2 = intercept[IllegalArgumentException](ColumnarUnitsSum.gridSum(
+      spark.read.parquet(path), "ts", 0L, 10L, Array.empty, "k", dupDim,
+      "k", "g", ("a", 0), None, 0))
+    assert(e2.getMessage.contains("duplicate dim key"))
+  }
 }
