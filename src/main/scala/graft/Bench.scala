@@ -72,6 +72,10 @@ object Bench {
       // text-heavy file packs into 1-2 splits no matter how fine its row
       // groups are.
       .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      // A/B knob for q2_bucketed's join strategy (kernel | smj |
+      // shuffle_hash) — same env-override channel as the other knobs.
+      .config("spark.graft.q2.bucketJoin",
+        sys.env.getOrElse("SPARK_GRAFT_Q2_STRAT", "kernel"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=a,b,c restricts the run for quick iteration and for

@@ -138,9 +138,8 @@ object ColumnarUnitsSum {
     // exactly this) — on a sub-second gate the dim job otherwise
     // serializes behind planning for pure floor.
     val dimFuture = scala.concurrent.Future {
-      dim.select(col(dimKeyCol).cast("long"),
-          col(dimGroupCol).cast("int")).limit((1 << 21) + 1)
-        .queryExecution.executedPlan.executeCollect()
+      boundedDimCollect(dim.select(col(dimKeyCol).cast("long"),
+        col(dimGroupCol).cast("int")))
     }(scala.concurrent.ExecutionContext.global)
     val scanInfo = columnarScan(fact, tsCol, lo, hi,
       Seq(tsCol, factKeyCol, measureA._1) ++ measureB.map(_._2))
@@ -292,6 +291,21 @@ object ColumnarUnitsSum {
           .agg(sum128(summand, outScale).as("sum"),
             count(lit(1)).as("n_rows"))
     }
+  }
+
+  /** Bounded dim collect in ONE job: `limit(cap).executeCollect` routes
+    * through executeTake's incremental partition waves (1, 4, 16, … —
+    * SERIAL jobs), which quadruples the wall cost of landing a
+    * million-row dim (the q2 customer side at sf10). Instead every
+    * partition contributes up to cap+1 copied rows in a single job and
+    * the caller's `require(length <= cap)` enforces the contract — the
+    * per-partition take still bounds any one task's contribution on a
+    * contract-violating input. */
+  private[ops] def boundedDimCollect(df: DataFrame,
+      cap: Int = 1 << 21): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val plan = df.queryExecution.executedPlan
+    plan.execute().mapPartitions(it => it.take(cap + 1).map(_.copy()))
+      .collect()
   }
 
   /** The kernel path's resolved scan: the single vectorized parquet scan

@@ -237,33 +237,63 @@ object RelationalQueries {
       val liT = ensureBucketed(s, dir, "lineitem", "l_orderkey")
       val oT = ensureBucketed(s, dir, "orders", "o_orderkey")
       val c = Tables.load(s, dir, "customer")
+      // r16: the default path is the bucket-local hash-probe kernel
+      // (ops.BucketedSnowflakeSum) — ColumnarUnitsSum's vectorized
+      // pattern generalized past the broadcast cap: per bucket, the task
+      // builds the (o_orderkey → nationkey) table from ITS orders bucket
+      // (~470k keys at sf10 — task-local, never broadcast) and streams
+      // the co-bucketed lineitem bucket's ColumnarBatches through the
+      // probe+grid loop. One job, 32 tasks, zero fact-width exchanges,
+      // no sort. The r15 no-go (b4103a5) covered the columnar
+      // MERGE-join; this is the hash shape the verdict ordered.
+      // spark.graft.q2.bucketJoin = smj | shuffle_hash selects the
+      // declarative spellings (smj: the buckets' sort order makes the
+      // fact join a SORT-FREE merge join under the harness's legacy
+      // outputOrdering conf — the r12–r15 default).
+      val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("kernel")
       val n = Tables.load(s, dir, "nation")
-      // No strings in the hot path (the q7 lesson): the broadcast payload
-      // and the group key are both the int nationkey; the 25-row name
-      // join runs over the aggregated grid, not 75M fact rows.
-      val dim = s.table(oT).select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("c_nationkey"))
-      // The buckets' sort order is advertised under the legacy conf the
-      // HARNESS sets at session build (Bench/Verify; see ensureBucketed's
-      // note — library APIs don't mutate sessions): the fact join then
-      // plans as a SORT-FREE merge join, measured faster than the
-      // per-bucket hash build (fused-stage wall 1.48 s vs 2.19 s at sf10).
-      // Without the conf the plan is merely two local sorts slower.
-      val strat = s.conf.getOption("spark.graft.q2.bucketJoin").getOrElse("smj")
-      s.table(liT).select(col("l_orderkey"),
-          (double_units(col("l_extendedprice"), 2) *
-            (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
-        .join(dim.hint(if (strat == "smj") "merge" else "shuffle_hash"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("c_nationkey"))
-        .agg(
-          outD(sum128(col("_rev"), 4)).as("revenue"),
-          count(lit(1)).as("n_rows"))
-        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), col("revenue"), col("n_rows"))
+      if (strat == "kernel") {
+        // 25-row nation names overlap the grid computation (the q7
+        // device); the name join rides the aggregated grid as a literal
+        // map, never the fact rows.
+        val nationF = scala.concurrent.Future {
+          n.select(col("n_nationkey").cast("int"), col("n_name"))
+            .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        }(scala.concurrent.ExecutionContext.global)
+        val grid = graft.ops.BucketedSnowflakeSum.groupSum(
+          s.table(liT), "l_orderkey",
+          measureA = ("l_extendedprice", 2),
+          measureB = Some((100L, "l_discount", 2)), outScale = 4,
+          build = s.table(oT), buildKeyCol = "o_orderkey",
+          buildRefCol = "o_custkey",
+          dim = c, dimKeyCol = "c_custkey", dimGroupCol = "c_nationkey")
+        val nationNames = scala.concurrent.Await.result(nationF,
+          scala.concurrent.duration.Duration.Inf)
+        grid.select(
+          element_at(typedLit(nationNames), col("c_nationkey")).as("n_name"),
+          outD(col("sum")).as("revenue"), col("n_rows"))
+      } else {
+        // No strings in the hot path (the q7 lesson): the broadcast
+        // payload and the group key are both the int nationkey; the
+        // 25-row name join runs over the aggregated grid, not 75M fact
+        // rows.
+        val dim = s.table(oT).select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        s.table(liT).select(col("l_orderkey"),
+            (double_units(col("l_extendedprice"), 2) *
+              (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
+          .join(dim.hint(if (strat == "smj") "merge" else "shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(
+            outD(sum128(col("_rev"), 4)).as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("revenue"), col("n_rows"))
+      }
     }),
     "q3_topn" -> ((s, dir) => {
       // Top 10 orders by total price (TopN pattern → TakeOrderedAndProject).
