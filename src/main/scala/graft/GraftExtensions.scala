@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sessionize" -> graft.sql.TvfMacros.sessionizeTvf,
       "sessionize_stats" -> graft.sql.TvfMacros.sessionizeStatsTvf,
       "bpe_token_count" -> graft.sql.TvfMacros.bpeTokenCountTvf,
+      "bpe_encode_ids" -> graft.sql.TvfMacros.bpeEncodeIdsTvf,
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,

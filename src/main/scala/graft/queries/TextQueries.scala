@@ -74,6 +74,43 @@ object TextQueries {
     s"len(string_split(trim($chain), '  '))"
   }
 
+  /** DuckDB replay of the token-ID encode for one run word: the same
+    * merge-chain replay as [[bpeOracleWordCount]], but the surviving
+    * tokens map to ids — single chars to their ASCII byte, multi-char
+    * tokens to 256 + FIRST producing rank (list_position over the rank-
+    * ordered output list, duplicates included, finds the first — exactly
+    * [[graft.text.Bpe.BpeMerges.tokenIds]]'s putIfAbsent). */
+  private def bpeOracleWordIds(w: String): String = {
+    val spaced = s"""'  ' || regexp_replace($w, '(.)', '\\1  ', 'g')"""
+    val chain = bpeFixtureMerges.pairs.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    val outputs = bpeFixtureMerges.pairs
+      .map { case (a, b) => s"'$a$b'" }.mkString("[", ", ", "]")
+    s"""[CASE WHEN len(t) = 1 THEN ascii(t)
+              ELSE 255 + list_position($outputs, t) END
+        FOR t IN string_split(trim($chain), '  ')]"""
+  }
+
+  /** Leading UTF-8 byte of a one-char token — the engine's id for every
+    * non-run token (ids 0–255 are the byte-level base vocabulary; a
+    * multi-byte char carries one id, its leading byte, consistent with
+    * the counting convention). Derived from the codepoint. */
+  private def bpeOracleLeadByte(w: String): String =
+    s"""CASE WHEN unicode($w) < 128 THEN unicode($w)
+             WHEN unicode($w) < 2048 THEN 192 + unicode($w) // 64
+             WHEN unicode($w) < 65536 THEN 224 + unicode($w) // 4096
+             ELSE 240 + unicode($w) // 262144 END"""
+
+  /** The full per-doc id-list replay (NULL for null text). */
+  private def bpeOracleDocIds: String =
+    s"""CASE WHEN text IS NULL THEN NULL
+             ELSE flatten([CASE WHEN regexp_matches(w, '^[a-z0-9]') AND len(w) > 1
+                    THEN ${bpeOracleWordIds("w")}
+                    ELSE [${bpeOracleLeadByte("w")}] END
+               FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')])
+        END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_bpe_token_count" -> ((s, dir) => {
       // REAL merges-table BPE (Bpe.scala): token count per doc under the
@@ -86,6 +123,35 @@ object TextQueries {
         .select(col("doc_id"),
           graft.text.Bpe.tokenCount(col("text"), bpeFixtureMerges)
             .as("n_bpe_tokens"))
+    }),
+    "doc_bpe_encode_ids" -> ((s, dir) => {
+      // The token-ID encoder (r16) — the stage a trainer actually
+      // consumes: Bpe.encodeIds emits the array<int> ids (byte-level base
+      // vocabulary 0–255 + 256+rank merge outputs, the GPT-2 id
+      // convention). Pinned by md5 of the comma-joined id sequence vs the
+      // DuckDB merge-chain replay mapped through the same id assignment.
+      val ids = graft.text.Bpe.encodeIds(col("text"), bpeFixtureMerges)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ids.as("_ids"))
+        .select(col("doc_id"),
+          when(col("_ids").isNotNull, size(col("_ids"))).cast("long")
+            .as("n_ids"),
+          md5(array_join(transform(col("_ids"), _.cast("string")), ","))
+            .as("ids_md5"))
+    }),
+    "doc_pack_ids_emit" -> ((s, dir) => {
+      // Materialized packing in ID currency (r16): L=128-id training
+      // sequences assembled from the concatenated id stream — what
+      // doc_pack_emit is to text, this is to the ids a training job
+      // loads. Same oracle machinery: global window + zipped unnest +
+      // ordered agg over the replayed id lists.
+      graft.text.Mix.emitPackedIdSequences(
+          Tables.load(s, dir, "documents"), "doc_id",
+          graft.text.Bpe.encodeIds(col("text"), bpeFixtureMerges),
+          seqLen = 128L)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ","))
+            .as("ids_md5"))
     }),
     "doc_quality_classifier" -> ((s, dir) => {
       // Learned fasttext/CCNet-class scorer (TextClassifier, r14): one
@@ -827,13 +893,38 @@ object TextQueries {
       s"""SELECT doc_id,
             CASE WHEN text IS NULL THEN NULL
                  ELSE CAST(coalesce(list_sum(
-                   [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                   [CASE WHEN regexp_matches(w, '^[a-z0-9]') AND len(w) > 1
                          THEN ${bpeOracleWordCount("w")}
                          ELSE 1 END
                     FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
                    AS BIGINT)
             END AS n_bpe_tokens
           FROM documents""",
+    "doc_bpe_encode_ids" ->
+      s"""WITH ids AS (
+            SELECT doc_id, $bpeOracleDocIds AS ids
+            FROM documents)
+          SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+            md5(array_to_string(ids, ',')) AS ids_md5
+          FROM ids""",
+    "doc_pack_ids_emit" ->
+      s"""WITH t AS (
+            SELECT doc_id, coalesce($bpeOracleDocIds, []) AS ids,
+              md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+          c AS (
+            SELECT doc_id, ids,
+              CAST(sum(len(ids)) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(ids) AS strt
+            FROM t),
+          u AS (
+            SELECT strt + i AS pos, id
+            FROM (SELECT strt, unnest(ids) AS id,
+                    unnest(range(len(ids))) AS i FROM c))
+          SELECT CAST(pos // 128 AS BIGINT) AS seq_id,
+            CAST(count(*) AS BIGINT) AS n_tokens,
+            md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+          FROM u GROUP BY 1""",
     "doc_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,
@@ -999,7 +1090,7 @@ object TextQueries {
            SELECT doc_id, source,
              CASE WHEN text IS NULL THEN NULL
                   ELSE CAST(coalesce(list_sum(
-                    [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                    [CASE WHEN regexp_matches(w, '^[a-z0-9]') AND len(w) > 1
                           THEN ${bpeOracleWordCount("w")}
                           ELSE 1 END
                      FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
@@ -1138,7 +1229,7 @@ object TextQueries {
            SELECT doc_id,
              CASE WHEN text IS NULL THEN NULL
                   ELSE CAST(coalesce(list_sum(
-                    [CASE WHEN w ~ '^[a-z0-9]' AND len(w) > 1
+                    [CASE WHEN regexp_matches(w, '^[a-z0-9]') AND len(w) > 1
                           THEN ${bpeOracleWordCount("w")}
                           ELSE 1 END
                      FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)

@@ -420,6 +420,23 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** `bpe_encode_ids(TABLE(t), 'text_col', 'merges_path')` — input plus
+    * `bpe_ids ARRAY<INT>` (the token ids a trainer consumes; byte-level
+    * base vocabulary 0–255 + 256+rank merge outputs). The SQL spelling of
+    * [[graft.text.Bpe.encodeIds]]; same merges-path binding as
+    * [[bpeTokenCountTvf]]. */
+  def bpeEncodeIdsTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 3) throw new IllegalArgumentException(
+      s"bpe_encode_ids(table, text_col, merges_path) takes 3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val df = table(spark, args(0), "bpe_encode_ids table")
+    val textCol = str(args(1), "bpe_encode_ids text_col")
+    val merges = graft.text.Bpe.loadMerges(str(args(2), "bpe_encode_ids merges_path"))
+    df.withColumn("bpe_ids",
+        graft.text.Bpe.encodeIds(org.apache.spark.sql.functions.col(textCol), merges))
+      .queryExecution.analyzed
+  }
+
   // ---- Index-backed ANN as SQL table functions (the index-join surface —
   // the brute vss_join/vss_match macros above mirror the reference; these
   // expose the accelerated paths to SQL users):

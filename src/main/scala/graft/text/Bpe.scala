@@ -96,6 +96,24 @@ object Bpe {
       * never share entries. */
     @transient lazy val countCache: ThreadLocal[java.util.HashMap[String, Integer]] =
       ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+
+    /** Deterministic token→id assignment (the GPT-2 byte-level
+      * convention): ids 0–255 are the single-byte base alphabet, id
+      * 256 + r is the OUTPUT string of merge rank r. Two merges producing
+      * the same string (e.g. `a bc` and `ab c`) share the FIRST rank's
+      * id — ids are per token string, and encode output never depends on
+      * which merge path produced it. */
+    lazy val tokenIds: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.size * 2)
+      pairs.iterator.zipWithIndex.foreach { case ((a, b), r) =>
+        m.putIfAbsent(a + b, Integer.valueOf(256 + r)): Unit }
+      m
+    }
+
+    /** Per-thread word→ids memo — [[countCache]]'s analogue for
+      * [[Bpe.encodeIds]] (same Zipfian rationale and 64k bound). */
+    @transient lazy val idsCache: ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]]())
   }
 
   // -------------------------------------------------------------- training
@@ -349,8 +367,15 @@ object Bpe {
   /** BPE token count of a full text under the run convention: one byte
     * pass splits `[a-z]+` / `[0-9]+` runs (BPE-encoded) and other
     * non-space chars (1 token each; multi-byte chars count once via their
-    * leading byte, like `asciiClassCount`). */
-  private[text] def countText(s: org.apache.spark.unsafe.types.UTF8String,
+    * leading byte, like `asciiClassCount`).
+    *
+    * PUBLIC because it is a CODEGEN ENTRY POINT: generated Java calls
+    * `graft.text.Bpe.countText(...)` as a static, and scalac emits NO
+    * static forwarder for qualified-private members — as private[text]
+    * this silently failed Janino compilation and every BpeTokenCount
+    * stage fell back to interpreted eval (found r16; strict-codegen
+    * spec'd in BpeSpec since). */
+  def countText(s: org.apache.spark.unsafe.types.UTF8String,
       merges: BpeMerges): Long = {
     val n = s.numBytes
     var cnt = 0L
@@ -385,6 +410,82 @@ object Bpe {
   def tokenCount(text: Column, merges: BpeMerges): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
 
+  /** Token ids of one run word (the [[encodeWord]] tokens mapped through
+    * [[BpeMerges.tokenIds]]): single-char tokens are their ASCII byte,
+    * multi-char tokens 256 + first producing rank. Memoized per thread. */
+  private[text] def idsWord(word: String, merges: BpeMerges): Array[Int] = {
+    val cache = merges.idsCache.get()
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val toks = encodeWord(word, merges)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      out(i) =
+        if (t.length == 1) t.charAt(0).toInt
+        else merges.tokenIds.get(t).intValue() // total: every multi-char
+                                               // encode token IS a merge output
+      i += 1
+    }
+    if (cache.size() >= 65536) cache.clear()
+    cache.put(word, out)
+    out
+  }
+
+  /** Token-ID encode of a full text — the same byte pass as [[countText]]
+    * emitting ids instead of counts: `[a-z]+`/`[0-9]+` runs BPE-encode to
+    * their token ids; every other non-space char is one token whose id is
+    * its leading UTF-8 byte (a multi-byte char carries ONE id, its leading
+    * byte — the same lossy-but-consistent treatment the counting
+    * convention gives it: ids 0–255 are the byte-level base vocabulary).
+    * PUBLIC because it is a codegen entry point (see [[countText]]). */
+  def encodeIdsText(s: org.apache.spark.unsafe.types.UTF8String,
+      merges: BpeMerges): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes
+    var buf = new Array[Int](math.max(8, n / 3))
+    var m = 0
+    def append(v: Int): Unit = {
+      if (m == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(m) = v; m += 1
+    }
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val lower = b >= 'a' && b <= 'z'
+      val digit = b >= '0' && b <= '9'
+      if (lower || digit) {
+        val start = i
+        if (lower) while (i < n && s.getByte(i) >= 'a' && s.getByte(i) <= 'z') i += 1
+        else while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') i += 1
+        val len = i - start
+        if (len == 1) append(b.toInt)
+        else {
+          val bytes = new Array[Byte](len)
+          var j = 0
+          while (j < len) { bytes(j) = s.getByte(start + j); j += 1 }
+          val ids = idsWord(new String(bytes, StandardCharsets.US_ASCII), merges)
+          var k = 0
+          while (k < ids.length) { append(ids(k)); k += 1 }
+        }
+      } else {
+        if ((b & 0xC0) != 0x80 && b != ' ') append(b & 0xFF)
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, m))
+  }
+
+  /** Column surface: BPE token-ID encode under `merges`
+    * (ARRAY&lt;INT&gt; not null elements; null text → null) — the stage a
+    * training job actually consumes, completing tokenizer parity: count /
+    * budget / pack by BPE units all exist, this emits the ids themselves.
+    * Codegen'd expression; `size(encode_ids(t)) == token_count(t)` by
+    * construction (spec'd). */
+  def encodeIds(text: Column, merges: BpeMerges): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(text), merges))
+
   // ------------------------------------------------------------- wire I/O
 
   /** Parse the GPT-2 merges.txt wire format (one `left right` pair per
@@ -414,6 +515,118 @@ object Bpe {
   def saveMerges(merges: BpeMerges, path: String): Unit = {
     Files.writeString(Paths.get(path), merges.format): Unit
   }
+
+  /** GPT-2's byte↔printable-unicode mapping (encoder.py bytes_to_unicode,
+    * public): printable latin byte ranges map to themselves, the rest
+    * shift to 256 + n — so every byte token has a visible one-char key in
+    * vocab.json. */
+  private[text] lazy val byteToUnicode: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** The deterministic vocabulary as GPT-2 `vocab.json` wire text:
+    * 256 byte-level entries (keys via [[byteToUnicode]], ids 0–255) plus
+    * one entry per distinct merge OUTPUT (id 256 + first producing rank).
+    * With [[BpeMerges.format]] this is the full two-file wire pair a
+    * published tokenizer ships. */
+  def vocabJson(merges: BpeMerges): String = {
+    val sb = new StringBuilder("{")
+    var b = 0
+    while (b < 256) {
+      if (b > 0) sb.append(", ")
+      sb.append(graft.JsonUtil.str(byteToUnicode(b).toString))
+        .append(": ").append(b)
+      b += 1
+    }
+    // In id order: iterate ranks, emit first-producing outputs only.
+    merges.pairs.iterator.zipWithIndex.foreach { case ((a, bb), r) =>
+      val tok = a + bb
+      if (merges.tokenIds.get(tok).intValue() == 256 + r)
+        sb.append(", ").append(graft.JsonUtil.str(tok))
+          .append(": ").append(256 + r): Unit
+    }
+    sb.append("}\n").toString
+  }
+
+  def saveVocabJson(merges: BpeMerges, path: String): Unit = {
+    Files.writeString(Paths.get(path), vocabJson(merges)): Unit
+  }
+
+  /** Parse a `vocab.json` object of token → id (the minimal JSON subset
+    * the wire format uses: one flat object, string keys with standard
+    * escapes, integer values). Interop surface: round-trips
+    * [[vocabJson]] and reads published GPT-2-style files. */
+  def parseVocabJson(content: String): Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    var i = 0
+    val n = content.length
+    def skipWs(): Unit = while (i < n && content(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"vocab.json parse error at $i: $msg")
+    def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= n || content(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < n && content(i) != '"') {
+        val c = content(i)
+        if (c == '\\') {
+          if (i + 1 >= n) fail("dangling escape")
+          content(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' =>
+              if (i + 6 > n) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(content.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case e => fail(s"bad escape \\$e")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= n) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def parseInt(): Int = {
+      skipWs()
+      val start = i
+      if (i < n && content(i) == '-') i += 1
+      while (i < n && content(i).isDigit) i += 1
+      if (i == start) fail("expected integer")
+      content.substring(start, i).toInt
+    }
+    expect('{')
+    skipWs()
+    if (i < n && content(i) == '}') { i += 1; return out.result() }
+    var done = false
+    while (!done) {
+      val k = parseString()
+      expect(':')
+      out += (k -> parseInt())
+      skipWs()
+      if (i < n && content(i) == ',') i += 1
+      else { expect('}'); done = true }
+    }
+    out.result()
+  }
 }
 
 /** `bpe_token_count(text)` under a bound merges table — see
@@ -433,6 +646,27 @@ case class BpeTokenCount(child: org.apache.spark.sql.catalyst.expressions.Expres
     defineCodeGen(ctx, ev, c => s"graft.text.Bpe.countText($c, $ref)")
   }
   override def prettyName: String = "bpe_token_count"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+/** `bpe_encode_ids(text)` under a bound merges table — see
+  * [[Bpe.encodeIds]]. */
+case class BpeEncodeIds(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Bpe.BpeMerges)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Bpe.encodeIdsText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, classOf[Bpe.BpeMerges].getName)
+    defineCodeGen(ctx, ev, c => s"graft.text.Bpe.encodeIdsText($c, $ref)")
+  }
+  override def prettyName: String = "bpe_encode_ids"
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
 }

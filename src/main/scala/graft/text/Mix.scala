@@ -857,6 +857,43 @@ object Mix {
   }
 
   /**
+   * [[emitPackedSequences]] in TOKEN-ID currency — the final stage of
+   * tokenizer parity: one output row per L-id training sequence, holding
+   * the id slice (`array<int>`) of the corpus's id stream concatenated in
+   * deterministic md5(key) order. `ids` is any `array<int>` column
+   * (typically [[graft.text.Bpe.encodeIds]]); a null array contributes
+   * nothing (a doc with no encodable text has no position in the stream).
+   * Same scale shape as the text form: the bucketed narrow cumsum plus
+   * ONE id-keyed exchange, each reduce group bounded by seqLen ids.
+   *
+   * Output: `seq_id` (0-based), `n_tokens` (= seqLen except the tail),
+   * `ids` (the sequence's token ids in stream order).
+   */
+  def emitPackedIdSequences(df: DataFrame, keyCol: String, ids: Column,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (bucket ids are a range split of a " +
+        s"16-bit hash prefix), got $buckets")
+    val base = df.select(col(keyCol), ids.as("_mix_ids"))
+    val cum = withCumWeight(base, keyCol,
+        when(col("_mix_ids").isNotNull, size(col("_mix_ids")))
+          .otherwise(0).cast("long"),
+        Seq.empty, buckets, "_mix_cum")
+      .withColumn("_mix_start", col("_mix_cum") - col("_mix_toks"))
+    val toks = cum
+      .select(col("_mix_start"),
+        posexplode(col("_mix_ids")).as(Seq("_mix_i", "_mix_tok")))
+      .withColumn("_mix_pos", col("_mix_start") + col("_mix_i"))
+      .withColumn("seq_id", expr(s"_mix_pos div ${seqLen}L"))
+    toks.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("_mix_pos"), col("_mix_tok")))),
+          x => x.getField("_mix_tok")).as("ids"))
+  }
+
+  /**
    * Proportional mix: sample each group at its own rate — the
    * rate-specified sibling of [[byTokenBudget]] ("keep 10% of web, 100% of
    * books"). Per-group [[TextFunctions.deterministicSample]]: a row is kept

@@ -111,23 +111,84 @@ class BpeSpec extends SparkSuite {
     }
   }
 
-  test("BpeTokenCount compiles under strict codegen (no interpreter fallback)") {
-    // The merges table rides as a reference object whose Janino-facing
-    // class name contains '$' (nested in object Bpe) and whose count call
-    // goes through the object's static forwarder — both would silently
-    // fall back to the interpreter in default conf if broken. Strict conf
-    // turns any codegen failure into a test failure.
+  test("BpeTokenCount and BpeEncodeIds compile under strict codegen " +
+      "(no interpreter fallback)") {
+    // The expressions' generated Java calls graft.text.Bpe.countText /
+    // encodeIdsText as STATICS — scalac emits no static forwarder for
+    // qualified-private members, so a private[text] entry point makes
+    // Janino compilation fail and every stage silently falls back to
+    // interpreted eval (this exact bug shipped r14–r15 for countText; the
+    // entry points are public + scaladoc'd as codegen surface since r16).
+    // ConvertToLocalRelation must be EXCLUDED or the optimizer folds the
+    // projection interpreted at plan time and the test proves nothing
+    // (the pre-r16 version of this test passed against the broken state).
     val m = BpeMerges(Vector(("a", "b")))
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try {
-      val got = Seq("ab ab c").toDF("text")
-        .select(Bpe.tokenCount(col("text"), m)).collect().head.getLong(0)
-      assert(got == 3L)
+      val row = Seq("ab ab c").toDF("text")
+        .select(Bpe.tokenCount(col("text"), m).as("n"),
+          Bpe.encodeIds(col("text"), m).as("ids"))
+        .collect().head
+      assert(row.getLong(0) == 3L)
+      assert(row.getSeq[Int](1) == Seq(256, 256, 'c'.toInt))
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
+  }
+
+  test("encodeIds: ids match the encode tokens (size == tokenCount; " +
+      "single chars = bytes, multi-char = 256 + first producing rank; " +
+      "null -> null)") {
+    // Duplicate-output table: ranks 0 ('a b' -> "ab"), 1 ('ab c' -> "abc"),
+    // 2 ('a bc')... needs 'bc' producible first. Use ('b c') rank 1, then
+    // ('a bc') rank 2 producing "abc", then ('ab c') rank 3 ALSO "abc":
+    // the id for "abc" must be 258 (first producing rank 2), never 259.
+    val m = BpeMerges(Vector(("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c")))
+    assert(m.tokenIds.get("abc").intValue() == 258)
+    val rows = Seq("abc xy 42 a!", null, "", "Ab c9 éz").toDF("text")
+      .select(Bpe.encodeIds(col("text"), m).as("ids"),
+        Bpe.tokenCount(col("text"), m).as("n"))
+      .collect()
+    // "abc" -> lowest-rank-first: 'a b'(r0) fires first -> [ab, c] -> 'ab c'
+    // (r3) -> ["abc"] = id 258. "xy": no merges -> bytes. "42": digits, no
+    // merges -> bytes. "a": single char run -> byte. "!": other -> byte.
+    assert(rows(0).getSeq[Int](0) ==
+      Seq(258, 'x'.toInt, 'y'.toInt, '4'.toInt, '2'.toInt, 'a'.toInt, '!'.toInt))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Int](0) == Seq.empty)
+    // "Ab c9 éz": 'A' other byte 65; "b" run byte 98; "c"/"9" single
+    // runs 99, 57; 'é' (U+00E9, UTF-8 C3 A9) -> leading byte 0xC3 =
+    // 195; "z" -> 122.
+    assert(rows(3).getSeq[Int](0) == Seq(65, 98, 99, 57, 195, 122))
+    // size == tokenCount on every non-null row.
+    rows.filterNot(_.isNullAt(0)).foreach { r =>
+      assert(r.getSeq[Int](0).size.toLong == r.getLong(1))
+    }
+  }
+
+  test("vocab.json wire format: deterministic ids, GPT-2 byte keys, " +
+      "round-trip parse") {
+    val m = BpeMerges(Vector(("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c")))
+    val json = Bpe.vocabJson(m)
+    val parsed = Bpe.parseVocabJson(json)
+    // 256 byte entries + 3 distinct outputs (abc deduped to first rank).
+    assert(parsed.size == 256 + 3)
+    assert(parsed("ab") == 256 && parsed("bc") == 257 && parsed("abc") == 258)
+    // GPT-2 byte->unicode: printable bytes map to themselves ('a' = 97),
+    // non-printables shift into 256+n ordinally (0x00 -> U+0100, space
+    // 0x20 is the 33rd non-printable... check two known points).
+    assert(parsed("a") == 97 && parsed("!") == 33)
+    assert(parsed("Ā") == 0) // byte 0x00, first shifted codepoint
+    // Round-trip through a temp file.
+    val p = java.nio.file.Files.createTempFile("vocab", ".json").toString
+    Bpe.saveVocabJson(m, p)
+    assert(Bpe.parseVocabJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))) == parsed)
   }
 
   test("bpe_token_count SQL TVF == the Scala API under the same merges file") {
@@ -145,6 +206,15 @@ class BpeSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(viaSql == viaApi)
     assert(viaSql == Set((1L, 4L), (2L, 2L), (3L, -1L))) // abc + x,y,z; ab+abc; null
+    // The ids TVF: same merges-path binding, array<int> output.
+    val idsSql = spark.sql(
+      s"""SELECT id, bpe_ids
+          FROM bpe_encode_ids(TABLE(bpe_tvf_docs), 'text', '$path')""")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(idsSql(1L) == Seq(257, 'x'.toInt, 'y'.toInt, 'z'.toInt)) // abc=256+1
+    assert(idsSql(2L) == Seq(256, 257)) // ab + abc
+    assert(idsSql(3L) == null)
   }
 
   test("incremental trainer == full-recount reference on randomized " +
