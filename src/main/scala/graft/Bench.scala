@@ -100,6 +100,13 @@ object Bench {
     // session otherwise, the same scoping the ivf_ builds have).
     if (subsetNeeds("hnsw_routed"))
       graft.queries.HnswQueries.ensureRoutedIndex(spark, sfDir): Unit
+    // The recall gates' brute-force truths are yardstick apparatus like
+    // the PQ truth (r16): pay them in warmup so measured runs time the
+    // graph search, not the crossJoin that grades it.
+    if (subsetNeeds("hnsw_recall_ann"))
+      graft.queries.HnswQueries.ensureRecallTruth(spark, sfDir, 10): Unit
+    if (subsetNeeds("hnsw_recall_lateral"))
+      graft.queries.HnswQueries.ensureRecallTruth(spark, sfDir, 3): Unit
     // The IVF layouts get the same treatment as the HNSW indexes: built
     // (and their footers read once) BEFORE the measured loop. r7's driver
     // bench showed the ivf_* gates 2-3x over r5 while local profiled runs

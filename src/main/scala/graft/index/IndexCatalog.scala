@@ -263,14 +263,24 @@ object GraphCache {
   private val cache = new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true)
   private var totalBytes = 0L
 
+  // Hit/miss/load-time counters (diagnostic; the r15 verdict's
+  // hnsw_recall_ann audit needs cache behavior to be observable, not
+  // guessed). Monotonic since JVM start; read via [[stats]].
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  private val loadNanos = new java.util.concurrent.atomic.AtomicLong
+
   def get(file: File): HnswGraph = {
     val k = Key(file.getAbsolutePath, file.lastModified(), file.length())
     cache.synchronized {
       val hit = cache.get(k)
-      if (hit != null) return hit.graph
+      if (hit != null) { hitCount.incrementAndGet(); return hit.graph }
     }
     // Load outside the lock; duplicate loads are benign (immutable files).
+    missCount.incrementAndGet()
+    val t0 = System.nanoTime()
     val g = IndexCatalog.readGraph(file)
+    loadNanos.addAndGet(System.nanoTime() - t0)
     val e = Entry(g, g.approxMemoryBytes)
     cache.synchronized {
       val prev = cache.put(k, e)
@@ -279,6 +289,10 @@ object GraphCache {
     }
     g
   }
+
+  /** (hits, misses, total load millis) since JVM start. */
+  def stats: (Long, Long, Long) =
+    (hitCount.get(), missCount.get(), loadNanos.get() / 1000000L)
 
   /** Evict least-recently-used entries until both bounds hold. Iteration is
     * LRU-first and stops before the last (most-recent) entry, so the graph
