@@ -111,7 +111,8 @@ object AnnCurve {
     // noise — the two flanking centroids are the query's two nearest by
     // construction, every other center sits ~sqrt(2·dim) away.
     val mode = sys.env.getOrElse("SPARK_GRAFT_ANN_MODE", "separable")
-    require(mode == "separable" || mode == "boundary", s"bad mode: $mode")
+    require(mode == "separable" || mode == "boundary" || mode == "mixed",
+      s"bad mode: $mode")
     def boundaryVec(idCol: org.apache.spark.sql.Column) = {
       val ca = element_at(typedLit(centers), (idCol % clusters).cast("int") + 1)
       val cb = element_at(typedLit(centers), ((idCol + 1) % clusters).cast("int") + 1)
@@ -121,8 +122,15 @@ object AnnCurve {
       zip_with(mid, noise, (c, nz) => (c + nz).cast("float"))
     }
     out(s"query mode: $mode")
-    val qVecExpr =
-      if (mode == "boundary") boundaryVec(col("id")) else clusteredVec(col("id"))
+    // mixed (F10c): alternate interior/boundary queries — the serving
+    // workload adaptive routing exists for (fixed p=1 loses the boundary
+    // half's recall, fixed p=2 doubles the interior half's latency).
+    val qVecExpr = mode match {
+      case "boundary" => boundaryVec(col("id"))
+      case "mixed" => when(col("id") % 2 === 0, clusteredVec(col("id")))
+        .otherwise(boundaryVec(col("id")))
+      case _ => clusteredVec(col("id"))
+    }
     val queriesDf = spark.range(n.toLong, n.toLong + nq)
       .select(col("id").as("q_id"), qVecExpr.as("q_vec"))
     val queryVecs: Array[(Long, Array[Float])] = queriesDf.collect()
@@ -174,6 +182,40 @@ object AnnCurve {
         f"${hit.toDouble / (queryVecs.length * k)}%.3f / ${lat(lat.length / 2)}%.2f ms"
       }
       out(s"| ${if (p == clusters) s"$p (all)" else p.toString} | ${cells.mkString(" | ")} |")
+    }
+
+    // ---- 3b. ADAPTIVE routing sweep (F10c, r15 verdict item 5) --------
+    // Per-query escalation: always probe the nearest segment, probe
+    // segments 2..p only when their centroid margin is within m× the
+    // nearest's (spark.graft.hnsw.adaptiveProbeMargin). The claim under
+    // test: adaptive-p matches fixed p=2 recall at materially lower MEAN
+    // latency/probe count, because interior queries stop at p=1.
+    out("\n## Adaptive routing (p ≤ 2, margin m) — recall@10 / mean latency ms / mean probes")
+    out("\n| routing | ef=64 | ef=256 |")
+    out("|---|---|---|")
+    val rows: Seq[(String, Int, Double)] =
+      Seq(("fixed p=1", 1, 0.0), ("fixed p=2", 2, 0.0)) ++
+        Seq(1.1, 1.25, 1.5, 2.0).map(m => (f"adaptive p=2 m=$m%.2f", 2, m))
+    for ((label, p, margin) <- rows) {
+      val cells = for (ef <- Seq(64, 256)) yield {
+        queryVecs.foreach { case (_, q) => Hnsw.searchMeta(base, meta, q, k, ef, p, margin) }
+        val lat = new Array[Double](queryVecs.length)
+        var hit = 0
+        var probes = 0L
+        var i = 0
+        while (i < queryVecs.length) {
+          val (qid, q) = queryVecs(i)
+          val s0 = System.nanoTime()
+          val got = Hnsw.searchMeta(base, meta, q, k, ef, p, margin)
+          lat(i) = (System.nanoTime() - s0) / 1e6
+          hit += got.count { case (id, _) => truth(qid).contains(id) }
+          probes += meta.routedSegments(q, p, margin).size
+          i += 1
+        }
+        f"${hit.toDouble / (queryVecs.length * k)}%.3f / ${lat.sum / lat.length}%.2f ms " +
+          f"/ ${probes.toDouble / queryVecs.length}%.2f"
+      }
+      out(s"| $label | ${cells.mkString(" | ")} |")
     }
 
     // ---- 4. IVF-PQ: (m, nprobe, refine) sweep -------------------------

@@ -65,6 +65,19 @@ object Hnsw {
   def probeSegments(spark: SparkSession): Int =
     spark.conf.getOption(ProbeSegmentsKey).map(_.trim.toInt).getOrElse(0)
 
+  /** Adaptive routing margin (true-distance ratio > 1; 0/<=1 = fixed-p
+    * routing — the default). With probeSegments = p and margin = m, the
+    * nearest segment is always probed and segments 2..p only when their
+    * centroid distance is within m x the nearest's — interior queries pay
+    * p = 1 latency, boundary queries recover p = 2+ recall
+    * ([[graft.index.HnswIndexMeta.routedSegments]]; F10c curve in
+    * ANN_CURVE_BOUNDARY.md). */
+  val AdaptiveProbeMarginKey = "spark.graft.hnsw.adaptiveProbeMargin"
+
+  /** Session adaptive-routing margin (0 = off, fixed-p). */
+  def adaptiveProbeMargin(spark: SparkSession): Double =
+    spark.conf.getOption(AdaptiveProbeMarginKey).map(_.trim.toDouble).getOrElse(0.0)
+
   def baseDir(spark: SparkSession): String =
     spark.conf.get(LocationKey,
       new File(sys.props("java.io.tmpdir"), "graft-indexes").getAbsolutePath)
@@ -230,7 +243,7 @@ object Hnsw {
     val base = baseDir(spark)
     val meta = IndexCatalog.load(base, name)
     searchMeta(base, meta, q, k, efOverride.getOrElse(efSearch(spark, meta)),
-      probeSegments(spark))
+      probeSegments(spark), adaptiveProbeMargin(spark))
   }
 
   /**
@@ -257,14 +270,14 @@ object Hnsw {
   }
 
   private[graft] def searchMeta(base: String, meta: HnswIndexMeta, q: Array[Float],
-      k: Int, ef: Int, probe: Int = 0): Array[(Long, Double)] =
+      k: Int, ef: Int, probe: Int = 0, margin: Double = 0.0): Array[(Long, Double)] =
     withFreshMeta(base, meta) { meta =>
       val dir = IndexCatalog.indexDir(base, meta.name)
       val tombs = graft.index.TombstoneCache.get(base, meta.name)
       // Over-fetch per segment so catalog-level tombstones can't starve the
       // merged top-k (bounded: compaction is the fix for large tombstone sets).
       val fetch = k + math.min(tombs.size, 1024)
-      meta.routedSegments(q, probe).iterator
+      meta.routedSegments(q, probe, margin).iterator
         .flatMap { s =>
           GraphCache.get(new File(dir, s)).search(q, fetch, ef)
             .filterNot { case (key, _) => tombs.contains((s, key)) }
@@ -283,12 +296,13 @@ object Hnsw {
    */
   private[graft] def searchBatch(base: String, meta: HnswIndexMeta,
       queries: Array[Array[Float]], k: Int, ef: Int,
-      probe: Int = 0): Array[Array[(Long, Double)]] =
-    withFreshMeta(base, meta)(searchBatchOnce(base, _, queries, k, ef, probe))
+      probe: Int = 0, margin: Double = 0.0): Array[Array[(Long, Double)]] =
+    withFreshMeta(base, meta)(
+      searchBatchOnce(base, _, queries, k, ef, probe, margin))
 
   private def searchBatchOnce(base: String, meta: HnswIndexMeta,
       queries: Array[Array[Float]], k: Int, ef: Int,
-      probe: Int): Array[Array[(Long, Double)]] = {
+      probe: Int, margin: Double): Array[Array[(Long, Double)]] = {
     val dir = IndexCatalog.indexDir(base, meta.name)
     val tombs = graft.index.TombstoneCache.get(base, meta.name)
     val fetch = k + math.min(tombs.size, 1024)
@@ -304,7 +318,7 @@ object Hnsw {
         if (q == null) null
         else new java.util.HashSet[String](
           scala.jdk.CollectionConverters.SeqHasAsJava(
-            meta.routedSegments(q, probe)).asJava)
+            meta.routedSegments(q, probe, margin)).asJava)
       }
     meta.segments.foreach { s =>
       var any = false
@@ -346,14 +360,15 @@ object Hnsw {
     // isMissingFile walks the cause chain, and the retry re-plans the job
     // over the fresh segment list.
     withFreshMeta(base, meta)(
-      searchDistributedOnce(spark, base, _, q, k, ef, probeSegments(spark)))
+      searchDistributedOnce(spark, base, _, q, k, ef, probeSegments(spark),
+        adaptiveProbeMargin(spark)))
 
   private def searchDistributedOnce(spark: SparkSession, base: String,
       meta: HnswIndexMeta, q: Array[Float], k: Int, ef: Int,
-      probe: Int): Array[(Long, Double)] = {
+      probe: Int, margin: Double): Array[(Long, Double)] = {
     // Routing happens BEFORE the fan-out decision: a 1000-segment index
     // routed to p=8 runs the driver-local loop, not a 1000-task job.
-    val segs = meta.routedSegments(q, probe)
+    val segs = meta.routedSegments(q, probe, margin)
     if (segs.size <= 4) return searchMeta(base, meta, q, k, ef, probe)
     val dirPath = IndexCatalog.indexDir(base, meta.name).getAbsolutePath
     val tombs = graft.index.TombstoneCache.get(base, meta.name)

@@ -56,16 +56,44 @@ case class HnswIndexMeta(
     * p ≪ segments; key-ranged segments have near-identical centroids and
     * routing degrades toward arbitrary pruning — keep p = 0 there. */
   def routedSegments(q: Array[Float], p: Int): Seq[String] =
-    if (p <= 0 || p >= segments.size || centroids.size != segments.size) segments
+    routedSegments(q, p, 0.0)
+
+  /** [[routedSegments]] with an ADAPTIVE width (r16, the F10b follow-up):
+    * the nearest segment is always probed; segments 2..p are probed only
+    * when their centroid distance is within `margin` × the nearest's —
+    * interior queries (decisive nearest centroid) pay p = 1 latency,
+    * boundary queries (close margins, where F10b measured p = 1 losing
+    * 14 recall points) escalate toward p. `margin` is a TRUE-distance
+    * ratio (> 1; squared internally for the l2 metric); ≤ 1 = fixed-p
+    * routing. Inner-product margins have no scale-free ratio (negative
+    * distances), so "ip" indexes keep fixed p. */
+  def routedSegments(q: Array[Float], p: Int, margin: Double): Seq[String] = {
+    val adaptive = margin > 1.0 && metric != "ip"
+    // Fixed-p routing is pointless at p >= segments (probe all); ADAPTIVE
+    // still prunes there (escalate toward all only when margins are close).
+    if (p <= 0 || centroids.size != segments.size ||
+        (p >= segments.size && !adaptive)) segments
     else {
       val d: (Array[Float], Array[Float]) => Double = metric match {
         case "cosine" => graft.expressions.VectorMath.cosineDistance
         case "ip" => graft.expressions.VectorMath.negativeDot
         case _ => graft.expressions.VectorMath.l2Squared
       }
-      segments.zip(centroids).sortBy { case (_, c) => d(q, c) }
-        .take(p).map(_._1)
+      val ranked = segments.zip(centroids)
+        .map { case (s, c) => (s, d(q, c)) }.sortBy(_._2)
+      val pp = math.min(p, segments.size)
+      if (!adaptive || pp <= 1) ranked.take(pp).map(_._1)
+      else {
+        val m = metric match {
+          case "cosine" => margin
+          case _ => margin * margin // l2 centroids rank by SQUARED distance
+        }
+        val cut = ranked.head._2 * m
+        ranked.head._1 +: ranked.slice(1, pp)
+          .takeWhile(_._2 <= cut).map(_._1)
+      }
     }
+  }
 
   /** Segments that could contain `key` — range-pruned when ranges are known
     * and aligned, every segment otherwise. */

@@ -95,6 +95,8 @@ case class HnswIndexJoinCoreExec(
     // captured driver-side at execution (doExecute runs on the driver) so
     // it needn't ride the plan's constructor.
     val probe = probeOverride.getOrElse(graft.Hnsw.probeSegments(session))
+    // Adaptive-routing margin, captured driver-side like `probe` (0 = off).
+    val margin = graft.Hnsw.adaptiveProbeMargin(session)
     val toFloats: ArrayData => Array[Float] = q.dataType match {
       case ArrayType(FloatType, _) => _.toFloatArray()
       case ArrayType(DoubleType, _) => _.toDoubleArray().map(_.toFloat)
@@ -112,7 +114,7 @@ case class HnswIndexJoinCoreExec(
           val v = bound.eval(row)
           if (v == null) null else toFloats(v.asInstanceOf[ArrayData])
         }
-        val hits = Hnsw.searchBatch(b, m, queries, kk, e, probe)
+        val hits = Hnsw.searchBatch(b, m, queries, kk, e, probe, margin)
         rows.iterator.zipWithIndex.flatMap { case (outerRow, ri) =>
           hits(ri).iterator.zipWithIndex.map { case ((id, d), i) =>
             resultProj(joined(outerRow,

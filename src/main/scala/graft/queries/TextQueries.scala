@@ -585,7 +585,12 @@ object TextQueries {
       // the global range sort SAMPLES its child, re-executing the whole
       // window subtree once just to pick split points (StageProf r13:
       // two full window passes, 80+105 ms of a ~750 ms body at sf10).
-      graft.text.Mix.tokenBudgetManifest(d, "doc_id", "text", "source",
+      // coalesce-to-0 (the _bpe gates' shape, extended here by the r16
+      // null-hardened fixture): the layout contract needs a non-null
+      // weight per doc, and a null text is a zero-width position — the
+      // oracle's window sum skips NULLs, which is the same arithmetic.
+      graft.text.Mix.weightBudgetManifestBy(d, "doc_id",
+          coalesce(TF.tokenCount(col("text")).cast("long"), lit(0L)), "source",
           lit(1000) + lit(100) * (substring(col("source"), 4, 10).cast("int") % 5))
         .select(col("doc_id"), col("source"), col("cum_tokens"))
     }),
@@ -937,10 +942,15 @@ object TextQueries {
            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
          FROM documents""",
     "doc_exact_dedup" ->
+      // WHERE text IS NOT NULL encodes the operator's contract (null texts
+      // are unknown content, never byte-identical — exactDupGroups'
+      // scaladoc); without it md5(NULL) forms a spurious n-null "dup"
+      // group. Fired in anger by the null-hardened fixture (r16).
       """SELECT md5(text) AS text_hash, count(*) AS n,
            array_to_string(list_sort(list(doc_id)), ',') AS ids,
            min(doc_id) AS keep_id
-         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY md5(text) HAVING count(*) > 1""",
     "doc_dedup_kept" -> dedupKeptSql,
     "doc_near_dup" ->
       s"""$shingleCte,
@@ -1225,16 +1235,20 @@ object TextQueries {
                 - (cum - toks) // 128 + 1 AS BIGINT) AS n_seqs
          FROM c""",
     "doc_pack_sequences_bpe" ->
+      // Outer coalesce: the layout contract gives every doc a non-null
+      // weight (the GATE coalesces null text to 0 — a zero-width position
+      // in the fill); without it a null-text doc gets NULL coordinates.
+      // Fired in anger by the null-hardened fixture (r16).
       s"""WITH t AS (
            SELECT doc_id,
-             CASE WHEN text IS NULL THEN NULL
+             coalesce(CASE WHEN text IS NULL THEN NULL
                   ELSE CAST(coalesce(list_sum(
                     [CASE WHEN regexp_matches(w, '^[a-z0-9]') AND len(w) > 1
                           THEN ${bpeOracleWordCount("w")}
                           ELSE 1 END
                      FOR w IN regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')]), 0)
                     AS BIGINT)
-             END AS toks,
+             END, 0) AS toks,
              md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
          c AS (
@@ -1277,12 +1291,16 @@ object TextQueries {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
                FROM documents)""",
     "doc_stopword_filter" ->
+      // Null text → NULL signal AND NULL verdict (unknown content is not
+      // gradable; a bare CASE would verdict it 0 = "drop", silently).
+      // Fired in anger by the null-hardened fixture (r16).
       """SELECT doc_id,
            CAST(len(list_intersect(string_split(text, ' '),
              ['the', 'a', 'and', 'value', 'data'])) AS BIGINT) AS n_stop,
-           CAST(CASE WHEN len(list_intersect(string_split(text, ' '),
-             ['the', 'a', 'and', 'value', 'data'])) >= 2
-             THEN 1 ELSE 0 END AS INT) AS keep
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(CASE WHEN len(list_intersect(string_split(text, ' '),
+                  ['the', 'a', 'and', 'value', 'data'])) >= 2
+                  THEN 1 ELSE 0 END AS INT) END AS keep
          FROM documents""",
     "doc_url_domains" ->
       """WITH u AS (

@@ -152,4 +152,45 @@ class HnswRoutingSpec extends SparkSuite {
     assert(after.segments.size == meta.segments.size + 1)
     assert(after.centroids.size == after.segments.size)
   }
+
+  test("adaptive routing (r16): interior queries stop at p=1, boundary " +
+      "queries escalate; margin is a TRUE-distance ratio (squared for l2); " +
+      "ip keeps fixed p") {
+    // Synthetic meta: 3 segments at 1-D centroids 0, 3, 10 (l2 metric).
+    def meta(metric: String) = HnswIndexMeta(
+      name = "adapt", paths = Seq.empty, column = "v", idColumn = "id",
+      metric = metric, dim = 1, m = 16, m0 = 32,
+      efConstruction = 128, efSearch = 64, count = 0,
+      segments = Seq("s0", "s1", "s2"),
+      segmentRanges = Seq((0L, 0L), (0L, 0L), (0L, 0L)),
+      centroids = Seq(Array(0.0f), Array(3.0f), Array(10.0f)))
+    val m = meta("l2sq")
+    // Interior query at 0.1: d1=0.1, d2=2.9 — ratio 29, any sane margin
+    // stops at the nearest segment.
+    assert(m.routedSegments(Array(0.1f), 2, 1.5) == Seq("s0"))
+    // Boundary query at 1.4: true d1=1.4 (s0), d2=1.6 (s1) — ratio ~1.14:
+    // margin 1.25 escalates to both, margin 1.1 does not.
+    assert(m.routedSegments(Array(1.4f), 2, 1.25) == Seq("s0", "s1"))
+    assert(m.routedSegments(Array(1.4f), 2, 1.1) == Seq("s0"))
+    // The margin is a TRUE-distance ratio: l2 centroids rank by SQUARED
+    // distance (1.96 vs 2.56, squared ratio 1.31 > 1.25) — an unsquared
+    // cut at 1.25 would wrongly exclude s1 here.
+    // p bounds escalation even with a loose margin.
+    assert(m.routedSegments(Array(1.4f), 1, 10.0) == Seq("s0"))
+    // margin <= 1 = fixed-p (take p nearest).
+    assert(m.routedSegments(Array(1.4f), 2, 0.0) == Seq("s0", "s1"))
+    // ip metric: no scale-free ratio — adaptive falls back to fixed p.
+    val ip = meta("ip")
+    assert(ip.routedSegments(Array(1.4f), 2, 1.25).size == 2)
+    // cosine: margin applies unsquared. Centroids at angle 0 and ~90°,
+    // query near the first: escalation off under any reasonable margin.
+    val cos = HnswIndexMeta(
+      name = "adaptc", paths = Seq.empty, column = "v", idColumn = "id",
+      metric = "cosine", dim = 2, m = 16, m0 = 32,
+      efConstruction = 128, efSearch = 64, count = 0,
+      segments = Seq("c0", "c1"),
+      segmentRanges = Seq((0L, 0L), (0L, 0L)),
+      centroids = Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    assert(cos.routedSegments(Array(0.99f, 0.05f), 2, 1.5) == Seq("c0"))
+  }
 }
