@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sessionize_stats" -> graft.sql.TvfMacros.sessionizeStatsTvf,
       "bpe_token_count" -> graft.sql.TvfMacros.bpeTokenCountTvf,
       "bpe_encode_ids" -> graft.sql.TvfMacros.bpeEncodeIdsTvf,
+      "bpe_decode_ids" -> graft.sql.TvfMacros.bpeDecodeIdsTvf,
+      // Retrieval: BM25 lexical top-k + reciprocal-rank fusion (r16).
+      "bm25_topk" -> graft.sql.TvfMacros.bm25TopKTvf,
+      "rrf_fuse" -> graft.sql.TvfMacros.rrfFuseTvf,
       "range_join" -> graft.sql.TvfMacros.rangeJoin,
       // Index-backed ANN surfaces for SQL users.
       "ann_topk" -> graft.sql.TvfMacros.annTopKTvf,

@@ -15,7 +15,8 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracleSql),
     (MacroQueries.queries, MacroQueries.oracleSql),
     (HnswQueries.queries, HnswQueries.oracleSql),
-    (TextQueries.queries, TextQueries.oracleSql)
+    (TextQueries.queries, TextQueries.oracleSql),
+    (SearchQueries.queries, SearchQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -139,6 +139,20 @@ object TextQueries {
           md5(array_join(transform(col("_ids"), _.cast("string")), ","))
             .as("ids_md5"))
     }),
+    "doc_bpe_roundtrip" -> ((s, dir) => {
+      // decode ∘ encode closure (r16): Bpe.decodeIds inverts the id
+      // stream back to the original bytes minus the encoder's dropped
+      // separators — on the ASCII fixture, exactly the text with spaces
+      // removed, which the oracle states WITHOUT any BPE machinery
+      // (md5(replace(text, ' ', ''))): the two engines agree only if the
+      // merge partition concatenates back losslessly. Null text rides
+      // through as null (no filter — the null contract fires).
+      val m = bpeFixtureMerges
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.text.Bpe.decodeIds(
+            graft.text.Bpe.encodeIds(col("text"), m), m)).as("rt_md5"))
+    }),
     "doc_pack_ids_emit" -> ((s, dir) => {
       // Materialized packing in ID currency (r16): L=128-id training
       // sequences assembled from the concatenated id stream — what
@@ -912,6 +926,9 @@ object TextQueries {
           SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
             md5(array_to_string(ids, ',')) AS ids_md5
           FROM ids""",
+    "doc_bpe_roundtrip" ->
+      """SELECT doc_id, md5(replace(text, ' ', '')) AS rt_md5
+         FROM documents""",
     "doc_pack_ids_emit" ->
       s"""WITH t AS (
             SELECT doc_id, coalesce($bpeOracleDocIds, []) AS ids,

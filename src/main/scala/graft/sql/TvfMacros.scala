@@ -437,6 +437,57 @@ object TvfMacros {
       .queryExecution.analyzed
   }
 
+  /** `bpe_decode_ids(TABLE(t), 'ids_col', 'merges_path')` — input plus
+    * `decoded STRING`: the inverse of `bpe_encode_ids` modulo the
+    * encoder's dropped separators (see [[graft.text.Bpe.decodeIdsText]]).
+    * Null/invalid id streams decode to null. */
+  def bpeDecodeIdsTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 3) throw new IllegalArgumentException(
+      s"bpe_decode_ids(table, ids_col, merges_path) takes 3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val df = table(spark, args(0), "bpe_decode_ids table")
+    val idsCol = str(args(1), "bpe_decode_ids ids_col")
+    val merges = graft.text.Bpe.loadMerges(str(args(2), "bpe_decode_ids merges_path"))
+    df.withColumn("decoded",
+        graft.text.Bpe.decodeIds(org.apache.spark.sql.functions.col(idsCol), merges))
+      .queryExecution.analyzed
+  }
+
+  /** `bm25_topk(TABLE(docs), 'text_col', 'id_col', 'space-separated query', k)`
+    * → (id_col, score DOUBLE), best first — [[graft.text.Bm25.topK]]. The
+    * corpus fit (doc count, avg length, per-term df) happens at
+    * resolution, like dsir_select's weight fit. */
+  def bm25TopKTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length != 5) throw new IllegalArgumentException(
+      s"bm25_topk(table, text_col, id_col, query, k) takes 5 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val df = table(spark, args(0), "bm25_topk table")
+    val textCol = str(args(1), "bm25_topk text_col")
+    val idCol = str(args(2), "bm25_topk id_col")
+    val query = str(args(3), "bm25_topk query").split(" ").filter(_.nonEmpty).toSeq
+    require(query.nonEmpty, "bm25_topk query must contain at least one term")
+    val k = intLit(args(4), "bm25_topk k")
+    val model = graft.text.Bm25.fit(df, textCol)
+    graft.text.Bm25.topK(df, textCol, idCol, model, query, k)
+      .queryExecution.analyzed
+  }
+
+  /** `rrf_fuse(TABLE(a), TABLE(b), 'id_col', k[, rrf_k])` — reciprocal-
+    * rank fusion of two ranked lists (each carrying `id_col` + `rank`) →
+    * (id_col, n_lists, rrf_score), best first — [[graft.api.Hybrid.rrfFuse]]. */
+  def rrfFuseTvf(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 4 || args.length > 5) throw new IllegalArgumentException(
+      s"rrf_fuse(a, b, id_col, k[, rrf_k]) takes 4-5 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val a = table(spark, args(0), "rrf_fuse first list")
+    val b = table(spark, args(1), "rrf_fuse second list")
+    val idCol = str(args(2), "rrf_fuse id_col")
+    val k = intLit(args(3), "rrf_fuse k")
+    val rrfK = if (args.length > 4) intLit(args(4), "rrf_fuse rrf_k")
+               else graft.api.Hybrid.DefaultRrfK
+    graft.api.Hybrid.rrfFuse(Seq(a, b), idCol, k, rrfK).queryExecution.analyzed
+  }
+
   // ---- Index-backed ANN as SQL table functions (the index-join surface —
   // the brute vss_join/vss_match macros above mirror the reference; these
   // expose the accelerated paths to SQL users):

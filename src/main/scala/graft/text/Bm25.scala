@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Okapi BM25 lexical retrieval (Robertson & Zaragoza 2009) — the keyword
+ * half of a retrieval stack; [[graft.api.Hybrid]] fuses it with the
+ * vector half (the HNSW/IVF family) via reciprocal-rank fusion.
+ *
+ * Engine posture (same shape as [[Dsir]] / [[BucketLm]]):
+ *  1. FIT — one corpus pass: doc count, total token count, and per-term
+ *     document frequencies, capped to the `maxVocab` most-document-
+ *     frequent terms ([[fit]]). Terms past the cap score with df = 0
+ *     (max idf — the standard treatment for capped stats tables; the cap
+ *     bounds driver/task memory, not correctness of in-cap terms).
+ *  2. SCORE — a fused per-document codegen kernel
+ *     ([[graft.expressions.Bm25Score]]): the query's terms and PINNED
+ *     idf values ride the task binary, so the 100 TB scoring pass is
+ *     scan + one byte-pass expression — no inverted index, no join, no
+ *     explode. (A serving stack answering thousands of queries/second
+ *     wants a real inverted index; this is the analytics/curation shape:
+ *     score an entire corpus against a query set, one scan per batch.)
+ *  3. TOP-K — `ORDER BY (score DESC, id)` + LIMIT ([[topK]]), the same
+ *     TakeOrdered physical shape as the brute-force ANN macros.
+ *
+ * Cross-engine exactness: idf is pinned to integer ppm at fit
+ * (`round(ln·10⁶)/10⁶` — ln is the one non-portable op; the DSIR
+ * integer-ppm move), after which every score op is a correctly-rounded
+ * IEEE double op in a spelled order, so the DuckDB oracle's scores are
+ * bit-identical. See [[graft.expressions.Bm25Kernel]].
+ */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Fitted corpus statistics. `df` holds the `maxVocab` most-document-
+    * frequent terms; [[idf]] treats absent terms as df = 0. */
+  final case class Bm25Model(nDocs: Long, totalTokens: Long,
+      df: Map[String, Long], k1: Double = DefaultK1, b: Double = DefaultB) {
+    require(nDocs > 0, "empty corpus")
+
+    def avgdl: Double = totalTokens.toDouble / nDocs
+
+    /** Lucene-form idf, pinned to integer ppm (see class doc):
+      * round(ln((N − df + 0.5)/(df + 0.5) + 1) · 10⁶) / 10⁶. */
+    def idf(term: String): Double = {
+      val d = df.getOrElse(term, 0L).toDouble
+      val x = (nDocs.toDouble - d + 0.5) / (d + 0.5) + 1.0
+      Math.round(Math.log(x) * 1e6) / 1.0e6
+    }
+  }
+
+  /** One-pass corpus fit (two jobs: corpus totals + the term-df count).
+    * Document frequency counts each term once per document
+    * (`array_distinct` before the explode — a doc-distinct explode +
+    * count, NOT a countDistinct shuffle), tokenized by the library-wide
+    * `split(text, ' ')` convention. */
+  def fit(docs: DataFrame, textCol: String, maxVocab: Int = 1 << 20,
+      k1: Double = DefaultK1, b: Double = DefaultB): Bm25Model = {
+    val d = docs.where(col(textCol).isNotNull)
+    val totals = d.agg(
+      count(lit(1)).as("n"),
+      sum(size(split(col(textCol), " ", -1))).as("tot")).head()
+    val dfRows = d
+      .select(explode(array_distinct(split(col(textCol), " ", -1))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(maxVocab)
+      .collect()
+    Bm25Model(totals.getLong(0), totals.getLong(1),
+      dfRows.map(r => (r.getString(0), r.getLong(1))).toMap, k1, b)
+  }
+
+  /** The fused per-document BM25 score for `query` under `model` (null
+    * text → null). Duplicate query terms are collapsed (BM25 is a set-of-
+    * terms model; a repeated term must not double its contribution). */
+  def scoreColumn(text: Column, model: Bm25Model, query: Seq[String]): Column = {
+    val terms = query.distinct.toArray
+    Bridge.column(graft.expressions.Bm25Score(
+      Bridge.composedExpression(text), terms, terms.map(model.idf),
+      model.k1, model.b, model.avgdl))
+  }
+
+  /** Top-k documents for `query`: (idCol, score DOUBLE), best first, ties
+    * broken by id — deterministic, and the TakeOrdered physical shape
+    * (per-partition bounded heaps, no global sort). */
+  def topK(docs: DataFrame, textCol: String, idCol: String,
+      model: Bm25Model, query: Seq[String], k: Int): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), scoreColumn(col(textCol), model, query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

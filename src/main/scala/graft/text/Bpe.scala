@@ -486,6 +486,63 @@ object Bpe {
   def encodeIds(text: Column, merges: BpeMerges): Column =
     Bridge.column(BpeEncodeIds(Bridge.expression(text), merges))
 
+  /** id → token bytes, dense by id: 0–255 the byte-level base vocabulary,
+    * 256 + r merge rank r's OUTPUT string. Non-canonical ids (a rank
+    * whose output token was first produced earlier) decode to the same
+    * output string their rank names — [[encodeIdsText]] never emits them,
+    * but any 256 + r is still a well-defined token. */
+  def decodeTable(merges: BpeMerges): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](256 + merges.pairs.length)
+    var b = 0
+    while (b < 256) { out(b) = Array(b.toByte); b += 1 }
+    var r = 0
+    while (r < merges.pairs.length) {
+      val (a, bb) = merges.pairs(r)
+      out(256 + r) = (a + bb).getBytes(StandardCharsets.US_ASCII)
+      r += 1
+    }
+    out
+  }
+
+  /** Token-ID decode: concatenate each id's token bytes. Returns NULL for
+    * an id outside [0, 256 + numMerges) or a null element — a corrupt id
+    * stream has no text, and the null surfaces rather than truncates.
+    * Note decode∘encode is the original text MINUS the characters the
+    * encoder drops: spaces (never tokens) and multi-byte chars' trailing
+    * bytes (a multi-byte char carries one id, its lead byte) — on ASCII
+    * text, exactly `text` with spaces removed (gate-pinned).
+    * PUBLIC because it is a codegen entry point. */
+  def decodeIdsText(ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      table: Array[Array[Byte]]): org.apache.spark.unsafe.types.UTF8String = {
+    val n = ids.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) return null
+      val id = ids.getInt(i)
+      if (id < 0 || id >= table.length) return null
+      total += table(id).length
+      i += 1
+    }
+    val bytes = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val tok = table(ids.getInt(i))
+      System.arraycopy(tok, 0, bytes, off, tok.length)
+      off += tok.length
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+  }
+
+  /** Column surface: decode an ARRAY&lt;INT&gt; id sequence back to text
+    * under `merges` — the inverse stage of [[encodeIds]] modulo the
+    * encoder's dropped separators (see [[decodeIdsText]]). Null array or
+    * invalid id → null. Codegen'd expression. */
+  def decodeIds(ids: Column, merges: BpeMerges): Column =
+    Bridge.column(BpeDecodeIds(Bridge.expression(ids), merges))
+
   // ------------------------------------------------------------- wire I/O
 
   /** Parse the GPT-2 merges.txt wire format (one `left right` pair per
@@ -667,6 +724,38 @@ case class BpeEncodeIds(child: org.apache.spark.sql.catalyst.expressions.Express
     defineCodeGen(ctx, ev, c => s"graft.text.Bpe.encodeIdsText($c, $ref)")
   }
   override def prettyName: String = "bpe_encode_ids"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+/** `bpe_decode_ids(ids)` under a bound merges table — see
+  * [[Bpe.decodeIds]]. Null for invalid ids (out of range / null element):
+  * the expression is nullable even on non-null input. */
+case class BpeDecodeIds(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Bpe.BpeMerges)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  @transient private lazy val table: Array[Array[Byte]] = Bpe.decodeTable(merges)
+
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Bpe.decodeIdsText(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeTable", table, "byte[][]")
+    val out = ctx.freshName("bpeDecoded")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""org.apache.spark.unsafe.types.UTF8String $out =
+         |  graft.text.Bpe.decodeIdsText($c, $ref);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }""".stripMargin
+    })
+  }
+  override def prettyName: String = "bpe_decode_ids"
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
 }

@@ -151,4 +151,35 @@ class StreamingTextSpec extends SparkSuite {
       assert(got == Map(1L -> 2L, 2L -> 2L))
     } finally query.stop()
   }
+
+  test("Bm25.scoreColumn annotates a stream (stateless codegen kernel), micro-batch == batch") {
+    // The BM25 scorer is the same shape as the classifier kernels: fit
+    // happens once on a BATCH corpus, the pinned idfs ride the task
+    // binary, and scoring is a pure per-row expression — so arriving
+    // documents score under a frozen model with no state store.
+    val corpus = Seq((1L, "spark scan fast"), (2L, "scan slow"), (3L, "fast fast scan"))
+    val model = graft.text.Bm25.fit(corpus.toDF("doc_id", "text"), "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val query = stream
+      .withColumn("s", graft.text.Bm25.scoreColumn(col("text"), model, Seq("scan", "fast")))
+      .writeStream.format("memory").queryName("bm25_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val rows = Seq((10L, "fast scan fast"), (11L, "slow"), (12L, null: String))
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bm25_stream")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val batch = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.text.Bm25.scoreColumn(col("text"), model, Seq("scan", "fast")).as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(streamed == batch)
+      assert(streamed(10L).exists(_ > 0.0) && streamed(12L).isEmpty)
+    } finally query.stop()
+  }
 }

@@ -29,7 +29,9 @@ FAIR = [k for k in json.load(open(f"{DUMP}/oracle_sql.json"))
     "doc_pii_redact", "doc_source_mix", "doc_top_ngrams", "doc_token_freq",
     "doc_pipeline_e2e", "doc_source_rates", "doc_url_domains",
     "doc_stopword_filter", "doc_split_assign", "doc_domain_caps",
-    "doc_chunk_dedup"]
+    "doc_chunk_dedup",
+    # round-16 retrieval gates (same fit + score both sides; see campaign.py)
+    "doc_bm25_score", "doc_bm25_topk", "hybrid_rrf_topk"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

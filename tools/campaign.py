@@ -54,7 +54,13 @@ FAIR = sorted([k for k in ORACLE if k.startswith(("q", "vss_"))] + [
     # correctness device, not DuckDB's best algorithm, so timing it would
     # flatter Spark. Same-algorithm timing for BPE is the PERF_VS_DUCKDB
     # round-14 scale receipt (train pass + 0.56 s sf10 scoring scan).
-    "doc_dsir_weights"])
+    "doc_dsir_weights",
+    # round-16: retrieval gates — both engines run the same fit + fused
+    # score (idf ppm-pinned so the replay is bit-exact) and, for hybrid,
+    # the same int8-quantize + integer-L2 + RRF pipeline. doc_bpe_roundtrip
+    # is EXCLUDED: its oracle is md5(replace(text,' ','')) — a correctness
+    # statement, not an equivalent-work query.
+    "doc_bm25_score", "doc_bm25_topk", "hybrid_rrf_topk"])
 
 
 def probe():
