@@ -117,6 +117,31 @@ object Cluster {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Eval-only exact integer squared-L2 between two quantized vectors —
+    * the pairwise predicate of [[semDedupDrop]] (one tight loop per pair;
+    * the zip_with/aggregate HOF spelling pays interpreted lambda machinery
+    * per element, same measurement as [[QuantizeVec]]'s note). Dimension
+    * mismatch fails loudly like [[AssignCluster]]. */
+  private[embedding] case class QuantDist2(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData].toLongArray()
+      val vb = b.asInstanceOf[ArrayData].toLongArray()
+      if (va.length != vb.length) throw new IllegalArgumentException(
+        s"semDedupDrop: vector dimension ${va.length} != ${vb.length} — " +
+          "all vectors must share one dimension")
+      var d = 0L
+      var i = 0
+      while (i < va.length) { val t = va(i) - vb(i); d += t * t; i += 1 }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private def quantCol(vecCol: String, scale: Int): Column =
     Bridge.column(QuantizeVec(Bridge.expression(col(vecCol)), scale))
 
@@ -270,5 +295,44 @@ object Cluster {
       .select(explode(col("_km_ids")).as(idCol))
     assigned.join(kept, Seq(idCol))
       .select(df.columns.toIndexedSeq.map(col) :+ col("cluster"): _*)
+  }
+
+  /**
+   * The SemDeDup PRUNE stage (Abbas et al. 2023 §3): cluster, then drop
+   * every document whose embedding sits within `tau2` (exact integer
+   * squared-L2 over the quantized vectors) of a LOWER-ID document in the
+   * same cluster — the order-free "predecessor rule", the same
+   * keep-first-by-id convention as [[graft.text.Dedup]]'s exact dedup.
+   * (The paper keeps one random exemplar per ε-group via a greedy sweep;
+   * the predecessor rule is its deterministic, join-expressible
+   * counterpart: no sequential chain, every verdict is a pure function of
+   * the pair set, so the DuckDB oracle replays it exactly. On a chain
+   * a–b–c where only adjacent pairs are within τ it drops c where the
+   * greedy sweep keeps it — strictly more conservative pruning.)
+   *
+   * Returns `df`'s KEPT rows (original columns). Rows with NULL vectors
+   * have no cluster and are always kept.
+   *
+   * Scale shape: candidate pairs are confined to clusters — the published
+   * SemDeDup recipe sizes k so clusters stay bounded (k ≈ n / target
+   * cluster size), making the per-cluster quadratic a constant-sized
+   * task; the cluster equi-join is one shuffle of (id, cluster, quantized
+   * vector), and the verdict set is one distinct + anti-join.
+   */
+  def semDedupDrop(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      tau2: Long, iters: Int = 3, quantScale: Int = 64): DataFrame = {
+    require(tau2 >= 0, s"tau2 must be non-negative, got $tau2")
+    val a = kmeansAssign(df, vecCol, idCol, k, iters, quantScale)
+      .select(col(idCol), col("cluster"), quantCol(vecCol, quantScale).as("_km_q"))
+    val x = a.select(col(idCol).as("_km_ida"), col("cluster"),
+      col("_km_q").as("_km_qa"))
+    val y = a.select(col(idCol).as("_km_idb"), col("cluster"),
+      col("_km_q").as("_km_qb"))
+    val dropped = x.join(y, "cluster")
+      .where(col("_km_ida") < col("_km_idb") &&
+        Bridge.column(QuantDist2(Bridge.expression(col("_km_qa")),
+          Bridge.expression(col("_km_qb")))) <= tau2)
+      .select(col("_km_idb").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -38,10 +38,13 @@ object SearchQueries {
 
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val m = Bm25.fit(d, "text")
+    // fitQuery, not fit: the oracle computes df for the query terms only,
+    // so the fair gate does the same work (one aggregate-only scan, no
+    // vocabulary shuffle). fit == fitQuery on these terms is spec'd.
+    val m = Bm25.fitQuery(d, "text", QueryTerms)
     d.where(col("text").isNotNull)
       .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         Bm25.scoreColumn(col("text"), m, QueryTerms).as("score"))
   }
 
@@ -71,7 +74,7 @@ object SearchQueries {
       // The retrieval shape itself: top-10 by (score DESC, doc_id) — the
       // TakeOrdered plan, deterministic because the scores are exact.
       val d = docs(s, dir)
-      val m = Bm25.fit(d, "text")
+      val m = Bm25.fitQuery(d, "text", QueryTerms)
       Bm25.topK(d, "text", "doc_id", m, QueryTerms, K)
     }),
     "hybrid_rrf_topk" -> ((s, dir) => {

@@ -93,6 +93,18 @@ object VectorFunctionQueries {
           k = 8, perCluster = 20, iters = 3)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     }),
+    "emb_semdedup" -> ((s, dir) => {
+      // The SemDeDup PRUNE stage end-to-end (r16): integer-Lloyd clusters,
+      // then drop every vector within tau2 = 6000 (exact integer squared
+      // L2 over the quantized vectors; the corpus' minimum pair distance
+      // is 4049, p1 5821 — the threshold bites without flattening a
+      // cluster) of a lower-id vector in the same cluster. All-integer →
+      // the oracle replays clustering AND pruning exactly.
+      graft.embedding.Cluster.semDedupDrop(
+          Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 8, tau2 = 6000L, iters = 3)
+        .select(col("vec_id"))
+    }),
     "vss_quantize_i8" -> ((s, dir) => {
       // Codes proven byte-exact via md5 of the comma-joined list; the
       // dequantized reconstruction closes the loop through
@@ -114,6 +126,76 @@ object VectorFunctionQueries {
 
   private def metricSql(duckExpr: String): String =
     s"SELECT e.vec_id, round($duckExpr, 4) AS d $fromClause"
+
+  /** Shared DuckDB replay of the integer Lloyd fit the emb_* gates pin
+    * (k = 8, 3 update rounds, 64-dim, quantScale 64): CTE chain from `q`
+    * (quantized vectors) to `af` (final assignment; `WHERE rn = 1` picks
+    * the smallest-cluster argmin, the kernel's tiebreak). */
+  private val kmeansReplayCtes: String =
+    """q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> greatest(-127, least(127,
+               CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                  v AS cent
+           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+         a1 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c0.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c0.cent[i]) * (q.v[i] - c0.cent[i]))) AS d2
+                 FROM q, c0)),
+         s1 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c1 AS (
+           SELECT c0.c, coalesce(u.cent, c0.cent) AS cent
+           FROM c0 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s1 GROUP BY c)
+             u USING (c)),
+         a2 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c1.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c1.cent[i]) * (q.v[i] - c1.cent[i]))) AS d2
+                 FROM q, c1)),
+         s2 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c2 AS (
+           SELECT c1.c, coalesce(u.cent, c1.cent) AS cent
+           FROM c1 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s2 GROUP BY c)
+             u USING (c)),
+         a3 AS (
+           SELECT vec_id, v, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, q.v, c2.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c2.cent[i]) * (q.v[i] - c2.cent[i]))) AS d2
+                 FROM q, c2)),
+         s3 AS (
+           SELECT c, i, sum(v[i]) AS s, count(*) AS n
+           FROM (SELECT * FROM a3 WHERE rn = 1), range(1, 65) t(i)
+           GROUP BY c, i),
+         c3 AS (
+           SELECT c2.c, coalesce(u.cent, c2.cent) AS cent
+           FROM c2 LEFT JOIN (
+             SELECT c, list(s // n ORDER BY i) AS cent FROM s3 GROUP BY c)
+             u USING (c)),
+         af AS (
+           SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM (SELECT q.vec_id, c3.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
+                 FROM q, c3))"""
 
   val oracleSql: Map[String, String] = Map(
     "vss_array_distance" ->
@@ -153,70 +235,7 @@ object VectorFunctionQueries {
     // SemDeDup selection end-to-end: the kmeans replay + row_number over
     // the library-wide (md5(id), id) fill order, capped per cluster.
     "emb_cluster_sample" ->
-      """WITH q AS (
-           SELECT vec_id,
-             list_transform(embedding, x -> greatest(-127, least(127,
-               CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
-                  v AS cent
-           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
-         a1 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c0.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c0.cent[i]) * (q.v[i] - c0.cent[i]))) AS d2
-                 FROM q, c0)),
-         s1 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c1 AS (
-           SELECT c0.c, coalesce(u.cent, c0.cent) AS cent
-           FROM c0 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s1 GROUP BY c)
-             u USING (c)),
-         a2 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c1.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c1.cent[i]) * (q.v[i] - c1.cent[i]))) AS d2
-                 FROM q, c1)),
-         s2 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c2 AS (
-           SELECT c1.c, coalesce(u.cent, c1.cent) AS cent
-           FROM c1 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s2 GROUP BY c)
-             u USING (c)),
-         a3 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c2.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c2.cent[i]) * (q.v[i] - c2.cent[i]))) AS d2
-                 FROM q, c2)),
-         s3 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a3 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c3 AS (
-           SELECT c2.c, coalesce(u.cent, c2.cent) AS cent
-           FROM c2 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s3 GROUP BY c)
-             u USING (c)),
-         af AS (
-           SELECT vec_id, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, c3.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
-                 FROM q, c3)),
+      s"""WITH $kmeansReplayCtes,
          sel AS (SELECT vec_id, c FROM af WHERE rn = 1),
          rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
@@ -227,72 +246,21 @@ object VectorFunctionQueries {
     // assignment+update rounds, final assignment. All-integer (quantized
     // vectors, exact sums, truncating `//`), so the replay is exact.
     "emb_kmeans" ->
-      """WITH q AS (
-           SELECT vec_id,
-             list_transform(embedding, x -> greatest(-127, least(127,
-               CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
-                  v AS cent
-           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
-         a1 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c0.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c0.cent[i]) * (q.v[i] - c0.cent[i]))) AS d2
-                 FROM q, c0)),
-         s1 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c1 AS (
-           SELECT c0.c, coalesce(u.cent, c0.cent) AS cent
-           FROM c0 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s1 GROUP BY c)
-             u USING (c)),
-         a2 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c1.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c1.cent[i]) * (q.v[i] - c1.cent[i]))) AS d2
-                 FROM q, c1)),
-         s2 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c2 AS (
-           SELECT c1.c, coalesce(u.cent, c1.cent) AS cent
-           FROM c1 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s2 GROUP BY c)
-             u USING (c)),
-         a3 AS (
-           SELECT vec_id, v, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, q.v, c2.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c2.cent[i]) * (q.v[i] - c2.cent[i]))) AS d2
-                 FROM q, c2)),
-         s3 AS (
-           SELECT c, i, sum(v[i]) AS s, count(*) AS n
-           FROM (SELECT * FROM a3 WHERE rn = 1), range(1, 65) t(i)
-           GROUP BY c, i),
-         c3 AS (
-           SELECT c2.c, coalesce(u.cent, c2.cent) AS cent
-           FROM c2 LEFT JOIN (
-             SELECT c, list(s // n ORDER BY i) AS cent FROM s3 GROUP BY c)
-             u USING (c)),
-         af AS (
-           SELECT vec_id, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM (SELECT q.vec_id, c3.c,
-                   list_sum(list_transform(range(1, 65),
-                     i -> (q.v[i] - c3.cent[i]) * (q.v[i] - c3.cent[i]))) AS d2
-                 FROM q, c3))
+      s"""WITH $kmeansReplayCtes
          SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
          FROM af WHERE rn = 1""",
+    "emb_semdedup" ->
+      s"""WITH $kmeansReplayCtes,
+         sel AS (SELECT vec_id, c FROM af WHERE rn = 1),
+         dropd AS (
+           SELECT DISTINCT b.vec_id
+           FROM sel a JOIN sel b ON a.c = b.c AND a.vec_id < b.vec_id
+           JOIN q qa ON qa.vec_id = a.vec_id
+           JOIN q qb ON qb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(1, 65),
+             i -> (qa.v[i] - qb.v[i]) * (qa.v[i] - qb.v[i]))) <= 6000)
+         SELECT s.vec_id FROM sel s
+         WHERE s.vec_id NOT IN (SELECT vec_id FROM dropd)""",
     "vss_quantize_i8" ->
       """WITH q AS (
            SELECT vec_id, embedding AS v,

@@ -54,25 +54,56 @@ object Bm25 {
     }
   }
 
-  /** One-pass corpus fit (two jobs: corpus totals + the term-df count).
-    * Document frequency counts each term once per document
-    * (`array_distinct` before the explode — a doc-distinct explode +
-    * count, NOT a countDistinct shuffle), tokenized by the library-wide
-    * `split(text, ' ')` convention. */
+  /** ONE-pass, ONE-job corpus fit. Document frequency counts each term
+    * once per document: the `wordShingles(n=1)` byte kernel emits each
+    * doc's DISTINCT tokens in one pass (no split array, no generic
+    * array_distinct), the explode+count is a map-side-combined shuffle of
+    * (term, df) — never a countDistinct. Corpus totals (doc count, total
+    * tokens via the `tokenCount` byte kernel) ride the SAME job as an
+    * `Observation` on the scan, so the fit costs exactly one corpus scan.
+    * Tokenization is the library-wide `split(text, ' ')` convention. */
   def fit(docs: DataFrame, textCol: String, maxVocab: Int = 1 << 20,
       k1: Double = DefaultK1, b: Double = DefaultB): Bm25Model = {
     val d = docs.where(col(textCol).isNotNull)
-    val totals = d.agg(
-      count(lit(1)).as("n"),
-      sum(size(split(col(textCol), " ", -1))).as("tot")).head()
+    val obs = org.apache.spark.sql.Observation()
     val dfRows = d
-      .select(explode(array_distinct(split(col(textCol), " ", -1))).as("term"))
+      .observe(obs, count(lit(1)).as("n"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))
+      .select(explode(TextFunctions.wordShingles(col(textCol), 1)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(maxVocab)
       .collect()
-    Bm25Model(totals.getLong(0), totals.getLong(1),
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    require(n > 0, "Bm25.fit: empty corpus (no non-null text)")
+    Bm25Model(n, m("tot").asInstanceOf[Long],
       dfRows.map(r => (r.getString(0), r.getLong(1))).toMap, k1, b)
+  }
+
+  /** Query-restricted fit: exact stats for `terms` ONLY — one
+    * aggregate-only scan (count, total tokens, one conditional-sum df per
+    * term), no explode, no shuffle, no driver vocabulary. Produces the
+    * same idf as [[fit]] for any in-cap term (spec'd), at the cost a
+    * SQL engine answering one ad-hoc query would pay — use it when the
+    * query set is known up front; use [[fit]] to build the reusable
+    * full-vocabulary model once per corpus. */
+  def fitQuery(docs: DataFrame, textCol: String, terms: Seq[String],
+      k1: Double = DefaultK1, b: Double = DefaultB): Bm25Model = {
+    val ts = terms.distinct
+    require(ts.nonEmpty && ts.length <= 256, "fitQuery takes 1..256 terms")
+    val d = docs.where(col(textCol).isNotNull)
+    val toks = split(col(textCol), " ", -1)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot")) ++
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val r = d.agg(aggs.head, aggs.tail: _*).head()
+    require(r.getLong(0) > 0, "Bm25.fitQuery: empty corpus (no non-null text)")
+    Bm25Model(r.getLong(0), r.getLong(1),
+      ts.zipWithIndex.map { case (t, i) => (t, r.getLong(i + 2)) }.toMap, k1, b)
   }
 
   /** The fused per-document BM25 score for `query` under `model` (null

@@ -151,6 +151,35 @@ class ClusterSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("semDedupDrop: predecessor rule within clusters — drop iff a lower-id " +
+      "vector is within tau2; null vectors always kept; chains prune conservatively") {
+    // One tight blob (ids 1-4) and one far blob (ids 11-12), k=2. Within
+    // the tight blob: 1-2 close, 2-3 close, 1-3 NOT close (a chain), 4
+    // close to nothing. Quantized coords (x64): steps of 0.25 -> 16 units
+    // -> adjacent d2 = 256, skip-one d2 = 1024.
+    val rows = Seq(
+      (1L, Array(1.00f, 1f, 0f, 0f)),
+      (2L, Array(1.25f, 1f, 0f, 0f)),  // d2(1,2) = 256  <= tau2
+      (3L, Array(1.50f, 1f, 0f, 0f)),  // d2(2,3) = 256, d2(1,3) = 1024 > tau2
+      (4L, Array(3.00f, 3f, 0f, 0f)),  // far from everything in-cluster
+      (11L, Array(-1.00f, -1f, 0f, 0f)),
+      (12L, Array(-1.25f, -1f, 0f, 0f)), // d2 = 256 but to a LOWER id -> dropped
+      (99L, null: Array[Float]))         // no vector -> always kept
+      .toDF("vec_id", "embedding")
+    val kept = Cluster.semDedupDrop(rows, "embedding", "vec_id",
+        k = 2, tau2 = 600L, iters = 3)
+      .select($"vec_id").as[Long].collect().sorted
+    // 2 drops (pred 1); 3 drops (pred 2 — even though 2 itself dropped:
+    // the predecessor rule is over ALL lower ids, not kept ones); 12
+    // drops (pred 11); 1, 4, 11, 99 stay.
+    assert(kept.sameElements(Array(1L, 4L, 11L, 99L)))
+    // tau2 below the pair distance keeps everything.
+    val all = Cluster.semDedupDrop(rows, "embedding", "vec_id",
+        k = 2, tau2 = 100L, iters = 3)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(all.sameElements(Array(1L, 2L, 3L, 4L, 11L, 12L, 99L)))
+  }
+
   test("clusterSample keeps perCluster rows per cluster in md5(id) order") {
     val kept = Cluster.clusterSample(blobs, "embedding", "vec_id", k = 2,
       perCluster = 3).select($"vec_id").as[Long].collect().toSet

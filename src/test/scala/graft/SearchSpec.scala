@@ -75,6 +75,19 @@ class SearchSpec extends SparkSuite {
     assert((m.idf("alpha") * 1e6).isWhole)
   }
 
+  test("bm25: fitQuery (aggregate-only serving fit) equals fit on the query terms exactly") {
+    val docs = (0 until 150).map(i => (i.toLong, randomDoc())).toDF("id", "text")
+    val full = Bm25.fit(docs, "text")
+    val q = Seq("alpha", "zeta", "not-in-corpus")
+    val restricted = Bm25.fitQuery(docs, "text", q)
+    assert(restricted.nDocs == full.nDocs && restricted.totalTokens == full.totalTokens)
+    q.foreach { t =>
+      assert(restricted.df.getOrElse(t, 0L) == full.df.getOrElse(t, 0L), t)
+      assert(restricted.idf(t) == full.idf(t), t)
+    }
+    assert(restricted.avgdl == full.avgdl)
+  }
+
   test("bm25: null text scores null; duplicate query terms rejected at the expression, deduped by the API") {
     val docs = Seq((1L, "alpha"), (2L, null: String)).toDF("id", "text")
     val m = Bm25.fit(docs, "text")
