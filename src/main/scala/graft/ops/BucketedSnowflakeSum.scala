@@ -415,7 +415,7 @@ object BucketedSnowflakeSum {
       } yield (factScan, iFk, iA, iB, buildScan, iBk, iRef)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def pos(scan: FileSourceScanExec, c: String,
+  private[ops] def pos(scan: FileSourceScanExec, c: String,
       want: DataType => Boolean): Option[Int] = {
     val i = scan.output.map(_.name).indexOf(c)
     if (i >= 0 && want(scan.output(i).dataType)) Some(i) else None
@@ -424,7 +424,7 @@ object BucketedSnowflakeSum {
   /** Same bare-lineage guard as [[ColumnarUnitsSum]] (see its rationale):
     * a filter above the scan would be silently dropped by direct batch
     * consumption, so only attribute-pure lineage takes the kernel. */
-  private def isBare(
+  private[ops] def isBare(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     plan match {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>

@@ -156,6 +156,20 @@ object RelationalQueries {
     "q2_join_agg" -> ((s, dir) => {
       // revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
       //
+      // r16: the default path is the dense-key broadcast-probe kernel
+      // (ops.DenseSnowflakeSum) — the flat-layout sibling of q2_bucketed's
+      // kernel. Warehouse orderkeys are DENSE, so the 15M-entry
+      // (o_orderkey → nationkey) map is a ~15 MB byte ARRAY, broadcastable
+      // where the r8 A/B's LongHashedRelation was the measured loss: two
+      // jobs (pack build pairs; probe fact batches by array index into the
+      // 128-bit grid), ZERO exchanges of any width. Falls back internally
+      // (sparse keys / non-bare lineage / >254 groups) to the declarative
+      // snowflake; spark.graft.q2.flat = shuffle_hash selects the tuned
+      // r8–r15 shuffle spelling below (kept as the A/B reference and the
+      // no-dense-key-scale answer). EAGER like q7/q2_bucketed: the
+      // kernel runs its jobs at construction and returns the
+      // materialized grid.
+      //
       // r8 plan (measured A/B at sf1, AQE off, steady-state):
       //  - The dimension side collapses FIRST: o⋈c⋈n reduces to a 2-column
       //    (o_orderkey, n_name) map before lineitem is touched, so the fact
@@ -184,37 +198,59 @@ object RelationalQueries {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
-      // r9 A/B at sf10 (3 interleaved runs each): broadcasting a
-      // customer→nation map under orders (no o⋈c shuffle, but a 0.7 s
-      // SERIAL driver build of the 1.5M-entry hashed relation) ties this
-      // shuffle spelling within noise (3.74 vs 3.61 s min). Keep the
-      // shuffle: at warehouse scale customer outgrows any broadcast while
-      // per-partition SHJ builds stay bounded.
-      // No strings in the hot path (r12, the q7 lesson applied here too):
-      // the dim map ships (o_orderkey, nationkey INT) instead of the name
-      // string — a narrower 15M-row exchange — the fact agg groups on the
-      // int, and the 25-row name join runs over the aggregated grid.
-      val dim = o.select(col("o_orderkey"), col("o_custkey"))
-        .join(c.select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("c_nationkey"))
-      // price_cents × (100 − disc_cents) = the revenue term's unscaled
-      // value at scale 4, exactly the DECIMAL(38,4) product the oracle
-      // sums — but in long registers, and computed BEFORE the fact
-      // shuffle: it only reads lineitem columns, so folding it here
-      // shrinks the 60M-row exchange to (key, one long) and leaves no
-      // per-row arithmetic after the probe.
-      li.select(col("l_orderkey"),
-          (double_units(col("l_extendedprice"), 2) *
-            (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
-        .join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("c_nationkey"))
-        .agg(
-          outD(sum128(col("_rev"), 4)).as("revenue"),
-          count(lit(1)).as("n_rows"))
-        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), col("revenue"), col("n_rows"))
+      val strat = s.conf.getOption("spark.graft.q2.flat").getOrElse("kernel")
+      if (strat == "kernel") {
+        // 25-row nation names overlap the grid computation (the q7 /
+        // q2_bucketed device); the name join rides the aggregated grid as
+        // a literal map, never the fact rows.
+        val nationF = scala.concurrent.Future {
+          n.select(col("n_nationkey").cast("int"), col("n_name"))
+            .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        }(scala.concurrent.ExecutionContext.global)
+        val grid = graft.ops.DenseSnowflakeSum.groupSum(
+          li, "l_orderkey",
+          measureA = ("l_extendedprice", 2),
+          measureB = Some((100L, "l_discount", 2)), outScale = 4,
+          build = o, buildKeyCol = "o_orderkey", buildRefCol = "o_custkey",
+          dim = c, dimKeyCol = "c_custkey", dimGroupCol = "c_nationkey")
+        val nationNames = scala.concurrent.Await.result(nationF,
+          scala.concurrent.duration.Duration.Inf)
+        grid.select(
+          element_at(typedLit(nationNames), col("c_nationkey")).as("n_name"),
+          outD(col("sum")).as("revenue"), col("n_rows"))
+      } else {
+        // r9 A/B at sf10 (3 interleaved runs each): broadcasting a
+        // customer→nation map under orders (no o⋈c shuffle, but a 0.7 s
+        // SERIAL driver build of the 1.5M-entry hashed relation) ties this
+        // shuffle spelling within noise (3.74 vs 3.61 s min). Keep the
+        // shuffle: at warehouse scale customer outgrows any broadcast while
+        // per-partition SHJ builds stay bounded.
+        // No strings in the hot path (r12, the q7 lesson applied here too):
+        // the dim map ships (o_orderkey, nationkey INT) instead of the name
+        // string — a narrower 15M-row exchange — the fact agg groups on the
+        // int, and the 25-row name join runs over the aggregated grid.
+        val dim = o.select(col("o_orderkey"), col("o_custkey"))
+          .join(c.select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        // price_cents × (100 − disc_cents) = the revenue term's unscaled
+        // value at scale 4, exactly the DECIMAL(38,4) product the oracle
+        // sums — but in long registers, and computed BEFORE the fact
+        // shuffle: it only reads lineitem columns, so folding it here
+        // shrinks the 60M-row exchange to (key, one long) and leaves no
+        // per-row arithmetic after the probe.
+        li.select(col("l_orderkey"),
+            (double_units(col("l_extendedprice"), 2) *
+              (lit(100L) - double_units(col("l_discount"), 2))).as("_rev"))
+          .join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(
+            outD(sum128(col("_rev"), 4)).as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("revenue"), col("n_rows"))
+      }
     }),
     "q2_bucketed" -> ((s, dir) => {
       // q2 over the CO-BUCKETED warehouse layout — the r8/r10 bucketed-

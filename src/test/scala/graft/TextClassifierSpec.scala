@@ -15,8 +15,24 @@ class TextClassifierSpec extends SparkSuite {
       .where(col("text").isNotNull)
       .withColumn("label", (col("lang") === "en").cast("int"))
 
+  /** Spark ML keeps the training summary — which captures the live
+    * SparkSession — on a fitted model, and TASK-serializing such a model
+    * only succeeds while the session's lazy ObservationManager is still
+    * un-forced (any `df.observe` anywhere in the shared-JVM session breaks
+    * it — surfaced r16 by Bm25.fit's Observation running in an earlier
+    * suite). A save/load roundtrip is the public API that drops the
+    * summary, making the ML reference transform serialization-safe
+    * regardless of suite order. */
+  private def stripSummary[M <: org.apache.spark.ml.util.MLWritable](
+      m: M)(load: String => M): M = {
+    val dir = java.nio.file.Files.createTempDirectory("tc-ml")
+      .resolve("m").toString
+    m.write.overwrite().save(dir)
+    load(dir)
+  }
+
   test("codegen scorer == ML transform probability to 1e-9 on fixture docs") {
-    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
     import org.apache.spark.ml.feature.HashingTF
     val numFeatures = 1 << 14
     val prepared = docs.select(col("doc_id"), col("text"),
@@ -26,7 +42,8 @@ class TextClassifierSpec extends SparkSuite {
       .setOutputCol("_tc_features").setNumFeatures(numFeatures)
     val lr = new LogisticRegression().setFeaturesCol("_tc_features")
       .setLabelCol("_tc_label").setMaxIter(50).setRegParam(0.01)
-    val mlModel = lr.fit(tf.transform(prepared))
+    val mlModel = stripSummary(lr.fit(tf.transform(prepared)))(
+      LogisticRegressionModel.load)
     val model = TextClassifier.Model(mlModel.coefficients.toArray, mlModel.intercept)
 
     val viaMl = mlModel.transform(tf.transform(prepared))
@@ -66,7 +83,7 @@ class TextClassifierSpec extends SparkSuite {
 
   test("multiclass: codegen softmax scorer == ML transform (argmax label + " +
       "probability to 1e-9) on fixture docs") {
-    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
     import org.apache.spark.ml.feature.HashingTF
     val numFeatures = 1 << 14
     // 3-class weak label injected as a marker token — each doc carries
@@ -90,7 +107,8 @@ class TextClassifierSpec extends SparkSuite {
     val lr = new LogisticRegression().setFeaturesCol("_tc_features")
       .setLabelCol("_tc_label").setMaxIter(20).setRegParam(0.01)
       .setFamily("multinomial")
-    val mlModel = lr.fit(tf.transform(prepared))
+    val mlModel = stripSummary(lr.fit(tf.transform(prepared)))(
+      LogisticRegressionModel.load)
     val refModel = TextClassifier.MulticlassModel(
       Array("0", "1", "2"),
       Array.tabulate(3)(c => Array.tabulate(numFeatures)(i =>
