@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ngram_jaccard_join" -> graft.sql.TvfMacros.ngramJaccardJoin,
       "simhash_pairs" -> graft.sql.TvfMacros.simhashPairs,
       "embedding_near_dup" -> graft.sql.TvfMacros.embeddingNearDup,
+      "semdedup_drop" -> graft.sql.TvfMacros.semDedupDropTvf,
       "decontaminate" -> graft.sql.TvfMacros.decontaminate,
       "top_ngrams" -> graft.sql.TvfMacros.topNgramsTvf,
       "token_freq" -> graft.sql.TvfMacros.tokenFreqTvf,

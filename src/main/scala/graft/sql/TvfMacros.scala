@@ -108,6 +108,7 @@ object TvfMacros {
   //   ngram_jaccard_join(TABLE(t), 'text', 'id', 0.5)
   //   simhash_pairs(TABLE(t), 'text', 'id', 7)
   //   embedding_near_dup(TABLE(t), 'vec', 'id', 0.9)
+  //   semdedup_drop(TABLE(t), 'vec', 'id', 8, 6000)
 
   def dedupExact(args: Seq[Expression]): LogicalPlan =
     dedupBuild("dedup_exact", args, 3, 3, Dedup.exactDupGroups(_, _, _))
@@ -145,6 +146,18 @@ object TvfMacros {
     dedupBuild("embedding_near_dup", args, 4, 4, (df, v, i) =>
       Dedup.embeddingNearDupPairs(df, v, i,
         dblLit(args(3), "embedding_near_dup threshold")))
+
+  /** semdedup_drop(TABLE(t), 'vec_col', 'id_col', k, tau2[, iters]) —
+    * the SemDeDup prune stage ([[graft.embedding.Cluster.semDedupDrop]]):
+    * integer-Lloyd cluster, then drop every row within tau2 (exact
+    * integer squared-L2 over quantized vectors) of a lower-id row in its
+    * cluster. Returns the KEPT rows with t's columns. */
+  def semDedupDropTvf(args: Seq[Expression]): LogicalPlan =
+    dedupBuild("semdedup_drop", args, 5, 6, (df, v, i) =>
+      graft.embedding.Cluster.semDedupDrop(df, v, i,
+        intLit(args(3), "semdedup_drop k"),
+        lngLit(args(4), "semdedup_drop tau2"),
+        if (args.length == 6) intLit(args(5), "semdedup_drop iters") else 3))
 
   /** decontaminate(TABLE(corpus), TABLE(eval), 'text_col', 'id_col'[, n])
     * → (id_col, n_hits) per corpus doc sharing word-n-gram shingles with

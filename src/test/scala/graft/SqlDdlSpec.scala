@@ -153,6 +153,16 @@ class SqlDdlSpec extends SparkSuite {
       """SELECT id_a, id_b FROM embedding_near_dup(TABLE(tvf_vecs), 'vec', 'vec_id', 0.99)
          ORDER BY id_a""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(em == Seq((1L, 2L)))
+    // semdedup_drop: the ClusterSpec chain corner through SQL — 2 and 3
+    // drop (preds 1 and 2), 12 drops (pred 11); 1, 4, 11 stay.
+    Seq((1L, Array(1.00f, 1f)), (2L, Array(1.25f, 1f)),
+        (3L, Array(1.50f, 1f)), (4L, Array(3.00f, 3f)),
+        (11L, Array(-1.00f, -1f)), (12L, Array(-1.25f, -1f)))
+      .toDF("vec_id", "vec").createOrReplaceTempView("tvf_sdd")
+    val sd = spark.sql(
+      """SELECT vec_id FROM semdedup_drop(TABLE(tvf_sdd), 'vec', 'vec_id', 2, 600)
+         ORDER BY vec_id""").collect().map(_.getLong(0)).toSeq
+    assert(sd == Seq(1L, 4L, 11L))
     val err = intercept[Exception](
       spark.sql("SELECT * FROM dedup_near(TABLE(tvf_docs), 'text', 'doc_id')"))
     assert(err.getMessage.contains("4 to 4"))
