@@ -46,8 +46,17 @@ object Cluster {
 
   /** round-half-away-from-zero(x·scale) clamped to [−127, 127] — the
     * quantization both engines compute identically (·scale with a
-    * power-of-two default is exact in double; DuckDB round() matches). */
+    * power-of-two default is exact in double; DuckDB round() matches).
+    * Non-finite input fails LOUDLY like every other contract violation
+    * in this file: JVM rint(NaN) = 0 while SQL engines order/propagate
+    * NaN differently, so a silent 0 would let the same corpus cluster
+    * differently per engine — the exact divergence the all-integer
+    * design exists to prevent. */
   private def quantizeValue(x: Double, scale: Int): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new IllegalArgumentException(
+        s"non-finite embedding component $x — clean or drop the vector " +
+          "before clustering")
     val r = math.rint(x * scale) match {
       // rint is half-to-EVEN; engines round half AWAY — fix the halves.
       case v if math.abs(x * scale - math.floor(x * scale)) == 0.5 =>
@@ -322,8 +331,18 @@ object Cluster {
   def semDedupDrop(df: DataFrame, vecCol: String, idCol: String, k: Int,
       tau2: Long, iters: Int = 3, quantScale: Int = 64): DataFrame = {
     require(tau2 >= 0, s"tau2 must be non-negative, got $tau2")
-    val a = kmeansAssign(df, vecCol, idCol, k, iters, quantScale)
-      .select(col(idCol), col("cluster"), quantCol(vecCol, quantScale).as("_km_q"))
+    val clash = df.columns.filter(c => c == "cluster" || c.startsWith("_km_"))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with semDedupDrop " +
+        "internals ('cluster', '_km_*') — rename them first")
+    // One fused AssignCluster evaluation per side: the struct's q field
+    // IS the quantized vector (emitted for exactly this reuse), so the
+    // pairwise stage never quantizes a second time.
+    val cents = fitCentroids(df, vecCol, idCol, k, iters, quantScale)
+    val a = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), assignStruct(vecCol, cents, quantScale).as("_km_a"))
+      .select(col(idCol), col("_km_a.cluster").as("cluster"),
+        col("_km_a.q").as("_km_q"))
     val x = a.select(col(idCol).as("_km_ida"), col("cluster"),
       col("_km_q").as("_km_qa"))
     val y = a.select(col(idCol).as("_km_idb"), col("cluster"),

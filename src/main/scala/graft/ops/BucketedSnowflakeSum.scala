@@ -171,6 +171,9 @@ object BucketedSnowflakeSum {
     // builders land the same data in one job at ~12 B/row and the probe
     // map is built lazily per executor JVM (see [[DimSide]]). Overlapped
     // with the scan-side plan derivation below, the gridSum device.
+    // Like boundedDimCollect, the cap binds per PARTITION in-task and in
+    // total on the driver: a contract-violating fact-sized "dim" ships
+    // at most cap+1 rows per partition before the total require rejects.
     val dimCap = 1 << 21
     val dimKeyName = dimKeyCol // local for serialization
     val dimFuture = scala.concurrent.Future {

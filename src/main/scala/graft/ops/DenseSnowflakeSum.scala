@@ -199,7 +199,11 @@ object DenseSnowflakeSum {
 
     // Dim: the BSS landing path — per-partition primitive builders in one
     // job, probe map built lazily per executor JVM, overlapped with the
-    // scan-side plan derivation.
+    // scan-side plan derivation. Like gridSum's boundedDimCollect, the
+    // cap is enforced per PARTITION in-task and in total on the driver:
+    // a contract-violating fact-sized "dim" still ships at most cap+1
+    // rows per partition before the total require rejects it — bounded
+    // per task, loud at the driver.
     val dimCap = 1 << 21
     val dimFuture = scala.concurrent.Future {
       dim.select(col(dimKeyCol).cast("long"), col(dimGroupCol).cast("int"))

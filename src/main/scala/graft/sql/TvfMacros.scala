@@ -480,7 +480,11 @@ object TvfMacros {
     val query = str(args(3), "bm25_topk query").split(" ").filter(_.nonEmpty).toSeq
     require(query.nonEmpty, "bm25_topk query must contain at least one term")
     val k = intLit(args(4), "bm25_topk k")
-    val model = graft.text.Bm25.fit(df, textCol)
+    // fitQuery, not fit: the query terms are known here, so the exact
+    // aggregate-only fit (no vocabulary cap — a rare term past fit's
+    // maxVocab would clamp df to 0 and inflate its idf) costs one scan
+    // with no shuffle. fitQuery's 256-term cap == Bm25Score's.
+    val model = graft.text.Bm25.fitQuery(df, textCol, query)
     graft.text.Bm25.topK(df, textCol, idCol, model, query, k)
       .queryExecution.analyzed
   }

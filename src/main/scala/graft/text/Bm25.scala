@@ -54,30 +54,38 @@ object Bm25 {
     }
   }
 
-  /** ONE-pass, ONE-job corpus fit. Document frequency counts each term
-    * once per document: the `wordShingles(n=1)` byte kernel emits each
-    * doc's DISTINCT tokens in one pass (no split array, no generic
+  /** Corpus fit in one WALL-clock pass. Document frequency counts each
+    * term once per document: the `wordShingles(n=1)` byte kernel emits
+    * each doc's DISTINCT tokens in one pass (no split array, no generic
     * array_distinct), the explode+count is a map-side-combined shuffle of
     * (term, df) — never a countDistinct. Corpus totals (doc count, total
-    * tokens via the `tokenCount` byte kernel) ride the SAME job as an
-    * `Observation` on the scan, so the fit costs exactly one corpus scan.
+    * tokens via the `tokenCount` byte kernel) are a SEPARATE
+    * aggregate-only action submitted CONCURRENTLY with the df job (the
+    * gridSum overlap device), NOT an `Observation` riding the df scan:
+    * observed metrics accumulate per task ATTEMPT, so a shuffle-map
+    * stage retry or a speculative duplicate would silently inflate
+    * n/totalTokens on a real cluster — a plain action is exactly-once
+    * and the wall cost stays max(two scans), not their sum.
     * Tokenization is the library-wide `split(text, ' ')` convention. */
   def fit(docs: DataFrame, textCol: String, maxVocab: Int = 1 << 20,
       k1: Double = DefaultK1, b: Double = DefaultB): Bm25Model = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val d = docs.where(col(textCol).isNotNull)
-    val obs = org.apache.spark.sql.Observation()
-    val dfRows = d
-      .observe(obs, count(lit(1)).as("n"),
+    val totalsF = scala.concurrent.Future {
+      d.agg(count(lit(1)).as("n"),
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))
+        .head()
+    }(scala.concurrent.ExecutionContext.global)
+    val dfRows = d
       .select(explode(TextFunctions.wordShingles(col(textCol), 1)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(maxVocab)
       .collect()
-    val m = obs.get
-    val n = m("n").asInstanceOf[Long]
-    require(n > 0, "Bm25.fit: empty corpus (no non-null text)")
-    Bm25Model(n, m("tot").asInstanceOf[Long],
+    val totals = scala.concurrent.Await.result(totalsF,
+      scala.concurrent.duration.Duration.Inf)
+    require(totals.getLong(0) > 0, "Bm25.fit: empty corpus (no non-null text)")
+    Bm25Model(totals.getLong(0), totals.getLong(1),
       dfRows.map(r => (r.getString(0), r.getLong(1))).toMap, k1, b)
   }
 

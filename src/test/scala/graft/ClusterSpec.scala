@@ -180,6 +180,17 @@ class ClusterSpec extends SparkSuite {
     assert(all.sameElements(Array(1L, 2L, 3L, 4L, 11L, 12L, 99L)))
   }
 
+  test("non-finite embedding components fail loudly (cross-engine NaN " +
+      "divergence is the exact thing the integer design prevents)") {
+    val bad = Seq((1L, Array(1.0f, Float.NaN)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Cluster.kmeansAssign(bad, "embedding", "vec_id", k = 1).collect())
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8).map(x => Option(x.getMessage).getOrElse(""))
+    assert(chain(e).exists(_.contains("non-finite embedding component")))
+  }
+
   test("clusterSample keeps perCluster rows per cluster in md5(id) order") {
     val kept = Cluster.clusterSample(blobs, "embedding", "vec_id", k = 2,
       perCluster = 3).select($"vec_id").as[Long].collect().toSet

@@ -75,6 +75,12 @@ class SearchSpec extends SparkSuite {
     assert((m.idf("alpha") * 1e6).isWhole)
   }
 
+  test("bm25: fit rejects maxVocab < 1 loudly") {
+    val docs = Seq((1L, "alpha")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](Bm25.fit(docs, "text", maxVocab = 0))
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("bm25: fitQuery (aggregate-only serving fit) equals fit on the query terms exactly") {
     val docs = (0 until 150).map(i => (i.toLong, randomDoc())).toDF("id", "text")
     val full = Bm25.fit(docs, "text")
