@@ -183,6 +183,14 @@ object VectorMath {
     var i = 0
     while (i < n) {
       val x = math.abs(a.getFloat(i))
+      // Non-finite components fail LOUDLY (the clustering quantizer's
+      // contract): NaN silently skips this max (NaN > y is false) and
+      // NaN.toByte = 0 below, while DuckDB's least(127, NaN) = 127 —
+      // the byte-exact cross-engine contract would break with no error.
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"non-finite embedding component ${a.getFloat(i)} — clean or " +
+            "drop the vector before quantization")
       if (x > maxAbs) maxAbs = x
       i += 1
     }

@@ -131,6 +131,62 @@ object BucketedSnowflakeSum {
     }
   }
 
+  /** Landed dim as primitive arrays + the derived dense group count. */
+  private[ops] final case class LandedDim(keys: Array[Long],
+      groups: Array[Int], nGroups: Int)
+
+  /** Submit the dim landing job (per-partition primitive builders, ONE
+    * job, ~12 B/row — shared by this kernel and [[DenseSnowflakeSum]],
+    * one spelling of the dim contract) and return a handle that awaits,
+    * flattens, and validates. Callers overlap the await with scan-side
+    * plan derivation (the gridSum device). The row cap binds per
+    * PARTITION in-task and in total at the await — boundedDimCollect's
+    * documented posture: a contract-violating fact-sized "dim" ships at
+    * most cap+1 rows per partition before the total require rejects. */
+  private[ops] def landDim(dim: DataFrame, dimKeyCol: String,
+      dimGroupCol: String): () => LandedDim = {
+    val dimCap = 1 << 21
+    val f = scala.concurrent.Future {
+      dim.select(col(dimKeyCol).cast("long"), col(dimGroupCol).cast("int"))
+        .queryExecution.executedPlan.execute().mapPartitions { it =>
+          val kb = new scala.collection.mutable.ArrayBuilder.ofLong
+          val gb = new scala.collection.mutable.ArrayBuilder.ofInt
+          var n = 0
+          while (it.hasNext && n <= dimCap) {
+            val r = it.next()
+            if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(1) < 0)
+              throw new IllegalArgumentException(
+                "dim keys/groups must be non-null, groups >= 0")
+            kb += r.getLong(0); gb += r.getInt(1); n += 1
+          }
+          Iterator.single((kb.result(), gb.result()))
+        }.collect()
+    }(scala.concurrent.ExecutionContext.global)
+    () => {
+      val parts = scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf)
+      val total = parts.iterator.map(_._1.length.toLong).sum
+      require(total <= dimCap,
+        s"dim must be dimension-sized (<= $dimCap rows)")
+      val keys = new Array[Long](total.toInt)
+      val groups = new Array[Int](total.toInt)
+      var off = 0
+      parts.foreach { case (ks, gs) =>
+        System.arraycopy(ks, 0, keys, off, ks.length)
+        System.arraycopy(gs, 0, groups, off, gs.length)
+        off += ks.length
+      }
+      var nGroups = 0
+      var gi = 0
+      while (gi < groups.length) {
+        if (groups(gi) >= nGroups) nGroups = groups(gi) + 1
+        gi += 1
+      }
+      require(nGroups <= (1 << 22), s"grid too large: $nGroups groups")
+      LandedDim(keys, groups, nGroups)
+    }
+  }
+
   /**
    * @param fact       bucketed fact table (see scale contract)
    * @param factKeyCol LONG key, bucket column of `fact`
@@ -167,56 +223,18 @@ object BucketedSnowflakeSum {
 
     // Dim: one bounded collect (broadcast contract) AS PRIMITIVE ARRAYS —
     // landing 1.5M customers as copied InternalRows + a driver-side map
-    // build measured ~0.5 s of the sf10 gate; per-partition long/int
-    // builders land the same data in one job at ~12 B/row and the probe
-    // map is built lazily per executor JVM (see [[DimSide]]). Overlapped
-    // with the scan-side plan derivation below, the gridSum device.
-    // Like boundedDimCollect, the cap binds per PARTITION in-task and in
-    // total on the driver: a contract-violating fact-sized "dim" ships
-    // at most cap+1 rows per partition before the total require rejects.
-    val dimCap = 1 << 21
-    val dimKeyName = dimKeyCol // local for serialization
-    val dimFuture = scala.concurrent.Future {
-      dim.select(col(dimKeyCol).cast("long"), col(dimGroupCol).cast("int"))
-        .queryExecution.executedPlan.execute().mapPartitions { it =>
-          val kb = new scala.collection.mutable.ArrayBuilder.ofLong
-          val gb = new scala.collection.mutable.ArrayBuilder.ofInt
-          var n = 0
-          while (it.hasNext && n <= dimCap) {
-            val r = it.next()
-            if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(1) < 0)
-              throw new IllegalArgumentException(
-                "dim keys/groups must be non-null, groups >= 0")
-            kb += r.getLong(0); gb += r.getInt(1); n += 1
-          }
-          Iterator.single((kb.result(), gb.result()))
-        }.collect()
-    }(scala.concurrent.ExecutionContext.global)
+    // build measured ~0.5 s of the sf10 gate; [[landDim]] lands the same
+    // data in one job at ~12 B/row and the probe map is built lazily per
+    // executor JVM (see [[DimSide]]). Overlapped with the scan-side plan
+    // derivation below, the gridSum device.
+    val landed = landDim(dim, dimKeyCol, dimGroupCol)
     val scans = coBucketedScans(fact, factKeyCol, factCols,
       build, buildKeyCol, buildCols)
     mark("scan-resolve")
-    val dimParts = scala.concurrent.Await.result(dimFuture,
-      scala.concurrent.duration.Duration.Inf)
+    val d = landed()
     mark("dim-collect-await")
-    val dimTotal = dimParts.iterator.map(_._1.length.toLong).sum
-    require(dimTotal <= dimCap,
-      s"dim must be dimension-sized (<= $dimCap rows)")
-    val dimKeys = new Array[Long](dimTotal.toInt)
-    val dimGroups = new Array[Int](dimTotal.toInt)
-    var off = 0
-    dimParts.foreach { case (ks, gs) =>
-      System.arraycopy(ks, 0, dimKeys, off, ks.length)
-      System.arraycopy(gs, 0, dimGroups, off, gs.length)
-      off += ks.length
-    }
-    var nGroups = 0
-    var gi = 0
-    while (gi < dimGroups.length) {
-      if (dimGroups(gi) >= nGroups) nGroups = dimGroups(gi) + 1
-      gi += 1
-    }
-    require(nGroups <= (1 << 22), s"grid too large: $nGroups groups")
-    val dimSide = new DimSide(dimKeys, dimGroups, dimKeyName)
+    val nGroups = d.nGroups
+    val dimSide = new DimSide(d.keys, d.groups, dimKeyCol)
 
     val outSchema = StructType(Seq(
       StructField(dimGroupCol, IntegerType, nullable = false),
@@ -292,11 +310,7 @@ object BucketedSnowflakeSum {
                     val v = if (hasB)
                       ua * (bConst - java.lang.Math.round(cB.getDouble(i) * bFactor))
                     else ua
-                    val oldLo = sumLo(g)
-                    val newLo = oldLo + v
-                    sumLo(g) = newLo
-                    sumHi(g) += (v >> 63) +
-                      (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
+                    Acc128.add(sumLo, sumHi, g, v)
                     cnt(g) += 1L
                   }
                 }
@@ -307,17 +321,9 @@ object BucketedSnowflakeSum {
           }
         val merge = (x: (Array[Long], Array[Long], Array[Long]),
             y: (Array[Long], Array[Long], Array[Long])) => {
+          Acc128.mergeInto(x._1, x._2, y._1, y._2, nCells)
           var i = 0
-          while (i < nCells) {
-            val oldLo = x._1(i)
-            val v = y._1(i)
-            val newLo = oldLo + v
-            x._1(i) = newLo
-            x._2(i) += y._2(i) +
-              (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
-            x._3(i) += y._3(i)
-            i += 1
-          }
+          while (i < nCells) { x._3(i) += y._3(i); i += 1 }
           x
         }
         val nParts = partials.getNumPartitions
@@ -331,12 +337,8 @@ object BucketedSnowflakeSum {
         val out = new java.util.ArrayList[Row](64)
         var g = 0
         while (g < nCells) {
-          if (tCnt(g) > 0) {
-            val big = java.math.BigInteger.valueOf(tHi(g)).shiftLeft(64)
-              .add(new java.math.BigInteger(
-                java.lang.Long.toUnsignedString(tLo(g))))
-            out.add(Row(g, new java.math.BigDecimal(big, outScale), tCnt(g)))
-          }
+          if (tCnt(g) > 0)
+            out.add(Row(g, Acc128.toBigDecimal(tLo, tHi, g, outScale), tCnt(g)))
           g += 1
         }
         spark.createDataFrame(out, outSchema)

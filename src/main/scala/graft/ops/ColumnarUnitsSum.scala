@@ -215,12 +215,7 @@ object ColumnarUnitsSum {
                       ua * (bConst - java.lang.Math.round(cB.getDouble(i) * bFactor))
                     else ua
                     val idx = g * nBuckets + b
-                    // 128-bit add, Sum128's carry formula
-                    val oldLo = sumLo(idx)
-                    val newLo = oldLo + v
-                    sumLo(idx) = newLo
-                    sumHi(idx) += (v >> 63) +
-                      (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
+                    Acc128.add(sumLo, sumHi, idx, v) // Sum128's carry formula
                     cnt(idx) += 1L
                   }
                 }
@@ -232,17 +227,9 @@ object ColumnarUnitsSum {
         }
         val merge = (x: (Array[Long], Array[Long], Array[Long]),
             y: (Array[Long], Array[Long], Array[Long])) => {
+          Acc128.mergeInto(x._1, x._2, y._1, y._2, nCells)
           var i = 0
-          while (i < nCells) {
-            val oldLo = x._1(i)
-            val v = y._1(i)
-            val newLo = oldLo + v
-            x._1(i) = newLo
-            x._2(i) += y._2(i) +
-              (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
-            x._3(i) += y._3(i)
-            i += 1
-          }
+          while (i < nCells) { x._3(i) += y._3(i); i += 1 }
           x
         }
         val nParts = partials.getNumPartitions
@@ -260,11 +247,8 @@ object ColumnarUnitsSum {
         var idx = 0
         while (idx < nCells) {
           if (tCnt(idx) > 0) {
-            val big = java.math.BigInteger.valueOf(tHi(idx)).shiftLeft(64)
-              .add(new java.math.BigInteger(
-                java.lang.Long.toUnsignedString(tLo(idx))))
             out.add(Row(idx / nBuckets, idx % nBuckets,
-              new java.math.BigDecimal(big, outScale), tCnt(idx)))
+              Acc128.toBigDecimal(tLo, tHi, idx, outScale), tCnt(idx)))
           }
           idx += 1
         }

@@ -197,53 +197,17 @@ object DenseSnowflakeSum {
     val factCols = Seq(factKeyCol, aCol) ++ measureB.map(_._2)
     val buildCols = Seq(buildKeyCol, buildRefCol)
 
-    // Dim: the BSS landing path — per-partition primitive builders in one
-    // job, probe map built lazily per executor JVM, overlapped with the
-    // scan-side plan derivation. Like gridSum's boundedDimCollect, the
-    // cap is enforced per PARTITION in-task and in total on the driver:
-    // a contract-violating fact-sized "dim" still ships at most cap+1
-    // rows per partition before the total require rejects it — bounded
-    // per task, loud at the driver.
-    val dimCap = 1 << 21
-    val dimFuture = scala.concurrent.Future {
-      dim.select(col(dimKeyCol).cast("long"), col(dimGroupCol).cast("int"))
-        .queryExecution.executedPlan.execute().mapPartitions { it =>
-          val kb = new scala.collection.mutable.ArrayBuilder.ofLong
-          val gb = new scala.collection.mutable.ArrayBuilder.ofInt
-          var n = 0
-          while (it.hasNext && n <= dimCap) {
-            val r = it.next()
-            if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(1) < 0)
-              throw new IllegalArgumentException(
-                "dim keys/groups must be non-null, groups >= 0")
-            kb += r.getLong(0); gb += r.getInt(1); n += 1
-          }
-          Iterator.single((kb.result(), gb.result()))
-        }.collect()
-    }(scala.concurrent.ExecutionContext.global)
+    // Dim: [[BucketedSnowflakeSum.landDim]] — per-partition primitive
+    // builders in one job (the cap binds per partition in-task and in
+    // total at the await), overlapped with the scan-side plan derivation.
+    val landed = BucketedSnowflakeSum.landDim(dim, dimKeyCol, dimGroupCol)
     val scans = flatScans(fact, factCols, build, buildCols)
     mark("scan-resolve")
-    val dimParts = scala.concurrent.Await.result(dimFuture,
-      scala.concurrent.duration.Duration.Inf)
+    val d = landed()
     mark("dim-collect-await")
-    val dimTotal = dimParts.iterator.map(_._1.length.toLong).sum
-    require(dimTotal <= dimCap,
-      s"dim must be dimension-sized (<= $dimCap rows)")
-    val dimKeys = new Array[Long](dimTotal.toInt)
-    val dimGroups = new Array[Int](dimTotal.toInt)
-    var off = 0
-    dimParts.foreach { case (ks, gs) =>
-      System.arraycopy(ks, 0, dimKeys, off, ks.length)
-      System.arraycopy(gs, 0, dimGroups, off, gs.length)
-      off += ks.length
-    }
-    var nGroups = 0
-    var gi = 0
-    while (gi < dimGroups.length) {
-      if (dimGroups(gi) >= nGroups) nGroups = dimGroups(gi) + 1
-      gi += 1
-    }
-    require(nGroups <= (1 << 22), s"grid too large: $nGroups groups")
+    val nGroups = d.nGroups
+    val dimKeys = d.keys
+    val dimGroups = d.groups
     val dimSide = new BucketedSnowflakeSum.DimSide(dimKeys, dimGroups,
       dimKeyCol)
 
@@ -488,11 +452,7 @@ object DenseSnowflakeSum {
                     val v = if (hasB)
                       ua * (bConst - java.lang.Math.round(cB.getDouble(i) * bFactor))
                     else ua
-                    val oldLo = sumLo(g)
-                    val newLo = oldLo + v
-                    sumLo(g) = newLo
-                    sumHi(g) += (v >> 63) +
-                      (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
+                    Acc128.add(sumLo, sumHi, g, v)
                     cnt(g) += 1L
                   }
                 }
@@ -503,17 +463,9 @@ object DenseSnowflakeSum {
           }
           val merge = (x: (Array[Long], Array[Long], Array[Long]),
               y: (Array[Long], Array[Long], Array[Long])) => {
+            Acc128.mergeInto(x._1, x._2, y._1, y._2, nCells)
             var i = 0
-            while (i < nCells) {
-              val oldLo = x._1(i)
-              val v = y._1(i)
-              val newLo = oldLo + v
-              x._1(i) = newLo
-              x._2(i) += y._2(i) +
-                (((oldLo & v) | ((oldLo | v) & ~newLo)) >>> 63)
-              x._3(i) += y._3(i)
-              i += 1
-            }
+            while (i < nCells) { x._3(i) += y._3(i); i += 1 }
             x
           }
           val nParts = partials.getNumPartitions
@@ -527,12 +479,8 @@ object DenseSnowflakeSum {
           val out = new java.util.ArrayList[Row](64)
           var g = 0
           while (g < nCells) {
-            if (tCnt(g) > 0) {
-              val big = java.math.BigInteger.valueOf(tHi(g)).shiftLeft(64)
-                .add(new java.math.BigInteger(
-                  java.lang.Long.toUnsignedString(tLo(g))))
-              out.add(Row(g, new java.math.BigDecimal(big, outScale), tCnt(g)))
-            }
+            if (tCnt(g) > 0)
+              out.add(Row(g, Acc128.toBigDecimal(tLo, tHi, g, outScale), tCnt(g)))
             g += 1
           }
           spark.createDataFrame(out, outSchema)

@@ -52,7 +52,12 @@ object SearchQueries {
     * quantized vec_id-7 query — the exact-arithmetic vector ranking the
     * fusion gate uses (see class doc). */
   private def i8Distances(s: SparkSession, dir: String): DataFrame = {
+    // Null embeddings are filtered on BOTH sides (the lex leg's
+    // text.isNotNull posture): unfiltered, Spark's asc rank puts a NULL
+    // d2 FIRST while DuckDB's ORDER BY puts it LAST — every rank below
+    // would shift and the fused scores diverge.
     val e = Tables.load(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"), array_quantize_i8(col("embedding"))("codes").as("codes"))
     val q = e.where(col("vec_id") === 7).select(col("codes").as("qcodes"))
     e.crossJoin(broadcast(q))
@@ -143,7 +148,7 @@ object SearchQueries {
                            / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
                            + 0.5))) AS TINYINT))
              END AS codes
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
          qdist AS (
            SELECT e.vec_id AS doc_id,
              CAST(list_sum(list_transform(range(1, len(e.codes) + 1),

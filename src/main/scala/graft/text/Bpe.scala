@@ -23,9 +23,16 @@ import org.apache.spark.sql.graftbridge.Bridge
  * construction, so character-level == byte-level and the DuckDB oracle
  * replay (space-joined chars + a rank-ordered `replace` chain) is exact.
  *
- * The merges table uses the GPT-2 `merges.txt` wire format — one
- * space-separated pair per line, rank = line order, `#` comments — so a
- * real published vocabulary drops in via [[Bpe.loadMerges]] unchanged.
+ * The merges table uses the GPT-2 `merges.txt` wire FORMAT — one
+ * space-separated pair per line, rank = line order, `#` comments — read
+ * and written by [[Bpe.loadMerges]]/[[Bpe.mergesText]]. Note the
+ * CONTENT contract is this library's `[a-z0-9]` run alphabet: a
+ * vocabulary published for byte-level pre-tokenization (GPT-2's own
+ * merges.txt, with its `Ġ`-prefixed tokens, capitals, punctuation) is
+ * rejected LOUDLY by the alphabet require below — the wire format
+ * round-trips, the token universe is deliberately narrower (see the
+ * pre-tokenizer paragraph above; it is what makes the DuckDB replay
+ * exact).
  *
  * == Training at 100 TB ==
  *
