@@ -85,14 +85,19 @@ object Ivf {
       sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+    // NULL vectors have no cell and never enter an index — dropped here
+    // like the HNSW and PQ builders (array_to_vector NPEs on null, and
+    // the scan gates' oracles exclude null distances from every top-n).
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val sample = (if (sampleFraction < 1.0) nonNull.sample(sampleFraction, seed)
+      else nonNull)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .fit(sample)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val cellExpr = Bridge.column(NearestCell(Bridge.expression(
       col(vecCol).cast("array<float>")), centroids))
-    df.withColumn("ivf_cell", cellExpr)
+    nonNull.withColumn("ivf_cell", cellExpr)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(outPath)
     writeCentroids(new File(outPath, CentroidFile), centroids)
     centroids

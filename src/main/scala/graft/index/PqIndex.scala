@@ -282,14 +282,18 @@ object Pq {
     val cb = train(df, vecCol, m, ksub, seed = seed, idCol = idCol)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+    // NULL vectors never enter an index (the IvfIndex/Hnsw posture;
+    // array_to_vector NPEs on null).
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val sample = (if (sampleFraction < 1.0) nonNull.sample(sampleFraction, seed)
+      else nonNull)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .fit(sample)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val cellExpr = Bridge.column(Ivf.NearestCell(Bridge.expression(
       col(vecCol).cast("array<float>")), centroids))
-    df.withColumn("ivf_cell", cellExpr)
+    nonNull.withColumn("ivf_cell", cellExpr)
       .withColumn("pq_code", encodeCol(col(vecCol), cb))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(outPath)
     Ivf.writeCentroids(new File(outPath, Ivf.CentroidFile), centroids)

@@ -91,7 +91,11 @@ object HnswQueries {
     val centers: Seq[Seq[Float]] =
       Seq.fill(32)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
     val c = element_at(typedLit(centers), (col("vec_id") % 32).cast("int") + 1)
+    // Null embeddings are excluded at the source: zip_with propagates the
+    // null into `vec`, and a null vec both can't index and poisons the
+    // in-gate truth crossJoin (NULLS FIRST under the asc rank).
     Tables.load(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"),
         zip_with(col("embedding"), c,
           (x, ctr) => (x * lit(0.25) + ctr).cast("float")).as("vec"))
@@ -465,7 +469,10 @@ object HnswQueries {
   private[graft] def ensureRecallTruth(s: SparkSession, dir: String,
       k: Int): Map[Long, Set[Long]] =
     recallTruthCache.getOrElseUpdate((dir, k), {
+      // Null vectors are not index members and have no distance — exclude
+      // them or NULLS-FIRST ranks poison every query's truth set.
       val emb = graft.Tables.load(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
       val queries = emb.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val w = org.apache.spark.sql.expressions.Window
@@ -482,6 +489,7 @@ object HnswQueries {
   private[graft] def ensurePqTruth(s: SparkSession, dir: String): Map[Long, Set[Long]] =
     pqTruthCache.getOrElseUpdate(dir, {
       val emb = graft.Tables.load(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val w = org.apache.spark.sql.expressions.Window
@@ -516,38 +524,45 @@ object HnswQueries {
   val oracleSql: Map[String, String] = Map(
     "hnsw_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
-          FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+          FROM embeddings WHERE embedding IS NOT NULL
+          ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "hnsw_cosine_scan" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
-          FROM embeddings ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+          FROM embeddings WHERE embedding IS NOT NULL
+          ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "hnsw_min_by_scan" ->
       s"""SELECT array_to_string((list(vec_id ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[])))[1:8], ',') AS ids
-          FROM embeddings""",
+          FROM embeddings WHERE embedding IS NOT NULL""",
     "hnsw_filtered_topn" ->
       s"""SELECT vec_id, label, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
-          FROM embeddings WHERE label % 3 = 0
+          FROM embeddings WHERE label % 3 = 0 AND embedding IS NOT NULL
           ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "hnsw_ip_scan" ->
       s"""SELECT vec_id, round(-list_inner_product(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
-          FROM embeddings ORDER BY -list_inner_product(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
+          FROM embeddings WHERE embedding IS NOT NULL
+          ORDER BY -list_inner_product(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]) LIMIT 10""",
     "hnsw_crud_topk" ->
       s"""WITH final AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 200 AND vec_id < 2000
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id >= 200 AND vec_id < 2000 AND embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + 1000000 AS vec_id,
                    list_transform(embedding, x -> x + 0.25::FLOAT) AS embedding
-            FROM embeddings WHERE vec_id >= 50 AND vec_id < 100)
+            FROM embeddings
+            WHERE vec_id >= 50 AND vec_id < 100 AND embedding IS NOT NULL)
           SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
           FROM final
           ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
     "ivf_topn_scan" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), 4) AS d
-          FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
+          FROM embeddings WHERE embedding IS NOT NULL
+          ORDER BY list_distance(embedding::DOUBLE[], $QueryVecSql::DOUBLE[]), vec_id LIMIT 10""",
     "ivf_topk_join" ->
       """WITH s AS (
            SELECT q.vec_id AS q_id, e.vec_id AS n_id,
                   list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d
-           FROM embeddings e, embeddings q WHERE q.vec_id < 5)
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 5 AND e.embedding IS NOT NULL)
          SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn FROM s)
          WHERE rn <= 3""",
@@ -555,7 +570,8 @@ object HnswQueries {
       """WITH s AS (
            SELECT q.vec_id AS q_id, e.vec_id AS n_id,
                   list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d
-           FROM embeddings e, embeddings q WHERE q.vec_id < 5)
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 5 AND e.embedding IS NOT NULL)
          SELECT q_id, n_id, round(d, 4) AS d, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d) AS rn FROM s)
          WHERE rn <= 3""",
@@ -584,6 +600,6 @@ object HnswQueries {
            CAST(max(len(embedding)) AS BIGINT) AS dimensions,
            CAST(count(*) AS BIGINT) AS count,
            true AS levels_ok, true AS segments_ok, true AS no_deletes
-         FROM embeddings"""
+         FROM embeddings WHERE embedding IS NOT NULL"""
   )
 }

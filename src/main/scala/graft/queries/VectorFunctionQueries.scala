@@ -19,8 +19,13 @@ import graft.functions._
  */
 object VectorFunctionQueries {
 
+  // NULL vectors are excluded from every distance computation on BOTH
+  // sides (r16 null-hardened fixture): DuckDB's list_distance/cosine/ip
+  // ERROR on a NULL list where Spark null-propagates, so the symmetric
+  // cross-engine statement is exclusion — the same posture as the index
+  // builders (a null vector never enters an index).
   private def withQueryVec(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
+    val e = Tables.load(s, dir, "embeddings").where(col("embedding").isNotNull)
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
     e.crossJoin(broadcast(q))
   }
@@ -37,7 +42,8 @@ object VectorFunctionQueries {
       s"""SELECT /*+ BROADCAST(q) */ e.vec_id,
             round(e.embedding $op q.embedding, 4) AS d
           FROM graft_vfq_emb e,
-            (SELECT embedding FROM graft_vfq_emb WHERE vec_id = 0) q""")
+            (SELECT embedding FROM graft_vfq_emb WHERE vec_id = 0) q
+          WHERE e.embedding IS NOT NULL""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,7 +70,7 @@ object VectorFunctionQueries {
     "vss_l2_normalize" -> ((s, dir) => {
       // Normalized vector checked via two dot products (a LIST output would
       // break the driver comparator): u·v recovers the norm, u·u ≈ 1.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.load(s, dir, "embeddings").where(col("embedding").isNotNull)
       val n = array_l2_normalize(col("embedding"))
       e.select(col("vec_id"),
           round(array_inner_product(n, col("embedding")), 4).as("d"),
@@ -110,7 +116,7 @@ object VectorFunctionQueries {
       // dequantized reconstruction closes the loop through
       // array_dequantize_i8. Formula order is the cross-engine contract —
       // see VectorMath.quantizeI8.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.load(s, dir, "embeddings").where(col("embedding").isNotNull)
       e.withColumn("q", array_quantize_i8(col("embedding")))
         .select(col("vec_id"),
           round(col("q.scale").cast("double"), 6).as("scale"),
@@ -122,7 +128,8 @@ object VectorFunctionQueries {
   )
 
   private val fromClause =
-    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+    """FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       WHERE e.embedding IS NOT NULL"""
 
   private def metricSql(duckExpr: String): String =
     s"SELECT e.vec_id, round($duckExpr, 4) AS d $fromClause"
@@ -221,7 +228,7 @@ object VectorFunctionQueries {
       """WITH n AS (
            SELECT vec_id, embedding AS v,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
          nv AS (
            SELECT vec_id, v,
              CASE WHEN nrm = 0 THEN v
@@ -260,12 +267,16 @@ object VectorFunctionQueries {
            WHERE list_sum(list_transform(range(1, 65),
              i -> (qa.v[i] - qb.v[i]) * (qa.v[i] - qb.v[i]))) <= 6000)
          SELECT s.vec_id FROM sel s
-         WHERE s.vec_id NOT IN (SELECT vec_id FROM dropd)""",
+         WHERE s.vec_id NOT IN (SELECT vec_id FROM dropd)
+         UNION ALL
+         -- NULL-vector rows have no cluster and are ALWAYS kept (the
+         -- semDedupDrop contract); q/sel exclude them, so add them back.
+         SELECT vec_id FROM embeddings WHERE embedding IS NULL""",
     "vss_quantize_i8" ->
       """WITH q AS (
            SELECT vec_id, embedding AS v,
              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
          enc AS (
            SELECT vec_id, v,
              CASE WHEN maxabs = 0 THEN CAST(0 AS FLOAT)
