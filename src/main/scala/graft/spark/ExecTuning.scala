@@ -102,6 +102,75 @@ object ExecTuning {
   val DefaultScanSplitsPerCore = 2
   val MaxScanSplitBytes: Long = 512L << 20
 
+  /** Byte cap under which [[spreadForKernel]] may add its exchange
+    * (0 disables the spread entirely). Above the cap the input's scan
+    * already has enough splits — or would pay a real shuffle — so the
+    * helper is the identity. */
+  val SpreadKernelMaxBytesKey = "spark.graft.kernel.spreadMaxBytes"
+  val DefaultSpreadKernelMaxBytes: Long = 64L << 20
+
+  /**
+   * Hash-repartition a SMALL input to core parallelism ahead of a
+   * CPU-heavy per-row kernel (shingling, minhash, n-gram explosion, BPE
+   * encoding, classifier featurization).
+   *
+   * The problem it solves is parallelism, not bytes: a 0.5 MB documents
+   * file is 1-3 scan splits no matter how fine `maxPartitionBytes` is
+   * set, so every kernel over it runs on 1-3 of 32 cores — measured at
+   * sf0.1, the shingle stages of the dedup gates spent 0.4-1.0 s on
+   * 3-task stages while 29 cores idled (guide §2: partitioning must be
+   * scale-adaptive, derived from input size, not inherited from file
+   * layout). The exchange ships the kernel's INPUT rows once (narrow:
+   * id + text), which is orders of magnitude cheaper than the kernel
+   * CPU it parallelizes at small scale.
+   *
+   * Scale posture: fires only when the static input estimate is BOTH
+   * under `spark.graft.kernel.spreadMaxBytes` (64 MB default) AND small
+   * enough that the scan feeds fewer than half the cores at the session's
+   * current split size. At warehouse scale the scan has thousands of
+   * splits, the condition is false, and this is the identity — the
+   * shuffle-free plan is unchanged.
+   *
+   * Partitioning is by hash of `keys` (deterministic under task retry,
+   * unlike round-robin; see SPARK-38388) — callers pass the row id.
+   * Results are unchanged for any order-insensitive consumer; every
+   * caller in this library aggregates, joins, or sorts downstream.
+   */
+  def spreadForKernel(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    if (par <= 2 || keys.isEmpty) return df
+    val cap = confLong(spark, SpreadKernelMaxBytesKey, DefaultSpreadKernelMaxBytes)
+    if (cap <= 0) return df
+    // Only scan-shaped inputs qualify: if the subtree already contains an
+    // exchange-inducing node (aggregate, join, window, repartition, sort,
+    // …) the kernel's input is ALREADY spread by that exchange, and adding
+    // another one measurably regresses (first r16 attempt: the
+    // dropNearDuplicates path re-shuffled its window output and the
+    // touched pipeline gates ran 1.5-6x slower).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val barrier = df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: RepartitionByExpression | _: Repartition |
+           _: GlobalLimit => true
+      case _ => false
+    }
+    if (barrier) return df
+    val bytes: BigInt = try inputBytes(df) catch { case _: Exception => return df }
+    if (bytes >= cap) return df
+    // Spark reports this conf's default with a byte suffix ("134217728b"),
+    // so parse it as a byte string, not a bare long.
+    val split = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+      .getOrElse(128L << 20)
+    // Estimated scan splits, ignoring openCostInBytes padding — an
+    // UNDER-estimate on many-small-file tables, which only makes the
+    // spread fire less often (never wrongly at scale).
+    val estSplits = (bytes / split).toLong + 1
+    if (estSplits < par / 2) df.repartition(par, keys: _*) else df
+  }
+
   /**
    * Run `body` (typically an action on `df`) with AQE disabled when the
    * query's static input estimate is under the small-query threshold.

@@ -137,8 +137,12 @@ object Dedup {
   def dropRepeatedSubstrings(df: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 50): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol))
+    // Spread once: both consumers (the stride-1 window explode and the
+    // final rebuild join's probe side) inherit core-parallel kernels; the
+    // two identical exchanges collapse to one via reuse. Identity at scale.
+    val base = graft.spark.ExecTuning.spreadForKernel(
+      df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)),
+      Seq(col(idCol)))
     // Stride-1 windows; position = start token index. Tail windows
     // shorter than minTokens never count (start + L <= n_tokens). The
     // window STRING collapses to its md5 before anything shuffles — at
@@ -190,6 +194,9 @@ object Dedup {
     * corpus is 100 TB of text). */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
+    // NOT spread (r16 ABBA, 4 reps: the near-dup family measured 1.1-1.3x
+    // WORSE with spreadForKernel here — the sigs frame already gets an
+    // explicit exchange in verifiedPairs, so the spread only added a hop).
     df.select(col(idCol).cast("long").as("id"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .where(size(col("sig")) > 0)
@@ -989,6 +996,10 @@ object Dedup {
     // arrays held UTF8Strings and OOM'd the 4.6 GB bench heap at derived
     // sf10. Jaccard over hash sets equals the string-set value absent an
     // in-pair 64-bit collision (see wordShingleHashesSorted).
+    // NOT spread (r16 ABBA: 1.37x WORSE with spreadForKernel here): this
+    // subtree feeds 3+ separate jobs (the eager hot-gram collect, the
+    // prefix explode, the candidate shingle fetch), and the added
+    // exchange is re-paid per job without cross-job reuse.
     val sh = df.select(col(idCol).cast("long").as("id"),
         Bridge.column(graft.expressions.WordShingleHashes(
           Bridge.expression(col(textCol)), shingleN)).as("sh"))
@@ -1105,8 +1116,10 @@ object Dedup {
       "chunkBits must divide 64 and be in [1, 32]")
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      simhash64(tokens(col(textCol))).as("sh"))
+    val sigs = graft.spark.ExecTuning.spreadForKernel(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("_sp_t")),
+        Seq(col("id")))
+      .select(col("id"), simhash64(tokens(col("_sp_t"))).as("sh"))
     val chunked = sigs.select(col("id"), col("sh"),
       explode(array((0 until nChunks).map(i => struct(lit(i).as("chunk_no"),
         pmod(shiftright(col("sh"), i * chunkBits), lit(mask + 1)).as("chunk_val"))): _*)).as("c"))

@@ -37,6 +37,9 @@ object Dsir {
     * occupied buckets, one row per bucket. */
   def bucketCounts(df: DataFrame, textCol: String,
       n: Int = DefaultN, buckets: Int = DefaultBuckets): DataFrame =
+    // NOT spread (r16 ABBA: 1.4x worse with spreadForKernel here — the
+    // map-side partial count already bounds what shuffles, and the
+    // explode kernel is cheap relative to an added text exchange).
     df.where(col(textCol).isNotNull)
       .select(explode(Bridge.column(graft.expressions.DsirBuckets(
         Bridge.composedExpression(col(textCol)), n, buckets))).as("bucket"))

@@ -111,4 +111,41 @@ class ExecTuningSpec extends SparkSuite {
       finally spark.conf.unset(ExecTuning.SmallQueryBytesKey)
     assert(withPolicy == without)
   }
+
+  private def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _ => false
+    }
+
+  test("spreadForKernel repartitions a small scan-shaped input to core parallelism") {
+    val raw = Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val spread = ExecTuning.spreadForKernel(raw, Seq(col("doc_id")))
+    assert(hasRepartition(spread), "expected a repartition on the small scan")
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // value identity (rows are a set; both sides sorted for comparison)
+    assert(spread.orderBy("doc_id").collect().toSeq ==
+      raw.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("spreadForKernel is the identity when disabled, keyless, or barrier-fed") {
+    val raw = Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    // conf cap 0 disables
+    spark.conf.set(ExecTuning.SpreadKernelMaxBytesKey, "0")
+    try assert(!hasRepartition(ExecTuning.spreadForKernel(raw, Seq(col("doc_id")))))
+    finally spark.conf.unset(ExecTuning.SpreadKernelMaxBytesKey)
+    // no keys
+    assert(!hasRepartition(ExecTuning.spreadForKernel(raw, Seq.empty)))
+    // input already behind an exchange-inducing node (aggregate): identity —
+    // the first r16 attempt re-shuffled such inputs and measurably regressed
+    val agged = raw.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(!hasRepartition(ExecTuning.spreadForKernel(agged, Seq(col("doc_id")))))
+    // a cap below the input size: identity (stands in for the 100 TB case,
+    // where the scan feeds the cores by itself)
+    spark.conf.set(ExecTuning.SpreadKernelMaxBytesKey, "1")
+    try assert(!hasRepartition(ExecTuning.spreadForKernel(raw, Seq(col("doc_id")))))
+    finally spark.conf.unset(ExecTuning.SpreadKernelMaxBytesKey)
+  }
 }
