@@ -71,6 +71,13 @@ object Bm25 {
       k1: Double = DefaultK1, b: Double = DefaultB): Bm25Model = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val d = docs.where(col(textCol).isNotNull)
+    // CONSTRAINT: this overlap must never run under the analyzer (e.g.
+    // from a TVF builder invoked at resolution): the analyzer holds the
+    // SessionCatalog lock, and the Future's own Dataset analysis blocks
+    // on it while the main thread Awaits — a measured deadlock when r16
+    // tried the same device inside Dsir.fitWeights (which dsir_select
+    // resolves at TVF time). No TVF calls `fit` (bm25_topk uses the
+    // Future-free fitQuery), and `fit` must stay off that path.
     val totalsF = scala.concurrent.Future {
       d.agg(count(lit(1)).as("n"),
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))

@@ -542,6 +542,12 @@ object Dedup {
     verifyJaccard(cands, sets, threshold, sortBarrier)
   }
 
+  /** Non-zero (default): [[ngramJaccardPairs]] materializes its candidate
+    * pair set once via localCheckpoint instead of letting the plan
+    * re-derive it per consumer (3x at last count). 0 keeps the lazy
+    * triple-derivation — the A/B escape hatch. */
+  private[graft] val JaccardCandsCheckpointKey = "spark.graft.dedup.jaccardCandsCheckpoint"
+
   /** Corpus-size floor under which [[verifiedPairs]] skips the
     * occupancy-derived candidate-id semi-filter on the shingle-set fetch
     * (and with it the then-single-consumer sigs exchange). 0 disables the
@@ -1075,7 +1081,7 @@ object Dedup {
     // exactly the pairs whose first collision passes — completeness
     // preserved, candidates cut hard. The two sides of the self-join
     // canonicalize to one exchange, so `prefix` is computed once.
-    val cands = prefixP.as("x").join(prefixP.as("y"),
+    val candsLazy = prefixP.as("x").join(prefixP.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           least(col("x.sz"), col("y.sz")) * denom >=
             lit(num) * greatest(col("x.sz"), col("y.sz")) &&
@@ -1083,6 +1089,24 @@ object Dedup {
             ceilDiv(col("x.sz") + col("y.sz"), num, num + denom))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // Materialize the candidate-pair DECISION TABLE once (two longs per
+    // surviving pair — the "small rows" of guide §8). Left lazy, the
+    // final plan references this subtree THREE times — the verify's pairs
+    // stream plus each per-side shingle fetch's semi-join — and physical
+    // exchange reuse does not collapse the three differently-shaped
+    // copies, so the prefix self-join (the whole algorithm) runs 3x
+    // (r16 plan receipt: plans/r16/doc_jaccard_join_before.txt, nodes
+    // 28-59 and 60-91 re-deriving nodes 3-27). localCheckpoint, not
+    // persist: executor-local blocks outside the SQL cache (the
+    // nearDupClusters fixpoint device), freed by the context cleaner.
+    // Eager by design — the operator pays the candidate join at
+    // construction, like the gridSum dim collect. Conf-gated for A/B;
+    // at the sf0.1 floor the three copies largely OVERLAP (broadcast
+    // futures), so the wall gain is scale-side (CPU), not floor-side.
+    val cands =
+      if (graft.spark.ExecTuning.confLong(spark, JaccardCandsCheckpointKey,
+          1L) != 0L) candsLazy.localCheckpoint()
+      else candsLazy
     // Verify: exact Jaccard over candidate pairs only, shingles re-derived
     // for candidate ids via semi-join (see the caching contract — the
     // corpus-sized shingle set is never cached).

@@ -55,6 +55,14 @@ object Dsir {
     def counts(df: DataFrame): Map[Long, Long] =
       bucketCounts(df, textCol, n, buckets).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // MEASURED NO-GO (r16): overlapping the two count passes with a
+    // Future (the Bm25.fitQuery device) DEADLOCKS when this fit runs at
+    // TVF RESOLUTION time (dsir_select): the analyzer invokes the TVF
+    // builder while holding the SessionCatalog lock, so the Future's own
+    // Dataset analysis blocks on that lock while the main thread Awaits
+    // the Future — jstack receipt in OPTIMIZATION_r16.md. Serial passes
+    // stay; the Scala gate path uses the one-pass fitWeightsWithin
+    // anyway.
     weightsFromCounts(counts(target), counts(raw), buckets, alpha)
   }
 

@@ -10,7 +10,10 @@ import graft.SparkEntry
 /** Dump `.explain("formatted")` for named gate queries to files —
   * the plan receipts the optimization rounds commit under plans/rNN/.
   *
-  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...|all>
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...|all> [key=value ...]
+  *
+  * Trailing key=value args become session conf — lets a knob reproduce a
+  * pre-optimization plan for an honest _before receipt.
   *
   * Writes <outDir>/<query>_<suffix>.txt. Builders with eager work (fits,
   * index CRUD) run that work here — the dump reflects the DataFrame the
@@ -18,8 +21,13 @@ import graft.SparkEntry
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4, "args: <sfDir> <outDir> <suffix> <q1,q2,...|all>")
-    val Array(sfDir, outDir, suffix, qlist) = args
+    require(args.length >= 4, "args: <sfDir> <outDir> <suffix> <q1,q2,...|all> [key=value ...]")
+    val Array(sfDir, outDir, suffix, qlist) = args.take(4)
+    val confs = args.drop(4).toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"conf arg must be key=value, got: $kv")
+      (kv.take(i), kv.drop(i + 1))
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -35,6 +43,7 @@ object PlanDump {
       .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     Files.createDirectories(Paths.get(outDir))
     val names =
       if (qlist == "all") SparkEntry.queries.keys.toSeq.sorted
