@@ -539,7 +539,8 @@ object Dedup {
           Bridge.expression(col(textCol)), shingleN)).as("sh"))
     val sets = if (semiSkipped) allSets
       else allSets.join(lshCandidateIds(keyed), Seq("id"), "left_semi")
-    verifyJaccard(cands, sets, threshold, sortBarrier)
+    verifyJaccard(cands, sets, threshold, sortBarrier,
+      hugeSets = setsExceedBroadcast(df))
   }
 
   /** Non-zero (default): [[ngramJaccardPairs]] materializes its candidate
@@ -568,7 +569,8 @@ object Dedup {
     * onto one task, serializing the entire verification CPU — the cost here
     * is per-ROW compute, which byte-based planning cannot see. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame,
-      threshold: Double, sortBarrier: Boolean = true): DataFrame = {
+      threshold: Double, sortBarrier: Boolean = true,
+      hugeSets: Boolean = false): DataFrame = {
     val par = cands.sparkSession.sparkContext.defaultParallelism
     // `sets.sh` is pre-SORTED by the shingle kernel itself — sorting
     // inside the kernel guarantees one sort per DOCUMENT wherever the
@@ -584,9 +586,20 @@ object Dedup {
     // tasks is exactly the unbounded-memory shape this per-pair shuffle
     // avoids, whose working set per task stays ~|partition| arrays no
     // matter the corpus. The shuffle spelling stays on all paths.
+    //
+    // `hugeSets` ENFORCES that intent (r16): the planner's post-semi size
+    // estimate undershoots, so past the corpus gate Spark still chose
+    // BroadcastExchange for the semi-filtered sets — measured at derived
+    // sf10 as "Not enough memory to build and broadcast" (the sets
+    // relation materializes corpus-sized no matter what the semi
+    // estimate says). Callers pass hugeSets when the CORPUS estimate
+    // exceeds the broadcast regime; the hint pins shuffled-hash with the
+    // sets side as the per-partition build, the bounded plan. At the
+    // floor (small corpus) the broadcast stays — it is genuinely small.
+    val fetch = if (hugeSets) sets.hint("shuffle_hash") else sets
     val verified = cands.repartition(par, col("id_a"))
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(fetch.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(fetch.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", sets.schema("sh").dataType match {
         // Kernel dispatch on the payload type: LSH verify ships hashed
         // sets (array<long>); the exact n-gram join ships the strings its
@@ -608,6 +621,33 @@ object Dedup {
     // components) pass sortBarrier = false: there the exchange's 290 MB
     // write+read at derived sf10 bought nothing (round 10).
     if (sortBarrier) verified.repartition(par) else verified
+  }
+
+  /** Conservative disk->materialized explosion factor for the verify
+    * fetch's shingle-set relation: hashed shingles run ~8 bytes per token
+    * in memory against ~1 byte per token of zstd'd parquet text, plus
+    * hashed-relation overhead. Used by [[setsExceedBroadcast]]. */
+  private val SetsExplosionFactor = 16L
+
+  /** Would the per-doc shingle-set relation derived from this corpus
+    * overflow the session's broadcast regime once MATERIALIZED? The
+    * planner's own estimate is the parquet byte count — measured at
+    * derived sf10, it reported the 58 MB documents file under the 64 MB
+    * broadcast threshold while the materialized hashed-sets relation ran
+    * gigabytes, and the chosen BroadcastExchange died with "Not enough
+    * memory to build and broadcast". Compare disk bytes x
+    * [[SetsExplosionFactor]] against the session's actual
+    * autoBroadcastJoinThreshold; threshold <= 0 (broadcast disabled)
+    * never needs the guard. */
+  private def setsExceedBroadcast(df: DataFrame): Boolean = {
+    val spark = df.sparkSession
+    val thr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+      .getOrElse(10L << 20)
+    if (thr <= 0) false
+    else (try graft.spark.ExecTuning.inputBytes(df)
+          catch { case _: Exception => return false }) * SetsExplosionFactor > thr
   }
 
   /** Corpus-size floor under which [[verifiedPairs]] skips the explicit
@@ -1110,7 +1150,8 @@ object Dedup {
     // Verify: exact Jaccard over candidate pairs only, shingles re-derived
     // for candidate ids via semi-join (see the caching contract — the
     // corpus-sized shingle set is never cached).
-    verifyJaccard(cands, candidateShingleSets(cands, sh), threshold)
+    verifyJaccard(cands, candidateShingleSets(cands, sh), threshold,
+      hugeSets = setsExceedBroadcast(df))
   }
 
   /**
