@@ -166,9 +166,12 @@ object ExecTuning {
       .getOrElse(128L << 20)
     // Estimated scan splits, ignoring openCostInBytes padding — an
     // UNDER-estimate on many-small-file tables, which only makes the
-    // spread fire less often (never wrongly at scale).
+    // spread fire less often (never wrongly at scale). par/4: only a
+    // SHARP parallelism deficit pays for the exchange — at ~par/2
+    // splits the gain measured as a wash (derived-sf10 ABBA, 15 splits
+    // on 32 cores: 1.02x), while at 1-3 splits it is 0.62-0.76x.
     val estSplits = (bytes / split).toLong + 1
-    if (estSplits < par / 2) df.repartition(par, keys: _*) else df
+    if (estSplits * 4 <= par.toLong) df.repartition(par, keys: _*) else df
   }
 
   /**
