@@ -543,10 +543,11 @@ object Dedup {
       hugeSets = setsExceedBroadcast(df))
   }
 
-  /** Non-zero (default): [[ngramJaccardPairs]] materializes its candidate
-    * pair set once via localCheckpoint instead of letting the plan
-    * re-derive it per consumer (3x at last count). 0 keeps the lazy
-    * triple-derivation — the A/B escape hatch. */
+  /** [[ngramJaccardPairs]] candidate-pair materialization policy:
+    * negative/unset = AUTO (localCheckpoint once the corpus is past the
+    * broadcast regime, lazy triple-derivation at the floor where the
+    * copies overlap on idle cores); 0 = force lazy; positive = force
+    * checkpoint. */
   private[graft] val JaccardCandsCheckpointKey = "spark.graft.dedup.jaccardCandsCheckpoint"
 
   /** Corpus-size floor under which [[verifiedPairs]] skips the
@@ -1140,13 +1141,21 @@ object Dedup {
     // persist: executor-local blocks outside the SQL cache (the
     // nearDupClusters fixpoint device), freed by the context cleaner.
     // Eager by design — the operator pays the candidate join at
-    // construction, like the gridSum dim collect. Conf-gated for A/B;
-    // at the sf0.1 floor the three copies largely OVERLAP (broadcast
-    // futures), so the wall gain is scale-side (CPU), not floor-side.
-    val cands =
-      if (graft.spark.ExecTuning.confLong(spark, JaccardCandsCheckpointKey,
-          1L) != 0L) candsLazy.localCheckpoint()
-      else candsLazy
+    // construction, like the gridSum dim collect. SIZE-GATED (r16
+    // measurements): at the sf0.1 floor the three copies largely OVERLAP
+    // as concurrent broadcast-future jobs on idle cores, so eager
+    // materialization buys nothing there (ABBA medians 1.1-1.2x) — while
+    // at derived sf1+ the box is CPU-saturated and the checkpoint wins
+    // on min AND median (0.90x/0.82x). Default: checkpoint exactly when
+    // the corpus is past the broadcast regime (the same gate the verify
+    // fetch uses); conf forces it on (1) or off (0).
+    val ckpt = graft.spark.ExecTuning.confLong(spark,
+      JaccardCandsCheckpointKey, -1L) match {
+      case 0L => false
+      case v if v > 0L => true
+      case _ => setsExceedBroadcast(df)
+    }
+    val cands = if (ckpt) candsLazy.localCheckpoint() else candsLazy
     // Verify: exact Jaccard over candidate pairs only, shingles re-derived
     // for candidate ids via semi-join (see the caching contract — the
     // corpus-sized shingle set is never cached).
