@@ -597,6 +597,12 @@ object Dedup {
     // exceeds the broadcast regime; the hint pins shuffled-hash with the
     // sets side as the per-partition build, the bounded plan. At the
     // floor (small corpus) the broadcast stays — it is genuinely small.
+    // NOTE: Spark resolves a strategy hint against every join in the
+    // hinted SUBTREE, so the candidate-id semi inside `sets` flips to
+    // shuffled-hash as well (sf10 receipt: 4 BHJ + 2 SHJ -> 6 SHJ).
+    // Accepted: in the huge regime every one of those sides is
+    // corpus-correlated, and shuffled-hash is the bounded choice for
+    // each; the floor plan (no hint) is untouched.
     val fetch = if (hugeSets) sets.hint("shuffle_hash") else sets
     val verified = cands.repartition(par, col("id_a"))
       .join(fetch.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
