@@ -3,9 +3,25 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: times every gate query at SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line. The JSON is written to BENCH_OUT (default
-  * /root/repo/BENCH_LOCAL.json) AND printed as the final stdout line —
-  * sbt log noise made round 1's line unparseable (BENCH_r01 "parsed": null).
+  * emits the full one-line JSON (written to BENCH_OUT, default
+  * /root/repo/BENCH_LOCAL.json, AND printed to stdout — sbt log noise made
+  * round 1's line unparseable, BENCH_r01 "parsed": null), followed by ONE
+  * COMPACT final JSON line (total/errors/sf/n_queries + a pointer to the
+  * full map). The compact line exists because the driver captures only a
+  * 2000-char stdout tail: at 105 queries the full line is ~2.7 kB and was
+  * truncated mid-map in BOTH r15 and r16, leaving the driver's PERF
+  * comparison empty (r16 verdict item 1). The compact line is guaranteed
+  * under ~400 bytes so the tail always carries one complete, parseable
+  * record; the full per-query map still precedes it on stdout and lives in
+  * BENCH_OUT. The timed body is UNCHANGED — per-query numbers remain
+  * comparable with r15/r16.
+  *
+  * Each query also records steal-invariant scheduler counters
+  * (jobs/stages/tasks of its second timed run, construction + execution)
+  * under a "counters" key in the full JSON (r16 verdict item 4: same code
+  * must show same counters regardless of box state, so environmental
+  * wall-time episodes are counter-provable from the artifacts alone).
+  * Counter snapshots are taken OUTSIDE the timed window.
   *
   * Queries are materialized with a noop datasource write (every row is
   * produced and serialized) instead of `.count()`, which let Catalyst prune
@@ -141,7 +157,24 @@ object Bench {
     // cache is cleared between runs so queries that persist() intermediates
     // recompute their own work (only OS/page-level warmth carries over).
     def jstr(s: String): String = JsonUtil.str(s)
-    val results: Seq[(String, Either[String, Double])] =
+    // Session-wide scheduler counters (see object doc): one listener, per-
+    // query deltas snapshotted outside the timed window after draining the
+    // async bus, so nothing is added to the measured body.
+    val cJobs = new java.util.concurrent.atomic.AtomicLong
+    val cStages = new java.util.concurrent.atomic.AtomicLong
+    val cTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        cJobs.incrementAndGet()
+        cStages.addAndGet(j.stageInfos.size.toLong)
+        cTasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+      }
+    })
+    def counterSnap(): (Long, Long, Long) = {
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark, 10000L)
+      (cJobs.get, cStages.get, cTasks.get)
+    }
+    val results: Seq[(String, Either[String, (Double, (Long, Long, Long))])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       // SPARK_GRAFT_PROFILE=1 splits each timed run into build (DataFrame
@@ -193,27 +226,48 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
       }
-      name -> (try Right(math.min(once(), once())) catch {
+      name -> (try {
+        val r1 = once()
+        val s0 = counterSnap()
+        val r2 = once()
+        val s1 = counterSnap()
+        // Counters are the SECOND run's (steady state — the first run can
+        // carry one-time artifact jobs the min-of-two exists to exclude).
+        Right((math.min(r1, r2), (s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)))
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       })
     }
     val qs = results.map {
-      case (k, Right(v)) => jstr(k) + ":" + f"$v%.3f"
+      case (k, Right((v, _))) => jstr(k) + ":" + f"$v%.3f"
       case (k, Left(err)) => jstr(k) + ":{\"err\":" + jstr(err) + "}"
     }.mkString("{", ",", "}")
-    val timed = results.collect { case (_, Right(v)) => v }
+    val counters = results.collect { case (k, Right((_, (j, s, t)))) =>
+      jstr(k) + s""":{"jobs":$j,"stages":$s,"tasks":$t}"""
+    }.mkString("{", ",", "}")
+    val timed = results.collect { case (_, Right((v, _))) => v }
     val nErr = results.count(_._2.isLeft)
     val total = timed.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""counters":$counters,"errors":$nErr,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
-    // Final clean stdout line, after spark.stop() so no executor shutdown
-    // logging can interleave behind it.
+    // Full contract line first (complete per-query map for full-stdout
+    // consumers and the BENCH_OUT file), after spark.stop() so no executor
+    // shutdown logging can interleave behind it.
     println(json)
+    // Compact FINAL line — the one record guaranteed to survive the
+    // driver's 2000-char stdout tail (the full line is ~2.7 kB at 105
+    // queries and was truncated in r15/r16, leaving PERF empty). No
+    // "queries" map here — it cannot fit; it is in the line above and in
+    // the BENCH_OUT file named by "queries_in".
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,""" +
+      s""""n_queries":${results.size},"sf":${jstr(sfDir)},""" +
+      s""""queries_in":${jstr(out)},"compact":true}""")
     if (nErr > 0) sys.exit(1)
   }
 }

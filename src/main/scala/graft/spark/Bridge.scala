@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus: scheduler-counter snapshots (Bench's
+    * per-query jobs/stages/tasks record) must see every event already
+    * delivered, or counts bleed into the next query's delta. private[spark]
+    * API reached via the bridge package; the timeout raises
+    * TimeoutException instead of hanging a wedged bus. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Full ColumnNode-tree conversion — needed for Columns COMPOSED from
     * `functions._` builders (struct/getField/when/…), which `expression`
     * only wraps lazily and the analyzer then can't type. */
