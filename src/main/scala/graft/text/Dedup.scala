@@ -194,9 +194,10 @@ object Dedup {
     * corpus is 100 TB of text). */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
-    // NOT spread (r16 ABBA, 4 reps: the near-dup family measured 1.1-1.3x
-    // WORSE with spreadForKernel here — the sigs frame already gets an
-    // explicit exchange in verifiedPairs, so the spread only added a hop).
+    // NOT spread (r16 ABBA 1.1-1.3x worse; RE-confirmed r17 after the
+    // count-first probe restructure with a shared-input spread — ABBA
+    // 0.86-0.99 favoring off: the floor kernels overlap as concurrent
+    // broadcast futures, so a spread exchange only adds a hop).
     df.select(col(idCol).cast("long").as("id"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .where(size(col("sig")) > 0)
@@ -449,12 +450,18 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 0): DataFrame = {
+    // NOT spread (re-measured r17 after the count-first probe restructure,
+    // 3-rep ABBA on spreadMaxBytes=default|0: doc_near_dup 0.97,
+    // doc_dedup_kept 0.99, doc_curation_e2e 0.86 — off wins or ties,
+    // confirming r16): the minhash/shingle kernels run as CONCURRENT
+    // broadcast-future jobs at the floor, so their 3-task map stages
+    // overlap on idle cores and a shared spread exchange only adds a hop.
     // The signature set feeds both sides of the band self-join; the sides
     // canonicalize to one exchange (reuse), so the minhash stage runs once
     // without caching it.
     val sigs = minHashSignatures(df, textCol, idCol, shingleN, k, seed)
-    verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k, bands,
-      maxBucketSize, sigsBehindExchange = false)
+    verifiedPairs(df, sigs, textCol, idCol, threshold, shingleN, k,
+      bands, maxBucketSize, sigsBehindExchange = false)
   }
 
   /** Band join + exact-Jaccard verification over prepared (id, sig) rows —
@@ -550,6 +557,36 @@ object Dedup {
     * checkpoint. */
   private[graft] val JaccardCandsCheckpointKey = "spark.graft.dedup.jaccardCandsCheckpoint"
 
+  /** Fault-tolerance escape hatch for the lineage-truncating
+    * materializations ([[nearDupClusters]]' label fixpoint,
+    * [[ngramJaccardPairs]]' candidate table, [[signBuckets]]' split
+    * fixpoint). Default (unset): eager `localCheckpoint` — executor-local
+    * blocks outside the SQL cache, freed by the context cleaner. CLUSTER
+    * CAVEAT: local-checkpoint blocks live ONLY on executors and truncate
+    * lineage, so on a cluster with executor loss (preemption, dynamic
+    * allocation) the frame cannot be recomputed and the query fails —
+    * fine in local mode and on resilient executors, an operational risk
+    * on preemptible fleets. Set this to a fault-tolerant directory
+    * (visible to every executor) to route the same frames through
+    * RELIABLE `checkpoint` instead: blocks survive executor loss at the
+    * cost of a filesystem write. The first value seen wins for the
+    * SparkContext's checkpoint dir. */
+  private[graft] val ReliableCheckpointDirKey = "spark.graft.dedup.reliableCheckpointDir"
+
+  /** Eagerly materialize a bounded decision/fixpoint frame with its
+    * lineage truncated — local checkpoint by default, reliable checkpoint
+    * under [[ReliableCheckpointDirKey]] (see the key's scaladoc for the
+    * trade-off). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ReliableCheckpointDirKey)
+      .filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Corpus-size floor under which [[verifiedPairs]] skips the
     * occupancy-derived candidate-id semi-filter on the shingle-set fetch
     * (and with it the then-single-consumer sigs exchange). 0 disables the
@@ -636,6 +673,19 @@ object Dedup {
     * hashed-relation overhead. Used by [[setsExceedBroadcast]]. */
   private val SetsExplosionFactor = 16L
 
+  /** The session's broadcast threshold in bytes. Plain-long spelling is
+    * tried FIRST: "-1" (the standard disable value) throws in
+    * byteStringAsBytes, and the old parse fell back to the 10 MB default —
+    * making the documented "threshold <= 0 => guard not needed" branch
+    * unreachable with broadcast disabled (r16 ADVICE). */
+  private[graft] def sessionBroadcastThreshold(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption
+        .orElse(scala.util.Try(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption))
+      .getOrElse(10L << 20)
+
   /** Would the per-doc shingle-set relation derived from this corpus
     * overflow the session's broadcast regime once MATERIALIZED? The
     * planner's own estimate is the parquet byte count — measured at
@@ -646,15 +696,25 @@ object Dedup {
     * [[SetsExplosionFactor]] against the session's actual
     * autoBroadcastJoinThreshold; threshold <= 0 (broadcast disabled)
     * never needs the guard. */
-  private def setsExceedBroadcast(df: DataFrame): Boolean = {
-    val spark = df.sparkSession
-    val thr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .flatMap(v => scala.util.Try(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
-      .getOrElse(10L << 20)
+  private[graft] def setsExceedBroadcast(df: DataFrame): Boolean = {
+    val thr = sessionBroadcastThreshold(df.sparkSession)
     if (thr <= 0) false
     else (try graft.spark.ExecTuning.inputBytes(df)
           catch { case _: Exception => return false }) * SetsExplosionFactor > thr
+  }
+
+  /** Is the corpus small enough that an ID-projection of it (keeper ids,
+    * loser ids) certainly fits the session's broadcast regime? Ids are a
+    * strict contraction of the corpus bytes (8 B per document vs the
+    * document itself), so the raw disk estimate — with no explosion
+    * factor — is the conservative bound. Used to broadcast-HINT joins
+    * against stats-free LogicalRDD frames (an RDD barrier has no size
+    * estimate, and with AQE off at the small-query floor the planner
+    * would otherwise fall back to a shuffle join). */
+  private[graft] def corpusWithinBroadcast(df: DataFrame): Boolean = {
+    val thr = sessionBroadcastThreshold(df.sparkSession)
+    thr > 0 && (try graft.spark.ExecTuning.inputBytes(df) <= thr
+      catch { case _: Exception => false })
   }
 
   /** Corpus-size floor under which [[verifiedPairs]] skips the explicit
@@ -716,6 +776,13 @@ object Dedup {
     // default on every over-threshold corpus. The tuple encoder collects
     // specialized primitive-long pairs, not Row objects, so the heap cost
     // is the ~32 B/edge the threshold assumes.
+    // KEPT as-is after an r17 re-measurement: a count-first probe (count,
+    // then collect-from-cache — nominally fewer actions, tried with and
+    // without a sized-AQE wrap around the probe actions) measured
+    // 0.88-0.94x WORSE on doc_dedup_kept/doc_curation_e2e across three
+    // 3-6-rep ABBA sessions: the limit tier's incremental executeTake is
+    // cheaper than a full count-the-cache pass at the floor where pairs
+    // are scarce. Measured no-go — see OPTIMIZATION_r17.md.
     import spark.implicits._
     val smallCap = math.min(65536L, driverEdgeThreshold).toInt
     val probe = raw.toDF("id_a", "id_b").as[(Long, Long)]
@@ -824,9 +891,9 @@ object Dedup {
     // exponentially in rounds (2^k subtrees just to canonicalize/print).
     // Label rows are bounded by the pair set's vertex count, and the
     // context cleaner frees each superseded round's blocks.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+    var labels = truncateLineage(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     // Labels only ever decrease, so the label sum is a convergence witness:
     // unchanged sum ⟺ fixpoint — one cheap aggregate per round instead of a
     // change-detection join.
@@ -848,12 +915,12 @@ object Dedup {
       // vertex id with a label of its own), doubling the propagated
       // distance per round — rounds ≈ log2(diameter) instead of diameter,
       // so the default cap covers chains the hop-per-round loop missed.
-      val updated = prop.join(
+      val updated = truncateLineage(prop.join(
           prop.select(col("id").as("cluster_id"), col("cluster_id").as("_g")),
           Seq("cluster_id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("_g"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true) // truncate: see labels note above
+          least(col("cluster_id"), coalesce(col("_g"), col("cluster_id")))
+            .as("cluster_id"))) // truncate: see labels note above
       val newSum = labelSum(updated)
       labels = updated
       converged = newSum == prevSum
@@ -873,6 +940,11 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** 0 disables [[dropNearDuplicates]]' keeper-id RDD barrier + size-gated
+    * broadcast hint (A/B + escape hatch; default on — see the in-body
+    * note). */
+  private[graft] val KeeperBarrierKey = "spark.graft.dedup.keeperBarrier"
 
   /** Edges per spanning-forest task: sizes each round's partition count so
     * per-task union-find state (a LongMap over the partition's vertices,
@@ -961,11 +1033,34 @@ object Dedup {
     // NULL-text rows never enter the dedup logic (md5(NULL) would pool
     // them into one bogus "exact-dup" group); absent from both loser sets,
     // they all survive the final anti-join untouched.
-    val keepers = df.where(col(textCol).isNotNull)
+    val keepersAgg = df.where(col(textCol).isNotNull)
       .select(TextFunctions.md5Longs(col(textCol)).as("_h"),
         col(idCol).cast("long").as("id"))
       .groupBy(col("_h")).agg(min(col("id")).as("id"))
       .select(col("id"))
+    // Keeper ids feed TWO SEPARATE ACTIONS — the CC probe that runs inside
+    // nearDupClusters at construction time, and the caller's final
+    // anti-join. Separate QueryExecutions share no exchanges, so the
+    // md5-aggregate CORPUS SCAN ran once per action. Re-rooting the
+    // aggregate over its executed RDD (Bridge.rddBarrier) registers its
+    // shuffle once; the DAGScheduler then skips the map stage — the whole
+    // text scan + md5 + partial agg — in every job after the first. At
+    // 100 TB that is one full corpus pass removed from the drop; shuffle
+    // files carry normal lineage (lost map output recomputes), so no
+    // fault-tolerance caveat. A LogicalRDD leaf has NO size estimate, so
+    // the semi/anti joins against it are broadcast-HINTED exactly when the
+    // corpus estimate fits the session's broadcast regime (ids are a
+    // contraction of corpus bytes — see corpusWithinBroadcast); past the
+    // regime the keeper relation is corpus-correlated and the planner's
+    // shuffle choice is right anyway (AQE is on there and refines it at
+    // runtime). Conf 0 restores the inline recompute-per-action shape
+    // (A/B + escape hatch).
+    val keepers =
+      if (graft.spark.ExecTuning.confLong(df.sparkSession,
+          KeeperBarrierKey, 1L) == 0L) keepersAgg
+      else if (corpusWithinBroadcast(df))
+        broadcast(org.apache.spark.sql.graftbridge.Bridge.rddBarrier(keepersAgg))
+      else org.apache.spark.sql.graftbridge.Bridge.rddBarrier(keepersAgg)
     val exactLosers = df.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"))
       .join(keepers, Seq("id"), "left_anti")
@@ -982,6 +1077,9 @@ object Dedup {
     // signatures computed and discarded (one kernel pass over duplicate
     // text; the alternative — semi first, minhash after — would shuffle
     // every byte of text in the shuffle-semi regime).
+    // NOT spread — same re-measured no-go as [[nearDupPairs]] (r17 ABBA
+    // post-probe-restructure: the floor kernels overlap as concurrent
+    // broadcast futures; a shared spread exchange only adds a hop).
     val sigs = df.select(col(idCol).cast("long").as("id"),
         minhashText(col(textCol), shingleN, k, seed).as("sig"))
       .where(size(col("sig")) > 0)
@@ -1155,18 +1253,21 @@ object Dedup {
     // on min AND median (0.90x/0.82x). Default: checkpoint exactly when
     // the corpus is past the broadcast regime (the same gate the verify
     // fetch uses); conf forces it on (1) or off (0).
+    // One plan walk for both decisions (r16 ADVICE: this was evaluated
+    // twice — once for the checkpoint gate, once for the hugeSets arg).
+    val huge = setsExceedBroadcast(df)
     val ckpt = graft.spark.ExecTuning.confLong(spark,
       JaccardCandsCheckpointKey, -1L) match {
       case 0L => false
       case v if v > 0L => true
-      case _ => setsExceedBroadcast(df)
+      case _ => huge
     }
-    val cands = if (ckpt) candsLazy.localCheckpoint() else candsLazy
+    val cands = if (ckpt) truncateLineage(candsLazy) else candsLazy
     // Verify: exact Jaccard over candidate pairs only, shingles re-derived
     // for candidate ids via semi-join (see the caching contract — the
     // corpus-sized shingle set is never cached).
     verifyJaccard(cands, candidateShingleSets(cands, sh), threshold,
-      hugeSets = setsExceedBroadcast(df))
+      hugeSets = huge)
   }
 
   /**
@@ -1302,7 +1403,8 @@ object Dedup {
         round += 1
       }
     }
-    val out = bucketed.select(col("id"), col("t"), col("bucket")).localCheckpoint(true)
+    val out = truncateLineage(
+      bucketed.select(col("id"), col("t"), col("bucket")))
     bucketed.unpersist()
     out
   }

@@ -234,6 +234,63 @@ class DedupSpec extends SparkSuite {
     assert(filtered == unfiltered && filtered._2 == Set(1L, 3L, 5L, 6L))
   }
 
+  test("keeper-barrier policy settings never change the kept set") {
+    // The keeper-id RDD barrier (+ size-gated broadcast hint) is pure plan
+    // shape — cross-action map-stage reuse; the kept set must be identical
+    // with it on (default) and off.
+    def kept(): Set[Long] =
+      Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val on = kept() // default: barrier on
+    spark.conf.set(Dedup.KeeperBarrierKey, "0")
+    val off = try kept() finally spark.conf.unset(Dedup.KeeperBarrierKey)
+    assert(on == off && on == Set(1L, 3L, 5L, 6L))
+  }
+
+  test("jaccard candidate-checkpoint policy settings never change the pair set") {
+    // Forced checkpoint (1) vs forced lazy (0) is pure materialization
+    // policy; the pair set and values must be identical (r16 ADVICE: the
+    // 0/positive/auto policy had no direct coverage).
+    def pairs(): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    spark.conf.set(Dedup.JaccardCandsCheckpointKey, "1")
+    val ckpt = try pairs()
+    finally spark.conf.unset(Dedup.JaccardCandsCheckpointKey)
+    spark.conf.set(Dedup.JaccardCandsCheckpointKey, "0")
+    val lazily = try pairs()
+    finally spark.conf.unset(Dedup.JaccardCandsCheckpointKey)
+    assert(ckpt == lazily && ckpt.nonEmpty)
+  }
+
+  test("sessionBroadcastThreshold parses -1, byte suffixes, and bare longs") {
+    // r16 ADVICE (medium): "-1" — the standard broadcast-disable value —
+    // threw in byteStringAsBytes and fell back to the 10 MB default,
+    // making the guards' 'threshold <= 0 => not needed' branch
+    // unreachable with broadcast disabled.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    def withThr[T](v: String)(body: => T): T = {
+      spark.conf.set(key, v); try body finally spark.conf.set(key, before)
+    }
+    assert(withThr("-1") { Dedup.sessionBroadcastThreshold(spark) } == -1L)
+    assert(withThr("10MB") { Dedup.sessionBroadcastThreshold(spark) } == 10L << 20)
+    assert(withThr("1048576") { Dedup.sessionBroadcastThreshold(spark) } == 1L << 20)
+    // Guard consequences: broadcast disabled => neither guard fires
+    // (shuffle plans need no enforcement), regardless of corpus size.
+    withThr("-1") {
+      assert(!Dedup.setsExceedBroadcast(docs))
+      assert(!Dedup.corpusWithinBroadcast(docs))
+    }
+    // Tiny corpus inside a real threshold: id-broadcast OK, sets explosion
+    // does not overflow.
+    withThr("64MB") {
+      assert(Dedup.corpusWithinBroadcast(docs))
+      assert(!Dedup.setsExceedBroadcast(docs))
+    }
+  }
+
   test("spanning-forest reduction: multi-round path matches driver union-find") {
     // 100 dense 30-vertex cliques (43.5k edges). forestTaskEdges=25000
     // forces parts=2 in round 1 (each task's forest ≈ the full 2.9k-edge
