@@ -114,8 +114,12 @@ object Bench {
     // — built outside timed runs, but ONLY when that gate runs (its
     // k-means build + corpus count would tax every restricted hnsw_*
     // session otherwise, the same scoping the ivf_ builds have).
-    if (subsetNeeds("hnsw_routed"))
+    if (subsetNeeds("hnsw_routed")) {
       graft.queries.HnswQueries.ensureRoutedIndex(spark, sfDir): Unit
+      // Its brute-force truth is warmup apparatus like the sibling recall
+      // gates' (one policy across all three — r16 verdict item 5).
+      graft.queries.HnswQueries.ensureRoutedRecallTruth(spark, sfDir): Unit
+    }
     // The recall gates' brute-force truths are yardstick apparatus like
     // the PQ truth (r16): pay them in warmup so measured runs time the
     // graph search, not the crossJoin that grades it.

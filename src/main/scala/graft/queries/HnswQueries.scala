@@ -413,21 +413,24 @@ object HnswQueries {
       // exact-parity p = 0, and a gate builder's conf flip would leak
       // past its return anyway.
       val name = ensureRoutedIndex(s, dir)
-      val corpus = routedCorpus(s, dir)
       val queries = routedCorpus(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-      val ann = graft.api.Vss.annTopK(queries, name, "q_vec", 10,
+      val got = graft.api.Vss.annTopK(queries, name, "q_vec", 10,
           probeSegments = Some(4))
-        .select(col("q_id"), col("neighbor_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
-      val truth = queries.crossJoin(corpus)
-        .select(col("q_id"), col("vec_id"),
-          array_distance(col("q_vec"), col("vec")).as("d"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
-      ann.join(truth, Seq("q_id", "neighbor_id"))
-        .agg((count(lit(1)).cast("double") / lit(200.0) >= 0.9).as("recall_ok"))
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // Brute-force truth is ENSURE-CACHED apparatus, unifying the policy
+      // across all three recall gates (r16 verdict item 5: the two sibling
+      // gates' truths moved to warmup in r16 while this one still ran its
+      // crossJoin in-plan every timed run — inconsistent, and the truth is
+      // the yardstick, not the engine under test). Driver compare over
+      // ≤200 rows, exactly the siblings' structure; same 200-denominator
+      // recall value as the old in-plan agg (20 queries x exact top-10).
+      val truth = ensureRoutedRecallTruth(s, dir)
+      val hit = got.count { case (q, id) => truth.get(q).exists(_.contains(id)) }
+      val total = truth.values.map(_.size).sum
+      import s.implicits._
+      Seq(hit.toDouble / total >= 0.9).toDF("recall_ok")
     })
   )
 
@@ -481,6 +484,29 @@ object HnswQueries {
         .select(col("q_id"), col("vec_id"),
           array_distance(col("q_vec"), col("embedding")).as("d"))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    })
+
+  /** [[ensureRecallTruth]] for the ROUTED gate's planted-cluster corpus
+    * ([[routedCorpus]], not the raw embeddings) — its own cache key, same
+    * policy: truth is apparatus, paid in warmup, immutable per (dir, JVM). */
+  private val routedTruthCache =
+    new scala.collection.concurrent.TrieMap[String, Map[Long, Set[Long]]]()
+
+  private[graft] def ensureRoutedRecallTruth(s: SparkSession,
+      dir: String): Map[Long, Set[Long]] =
+    routedTruthCache.getOrElseUpdate(dir, {
+      val corpus = routedCorpus(s, dir) // null embeddings already excluded
+      val queries = corpus.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+      queries.crossJoin(corpus)
+        .select(col("q_id"), col("vec_id"),
+          array_distance(col("q_vec"), col("vec")).as("d"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
         .select(col("q_id"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
