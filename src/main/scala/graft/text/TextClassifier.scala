@@ -111,19 +111,59 @@ object TextClassifier {
     }
   }
 
+  /** Corpus-byte ceiling for the DRIVER-LOCAL fit path (0 disables it).
+    * Under it, the labeled frame is collected in ONE job, featurized once
+    * into CSR term counts (the scorer's exact tokenize+hash), and
+    * optimized driver-side with the same breeze LBFGS Spark ML runs —
+    * identical objective (feature standardization, mean log-loss, L2 on
+    * the standardized coefficients, Spark's initial intercepts), so the
+    * coefficients match `ml.fit` to floating-point-order noise
+    * (TextClassifierSpec pins the parity). Motivation (r17 FitProf,
+    * warm): `ml.fit` at the gate floor is ~1.1 s of FIXED cost (input
+    * persist + summarizer pass + per-iteration treeAggregate job latency)
+    * for a fit the driver computes in well under 0.1 s. Above the ceiling
+    * the distributed `ml.fit` runs unchanged — the 100 TB train-once path
+    * is untouched; this is the withSizedAqe size policy applied to the
+    * fit. Default 16 MB: measured (ABBA, 32-core box) the local path is
+    * 4.7-5.0x faster at 0.6 MB and 2.6-3.4x at 6 MB, but 0.7-0.8x (a
+    * LOSS) at 56 MB where the driver's single-threaded featurize+LBFGS
+    * falls behind the 32-way treeAggregates — the crossover sits around
+    * ~25-35 MB, and 16 MB leaves margin for slower driver cores. */
+  val LocalFitMaxBytesKey = "spark.graft.classifier.localFitMaxBytes"
+  val DefaultLocalFitMaxBytes: Long = 16L << 20
+
+  private def useLocalFit(df: DataFrame): Boolean = {
+    val cap = graft.spark.ExecTuning.confLong(df.sparkSession,
+      LocalFitMaxBytesKey, DefaultLocalFitMaxBytes)
+    cap > 0 && (try graft.spark.ExecTuning.inputBytes(df) < cap
+      catch { case _: Exception => false })
+  }
+
   /**
-   * One distributed fit: label ∈ {0.0, 1.0} (`labelCol` cast to double).
-   * A null text trains as "" (which, like every text, contributes its
-   * space-split tokens — for "" that is one empty-string token, the same
-   * bucket the scorer hashes it to); at SCORE time a null text returns
-   * null (no row is silently scored as empty) — filter or coalesce
-   * upstream if nulls should score.
+   * One fit: label ∈ {0.0, 1.0} (`labelCol` cast to double). Distributed
+   * `HashingTF` + `LogisticRegression` past [[LocalFitMaxBytesKey]];
+   * under it, the equivalent driver-local LBFGS (same objective, same
+   * optimizer — parity spec'd; degenerate single-class frames fall back
+   * to `ml.fit`'s own handling). A null text trains as "" (which, like
+   * every text, contributes its space-split tokens — for "" that is one
+   * empty-string token, the same bucket the scorer hashes it to); at
+   * SCORE time a null text returns null (no row is silently scored as
+   * empty) — filter or coalesce upstream if nulls should score.
    */
   def train(df: DataFrame, textCol: String, labelCol: String,
       numFeatures: Int = 1 << 18, maxIter: Int = 50,
       regParam: Double = 0.01): Model = {
     require(numFeatures >= 2 && numFeatures <= (1 << 24),
       s"numFeatures out of range: $numFeatures")
+    if (useLocalFit(df)) {
+      val rows = df.select(coalesce(col(textCol), lit("")).cast("string"),
+        col(labelCol).cast("double")).collect()
+      val texts = rows.map(_.getString(0))
+      val labels = rows.map(_.getDouble(1))
+      val local =
+        LocalLogistic.fitBinary(texts, labels, numFeatures, maxIter, regParam)
+      if (local.isDefined) return local.get
+    }
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
     val prepared = df
@@ -159,6 +199,26 @@ object TextClassifier {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
     val maxClasses = 4096
+    if (useLocalFit(df)) {
+      // One collect replaces BOTH the distinct-labels job and the fit's
+      // own passes; labels derive locally (distinct, sorted — identical to
+      // the distributed spelling). Contract checks unchanged.
+      val rows = df.select(coalesce(col(textCol), lit("")).cast("string"),
+          col(labelCol).cast("string"))
+        .where(col(labelCol).cast("string").isNotNull).collect()
+      val texts = rows.map(_.getString(0))
+      val labelStrs = rows.map(_.getString(1))
+      val labelsL = labelStrs.distinct.sorted
+      require(labelsL.length >= 2,
+        s"need >= 2 distinct labels, got ${labelsL.length}")
+      require(labelsL.length <= maxClasses,
+        s"labels must be class-count-sized (<= $maxClasses distinct values)")
+      require(labelsL.length.toLong * numFeatures <= (1L << 27),
+        s"classes x features too large: ${labelsL.length} x $numFeatures " +
+          s"> ${1L << 27} (dense weights must fit the task binary)")
+      return LocalLogistic.fitMulticlass(texts, labelStrs, labelsL,
+        numFeatures, maxIter, regParam)
+    }
     val labels: Array[String] = df
       .select(col(labelCol).cast("string").as("_tc_l"))
       .where(col("_tc_l").isNotNull)
@@ -331,5 +391,301 @@ object HashedSoftmaxScore {
     c = 0
     while (c < k) { denom += math.exp(acc(c) - acc(best)); c += 1 }
     new GenericInternalRow(Array[Any](model.labelUtf8(best), 1.0 / denom))
+  }
+}
+
+/**
+ * Driver-local logistic fit for corpora under
+ * [[TextClassifier.LocalFitMaxBytesKey]] — the SAME optimization problem
+ * Spark ML's `LogisticRegression` solves, computed without the
+ * distributed machinery whose fixed cost (input persist, summarizer pass,
+ * one treeAggregate job per LBFGS evaluation) dominates small fits:
+ *
+ *  - features: HashingTF-compatible term counts ([[HashedLinearScore
+ *    .bucket]] over single-space splits — the scorer's exact convention),
+ *    featurized ONCE into CSR so the optimizer loop never re-tokenizes;
+ *  - standardization (the ML default): optimize over x̂ = x / std with
+ *    std the unbiased column std over all rows (zeros included),
+ *    constant columns dropped via invStd = 0, coefficients returned on
+ *    the original scale (β = β̂ · invStd);
+ *  - objective: weightSum-mean log-loss + (regParam/2)·Σ β̂² over the
+ *    non-intercept coefficients (L2 in the standardized space —
+ *    `standardization=true` semantics); intercept unregularized;
+ *  - initial point: zeros, intercept = log(n₁/n₀) (binary) /
+ *    interceptᶜ = log1p(countᶜ) − mean (multinomial) — ML's exact
+ *    warm start;
+ *  - optimizer: breeze LBFGS(maxIter, m=10, tol=1e-6) over a
+ *    CachedDiffFunction — the identical optimizer object ML drives.
+ *
+ * With the same objective, initial point and optimizer, the trajectories
+ * differ only by floating-point summation order (local loop vs
+ * treeAggregate), so coefficients match `ml.fit` to numerical noise —
+ * TextClassifierSpec pins the parity on both families.
+ */
+private[text] object LocalLogistic {
+  import breeze.linalg.{DenseVector => BDV}
+  import breeze.optimize.{CachedDiffFunction, DiffFunction, LBFGS => BreezeLBFGS}
+
+  /** CSR term-count features + the standardization vectors. `scaledMean`
+    * is mean·invStd — Spark ML since SPARK-34448/34860 CENTERS the
+    * standardized features (fitWithMean) via a margin offset so sparse
+    * features stay sparse; trajectory parity requires the same space. */
+  private final class Csr(val rowPtr: Array[Int], val idx: Array[Int],
+      val cnt: Array[Double], val invStd: Array[Double],
+      val scaledMean: Array[Double])
+
+  private def featurize(texts: Array[String], numFeatures: Int): Csr = {
+    val n = texts.length
+    val rowPtr = new Array[Int](n + 1)
+    val idxB = new scala.collection.mutable.ArrayBuilder.ofInt
+    val cntB = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val sum = new Array[Double](numFeatures)
+    val sumSq = new Array[Double](numFeatures)
+    val rowCounts = new scala.collection.mutable.LongMap[Double]
+    var r = 0
+    while (r < n) {
+      rowCounts.clear()
+      val bytes = texts(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var start = 0
+      var i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == ' ') {
+          val b = HashedLinearScore.bucket(bytes, start, i - start, numFeatures)
+          rowCounts.update(b.toLong, rowCounts.getOrElse(b.toLong, 0.0) + 1.0)
+          start = i + 1
+        }
+        i += 1
+      }
+      rowCounts.foreach { case (j, c) =>
+        idxB += j.toInt
+        cntB += c
+        sum(j.toInt) += c
+        sumSq(j.toInt) += c * c
+      }
+      rowPtr(r + 1) = rowPtr(r) + rowCounts.size
+      r += 1
+    }
+    // Unbiased column std over ALL rows (implicit zeros included) — the
+    // summarizer's statistic. n == 1 leaves every std 0 (invStd 0), the
+    // same degenerate scaling ML produces.
+    val invStd = new Array[Double](numFeatures)
+    val scaledMean = new Array[Double](numFeatures)
+    if (n > 1) {
+      var j = 0
+      while (j < numFeatures) {
+        val mean = sum(j) / n
+        val v = (sumSq(j) - n * mean * mean) / (n - 1)
+        invStd(j) = if (v > 0) 1.0 / math.sqrt(v) else 0.0
+        scaledMean(j) = mean * invStd(j)
+        j += 1
+      }
+    }
+    new Csr(rowPtr, idxB.result(), cntB.result(), invStd, scaledMean)
+  }
+
+  private def optimize(costFun: DiffFunction[BDV[Double]], init: BDV[Double],
+      maxIter: Int): BDV[Double] = {
+    val lbfgs = new BreezeLBFGS[BDV[Double]](maxIter, 10, 1e-6)
+    val states = lbfgs.iterations(new CachedDiffFunction(costFun), init)
+    var x = init
+    while (states.hasNext) x = states.next().x
+    x
+  }
+
+  /** Binary fit; None on a single-class frame (the caller falls back to
+    * `ml.fit`, which owns the degenerate-label special cases). */
+  def fitBinary(texts: Array[String], labels: Array[Double], numFeatures: Int,
+      maxIter: Int, regParam: Double): Option[TextClassifier.Model] = {
+    val n = texts.length
+    if (n == 0) return None
+    var n1 = 0.0
+    labels.foreach { l =>
+      require(l == 0.0 || l == 1.0,
+        s"binary classification labels must be 0 or 1, got $l")
+      if (l == 1.0) n1 += 1
+    }
+    val n0 = n - n1
+    if (n0 == 0 || n1 == 0) return None
+    val csr = featurize(texts, numFeatures)
+    val f = numFeatures
+    val invStd = csr.invStd
+    val sm = csr.scaledMean
+    val costFun = new DiffFunction[BDV[Double]] {
+      override def calculate(x: BDV[Double]): (Double, BDV[Double]) = {
+        // [0, f): coefficients over the CENTERED standardized features
+        // (x·invStd − scaledMean); [f]: the centered-space intercept.
+        // Centering rides a per-eval margin offset (the aggregator's
+        // marginOffset device) so the sparse rows stay sparse.
+        val beta = x.data
+        val grad = new Array[Double](f + 1)
+        var off = beta(f)
+        var j = 0
+        while (j < f) { off -= beta(j) * sm(j); j += 1 }
+        var loss = 0.0
+        var multSum = 0.0
+        var r = 0
+        while (r < n) {
+          var m = off
+          var p = csr.rowPtr(r)
+          val end = csr.rowPtr(r + 1)
+          while (p < end) {
+            val jj = csr.idx(p)
+            m += beta(jj) * csr.cnt(p) * invStd(jj)
+            p += 1
+          }
+          val y = labels(r)
+          loss += (if (m > 0) (1.0 - y) * m + math.log1p(math.exp(-m))
+                   else -y * m + math.log1p(math.exp(m)))
+          val mult = 1.0 / (1.0 + math.exp(-m)) - y
+          multSum += mult
+          p = csr.rowPtr(r)
+          while (p < end) {
+            val jj = csr.idx(p)
+            grad(jj) += mult * csr.cnt(p) * invStd(jj)
+            p += 1
+          }
+          r += 1
+        }
+        val invN = 1.0 / n
+        var reg = 0.0
+        j = 0
+        while (j < f) {
+          grad(j) = (grad(j) - sm(j) * multSum) * invN + regParam * beta(j)
+          reg += beta(j) * beta(j)
+          j += 1
+        }
+        grad(f) = multSum * invN
+        (loss * invN + 0.5 * regParam * reg, new BDV(grad))
+      }
+    }
+    val init = BDV.zeros[Double](f + 1)
+    init(f) = math.log(n1 / n0)
+    val x = optimize(costFun, init, maxIter)
+    val w = Array.tabulate(f)(j => x(j) * invStd(j))
+    // Map the centered-space intercept back: b = b̂ − β̂·scaledMean.
+    var b = x(f)
+    var j = 0
+    while (j < f) { b -= x(j) * sm(j); j += 1 }
+    Some(TextClassifier.Model(w, b))
+  }
+
+  /** Multinomial (softmax) fit; `labels` is the sorted distinct class
+    * list (≥ 2 by the caller's contract, matching `ml.fit`'s validation). */
+  def fitMulticlass(texts: Array[String], labelStrs: Array[String],
+      labels: Array[String], numFeatures: Int, maxIter: Int,
+      regParam: Double): TextClassifier.MulticlassModel = {
+    val n = texts.length
+    val k = labels.length
+    val f = numFeatures
+    val labelIdx = labels.zipWithIndex.toMap
+    val y = labelStrs.map(labelIdx)
+    val hist = new Array[Double](k)
+    y.foreach(hist(_) += 1)
+    val csr = featurize(texts, numFeatures)
+    val invStd = csr.invStd
+    val sm = csr.scaledMean
+    // Flat layout [j*k + c] for coefficients and gradient (feature-major —
+    // one contiguous k-run per touched feature, the scorer's layout);
+    // intercepts at [f*k + c]. Centered space via per-class margin
+    // offsets, like the binary path.
+    val costFun = new DiffFunction[BDV[Double]] {
+      override def calculate(x: BDV[Double]): (Double, BDV[Double]) = {
+        val beta = x.data
+        val grad = new Array[Double](f * k + k)
+        val m = new Array[Double](k)
+        val off = new Array[Double](k)
+        val multSum = new Array[Double](k)
+        var c = 0
+        while (c < k) { off(c) = beta(f * k + c); c += 1 }
+        var j = 0
+        while (j < f) {
+          val s = sm(j)
+          if (s != 0.0) {
+            val base = j * k
+            c = 0
+            while (c < k) { off(c) -= beta(base + c) * s; c += 1 }
+          }
+          j += 1
+        }
+        var loss = 0.0
+        var r = 0
+        while (r < n) {
+          c = 0
+          while (c < k) { m(c) = off(c); c += 1 }
+          var p = csr.rowPtr(r)
+          val end = csr.rowPtr(r + 1)
+          while (p < end) {
+            val jj = csr.idx(p)
+            val xs = csr.cnt(p) * invStd(jj)
+            if (xs != 0.0) {
+              val base = jj * k
+              c = 0
+              while (c < k) { m(c) += beta(base + c) * xs; c += 1 }
+            }
+            p += 1
+          }
+          var maxM = m(0)
+          c = 1
+          while (c < k) { if (m(c) > maxM) maxM = m(c); c += 1 }
+          var denom = 0.0
+          c = 0
+          while (c < k) { denom += math.exp(m(c) - maxM); c += 1 }
+          loss += math.log(denom) + maxM - m(y(r))
+          // p_c - 1{c == y} reused across the row's features via m()
+          c = 0
+          while (c < k) {
+            m(c) = math.exp(m(c) - maxM) / denom - (if (c == y(r)) 1.0 else 0.0)
+            multSum(c) += m(c)
+            c += 1
+          }
+          p = csr.rowPtr(r)
+          while (p < end) {
+            val jj = csr.idx(p)
+            val xs = csr.cnt(p) * invStd(jj)
+            if (xs != 0.0) {
+              val base = jj * k
+              c = 0
+              while (c < k) { grad(base + c) += m(c) * xs; c += 1 }
+            }
+            p += 1
+          }
+          r += 1
+        }
+        val invN = 1.0 / n
+        var reg = 0.0
+        j = 0
+        while (j < f) {
+          val base = j * k
+          val s = sm(j)
+          c = 0
+          while (c < k) {
+            grad(base + c) = (grad(base + c) - s * multSum(c)) * invN +
+              regParam * beta(base + c)
+            reg += beta(base + c) * beta(base + c)
+            c += 1
+          }
+          j += 1
+        }
+        c = 0
+        while (c < k) { grad(f * k + c) = multSum(c) * invN; c += 1 }
+        (loss * invN + 0.5 * regParam * reg, new BDV(grad))
+      }
+    }
+    // ML's multinomial warm start: intercepts log1p(count_c), centered.
+    val init = BDV.zeros[Double](f * k + k)
+    val rawInts = hist.map(math.log1p)
+    val rawMean = rawInts.sum / k
+    var c = 0
+    while (c < k) { init(f * k + c) = rawInts(c) - rawMean; c += 1 }
+    val x = optimize(costFun, init, maxIter)
+    val w = Array.tabulate(k)(c => Array.tabulate(f)(j => x(j * k + c) * invStd(j)))
+    // Map the centered-space intercepts back: b_c = b̂_c − β̂_c·scaledMean.
+    val ints = Array.tabulate(k) { cc =>
+      var b = x(f * k + cc)
+      var j = 0
+      while (j < f) { b -= x(j * k + cc) * sm(j); j += 1 }
+      b
+    }
+    TextClassifier.MulticlassModel(labels, w, ints)
   }
 }

@@ -137,6 +137,55 @@ class TextClassifierSpec extends SparkSuite {
     assert(acc >= 0.95, s"marker-class accuracy $acc")
   }
 
+  test("driver-local fit == ml.fit: binary and multinomial coefficients " +
+      "match to numerical noise; predictions identical") {
+    // Same objective + same initial point + same breeze LBFGS => the only
+    // divergence is floating-point summation order (local loop vs
+    // treeAggregate). LocalFitMaxBytesKey=0 forces the distributed path on
+    // the identical input.
+    val labeled = docs
+      .withColumn("has_vec",
+        array_contains(split(col("text"), " "), "vector").cast("int"))
+      .withColumn("cls", (col("doc_id") % 3).cast("int"))
+      .withColumn("text2", concat(
+        element_at(typedLit(Seq("qmarkzero", "qmarkone", "qmarktwo")),
+          (col("doc_id") % 3 + 1).cast("int")),
+        lit(" "), col("text")))
+    def both[T](fit: => T): (T, T) = {
+      val local = fit // default conf: tiny fixture takes the local path
+      spark.conf.set(TextClassifier.LocalFitMaxBytesKey, "0")
+      val ml = try fit
+      finally spark.conf.unset(TextClassifier.LocalFitMaxBytesKey)
+      (local, ml)
+    }
+    val (bLocal, bMl) = both(TextClassifier.train(
+      labeled, "text", "has_vec", numFeatures = 1 << 14, maxIter = 8))
+    val bMaxD = math.max(
+      bLocal.weights.zip(bMl.weights).map(p => math.abs(p._1 - p._2)).max,
+      math.abs(bLocal.intercept - bMl.intercept))
+    assert(bMaxD < 1e-4, s"binary local-vs-ml max coefficient delta $bMaxD")
+    val bPredDiff = labeled.select(
+        ((TextClassifier.score(col("text"), bLocal) >= 0.5) =!=
+          (TextClassifier.score(col("text"), bMl) >= 0.5)).cast("int").as("d"))
+      .agg(sum(col("d"))).collect().head.getLong(0)
+    assert(bPredDiff == 0, s"$bPredDiff binary predictions diverged")
+
+    val (mLocal, mMl) = both(TextClassifier.trainMulticlass(
+      labeled, "text2", "cls", numFeatures = 1 << 14, maxIter = 8))
+    assert(mLocal.labels.toSeq == mMl.labels.toSeq)
+    val mMaxD = math.max(
+      mLocal.weights.zip(mMl.weights).map { case (a, b) =>
+        a.zip(b).map(p => math.abs(p._1 - p._2)).max }.max,
+      mLocal.intercepts.zip(mMl.intercepts).map(p => math.abs(p._1 - p._2)).max)
+    assert(mMaxD < 1e-4, s"multiclass local-vs-ml max coefficient delta $mMaxD")
+    val mPredDiff = labeled.select(
+        (TextClassifier.scoreMulticlass(col("text2"), mLocal).getField("label") =!=
+          TextClassifier.scoreMulticlass(col("text2"), mMl).getField("label"))
+          .cast("int").as("d"))
+      .agg(sum(col("d"))).collect().head.getLong(0)
+    assert(mPredDiff == 0, s"$mPredDiff multiclass predictions diverged")
+  }
+
   test("multiclass scorer edge cases: null -> null; k probabilities sum " +
       "context (winner prob in (0,1]); strict codegen; value-based model " +
       "equality dedups plans") {
