@@ -481,13 +481,24 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       val m = graft.text.BucketLm.fit(d.where(col("lang") === "en"), "text",
         buckets = 4096)
+      // Bounded-heap top-20 (r17; was orderBy+limit): under the digest
+      // aggregate, Limit(Sort) is mid-plan and its range-partitioner
+      // sampling re-ran the whole perplexity kernel (StageProf: two
+      // ~270 ms 3-task scan stages per run). min_by_k computes the same
+      // 20 (ppl ASC, doc_id ASC) rows in one kernel pass; the digest is
+      // order-independent, so the pin is unchanged. (Spreading the scoring
+      // input was re-measured post-heap and stays OUT: ABBA 0.94/0.97
+      // favoring off — the exchange's extra stages cost more than the
+      // 3-task kernel stage saves at the floor.)
       digestPin(
         d.select(col("doc_id"),
             graft.text.BucketLm.perplexityColumn(col("text"), m).as("ppl"))
           .where(col("ppl").isNotNull)
-          .orderBy(col("ppl"), col("doc_id"))
-          .limit(20)
-          .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
+          .agg(graft.functions.min_by_k(struct(col("doc_id"), col("ppl")),
+            struct(col("ppl"), col("doc_id")), 20).as("_top"))
+          .select(explode(col("_top")).as("_r"))
+          .select(col("_r.doc_id").as("doc_id"),
+            round(col("_r.ppl"), 4).as("ppl")),
         Seq("doc_id", "ppl"))
     }),
     "doc_lm_perplexity_n5" -> ((s, dir) => {
@@ -502,13 +513,19 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       val m = graft.text.BucketLm.fit(d.where(col("lang") === "en"), "text",
         buckets = 4096, n = 5)
+      // Bounded-heap top-20 — same move and rationale as doc_lm_perplexity
+      // (the n=5 kernel is ~5x the per-token work, so the eliminated
+      // second pass is worth the most here; the spread no-go there was
+      // re-measured on this gate too, same outcome).
       digestPin(
         d.select(col("doc_id"),
             graft.text.BucketLm.perplexityColumn(col("text"), m).as("ppl"))
           .where(col("ppl").isNotNull)
-          .orderBy(col("ppl"), col("doc_id"))
-          .limit(20)
-          .select(col("doc_id"), round(col("ppl"), 4).as("ppl")),
+          .agg(graft.functions.min_by_k(struct(col("doc_id"), col("ppl")),
+            struct(col("ppl"), col("doc_id")), 20).as("_top"))
+          .select(explode(col("_top")).as("_r"))
+          .select(col("_r.doc_id").as("doc_id"),
+            round(col("_r.ppl"), 4).as("ppl")),
         Seq("doc_id", "ppl"))
     }),
     "doc_dsir_select_tvf" -> ((s, dir) => {

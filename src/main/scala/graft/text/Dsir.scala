@@ -52,18 +52,30 @@ object Dsir {
   def fitWeights(target: DataFrame, raw: DataFrame, textCol: String,
       n: Int = DefaultN, buckets: Int = DefaultBuckets,
       alpha: Double = 1.0): Array[Double] = {
-    def counts(df: DataFrame): Map[Long, Long] =
-      bucketCounts(df, textCol, n, buckets).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
-    // MEASURED NO-GO (r16): overlapping the two count passes with a
-    // Future (the Bm25.fitQuery device) DEADLOCKS when this fit runs at
-    // TVF RESOLUTION time (dsir_select): the analyzer invokes the TVF
-    // builder while holding the SessionCatalog lock, so the Future's own
-    // Dataset analysis blocks on that lock while the main thread Awaits
-    // the Future — jstack receipt in OPTIMIZATION_r16.md. Serial passes
-    // stay; the Scala gate path uses the one-pass fitWeightsWithin
-    // anyway.
-    weightsFromCounts(counts(target), counts(raw), buckets, alpha)
+    // ONE tag-unioned featurize+count pass (r17; was two serial
+    // collect-per-corpus passes): both frames union into a single explode
+    // + conditional-count aggregate, so the fit is one action — half the
+    // fit jobs at the floor, and no analyzer hazard (the r16 attempt to
+    // OVERLAP the two passes with a Future deadlocked at TVF resolution
+    // time — the analyzer holds the SessionCatalog lock; a single action
+    // never spawns a second analysis thread). Counts are exactly the
+    // two-pass counts: tn sums tagged rows, rn untagged.
+    val tagged = target.where(col(textCol).isNotNull)
+      .select(lit(true).as("_dsir_t"), col(textCol).as("_dsir_x"))
+      .unionByName(raw.where(col(textCol).isNotNull)
+        .select(lit(false).as("_dsir_t"), col(textCol).as("_dsir_x")))
+    val rows = tagged
+      .select(col("_dsir_t"), explode(Bridge.column(graft.expressions.DsirBuckets(
+        Bridge.composedExpression(col("_dsir_x")), n, buckets))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_dsir_t"), 1)).as("tn"),
+        count(when(!col("_dsir_t"), 1)).as("rn"))
+      .collect()
+    val tc = rows.iterator.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).toMap
+    val rc = rows.iterator.map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 > 0).toMap
+    weightsFromCounts(tc, rc, buckets, alpha)
   }
 
   /** [[fitWeights]] for the labeled-subset case (target = rows of `raw`
@@ -124,8 +136,19 @@ object Dsir {
 
   private def selectScored(raw: DataFrame, w: Array[Double], textCol: String,
       idCol: String, k: Int, n: Int, buckets: Int): DataFrame =
+    // Bounded-heap top-k (r17; was orderBy + limit): as a MID-PLAN
+    // operator — every digest/aggregate consumer — Limit(Sort) plans a
+    // full RANGE sort whose partitioner SAMPLING pass re-executes the
+    // scoring kernel over the whole corpus (StageProf: two ~full-cost scan
+    // stages per run; at 100 TB that is a second corpus pass). The k-arg
+    // heap aggregate computes the same k rows in ONE pass with map-side
+    // partial heaps (≤ k rows per task cross the shuffle) and no sort of
+    // anything bigger than k. Order ties to (score DESC, idCol ASC),
+    // identical to the sort spelling; rows emit best-first like before.
     raw.where(col(textCol).isNotNull)
       .select(col(idCol), scoreColumn(col(textCol), w, n, buckets).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+      .agg(graft.functions.min_by_k(struct(col(idCol), col("score")),
+        struct(-col("score"), col(idCol)), k).as("_dsir_top"))
+      .select(explode(col("_dsir_top")).as("_dsir_r"))
+      .select(col("_dsir_r." + idCol).as(idCol), col("_dsir_r.score").as("score"))
 }
